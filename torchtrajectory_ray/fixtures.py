@@ -1,0 +1,151 @@
+"""Deterministic synthetic web-page corpus + query set (FIXTURES.md).
+
+Shape is exactly BASELINE.json's ``input_hint``:
+``url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string``.
+Everything is a pure function of (seed, n_docs) — the pattern of the
+reference's seeded synthetic-timestamp generator
+(/root/reference/src/main/java/au/edu/rmit/bdm/Test.java:100-127).
+
+The token stream is Zipf(s=1.1) over a 2,000-term vocabulary so head-term
+skew (the analog of popular road edges with giant inverted lists,
+SURVEY.md §4) is exercised even at test scale.  Planted needles support
+exact-retrieval tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+VOCAB_SIZE = 2000
+ZIPF_S = 1.1
+EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 UTC in microseconds
+
+NEEDLE_UNIQUE_DOC = 137
+NEEDLE_PAIR_DOCS = (13, 4200)
+NEEDLE_PHRASE_DOCS = (7, 77, 777)
+
+_LANGS = ["en"] * 8 + ["pt", "de"]
+
+
+def vocab() -> list[str]:
+    return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
+
+
+def _zipf_probs() -> np.ndarray:
+    ranks = np.arange(1, VOCAB_SIZE + 1, dtype=np.float64)
+    p = ranks ** (-ZIPF_S)
+    return p / p.sum()
+
+
+def doc_length(i: int) -> int:
+    return 20 + (i * 31) % 381
+
+
+def doc_tokens(i: int) -> list[str]:
+    """Token list for doc i — independent of corpus size for i < n."""
+    rng = np.random.default_rng(SEED + i)
+    ids = rng.choice(VOCAB_SIZE, size=doc_length(i), p=_ZIPF_PROBS)
+    toks = [_VOCAB[j] for j in ids]
+    if i == NEEDLE_UNIQUE_DOC:
+        toks[3:3] = ["needle_unique"]
+    if i in NEEDLE_PAIR_DOCS:
+        toks[1:1] = ["needle_pair"]
+    if i in NEEDLE_PHRASE_DOCS:
+        toks[5:5] = ["needle_phrase_a", "needle_phrase_b"]
+    return toks
+
+
+_VOCAB = vocab()
+_ZIPF_PROBS = _zipf_probs()
+
+
+def make_html(i: int, text: str) -> bytes:
+    return (
+        b"<html><head><title>T%d</title>" % i
+        + b"<script>var x = 1 < 2;</script><style>p { color: red }</style>"
+        + b"</head><body><!-- comment --><p>"
+        + text.encode("utf-8")
+        + b"</p></body></html>"
+    )
+
+
+def webpages_table(n_docs: int, start: int = 0) -> pa.Table:
+    """Rows [start, start+n_docs) of the deterministic corpus."""
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in range(start, start + n_docs):
+        text = " ".join(doc_tokens(i))
+        urls.append(f"https://site{i % 97}.example/page/{i}")
+        tss.append(EPOCH_US + i * 137_000_000)
+        htmls.append(make_html(i, text))
+        texts.append(text)
+        langs.append(_LANGS[i % 10])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def write_webpages(out_dir: str, n_docs: int, num_files: int = 8) -> list[str]:
+    """Write the corpus as ``num_files`` parquet shards (idempotent cache).
+
+    Shard i holds the contiguous doc range [i*per, ...) so any corpus size
+    reuses the generator deterministically; returns the file paths.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, f"_COMPLETE_{n_docs}_{num_files}")
+    paths = [
+        os.path.join(out_dir, f"webpages-{i:04d}.parquet") for i in range(num_files)
+    ]
+    if os.path.exists(marker):
+        return paths
+    bounds = np.linspace(0, n_docs, num_files + 1).astype(int)
+    for i, path in enumerate(paths):
+        tbl = webpages_table(int(bounds[i + 1] - bounds[i]), start=int(bounds[i]))
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def query_set(n_queries: int = 50, n_docs: int = 5000) -> list[dict]:
+    """Deterministic query workload (FIXTURES.md §3).
+
+    Mix of head+tail terms, planted needles, and terms occurring in no doc
+    (the empty-posting edge case, InvertedIndex.java:150-153).
+    """
+    rng = np.random.default_rng(SEED * 7)
+    queries: list[dict] = []
+    for qid in range(n_queries):
+        n_terms = int(rng.integers(2, 7))
+        head = _VOCAB[int(rng.integers(0, 20))]
+        tail = [_VOCAB[int(rng.integers(20, VOCAB_SIZE))] for _ in range(n_terms - 1)]
+        terms = [head] + tail
+        if qid == 3:
+            terms = ["needle_unique", _VOCAB[0]]
+        elif qid == 4:
+            terms = ["needle_pair"]
+        elif qid in (10, 20, 30):
+            terms = terms[:-1] + ["zzz_missing_term"]
+        kind = ["topk", "or", "and"][qid % 3]
+        q: dict = {"query_id": qid, "terms": terms, "kind": kind,
+                   "ts_lo": None, "ts_hi": None, "lang": None}
+        if qid % 5 == 1:
+            lo = int(rng.integers(0, max(1, n_docs // 2)))
+            hi = lo + int(rng.integers(n_docs // 4, n_docs))
+            q["ts_lo"] = EPOCH_US + lo * 137_000_000
+            q["ts_hi"] = EPOCH_US + hi * 137_000_000
+        if qid % 10 == 7:
+            q["lang"] = "en"
+        queries.append(q)
+    return queries
