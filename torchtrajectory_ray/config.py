@@ -27,24 +27,39 @@ class BM25Params:
 class IndexConfig:
     """Index-build configuration.
 
-    - ``num_segments``: number of term-sharded output segments
-      (segment = hash(term_id) % num_segments).
-    - ``salt_df_threshold``: a term whose estimated document frequency
-      exceeds this is "head" and its postings shuffle under
-      (term_id, salt) instead of term_id alone — the explicit skew
-      handling the reference lacks (its HashMap hides giant posting
-      lists for popular edges, SURVEY.md §4).
-    - ``num_salts``: salt bucket count for head terms.  Salt is taken
-      from the doc_id's high bits so salted partials cover disjoint,
-      ordered doc_id ranges and merge by concatenation.
-    - ``block_size``: posting block length for block-max metadata
-      (block-max WAND skipping).
+    Physical layout is a 2-D grid: ``num_term_shards`` (hash of term_id)
+    × ``num_salts`` (doc_id range bucket).  The shuffle key is
+    (term_id, salt) — *every* term is salted by doc-id range, which is
+    the explicit skew handling the north rule requires: a head term
+    (stopword at 10^12 docs) splits into ``num_salts`` bounded runs
+    instead of one giant posting group, while tail terms just land in
+    however many buckets their few docs occupy.  Salt buckets cover
+    disjoint, ordered doc_id ranges, so bucket-local BM25 scoring is
+    exact and cross-bucket merge is a concatenation.
+
+    At 10^12-doc scale both grid dimensions grow (thousands × thousands);
+    the per-group memory bound is corpus_postings / (shards × salts).
+
+    - ``block_size``: posting block length for block-max WAND metadata.
+    - ``tokenize_batch_size`` / ``tokenize_concurrency``: actor-pool
+      sizing for the tokenize+combine stage.
+    - ``store_positions``: also store the first occurrence position per
+      (term, doc) — analog of the reference's posting ``position``
+      payload (Torch/base/invertedIndex/InvertedIndex.java:23-25).
     """
 
-    num_segments: int = 8
-    salt_df_threshold: int = 50_000
-    num_salts: int = 16
+    num_term_shards: int = 8
+    num_salts: int = 8
     block_size: int = 128
     bm25: BM25Params = field(default_factory=BM25Params)
-    tokenize_batch_size: int = 1024
+    tokenize_batch_size: int = 512
+    tokenize_concurrency: int = 4
     store_positions: bool = False
+    check_invariant: bool = True
+
+    @property
+    def num_segments(self) -> int:
+        return self.num_term_shards * self.num_salts
+
+    def segment_id(self, term_shard: int, salt: int) -> int:
+        return term_shard * self.num_salts + salt

@@ -1,0 +1,156 @@
+"""Docs-preparation stage: raw web pages → forward-index ("doc store") shards.
+
+Analog of the reference's ingest loop — ``TrajReader.readBatch`` →
+map-matching → ``TorSaver.saveMappedTrajectories``
+(/root/reference/src/main/java/au/edu/rmit/bdm/Torch/mapMatching/
+MapMatching.java:87-120, TorSaver.java:185-258) — except nothing
+accumulates in one heap and every input shard checkpoints independently:
+one input parquet file → one atomically-written docs shard + a lineage
+sidecar, so a rerun skips finished shards (the reference's crash-loses-
+everything append files, TorSaver.java:45,257, are the anti-pattern).
+
+Runs as ``map_batches`` over a dataset of file descriptors (one task per
+input file — at Common-Crawl scale input files are the natural ~100-500 MB
+work units).  The per-row invariant from BASELINE.json lives here:
+``extract_text(html)`` must equal the ``text`` column byte-for-byte when
+both are present.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from torchtrajectory_ray.functions.text import extract_text, tokenize
+
+DOCS_SCHEMA_COLS = ["doc_id", "url", "warc_ts", "lang", "doclen", "text"]
+
+
+def url_doc_id(url: str) -> int:
+    """Stable 62-bit doc id from the url (order-independent, unlike the
+    reference's arrival-order idGenerator++, Torch/base/model/TorEdge.java:17).
+    62 bits keeps ids positive int64 with headroom; at 10^12 docs a
+    128-bit id column would be preferred — noted, not needed here."""
+    h = hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "little") & 0x3FFF_FFFF_FFFF_FFFF
+
+
+def prepare_table(tbl: pa.Table, *, check_invariant: bool = True) -> pa.Table:
+    """Normalize one raw-pages table to the docs schema.
+
+    Accepts any of: (url, warc_ts, html, text, lang) [input_hint shape],
+    or a pre-extracted (doc_id, text, lang, ...) table.  html, when
+    present, is extracted and must reproduce ``text`` byte-identically
+    (rows violating the invariant raise — determinism bugs must not pass
+    silently).  The html column is dropped immediately after extraction
+    so wide binary payloads never travel further (SURVEY.md §7.5).
+    """
+    names = set(tbl.column_names)
+    n = tbl.num_rows
+
+    if "html" in names:
+        htmls = tbl["html"].to_pylist()
+        extracted = [extract_text(h) for h in htmls]
+        if "text" in names and check_invariant:
+            golden = tbl["text"].to_pylist()
+            for i, (e, g) in enumerate(zip(extracted, golden)):
+                if e != g:
+                    raise ValueError(
+                        f"extract invariant violated at row {i}: "
+                        f"{e[:80]!r} != {g[:80]!r}"
+                    )
+        texts = extracted
+    elif "text" in names:
+        texts = tbl["text"].to_pylist()
+    else:
+        raise ValueError(f"need html or text column, got {sorted(names)}")
+
+    if "doc_id" in names:
+        doc_ids = tbl["doc_id"].to_numpy().astype(np.int64)
+    elif "url" in names:
+        doc_ids = np.fromiter(
+            (url_doc_id(u) for u in tbl["url"].to_pylist()), np.int64, n
+        )
+    else:
+        raise ValueError("need doc_id or url column")
+
+    urls = (
+        tbl["url"]
+        if "url" in names
+        else pa.array([f"doc://{d}" for d in doc_ids], pa.string())
+    )
+    warc_ts = (
+        tbl["warc_ts"]
+        if "warc_ts" in names
+        else pa.nulls(n, pa.timestamp("us"))
+    )
+    langs = tbl["lang"] if "lang" in names else pa.nulls(n, pa.string())
+    doclens = np.fromiter((len(tokenize(t)) for t in texts), np.int64, n)
+
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "url": urls,
+            "warc_ts": warc_ts,
+            "lang": langs,
+            "doclen": pa.array(doclens),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+class PrepareFileTask:
+    """map_batches callable over a file-descriptor dataset: reads one raw
+    input parquet, prepares it, writes one docs shard atomically, and
+    returns a lineage row (the per-partition checkpoint + metrics the
+    north rule requires).  Already-finished shards are skipped by
+    checking their lineage sidecar."""
+
+    def __init__(self, docs_dir: str, check_invariant: bool = True):
+        self.docs_dir = docs_dir
+        self.check_invariant = check_invariant
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for path in batch["path"].to_pylist():
+            rows.append(self._one(path))
+        return pa.Table.from_pylist(rows)
+
+    def _one(self, path: str) -> dict:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out = os.path.join(self.docs_dir, f"docs-{stem}.parquet")
+        sidecar = out + ".lineage.json"
+        if os.path.exists(sidecar) and os.path.exists(out):
+            with open(sidecar) as f:
+                lin = json.load(f)
+            lin["skipped"] = True
+            return lin
+
+        t0 = time.monotonic()
+        raw = pq.read_table(path)
+        docs = prepare_table(raw, check_invariant=self.check_invariant)
+        tmp = out + ".tmp"
+        pq.write_table(docs, tmp)
+        os.replace(tmp, out)
+        dl = docs["doclen"].to_numpy()
+        ids = docs["doc_id"].to_numpy()
+        lin = {
+            "input": path,
+            "output": out,
+            "n_docs": int(docs.num_rows),
+            "sum_doclen": int(dl.sum()) if len(dl) else 0,
+            "max_doc_id": int(ids.max()) if len(ids) else -1,
+            "min_doc_id": int(ids.min()) if len(ids) else -1,
+            "wall_s": round(time.monotonic() - t0, 4),
+            "skipped": False,
+        }
+        with open(sidecar + ".tmp", "w") as f:
+            json.dump(lin, f)
+        os.replace(sidecar + ".tmp", sidecar)
+        return lin

@@ -1,0 +1,164 @@
+"""QueryEngine: driver-side wiring of the salt-bucket searcher pool.
+
+Analog of the reference's ``Engine`` + ``QueryPool`` (/root/reference/src/
+main/java/au/edu/rmit/bdm/Torch/queryEngine/Engine.java,
+queryEngine/query/QueryPool.java:28-158): loads the manifest/stats/term
+dictionary once, holds one searcher per salt bucket (in-process for
+tests, a ``ray.remote`` actor pool for serving), tokenizes the query with
+the same tokenizer as the build (query "prepare" = map-matching the query
+itself, QueryImpl.java:21-32), fans out, and heap-merges bucket-local
+results.  Result order is (score desc, doc_id asc) — fixed tie-break for
+rank identity (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from torchtrajectory_ray.functions.bm25 import idf as idf_fn
+from torchtrajectory_ray.functions.text import term_hash, tokenize
+from torchtrajectory_ray.state.segment import SaltSearcher
+
+
+class QueryEngine:
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        distributed: bool = False,
+        load_doc_meta: bool = False,
+    ):
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.stats = self.manifest["stats"]
+        cfg = self.manifest["config"]
+        self.num_salts = cfg["num_salts"]
+        self.num_term_shards = cfg["num_term_shards"]
+        self.k1 = self.stats["k1"]
+        self.b = self.stats["b"]
+        self.n_docs = self.stats["n_docs"]
+        self.avgdl = self.stats["avgdl"]
+
+        # term dictionary: term_id -> (df, max_tfn).  At 10^12-doc scale
+        # this table is itself term-sharded and probed with parquet
+        # predicate pushdown per query; at bench scale it fits the driver.
+        d = pq.read_table(self.manifest["dict_path"]).to_pandas()
+        self._df = dict(zip(d["term_id"], d["df"]))
+        self._max_tfn = dict(zip(d["term_id"], d["max_tfn"]))
+
+        self.distributed = distributed
+        kwargs = dict(
+            index_dir=index_dir,
+            num_term_shards=self.num_term_shards,
+            num_salts=self.num_salts,
+            avgdl=self.avgdl,
+            k1=self.k1,
+            b=self.b,
+            load_doc_meta=load_doc_meta,
+        )
+        if distributed:
+            import ray
+
+            Remote = ray.remote(num_cpus=1)(SaltSearcher)
+            self.searchers = [
+                Remote.remote(salt=s, **kwargs) for s in range(self.num_salts)
+            ]
+        else:
+            self.searchers = [
+                SaltSearcher(salt=s, **kwargs) for s in range(self.num_salts)
+            ]
+
+    # --- query prep (same tokenizer as the build) ---
+
+    def resolve_terms(self, terms: list[str]) -> tuple[list[int], list[float]]:
+        """Unique known term_ids + idf weights; unknown terms drop out
+        (empty-posting edge case, InvertedIndex.java:150-153)."""
+        tids, idfs = [], []
+        for t in sorted(set(terms)):
+            tid = term_hash(t)
+            df = self._df.get(tid)
+            if df:
+                tids.append(tid)
+                idfs.append(float(idf_fn(df, self.n_docs)))
+        return tids, idfs
+
+    def _fanout(self, method: str, *args, **kwargs) -> list:
+        if self.distributed:
+            import ray
+
+            return ray.get(
+                [getattr(s, method).remote(*args, **kwargs) for s in self.searchers]
+            )
+        return [getattr(s, method)(*args, **kwargs) for s in self.searchers]
+
+    # --- public query API (Engine.findTopK / findOnPath / findOnStrictPath) ---
+
+    def topk(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        method: str = "wand",
+        lang: str | None = None,
+        ts_lo: int | None = None,
+        ts_hi: int | None = None,
+    ) -> list[tuple[int, float]]:
+        terms = tokenize(query) if isinstance(query, str) else list(query)
+        tids, idfs = self.resolve_terms(terms)
+        if not tids:
+            return []
+        parts = self._fanout(
+            "topk", tids, idfs, k, method, lang, ts_lo, ts_hi
+        )
+        # heap-merge of bucket-local top-k (K5: heap drain,
+        # EdgeInvertedIndex.java:172-175) — buckets are disjoint doc ranges
+        merged = heapq.nlargest(
+            k,
+            (
+                (float(s), -int(d))
+                for ids, scores in parts
+                for d, s in zip(ids, scores)
+            ),
+        )
+        return [(-nd, s) for s, nd in merged]
+
+    def bool_or(self, query: str | list[str], **filt) -> np.ndarray:
+        terms = tokenize(query) if isinstance(query, str) else list(query)
+        tids, _ = self.resolve_terms(terms)
+        if not tids:
+            return np.empty(0, dtype=np.int64)
+        parts = self._fanout("bool_or", tids, **filt)
+        return np.sort(np.concatenate(parts))
+
+    def bool_and(self, query: str | list[str], **filt) -> np.ndarray:
+        terms = tokenize(query) if isinstance(query, str) else list(query)
+        uniq = sorted(set(terms))
+        tids, _ = self.resolve_terms(uniq)
+        if len(tids) < len(uniq):  # a term with no postings ⇒ empty AND
+            return np.empty(0, dtype=np.int64)
+        parts = self._fanout("bool_and", tids, **filt)
+        return np.sort(np.concatenate(parts))
+
+    def batch_topk(
+        self, queries: list[dict], k: int = 10, method: str = "wand"
+    ) -> pd.DataFrame:
+        """Evaluate many queries → DataFrame(query_id, rank, doc_id, score).
+        Rank is 1-based in (score desc, doc_id asc) order."""
+        rows = []
+        for q in queries:
+            res = self.topk(
+                q["terms"],
+                k=k,
+                method=method,
+                lang=q.get("lang"),
+                ts_lo=q.get("ts_lo"),
+                ts_hi=q.get("ts_hi"),
+            )
+            for r, (d, s) in enumerate(res, 1):
+                rows.append((q["query_id"], r, d, s))
+        return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])

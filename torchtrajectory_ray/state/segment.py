@@ -1,0 +1,233 @@
+"""Salt-bucket segment searcher: the stateful query-serving unit.
+
+Analog of the reference's in-memory compressed index + per-query decode
+(``InvertedIndex.build`` keeps lists compressed, ``getPairs`` decodes on
+access — /root/reference/src/main/java/au/edu/rmit/bdm/Torch/base/
+invertedIndex/InvertedIndex.java:170-209,138-161) and of its LORS top-k
+(EdgeInvertedIndex.java:102-177): rank candidates by upper bound, pop in
+bound order, exact-score, terminate when the k-th best beats the next
+bound.
+
+One searcher owns one **salt bucket** (a disjoint doc_id range) and loads
+that bucket's posting runs from every term shard.  Because all of a doc's
+postings share its salt, BM25 scores are bucket-local and exact; the
+cross-bucket merge is a simple top-k heap merge (QueryEngine).  Wrapped
+in ``ray.remote`` by the engine for distributed serving; usable directly
+in-process for tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from torchtrajectory_ray.functions.bm25 import tf_norm
+from torchtrajectory_ray.functions.codec import delta_decode, varint_decode
+
+
+class SaltSearcher:
+    def __init__(
+        self,
+        index_dir: str,
+        salt: int,
+        num_term_shards: int,
+        num_salts: int,
+        avgdl: float,
+        k1: float = 1.2,
+        b: float = 0.75,
+        load_doc_meta: bool = False,
+    ):
+        self.salt = salt
+        self.avgdl = avgdl
+        self.k1, self.b = k1, b
+        # compressed runs: term_id -> list of row dicts (kept compressed,
+        # decoded per probe like the reference)
+        self.runs: dict[int, list[dict]] = {}
+        seg_dir = os.path.join(index_dir, "segments")
+        for shard in range(num_term_shards):
+            seg = shard * num_salts + salt
+            path = os.path.join(seg_dir, f"seg-{seg:05d}.parquet")
+            if not os.path.exists(path):
+                continue
+            tbl = pq.read_table(path)
+            for row in tbl.to_pylist():
+                self.runs.setdefault(row["term_id"], []).append(row)
+        # optional doc metadata for predicate filters (lang / warc_ts) —
+        # bucket-local, analog of the broadcast timeSpanLookup
+        # (TrajectoryResolver.java:250-276) but partitioned, not global
+        self.doc_meta: dict | None = None
+        if load_doc_meta:
+            docs_dir = os.path.join(index_dir, "docs")
+            metas = []
+            for p in sorted(os.listdir(docs_dir)):
+                if p.endswith(".parquet"):
+                    metas.append(
+                        pq.read_table(
+                            os.path.join(docs_dir, p),
+                            columns=["doc_id", "lang", "warc_ts"],
+                        )
+                    )
+            if metas:
+                import pyarrow as pa
+
+                t = pa.concat_tables(metas)
+                ids = t["doc_id"].to_numpy().astype(np.int64)
+                order = np.argsort(ids, kind="stable")
+                ts = t["warc_ts"].cast("int64").to_numpy(zero_copy_only=False)
+                self.doc_meta = {
+                    "doc_id": ids[order],
+                    "lang": np.asarray(t["lang"].to_pylist(), dtype=object)[order],
+                    "ts": ts[order],
+                }
+
+    # --- posting access (J1: the fundamental probe) ---
+
+    def postings(self, term_id: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decoded (doc_ids, tfs, doclens) for a term in this bucket,
+        runs concatenated in salt order (single salt here → ≤1 run)."""
+        rows = self.runs.get(term_id)
+        if not rows:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        ids = np.concatenate([delta_decode(r["doc_ids_blob"], r["df"]) for r in rows])
+        tfs = np.concatenate([varint_decode(r["tfs_blob"], r["df"]) for r in rows])
+        dls = np.concatenate([varint_decode(r["doclens_blob"], r["df"]) for r in rows])
+        return ids, tfs, dls
+
+    def _allowed_mask(self, ids: np.ndarray, lang, ts_lo, ts_hi) -> np.ndarray:
+        if self.doc_meta is None or (lang is None and ts_lo is None and ts_hi is None):
+            return np.ones(len(ids), dtype=bool)
+        m = self.doc_meta
+        pos = np.searchsorted(m["doc_id"], ids)
+        pos = np.clip(pos, 0, len(m["doc_id"]) - 1)
+        ok = m["doc_id"][pos] == ids
+        if lang is not None:
+            ok &= m["lang"][pos] == lang
+        if ts_lo is not None:
+            ok &= m["ts"][pos] >= ts_lo
+        if ts_hi is not None:
+            ok &= m["ts"][pos] <= ts_hi
+        return ok
+
+    # --- boolean algebra (findByPath:52-62 / findByStrictPath:65-89) ---
+
+    def bool_or(self, term_ids: list[int], lang=None, ts_lo=None, ts_hi=None) -> np.ndarray:
+        parts = [self.postings(t)[0] for t in term_ids]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        ids = np.unique(np.concatenate(parts))
+        return ids[self._allowed_mask(ids, lang, ts_lo, ts_hi)]
+
+    def bool_and(self, term_ids: list[int], lang=None, ts_lo=None, ts_hi=None) -> np.ndarray:
+        """Intersection via counting, exactly the reference's shape:
+        candidate count == number of distinct query terms."""
+        uniq = sorted(set(term_ids))
+        parts = [self.postings(t)[0] for t in uniq]
+        if not parts or any(len(p) == 0 for p in parts):
+            return np.empty(0, dtype=np.int64)
+        allc = np.concatenate(parts)
+        ids, counts = np.unique(allc, return_counts=True)
+        ids = ids[counts == len(uniq)]
+        return ids[self._allowed_mask(ids, lang, ts_lo, ts_hi)]
+
+    # --- BM25 top-k ---
+
+    def topk(
+        self,
+        term_ids: list[int],
+        idfs: list[float],
+        k: int,
+        method: str = "wand",
+        lang=None,
+        ts_lo=None,
+        ts_hi=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Bucket-local BM25 top-k → (doc_ids, scores), unsorted length ≤ k.
+
+        Deterministic float accumulation: contributions are added in
+        ascending term_id order in both methods, so ``wand`` and
+        ``exhaustive`` produce bit-identical scores.
+        """
+        order = np.argsort(np.asarray(term_ids, dtype=np.int64), kind="stable")
+        tids = [term_ids[i] for i in order]
+        ws = [idfs[i] for i in order]
+        posts = []
+        for tid, w in zip(tids, ws):
+            ids, tfs, dls = self.postings(tid)
+            if len(ids):
+                posts.append((tid, w, ids, tfs, dls))
+        if not posts:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.empty(0, dtype=np.float64)
+        if method == "exhaustive":
+            return self._topk_exhaustive(posts, k, lang, ts_lo, ts_hi)
+        return self._topk_wand(posts, k, lang, ts_lo, ts_hi)
+
+    def _topk_exhaustive(self, posts, k, lang, ts_lo, ts_hi):
+        allc = np.concatenate([p[2] for p in posts])
+        uniq = np.unique(allc)
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        for _, w, ids, tfs, dls in posts:
+            idx = np.searchsorted(uniq, ids)
+            np.add.at(scores, idx, w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
+        ok = self._allowed_mask(uniq, lang, ts_lo, ts_hi)
+        uniq, scores = uniq[ok], scores[ok]
+        if len(uniq) > k:
+            # top-k by (score desc, doc_id asc)
+            sel = np.lexsort((uniq, -scores))[:k]
+            return uniq[sel], scores[sel]
+        return uniq, scores
+
+    def _topk_wand(self, posts, k, lang, ts_lo, ts_hi):
+        """LORS-shaped upper-bound pruning (EdgeInvertedIndex.java:102-177)
+        with block-max bounds: accumulate per-candidate upper bounds from
+        per-block maxima, visit candidates in bound-descending order,
+        exact-score each, stop when bestKth ≥ next upper bound."""
+        allc = np.concatenate([p[2] for p in posts])
+        cand = np.unique(allc)
+        ub = np.zeros(len(cand), dtype=np.float64)
+        for tid, w, ids, tfs, dls in posts:
+            rows = self.runs.get(tid, [])
+            # per-posting block-max bound (tighter than idf·(k1+1))
+            off = 0
+            for r in rows:
+                n = r["df"]
+                blk_last = np.asarray(r["blk_last"], dtype=np.int64)
+                blk_max = np.asarray(r["blk_max_tfn"], dtype=np.float64)
+                seg_ids = ids[off : off + n]
+                blk_of = np.searchsorted(blk_last, seg_ids)
+                idx = np.searchsorted(cand, seg_ids)
+                ub[idx] += w * blk_max[np.minimum(blk_of, len(blk_max) - 1)]
+                off += n
+        ok = self._allowed_mask(cand, lang, ts_lo, ts_hi)
+        cand, ub = cand[ok], ub[ok]
+        if len(cand) == 0:
+            return cand, ub
+        # visit in (ub desc, doc_id asc) order — the candidate heap
+        visit = np.lexsort((cand, -ub))
+        out_ids: list[int] = []
+        out_scores: list[float] = []
+        kth = -np.inf
+        for vi in visit:
+            if len(out_ids) >= k and ub[vi] <= kth:
+                break  # early termination: bestKth beats every later bound
+            d = cand[vi]
+            s = 0.0
+            for _, w, ids, tfs, dls in posts:
+                j = np.searchsorted(ids, d)
+                if j < len(ids) and ids[j] == d:
+                    s += w * float(
+                        tf_norm(tfs[j : j + 1], dls[j : j + 1], self.avgdl, self.k1, self.b)[0]
+                    )
+            out_ids.append(int(d))
+            out_scores.append(s)
+            if len(out_ids) >= k:
+                kth = sorted(out_scores, reverse=True)[k - 1]
+        ids_arr = np.asarray(out_ids, dtype=np.int64)
+        sc_arr = np.asarray(out_scores, dtype=np.float64)
+        if len(ids_arr) > k:
+            sel = np.lexsort((ids_arr, -sc_arr))[:k]
+            return ids_arr[sel], sc_arr[sel]
+        return ids_arr, sc_arr
