@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code it calls) calls ``ray.init`` /
+``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is an implemented operator/pipeline from
+SURVEY.md §2 (web-text semantics); ``oracle_sql()`` holds the equivalent
+DuckDB SQL over the same parquet views.  Column names match exactly and
+float columns are rounded to 6 dp on both sides.
 """
 
 from __future__ import annotations
@@ -20,25 +17,128 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the compressed inverted index
+    over the documents table (extract→tokenize→salted groupby shuffle→
+    segments) and serve the fixed BM25 top-10 workload."""
+    from torchtrajectory_ray.pipelines.corpus import topk_bm25
+
+    return topk_bm25("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from torchtrajectory_ray.pipelines import corpus, events, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- inverted-index core (SURVEY.md §2.1/2.5/2.6/2.7) ---
+        "term_df": corpus.term_df,                # A8/J5: dictionary df
+        "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
+        "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
+        "bool_or": corpus.bool_or,                # U1: findByPath
+        "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
+        # --- corpus / text analysis (training-data ops) ---
+        "doc_stats": textstats.doc_stats,         # A7: global aggregates
+        "token_count": textstats.token_count,
+        "quality_score": textstats.quality_score,
+        "lang_count": textstats.lang_count,
+        "source_doc_count": textstats.source_doc_count,
+        "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
+        # --- stream-shaped (W2 analog) ---
+        "events_tumbling_hour": events.tumbling_hour_agg,
+    }
+
+
+_TOKS = "string_split(text, ' ')"
+_STOP_SQL = "('the','a','of','to','and','in','is')"
+
+
+def _query_values() -> str:
+    from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
+
+    return ", ".join(
+        f"({q['query_id']}, '{t}')" for q in WEB_QUERIES for t in q["terms"]
+    )
+
+
+def _bool_sql(op: str) -> str:
+    from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
+
+    parts = []
+    for q in WEB_QUERIES:
+        pred = f" {op} ".join(
+            f"list_contains({_TOKS}, '{t}')" for t in q["terms"]
+        )
+        parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
+            f"FROM documents WHERE {pred}"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    topk = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_query_values()}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= 10
+"""
+    return {
+        "term_df": f"""
+SELECT term, count(*)::BIGINT AS df
+FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents)
+GROUP BY term""",
+        "postings_flat": f"""
+SELECT term, doc_id, count(*)::BIGINT AS tf
+FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+GROUP BY term, doc_id""",
+        "topk_bm25": topk,
+        "bool_or": _bool_sql("OR"),
+        "bool_and": _bool_sql("AND"),
+        "doc_stats": f"""
+SELECT count(*)::BIGINT AS n_docs,
+       round(avg(len({_TOKS})), 6) AS avgdl FROM documents""",
+        "token_count": f"""
+SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents""",
+        "quality_score": f"""
+SELECT doc_id,
+  len(toks)::BIGINT AS n_tokens,
+  len(list_distinct(toks))::BIGINT AS n_uniq,
+  round(len(list_filter(toks, x -> x IN {_STOP_SQL}))::DOUBLE
+        / len(toks), 6) AS stop_ratio,
+  round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 6)
+        AS avg_token_len
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)""",
+        "lang_count": "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+        "source_doc_count": f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len({_TOKS}))::BIGINT AS n_tokens
+FROM documents GROUP BY source""",
+        "exact_dedup": """
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY text""",
+        "events_tumbling_hour": """
+SELECT event_type,
+       CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+         AS window_start_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, window_start_us""",
+    }

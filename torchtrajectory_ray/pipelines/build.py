@@ -85,7 +85,10 @@ def build_index(
             },
             batch_size=1,
             batch_format="pyarrow",
-            concurrency=cfg.tokenize_concurrency,
+            # autoscaling pool: can make progress with one actor even when
+            # the session is CPU-starved (fixed-size pools deadlock if the
+            # full reservation can never be satisfied)
+            concurrency=(1, cfg.tokenize_concurrency),
         )
         .take_all()
     )
@@ -118,7 +121,7 @@ def build_index(
         fn_constructor_kwargs={"cfg": cfg, "shift": shift},
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch_size,
-        concurrency=cfg.tokenize_concurrency,
+        concurrency=(1, cfg.tokenize_concurrency),
     )
     writer = SegmentWriter(seg_dir, cfg, avgdl)
 

@@ -1,0 +1,139 @@
+"""Driver-facing corpus pipelines: index build over an sf ``documents``
+table + the fixed web query workload used by the correctness gate.
+
+The index build is cached on disk per sf_dir (the build is resumable and
+immutable, so a second call loads the manifest instantly).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from torchtrajectory_ray.config import IndexConfig
+from torchtrajectory_ray.functions.codec import delta_decode, varint_decode
+from torchtrajectory_ray.pipelines.build import build_index
+from torchtrajectory_ray.state.engine import QueryEngine
+
+CACHE_ROOT = "/tmp/ttray_cache"
+
+# Fixed query workload over the documents-table vocabulary (all terms
+# exist at every sf; query 10 has a term that occurs in no doc — the
+# empty-posting edge case, InvertedIndex.java:150-153).
+WEB_QUERIES: list[dict] = [
+    {"query_id": 0, "terms": ["spark", "join"]},
+    {"query_id": 1, "terms": ["hash", "table", "scan"]},
+    {"query_id": 2, "terms": ["window", "agg"]},
+    {"query_id": 3, "terms": ["dup"]},
+    {"query_id": 4, "terms": ["the", "a", "row"]},
+    {"query_id": 5, "terms": ["customer", "order", "line"]},
+    {"query_id": 6, "terms": ["vector", "stream"]},
+    {"query_id": 7, "terms": ["slow", "fast", "merge"]},
+    {"query_id": 8, "terms": ["group", "sort", "filter", "part"]},
+    {"query_id": 9, "terms": ["data", "column", "value", "key"]},
+    {"query_id": 10, "terms": ["spark", "zzzmissing"]},
+    {"query_id": 11, "terms": ["query", "batch", "small", "big", "line"]},
+]
+
+_INDEX_CFG = IndexConfig(
+    num_term_shards=4, num_salts=4, tokenize_batch_size=1024, tokenize_concurrency=4
+)
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (or resume) the inverted index over ``sf_dir/documents.parquet``;
+    returns the index dir."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CACHE_ROOT, f"docindex-{name}")
+    os.makedirs(out_dir, exist_ok=True)
+    build_index([os.path.join(sf_dir, "documents.parquet")], out_dir, _INDEX_CFG)
+    return out_dir
+
+
+def term_df(sf_dir: str) -> pd.DataFrame:
+    """term, df — straight from the built term dictionary (validates the
+    groupby-aggregate dictionary path against SQL)."""
+    import pyarrow.parquet as pq
+
+    idx = documents_index(sf_dir)
+    import json
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        manifest = json.load(f)
+    d = pq.read_table(manifest["dict_path"], columns=["term", "df"]).to_pandas()
+    return d.sort_values("term").reset_index(drop=True)[["term", "df"]]
+
+
+def postings_flat(sf_dir: str) -> ray.data.Dataset:
+    """term, doc_id, tf — segments decoded back to flat rows (validates
+    the full build+compress+store+decode cycle against SQL)."""
+    idx = documents_index(sf_dir)
+    seg_dir = os.path.join(idx, "segments")
+    paths = sorted(
+        os.path.join(seg_dir, p)
+        for p in os.listdir(seg_dir)
+        if p.endswith(".parquet")
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        terms, docs, tfs = [], [], []
+        for row in batch.select(["term", "df", "doc_ids_blob", "tfs_blob"]).to_pylist():
+            ids = delta_decode(row["doc_ids_blob"], row["df"])
+            tf = varint_decode(row["tfs_blob"], row["df"])
+            terms.extend([row["term"]] * row["df"])
+            docs.append(ids)
+            tfs.append(tf)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(np.concatenate(docs) if docs else []),
+                "tf": pa.array(np.concatenate(tfs) if tfs else []),
+            }
+        )
+
+    return ray.data.read_parquet(
+        paths, columns=["term", "df", "doc_ids_blob", "tfs_blob"]
+    ).map_batches(decode, batch_format="pyarrow")
+
+
+def topk_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — BM25 top-k over the fixed workload.
+
+    Scores are rounded to 6 dp and ranks recomputed on the rounded value
+    with (score desc, doc_id asc) tie-break so the comparison against the
+    SQL oracle is float-stable; the engine is asked for 2k candidates so
+    the rounded re-rank cannot change the top-k membership silently.
+    """
+    eng = QueryEngine(documents_index(sf_dir))
+    rows = []
+    for q in WEB_QUERIES:
+        res = eng.topk(q["terms"], k=2 * k, method="wand")
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.head(k).reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def bool_or(sf_dir: str) -> pd.DataFrame:
+    eng = QueryEngine(documents_index(sf_dir))
+    rows = []
+    for q in WEB_QUERIES:
+        for d in eng.bool_or(q["terms"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def bool_and(sf_dir: str) -> pd.DataFrame:
+    eng = QueryEngine(documents_index(sf_dir))
+    rows = []
+    for q in WEB_QUERIES:
+        for d in eng.bool_and(q["terms"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])

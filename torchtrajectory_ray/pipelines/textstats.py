@@ -1,0 +1,152 @@
+"""Text-analysis pipelines over a documents table (doc_id, text, lang, ...).
+
+Training-data-pipeline operators: token counting, quality scoring,
+exact dedup, per-language counts, corpus stats.  All are vectorized
+``map_batches`` transforms; the wide steps pre-aggregate per batch before
+the (small) groupby, per the aggregation-at-scale pattern.
+
+Tokenization here is ``split on single space`` (pyarrow ``split_pattern``)
+— on the synthetic corpora this equals the engine tokenizer and the
+DuckDB oracle's ``string_split(text, ' ')`` exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Mean, Min, Sum
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, n_tokens — zero-copy Arrow kernel (split + list_value_length)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": n.cast(pa.int64())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def doc_stats(sf_dir: str) -> pd.DataFrame:
+    """Global corpus stats (analog of the reference's global bounding-box
+    aggregate, VertexGridIndex.java:78-99): n_docs, avgdl."""
+    agg = token_count(sf_dir).aggregate(
+        Count(alias_name="n_docs"), Mean("n_tokens", alias_name="avgdl")
+    )
+    return pd.DataFrame(
+        [{"n_docs": int(agg["n_docs"]), "avgdl": round(float(agg["avgdl"]), 6)}]
+    )
+
+
+def lang_count(sf_dir: str) -> ray.data.Dataset:
+    """lang, n — the language-filter statistic (predicate analog M7)."""
+    return (
+        _read_docs(sf_dir, ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc quality features: n_tokens, n_uniq, stop_ratio,
+    avg_token_len.  Flatten + factorize vectorization (same pattern as the
+    index build's TokenizeCombine)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        tok_lists = [t.split(" ") for t in texts]
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+        import itertools
+
+        total = int(counts.sum())
+        flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+        doc_idx = np.repeat(np.arange(len(tok_lists)), counts)
+        codes, uniq = pd.factorize(flat, sort=False)
+        # distinct terms per doc
+        key = doc_idx * len(uniq) + codes
+        uk = np.unique(key)
+        n_uniq = np.bincount((uk // len(uniq)).astype(np.int64), minlength=len(tok_lists))
+        # stopword occurrences per doc
+        stop_codes = {i for i, t in enumerate(uniq) if t in STOPWORDS}
+        is_stop = np.isin(codes, list(stop_codes)) if stop_codes else np.zeros(total, bool)
+        n_stop = np.bincount(doc_idx, weights=is_stop, minlength=len(tok_lists))
+        text_len = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        # same closed form as the SQL oracle: tokens are single-space joined
+        avg_tok = (text_len - (counts - 1)) / counts
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(counts, pa.int64()),
+                "n_uniq": pa.array(n_uniq.astype(np.int64), pa.int64()),
+                "stop_ratio": pa.array(np.round(n_stop / counts, 6)),
+                "avg_token_len": pa.array(np.round(avg_tok, 6)),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def text_sha1(batch: pa.Table) -> pa.Table:
+    sha = [
+        hashlib.sha1(t.encode("utf-8")).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return batch.append_column("text_sha", pa.array(sha, pa.string()))
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact duplicate groups: keep the min doc_id per distinct text +
+    group size (hash-partition + per-group first — U5's
+    `groupby(key).first()` shape at scale: the shuffle key is the content
+    hash, never the text itself)."""
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(text_sha1, batch_format="pyarrow")
+        .select_columns(["doc_id", "text_sha"])
+        .groupby("text_sha")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+        .select_columns(["doc_id", "n_dups"])
+    )
+
+
+def source_doc_count(sf_dir: str) -> ray.data.Dataset:
+    """Docs + total tokens per source — a pre-aggregated two-key groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(
+            pa.int64()
+        )
+        df = pa.table(
+            {"source": batch["source"], "n_tokens": n}
+        ).to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+    )
