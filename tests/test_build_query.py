@@ -17,11 +17,11 @@ from torchtrajectory_ray.state.engine import QueryEngine
 
 N_DOCS = 400
 
-# doc ids in the built index are stable url hashes (prepare.url_doc_id) —
-# the real ingest path for input_hint-shaped data with no doc_id column
-from torchtrajectory_ray.stages.prepare import url_doc_id
-
-HID = [url_doc_id(f"https://site{i % 97}.example/page/{i}") for i in range(N_DOCS)]
+# doc ids in the built index are dense per-input-file ids
+# (ordinal << 34 | row) — deterministic w.r.t. the sorted input list
+# (prepare_table doc_id_base path); N_FILES must match the fixture below
+N_FILES = 4
+HID = [fixtures.dense_doc_id(i, N_DOCS, N_FILES) for i in range(N_DOCS)]
 ROW_OF = {h: i for i, h in enumerate(HID)}
 
 
@@ -29,7 +29,7 @@ ROW_OF = {h: i for i, h in enumerate(HID)}
 def built(ray_session, tmp_path_factory):
     data_dir = str(tmp_path_factory.mktemp("corpus"))
     out_dir = str(tmp_path_factory.mktemp("index"))
-    paths = fixtures.write_webpages(data_dir, N_DOCS, num_files=4)
+    paths = fixtures.write_webpages(data_dir, N_DOCS, num_files=N_FILES)
     cfg = IndexConfig(
         num_term_shards=3, num_salts=4, block_size=16, tokenize_batch_size=64,
         tokenize_concurrency=2, store_positions=True,

@@ -72,15 +72,45 @@ def test_resume_skips_and_is_byte_identical(ray_session, tmp_path):
 
 
 def test_output_independent_of_sharding_and_batching(ray_session, tmp_path):
-    """Same corpus split into different file counts and processed with a
-    different batch size must produce byte-identical segments + stats —
-    the determinism that makes N-vs-4N runs rank-identical."""
+    """url_hash id mode: same corpus split into different file counts and
+    processed with a different batch size must produce byte-identical
+    segments + stats (ids depend only on content, not layout)."""
     a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
     pa_ = fixtures.write_webpages(str(tmp_path / "ca"), N_DOCS, num_files=4)
     pb_ = fixtures.write_webpages(str(tmp_path / "cb"), N_DOCS, num_files=7)
-    ma = build_index(pa_, a_dir, IndexConfig(**CFG))
+    ma = build_index(pa_, a_dir, IndexConfig(**CFG, doc_id_mode="url_hash"))
     mb = build_index(pb_, b_dir, IndexConfig(**{**CFG, "tokenize_batch_size": 17,
-                                                "tokenize_concurrency": 3}))
+                                                "tokenize_concurrency": 3},
+                                             doc_id_mode="url_hash"))
+    assert ma["stats"] == mb["stats"]
+    da = {k: v for k, v in _digest(a_dir).items() if k.startswith("segments/")}
+    db = {k: v for k, v in _digest(b_dir).items() if k.startswith("segments/")}
+    assert da == db
+
+
+def test_shuffle_modes_equivalent(ray_session, tmp_path):
+    """storage (external shuffle through out_dir) and groupby (object
+    store sort exchange) must produce byte-identical segment files."""
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N_DOCS, num_files=4)
+    ma = build_index(paths, a_dir, IndexConfig(**CFG, shuffle_mode="storage"))
+    mb = build_index(paths, b_dir, IndexConfig(**CFG, shuffle_mode="groupby"))
+    assert ma["stats"] == mb["stats"]
+    da = {k: v for k, v in _digest(a_dir).items() if k.startswith("segments/")}
+    db = {k: v for k, v in _digest(b_dir).items() if k.startswith("segments/")}
+    assert da and da == db
+
+
+def test_output_independent_of_parallelism_dense(ray_session, tmp_path):
+    """dense id mode (default): same input file list processed with a
+    different batch size / concurrency must produce byte-identical
+    segments — the determinism behind N-vs-4N rank identity (the input
+    layout is fixed on a real cluster; only parallelism varies)."""
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N_DOCS, num_files=4)
+    ma = build_index(paths, a_dir, IndexConfig(**CFG))
+    mb = build_index(paths, b_dir, IndexConfig(**{**CFG, "tokenize_batch_size": 17,
+                                                 "tokenize_concurrency": 3}))
     assert ma["stats"] == mb["stats"]
     da = {k: v for k, v in _digest(a_dir).items() if k.startswith("segments/")}
     db = {k: v for k, v in _digest(b_dir).items() if k.startswith("segments/")}

@@ -56,6 +56,27 @@ class IndexConfig:
     tokenize_concurrency: int = 4
     store_positions: bool = False
     check_invariant: bool = True
+    # doc id assignment for inputs with no doc_id column:
+    #   "dense"    — file_ordinal << 34 | row: deterministic w.r.t. the
+    #                sorted input file list, doc-local per shard (batches
+    #                stay inside one salt range; small posting deltas)
+    #   "url_hash" — 62-bit blake2b of the url: independent of the input
+    #                layout entirely, but spreads every batch over all
+    #                salt ranges and makes deltas large
+    doc_id_mode: str = "dense"
+    # how partial posting runs reach their segment:
+    #   "storage" — external shuffle through the filesystem (the out_dir;
+    #               shared storage / S3 on a real cluster): each tokenize
+    #               task writes one partials parquet per input shard with
+    #               ONE ROW GROUP PER SEGMENT, each segment task then
+    #               reads only its row groups (selective IO).  No global
+    #               sort barrier, embarrassingly parallel on both sides,
+    #               per-shard checkpointed.  Partitioning assumption: all
+    #               workers see out_dir.
+    #   "groupby" — ray.data groupby("segment").map_groups shuffle through
+    #               the object store (sort-based exchange).
+    # Both produce byte-identical segment files.
+    shuffle_mode: str = "storage"
 
     @property
     def num_segments(self) -> int:

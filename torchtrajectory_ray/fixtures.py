@@ -64,24 +64,48 @@ _VOCAB = vocab()
 _ZIPF_PROBS = _zipf_probs()
 
 
-def make_html(i: int, text: str) -> bytes:
+_RICH_FILLER = (
+    b'<div class="nav-main" role="navigation" data-x="%(i)d">'
+    b"<script>(function(){var a=%(i)d;for(var j=0;j<10;j++){a+=j;}"
+    b"window.__t=a;})();</script>"
+    b"<style>.c%(i)d { margin: 0 auto; padding: 2px 4px; color: #333; }"
+    b"@media (max-width: 600px) { .c%(i)d { display: none; } }</style>"
+    b"<!-- rendered %(i)d :: boilerplate block; tracking-id=%(i)d -->"
+    b'<ul class="menu"><li data-k="%(i)d"></li><li></li><li></li></ul>'
+    b"</div>"
+)
+
+
+def make_html(i: int, text: str, *, style: str = "minimal") -> bytes:
+    """Deterministic page wrapper.  style="rich" pads with Common-Crawl-
+    realistic boilerplate (scripts/styles/comments/bare markup — all of it
+    extraction-neutral, so ``extract_text(html) == text`` still holds
+    byte-for-byte) giving ~8 KB pages where extraction compute dominates,
+    like real web pages."""
+    filler = b""
+    if style == "rich":
+        filler = _RICH_FILLER.replace(b"%(i)d", str(i).encode()) * 48
     return (
         b"<html><head><title>T%d</title>" % i
         + b"<script>var x = 1 < 2;</script><style>p { color: red }</style>"
-        + b"</head><body><!-- comment --><p>"
+        + b"</head><body>"
+        + filler
+        + b"<!-- comment --><p>"
         + text.encode("utf-8")
-        + b"</p></body></html>"
+        + b"</p>"
+        + filler
+        + b"</body></html>"
     )
 
 
-def webpages_table(n_docs: int, start: int = 0) -> pa.Table:
+def webpages_table(n_docs: int, start: int = 0, *, style: str = "minimal") -> pa.Table:
     """Rows [start, start+n_docs) of the deterministic corpus."""
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in range(start, start + n_docs):
         text = " ".join(doc_tokens(i))
         urls.append(f"https://site{i % 97}.example/page/{i}")
         tss.append(EPOCH_US + i * 137_000_000)
-        htmls.append(make_html(i, text))
+        htmls.append(make_html(i, text, style=style))
         texts.append(text)
         langs.append(_LANGS[i % 10])
     return pa.table(
@@ -95,14 +119,16 @@ def webpages_table(n_docs: int, start: int = 0) -> pa.Table:
     )
 
 
-def write_webpages(out_dir: str, n_docs: int, num_files: int = 8) -> list[str]:
+def write_webpages(
+    out_dir: str, n_docs: int, num_files: int = 8, *, style: str = "minimal"
+) -> list[str]:
     """Write the corpus as ``num_files`` parquet shards (idempotent cache).
 
     Shard i holds the contiguous doc range [i*per, ...) so any corpus size
     reuses the generator deterministically; returns the file paths.
     """
     os.makedirs(out_dir, exist_ok=True)
-    marker = os.path.join(out_dir, f"_COMPLETE_{n_docs}_{num_files}")
+    marker = os.path.join(out_dir, f"_COMPLETE_{n_docs}_{num_files}_{style}")
     paths = [
         os.path.join(out_dir, f"webpages-{i:04d}.parquet") for i in range(num_files)
     ]
@@ -110,12 +136,23 @@ def write_webpages(out_dir: str, n_docs: int, num_files: int = 8) -> list[str]:
         return paths
     bounds = np.linspace(0, n_docs, num_files + 1).astype(int)
     for i, path in enumerate(paths):
-        tbl = webpages_table(int(bounds[i + 1] - bounds[i]), start=int(bounds[i]))
+        tbl = webpages_table(
+            int(bounds[i + 1] - bounds[i]), start=int(bounds[i]), style=style
+        )
         pq.write_table(tbl, path + ".tmp")
         os.replace(path + ".tmp", path)
     with open(marker, "w") as f:
         f.write("ok")
     return paths
+
+
+def dense_doc_id(i: int, n_docs: int, num_files: int) -> int:
+    """The doc_id ``build_index`` assigns to corpus row ``i`` when built
+    from ``write_webpages(n_docs, num_files)`` shards: file ordinal << 34
+    plus row-within-file (see prepare_table's doc_id_base path)."""
+    bounds = np.linspace(0, n_docs, num_files + 1).astype(int)
+    f = int(np.searchsorted(bounds, i, side="right") - 1)
+    return (f << 34) + (i - int(bounds[f]))
 
 
 def query_set(n_queries: int = 50, n_docs: int = 5000) -> list[dict]:

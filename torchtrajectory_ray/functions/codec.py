@@ -90,3 +90,101 @@ def delta_encode(sorted_values: np.ndarray) -> bytes:
 def delta_decode(blob: bytes, count: int | None = None) -> np.ndarray:
     deltas = varint_decode(blob, count)
     return np.cumsum(deltas, dtype=np.int64)
+
+
+# --- multi-run variants ------------------------------------------------------
+# A tokenize batch (or a segment merge group) holds MANY posting runs; at
+# web scale that is ~10^5-10^6 runs per batch, so per-run codec calls are
+# a Python-loop bottleneck.  These encode/decode every run in ONE
+# vectorized pass over the concatenation; per-run work is a buffer slice.
+# All runs must be non-empty (posting runs always have df >= 1).
+
+
+def _run_starts(lengths: np.ndarray) -> np.ndarray:
+    starts = np.empty(len(lengths), dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return starts
+
+
+def varint_encode_multi(
+    values: np.ndarray, lengths: np.ndarray
+) -> list[bytes]:
+    """LEB128-encode consecutive runs (sizes in ``lengths``, all >= 1) in
+    one pass; returns one blob per run."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if len(lengths) == 0:
+        return []
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    if v.size == 0 or lengths.min() < 1:
+        raise ValueError("all runs must be non-empty")
+    if v.min() < 0:
+        raise ValueError("varint_encode requires non-negative values")
+    u = v.astype(_U64)
+    nbytes = np.ones(u.shape, dtype=np.int64)
+    thresh = _U64(1 << 7)
+    shifted = u >> _U64(7)
+    for _ in range(_MAX_VARINT_BYTES - 1):
+        more = shifted > 0
+        if not more.any():
+            break
+        nbytes += more
+        shifted = shifted >> _U64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        chunk = ((u[mask] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << np.uint8(7)
+        out[offsets[mask] + j] = chunk | cont
+    run_starts = _run_starts(lengths)
+    run_nbytes = np.add.reduceat(nbytes, run_starts)
+    ends = np.cumsum(run_nbytes)
+    begins = ends - run_nbytes
+    buf = out.tobytes()
+    return [buf[b:e] for b, e in zip(begins, ends)]
+
+
+def delta_encode_multi(
+    sorted_values: np.ndarray, lengths: np.ndarray
+) -> list[bytes]:
+    """Delta+varint encode runs that are each sorted non-decreasing."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if len(lengths) == 0:
+        return []
+    v = np.ascontiguousarray(sorted_values, dtype=np.int64)
+    deltas = np.empty_like(v)
+    deltas[1:] = v[1:] - v[:-1]
+    starts = _run_starts(lengths)
+    deltas[starts] = v[starts]
+    if deltas.min() < 0:
+        raise ValueError("delta_encode_multi requires per-run sorted input")
+    return varint_encode_multi(deltas, lengths)
+
+
+def varint_decode_concat(blobs, total: int) -> np.ndarray:
+    """Decode the concatenation of many varint blobs in one pass."""
+    return varint_decode(b"".join(blobs), total)
+
+
+def delta_decode_concat(blobs, lengths: np.ndarray) -> np.ndarray:
+    """Decode many delta+varint runs in one pass (run sizes in ``lengths``)."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    deltas = varint_decode_concat(blobs, total)
+    cs = np.cumsum(deltas, dtype=np.int64)
+    starts = _run_starts(lengths)
+    base = np.zeros(len(lengths), dtype=np.int64)
+    base[1:] = cs[starts[1:] - 1]
+    return cs - np.repeat(base, lengths)
+
+
+def concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """[arange(c) for c in counts] concatenated, vectorized."""
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = _run_starts(counts)
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)

@@ -32,9 +32,11 @@ import ray.data
 
 from torchtrajectory_ray.config import IndexConfig
 from torchtrajectory_ray.stages.postings import (
+    FusedShardTask,
     SegmentWriter,
-    TokenizeCombine,
-    salt_shift,
+    assemble_segment,
+    compute_salt_shift,
+    tokenize_combine_task,
 )
 from torchtrajectory_ray.stages.prepare import PrepareFileTask
 
@@ -73,25 +75,57 @@ def build_index(
         os.makedirs(d, exist_ok=True)
 
     t0 = time.monotonic()
-    # --- stage 1: prepare docs (extract + tokenize-count), per-file
-    # checkpointed.  One task per input file; lineage rows are tiny.
-    files_ds = ray.data.from_items([{"path": p} for p in sorted(input_paths)])
-    lineage = (
-        files_ds.map_batches(
-            PrepareFileTask,
-            fn_constructor_kwargs={
-                "docs_dir": docs_dir,
-                "check_invariant": cfg.check_invariant,
-            },
-            batch_size=1,
-            batch_format="pyarrow",
-            # autoscaling pool: can make progress with one actor even when
-            # the session is CPU-starved (fixed-size pools deadlock if the
-            # full reservation can never be satisfied)
-            concurrency=(1, cfg.tokenize_concurrency),
+    sorted_inputs = sorted(input_paths)
+    # salt shift from id-space bounds / parquet footers — no data pass, so
+    # tokenization can start with the first byte read (fused stage below)
+    shift = compute_salt_shift(sorted_inputs, cfg)
+    # each file gets a doc_id base (ordinal << 34): dense per-shard ids,
+    # deterministic w.r.t. the sorted input list (see prepare_table)
+    file_items = [
+        {
+            "path": p,
+            "doc_id_base": (i << 34) if cfg.doc_id_mode == "dense" else -1,
+        }
+        for i, p in enumerate(sorted_inputs)
+    ]
+    partials_lineage: list[dict] = []
+
+    if cfg.shuffle_mode == "storage":
+        # --- stage 1 (fused): raw shard → docs shard + partials file in
+        # one read pass.  Stateless → task pool; per-shard checkpointed.
+        partials_dir = os.path.join(out_dir, "partials")
+        os.makedirs(partials_dir, exist_ok=True)
+
+        def fused(batch):
+            return FusedShardTask(docs_dir, partials_dir, cfg, shift)(batch)
+
+        lineage = (
+            ray.data.from_items(file_items)
+            .map_batches(fused, batch_size=1, batch_format="pyarrow")
+            .take_all()
         )
-        .take_all()
-    )
+        partials_lineage = [
+            {
+                "input": r["output"],
+                "output": r["partials_output"],
+                "n_runs": r["n_runs"],
+                "bytes": r["partials_bytes"],
+                "wall_s": r["partials_wall_s"],
+                "skipped": r["partials_skipped"],
+            }
+            for r in lineage
+        ]
+    else:
+        # --- stage 1: prepare docs (extract + tokenize-count) only; the
+        # exchange happens in ray.data groupby below.
+        def prepare_files(batch):
+            return PrepareFileTask(docs_dir, cfg.check_invariant)(batch)
+
+        lineage = (
+            ray.data.from_items(file_items)
+            .map_batches(prepare_files, batch_size=1, batch_format="pyarrow")
+            .take_all()
+        )
     t1 = time.monotonic()
 
     # --- stage 2: global stats from lineage (no data pass — the analog of
@@ -100,7 +134,6 @@ def build_index(
     sum_doclen = sum(r["sum_doclen"] for r in lineage)
     max_doc_id = max((r["max_doc_id"] for r in lineage), default=-1)
     avgdl = (sum_doclen / n_docs) if n_docs else 0.0
-    shift = salt_shift(max_doc_id, cfg.num_salts)
     stats = {
         "n_docs": n_docs,
         "sum_doclen": sum_doclen,
@@ -112,62 +145,114 @@ def build_index(
     }
     _write_json(os.path.join(out_dir, "stats.json"), stats)
 
-    # --- stage 3: the one all-to-all shuffle — tokenize+combine partial
-    # runs, groupby(segment = term_shard × salt), merge + write segments
+    # --- stage 3: merge partial runs per segment (= term_shard × salt)
+    # and write segment files.  Two interchangeable physical shuffles
+    # (byte-identical outputs, see IndexConfig.shuffle_mode): "storage"
+    # (external shuffle through out_dir; both sides embarrassingly
+    # parallel, per-shard checkpoints) or "groupby" (ray.data sort
+    # exchange through the object store).
     docs_paths = sorted(r["output"] for r in lineage)
-    docs_ds = ray.data.read_parquet(docs_paths, columns=["doc_id", "text"])
-    partials = docs_ds.map_batches(
-        TokenizeCombine,
-        fn_constructor_kwargs={"cfg": cfg, "shift": shift},
-        batch_format="pyarrow",
-        batch_size=cfg.tokenize_batch_size,
-        concurrency=(1, cfg.tokenize_concurrency),
-    )
     writer = SegmentWriter(seg_dir, cfg, avgdl)
 
-    def write_segment_group(df):
-        return writer(df)
+    if cfg.shuffle_mode == "storage":
+        partial_paths = sorted(r["output"] for r in partials_lineage)
 
-    seg_rows = (
-        partials.groupby("segment")
-        .map_groups(write_segment_group, batch_format="pandas")
-        .take_all()
-    )
+        def assemble(batch):
+            import pyarrow as pa
+
+            out = []
+            for s in batch["segment"].to_pylist():
+                t = assemble_segment(int(s), partial_paths, writer)
+                if t is not None:
+                    out.extend(t.to_pylist())
+            return pa.Table.from_pylist(out)
+
+        seg_rows = (
+            ray.data.from_items(
+                [{"segment": s} for s in range(cfg.num_segments)]
+            )
+            .map_batches(assemble, batch_size=1, batch_format="pyarrow")
+            .take_all()
+        )
+    else:
+        docs_ds = ray.data.read_parquet(docs_paths, columns=["doc_id", "text"])
+        partials = docs_ds.map_batches(
+            tokenize_combine_task,
+            fn_kwargs={"cfg": cfg, "shift": shift},
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+        )
+
+        def write_segment_group(tbl):
+            return writer(tbl)
+
+        seg_rows = (
+            partials.groupby("segment")
+            .map_groups(write_segment_group, batch_format="pyarrow")
+            .take_all()
+        )
     t2 = time.monotonic()
 
-    # --- stage 4: global term dictionary (df summed across salt runs) —
-    # a small groupby over segment-file metadata columns only (parquet
-    # column pruning keeps the blobs on disk).  Analog of the id lookup
+    # --- stage 4: per-term-shard dictionaries (df summed across salt
+    # runs).  A term's runs all live inside ONE term shard, so this is
+    # partition-local — no second all-to-all: one task per shard reads the
+    # metadata columns of its own segment files (parquet column pruning
+    # keeps the blobs on disk) and aggregates.  Analog of the id lookup
     # tables the reference writes (TorSaver.java:116-141).
-    seg_paths = sorted(r["path"] for r in seg_rows)
-    from ray.data.aggregate import Max, Sum
+    seg_by_shard: dict[int, list[str]] = {}
+    for r in seg_rows:
+        seg_by_shard.setdefault(int(r["segment"]) // cfg.num_salts, []).append(
+            r["path"]
+        )
+    shard_items = [
+        {"shard": s, "paths": json.dumps(sorted(ps))}
+        for s, ps in sorted(seg_by_shard.items())
+    ]
 
-    # one groupby keyed on the term string (term_id is a pure function of
-    # it, recomputed after the aggregate — avoids a second shuffle)
-    dict_ds = (
-        ray.data.read_parquet(seg_paths, columns=["term", "df", "max_tfn"])
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Max("max_tfn", alias_name="max_tfn"))
+    def build_dict_shard(batch):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = []
+        for shard, paths_json in zip(
+            batch["shard"].to_pylist(), batch["paths"].to_pylist()
+        ):
+            path = os.path.join(dict_dir, f"dict-{shard:05d}.parquet")
+            if not os.path.exists(path):
+                parts = [
+                    pq.read_table(p, columns=["term_id", "term", "df", "max_tfn"])
+                    for p in json.loads(paths_json)
+                ]
+                df = (
+                    pa.concat_tables(parts)
+                    .to_pandas()
+                    .groupby("term_id", sort=True)
+                    .agg(term=("term", "first"), df=("df", "sum"), max_tfn=("max_tfn", "max"))
+                    .reset_index()[["term", "term_id", "df", "max_tfn"]]
+                )
+                pq.write_table(
+                    pa.Table.from_pandas(df, preserve_index=False), path + ".tmp"
+                )
+                os.replace(path + ".tmp", path)
+            out.append({"shard": shard, "path": path})
+        return pa.Table.from_pylist(out)
+
+    dict_rows = (
+        ray.data.from_items(shard_items)
+        .map_batches(build_dict_shard, batch_size=1, batch_format="pyarrow")
+        .take_all()
     )
-    from torchtrajectory_ray.functions.text import term_hash
-
-    dict_df = dict_ds.to_pandas()
-    dict_df["term_id"] = dict_df["term"].map(term_hash)
-    dict_df = dict_df.sort_values("term_id").reset_index(drop=True)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    dict_path = os.path.join(dict_dir, "dict.parquet")
-    pq.write_table(pa.Table.from_pandas(dict_df, preserve_index=False), dict_path + ".tmp")
-    os.replace(dict_path + ".tmp", dict_path)
+    dict_paths = sorted(r["path"] for r in dict_rows)
     t3 = time.monotonic()
 
     manifest = {
         "config": dataclasses.asdict(cfg),
         "stats": stats,
         "lineage": lineage,
+        "partials": partials_lineage,
         "segments": seg_rows,
-        "dict_path": dict_path,
+        "dict_paths": dict_paths,
         "metrics": {
             "prepare_s": round(t1 - t0, 3),
             "index_s": round(t2 - t1, 3),

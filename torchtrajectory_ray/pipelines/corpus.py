@@ -64,7 +64,10 @@ def term_df(sf_dir: str) -> pd.DataFrame:
 
     with open(os.path.join(idx, "manifest.json")) as f:
         manifest = json.load(f)
-    d = pq.read_table(manifest["dict_path"], columns=["term", "df"]).to_pandas()
+    parts = [
+        pq.read_table(p, columns=["term", "df"]) for p in manifest["dict_paths"]
+    ]
+    d = pa.concat_tables(parts).to_pandas()
     return d.sort_values("term").reset_index(drop=True)[["term", "df"]]
 
 

@@ -40,12 +40,25 @@ import pyarrow.parquet as pq
 from torchtrajectory_ray.config import IndexConfig
 from torchtrajectory_ray.functions.bm25 import tf_norm
 from torchtrajectory_ray.functions.codec import (
-    delta_decode,
-    delta_encode,
-    varint_decode,
-    varint_encode,
+    concat_aranges,
+    delta_decode_concat,
+    delta_encode_multi,
+    varint_decode_concat,
+    varint_encode_multi,
 )
 from torchtrajectory_ray.functions.text import TermHasher, tokenize
+
+def _pin_arrow_single_thread() -> None:
+    """Called once per worker process by every task entrypoint: Arrow's
+    internal pools default to one thread per machine core PER PROCESS, so
+    32 workers × 32 arrow threads thrash the box and task time inflates
+    2-4× at high parallelism.  Ray already gives each task one CPU; all
+    intra-task parquet IO/compute must be single-threaded."""
+    if not getattr(_pin_arrow_single_thread, "_done", False):
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+        _pin_arrow_single_thread._done = True
+
 
 PARTIAL_COLS = [
     "term",
@@ -67,6 +80,84 @@ def salt_shift(max_doc_id: int, num_salts: int) -> int:
     while (span - 1) >> shift >= num_salts:
         shift += 1
     return shift
+
+
+def compute_salt_shift(input_paths: list[str], cfg: IndexConfig) -> int:
+    """Salt shift WITHOUT a data pass, so tokenization can start with the
+    first byte read (enables the fused prepare+partials stage).
+
+    - inputs carrying an explicit ``doc_id`` column: global max from the
+      parquet FOOTER statistics (footers only — at 10^5+ input files this
+      loop itself becomes a small ray map over footers);
+    - dense mode: the id space is bounded by construction at
+      ``n_files << 34``;
+    - url_hash mode: ids span the full 62-bit hash space.
+    """
+    schema = pq.read_schema(input_paths[0])
+    if "doc_id" in schema.names:
+        mx = -1
+        for p in input_paths:
+            md = pq.read_metadata(p)
+            idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.max is None:
+                    mx = max(mx, int(pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy().max()))
+                    break
+                mx = max(mx, int(st.max))
+        return salt_shift(mx, cfg.num_salts)
+    if cfg.doc_id_mode == "dense":
+        return salt_shift((len(input_paths) << 34) - 1, cfg.num_salts)
+    return salt_shift((1 << 62) - 1, cfg.num_salts)
+
+
+class FusedShardTask:
+    """Fused stage A: one raw input shard → docs (forward-index) shard +
+    partials parquet, in ONE read pass.  Halves input IO versus separate
+    prepare/tokenize passes and removes a stage barrier — at 32-way
+    parallelism on one box the page-cache/memory bus is the contended
+    resource, and on a real cluster it is still the biggest IO win.
+    Checkpoint granularity is the input shard (skip when both sidecars
+    exist)."""
+
+    def __init__(
+        self,
+        docs_dir: str,
+        partials_dir: str,
+        cfg: IndexConfig,
+        shift: int,
+    ):
+        from torchtrajectory_ray.stages.prepare import PrepareFileTask
+
+        self.prepare = PrepareFileTask(docs_dir, cfg.check_invariant)
+        self.partials = PartialsWriter(partials_dir, cfg, shift)
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _pin_arrow_single_thread()
+        bases = (
+            [None if b < 0 else b for b in batch["doc_id_base"].to_pylist()]
+            if "doc_id_base" in batch.column_names
+            else [None] * batch.num_rows
+        )
+        rows = []
+        for path, base in zip(batch["path"].to_pylist(), bases):
+            prep_lin = self.prepare._one(path, base)
+            part_lin = self.partials._one(
+                prep_lin["output"], docs_tbl=self.prepare.last_docs
+            )
+            self.prepare.last_docs = None
+            rows.append(
+                {
+                    **prep_lin,
+                    "partials_output": part_lin["output"],
+                    "partials_bytes": part_lin["bytes"],
+                    "n_runs": part_lin["n_runs"],
+                    "partials_wall_s": part_lin["wall_s"],
+                    "partials_skipped": part_lin["skipped"],
+                }
+            )
+        return pa.Table.from_pylist(rows)
 
 
 class TokenizeCombine:
@@ -138,36 +229,62 @@ class TokenizeCombine:
         d_dl = e_doclen[run_order]
         d_pos = first_pos[run_order]
 
-        out: dict[str, list] = {c: [] for c in PARTIAL_COLS}
+        # one vectorized multi-run encode per payload column (a web-scale
+        # batch holds ~10^5-10^6 runs — per-run codec calls would be a
+        # Python-loop bottleneck)
+        run_len = run_ends - run_heads
         shards = (term_ids % cfg.num_term_shards).astype(np.int64)
-        for h, e in zip(run_heads, run_ends):
-            code = int(rk[h] // cfg.num_salts)
-            salt = int(rk[h] % cfg.num_salts)
-            tid = int(term_ids[code])
-            out["term"].append(str(uniq_terms[code]))
-            out["term_id"].append(tid)
-            out["salt"].append(salt)
-            out["segment"].append(int(shards[code]) * cfg.num_salts + salt)
-            out["df"].append(int(e - h))
-            out["doc_ids_blob"].append(delta_encode(d_ids[h:e]))
-            out["tfs_blob"].append(varint_encode(d_tf[h:e]))
-            out["doclens_blob"].append(varint_encode(d_dl[h:e]))
-            out["pos_blob"].append(
-                varint_encode(d_pos[h:e]) if cfg.store_positions else b""
-            )
+        r_code = (rk[run_heads] // cfg.num_salts).astype(np.int64)
+        r_salt = (rk[run_heads] % cfg.num_salts).astype(np.int64)
         return pa.table(
             {
-                "term": pa.array(out["term"], pa.string()),
-                "term_id": pa.array(out["term_id"], pa.int64()),
-                "salt": pa.array(out["salt"], pa.int32()),
-                "segment": pa.array(out["segment"], pa.int32()),
-                "df": pa.array(out["df"], pa.int64()),
-                "doc_ids_blob": pa.array(out["doc_ids_blob"], pa.binary()),
-                "tfs_blob": pa.array(out["tfs_blob"], pa.binary()),
-                "doclens_blob": pa.array(out["doclens_blob"], pa.binary()),
-                "pos_blob": pa.array(out["pos_blob"], pa.binary()),
+                "term": pa.array(uniq_terms[r_code].tolist(), pa.string()),
+                "term_id": pa.array(term_ids[r_code], pa.int64()),
+                "salt": pa.array(r_salt.astype(np.int32), pa.int32()),
+                "segment": pa.array(
+                    (shards[r_code] * cfg.num_salts + r_salt).astype(np.int32),
+                    pa.int32(),
+                ),
+                "df": pa.array(run_len, pa.int64()),
+                "doc_ids_blob": pa.array(
+                    delta_encode_multi(d_ids, run_len), pa.binary()
+                ),
+                "tfs_blob": pa.array(
+                    varint_encode_multi(d_tf, run_len), pa.binary()
+                ),
+                "doclens_blob": pa.array(
+                    varint_encode_multi(d_dl, run_len), pa.binary()
+                ),
+                "pos_blob": pa.array(
+                    varint_encode_multi(d_pos, run_len)
+                    if cfg.store_positions
+                    else [b""] * len(run_len),
+                    pa.binary(),
+                ),
             }
         )
+
+
+_TOKENIZE_SINGLETON: dict = {}
+
+
+def tokenize_combine_task(batch: pa.Table, *, cfg: IndexConfig, shift: int) -> pa.Table:
+    """Task-pool entry for :class:`TokenizeCombine`.
+
+    The default tokenizer is vocab-free, so its only state is the memoized
+    term hasher — a module-level singleton per worker process gives the
+    same load-once behavior as an actor pool without paying actor-pool
+    spin-up (Ray reuses warm worker processes across task stages).  A
+    tokenizer that loads a real model/vocabulary should instead be passed
+    as the class itself with ``concurrency=N`` (actor pool)."""
+    _pin_arrow_single_thread()
+    key = (cfg, shift)  # IndexConfig is a frozen (hashable) dataclass
+    inst = _TOKENIZE_SINGLETON.get(key)
+    if inst is None:
+        inst = TokenizeCombine(cfg, shift)
+        _TOKENIZE_SINGLETON.clear()
+        _TOKENIZE_SINGLETON[key] = inst
+    return inst(batch)
 
 
 def _partial_schema() -> pa.Schema:
@@ -184,6 +301,99 @@ def _partial_schema() -> pa.Schema:
             ("pos_blob", pa.binary()),
         ]
     )
+
+
+class PartialsWriter:
+    """Stage A of the storage shuffle (cfg.shuffle_mode="storage"): one
+    docs shard → one partials parquet holding that shard's (term, salt)
+    runs with ONE ROW GROUP PER SEGMENT (+ a sidecar segment→row-group
+    map), so each segment assembler later reads only its own row groups —
+    selective IO instead of a global sort exchange.  The filesystem (the
+    index out_dir; shared storage on a real cluster) is the shuffle
+    fabric, the pattern external-shuffle index builders use.  Finished
+    shards are skipped via their sidecar (per-partition checkpoint)."""
+
+    def __init__(self, partials_dir: str, cfg: IndexConfig, shift: int):
+        self.partials_dir = partials_dir
+        self.cfg = cfg
+        self.combine = TokenizeCombine(cfg, shift)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _pin_arrow_single_thread()
+        return pa.Table.from_pylist(
+            [self._one(p) for p in batch["path"].to_pylist()]
+        )
+
+    def _one(self, docs_path: str, docs_tbl: pa.Table | None = None) -> dict:
+        stem = os.path.splitext(os.path.basename(docs_path))[0]
+        out = os.path.join(self.partials_dir, f"partials-{stem}.parquet")
+        sidecar = out + ".rgmap.json"
+        if os.path.exists(sidecar) and os.path.exists(out):
+            with open(sidecar) as f:
+                lin = json.load(f)["lineage"]
+            lin["skipped"] = True
+            return lin
+
+        t0 = time.monotonic()
+        tbl = (
+            docs_tbl.select(["doc_id", "text"])
+            if docs_tbl is not None
+            else pq.read_table(docs_path, columns=["doc_id", "text"])
+        )
+        bs = self.cfg.tokenize_batch_size
+        parts = [
+            self.combine(tbl.slice(off, bs))
+            for off in range(0, max(tbl.num_rows, 1), bs)
+        ]
+        runs = pa.concat_tables(parts)
+        segs = runs["segment"].to_numpy().astype(np.int64, copy=False)
+        order = np.argsort(segs, kind="stable")
+        runs = runs.take(pa.array(order))
+        segs = segs[order]
+        heads = np.concatenate(
+            ([0], np.flatnonzero(segs[1:] != segs[:-1]) + 1)
+        ) if len(segs) else np.empty(0, np.int64)
+        ends = np.concatenate((heads[1:], [len(segs)]))
+
+        rgmap: dict[str, list[int]] = {}
+        tmp = out + ".tmp"
+        writer = pq.ParquetWriter(tmp, runs.schema)
+        for rg, (h, e) in enumerate(zip(heads, ends)):
+            writer.write_table(runs.slice(h, e - h))
+            rgmap[str(int(segs[h]))] = [rg]
+        writer.close()
+        os.replace(tmp, out)
+        lin = {
+            "input": docs_path,
+            "output": out,
+            "n_runs": int(runs.num_rows),
+            "n_segments": len(rgmap),
+            "bytes": os.path.getsize(out),
+            "wall_s": round(time.monotonic() - t0, 4),
+            "skipped": False,
+        }
+        with open(sidecar + ".tmp", "w") as f:
+            json.dump({"segments": rgmap, "lineage": lin}, f)
+        os.replace(sidecar + ".tmp", sidecar)
+        return lin
+
+
+def assemble_segment(
+    segment: int, partial_paths: list[str], writer: "SegmentWriter"
+) -> pa.Table | None:
+    """Stage B of the storage shuffle: gather one segment's row groups
+    from every partials file and merge+write via :class:`SegmentWriter`.
+    Returns the manifest-row table, or None if the segment is empty."""
+    _pin_arrow_single_thread()
+    tables = []
+    for p in partial_paths:
+        with open(p + ".rgmap.json") as f:
+            rgs = json.load(f)["segments"].get(str(segment))
+        if rgs:
+            tables.append(pq.ParquetFile(p).read_row_groups(rgs))
+    if not tables:
+        return None
+    return writer(pa.concat_tables(tables))
 
 
 SEGMENT_COLS = [
@@ -220,88 +430,102 @@ class SegmentWriter:
         self.cfg = cfg
         self.avgdl = avgdl
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        seg = int(group["segment"].iloc[0])
+    def __call__(self, group: pa.Table | pd.DataFrame) -> pa.Table:
+        _pin_arrow_single_thread()
+        if isinstance(group, pd.DataFrame):  # tests may pass pandas groups
+            group = pa.Table.from_pandas(group, preserve_index=False)
+        seg = int(group["segment"][0].as_py())
         path = os.path.join(self.out_dir, f"seg-{seg:05d}.parquet")
         meta_path = path + ".meta.json"
         if os.path.exists(path) and os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
             meta["skipped"] = True
-            return pd.DataFrame([meta])
+            return pa.Table.from_pylist([meta])
 
         t0 = time.monotonic()
         cfg, B = self.cfg, self.cfg.block_size
-        rows: dict[str, list] = {c: [] for c in SEGMENT_COLS}
-        n_postings = 0
-        group = group.sort_values(["term_id", "salt"], kind="mergesort")
-        for (tid, salt), runs in group.groupby(["term_id", "salt"], sort=True):
-            n = int(runs["df"].sum())
-            if len(runs) == 1:
-                r = runs.iloc[0]
-                ids = delta_decode(r["doc_ids_blob"], int(r["df"]))
-                tfs = varint_decode(r["tfs_blob"], int(r["df"]))
-                dls = varint_decode(r["doclens_blob"], int(r["df"]))
-                poss = (
-                    varint_decode(r["pos_blob"], int(r["df"]))
-                    if cfg.store_positions
-                    else None
-                )
-            else:
-                ids = np.concatenate(
-                    [delta_decode(b) for b in runs["doc_ids_blob"]]
-                )
-                tfs = np.concatenate([varint_decode(b) for b in runs["tfs_blob"]])
-                dls = np.concatenate(
-                    [varint_decode(b) for b in runs["doclens_blob"]]
-                )
-                poss = (
-                    np.concatenate([varint_decode(b) for b in runs["pos_blob"]])
-                    if cfg.store_positions
-                    else None
-                )
-                o = np.argsort(ids, kind="stable")
-                ids, tfs, dls = ids[o], tfs[o], dls[o]
-                if poss is not None:
-                    poss = poss[o]
+        # decode EVERY partial run of the segment in one pass per payload
+        # column, merge-sort postings within each (term_id, salt) group via
+        # one lexsort, then re-encode every group in one pass — no per-run
+        # or per-group codec calls (the wide stage must stay vectorized,
+        # and the group block stays zero-copy Arrow end to end).
+        run_tid_u = group["term_id"].to_numpy().astype(np.int64, copy=False)
+        run_salt_u = group["salt"].to_numpy().astype(np.int64, copy=False)
+        run_order = np.lexsort((run_salt_u, run_tid_u))
+        group = group.take(pa.array(run_order))
+        run_df = group["df"].to_numpy().astype(np.int64, copy=False)
+        total = int(run_df.sum())
+        ids = delta_decode_concat(group["doc_ids_blob"].to_pylist(), run_df)
+        tfs = varint_decode_concat(group["tfs_blob"].to_pylist(), total)
+        dls = varint_decode_concat(group["doclens_blob"].to_pylist(), total)
+        poss = (
+            varint_decode_concat(group["pos_blob"].to_pylist(), total)
+            if cfg.store_positions
+            else None
+        )
+        post_tid = np.repeat(run_tid_u[run_order], run_df)
+        post_salt = np.repeat(run_salt_u[run_order], run_df)
 
-            tfn = tf_norm(tfs, dls, self.avgdl, cfg.bm25.k1, cfg.bm25.b)
-            nblk = (n + B - 1) // B
-            blk_last = ids[np.minimum(np.arange(1, nblk + 1) * B - 1, n - 1)]
-            blk_max = np.fromiter(
-                (tfn[i * B : (i + 1) * B].max() for i in range(nblk)),
-                np.float64,
-                nblk,
-            )
-            rows["term_id"].append(int(tid))
-            rows["term"].append(str(runs["term"].iloc[0]))
-            rows["salt"].append(int(salt))
-            rows["df"].append(n)
-            rows["max_tfn"].append(float(tfn.max()))
-            rows["doc_ids_blob"].append(delta_encode(ids))
-            rows["tfs_blob"].append(varint_encode(tfs))
-            rows["doclens_blob"].append(varint_encode(dls))
-            rows["pos_blob"].append(
-                varint_encode(poss) if poss is not None else b""
-            )
-            rows["blk_last"].append(blk_last.tolist())
-            rows["blk_max_tfn"].append(blk_max.tolist())
-            n_postings += n
+        order = np.lexsort((ids, post_salt, post_tid))
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        post_tid, post_salt = post_tid[order], post_salt[order]
+        if poss is not None:
+            poss = poss[order]
+
+        # (term_id, salt) group boundaries over the merged postings
+        change = (post_tid[1:] != post_tid[:-1]) | (post_salt[1:] != post_salt[:-1])
+        heads = np.concatenate(([0], np.flatnonzero(change) + 1))
+        glen = np.diff(np.concatenate((heads, [total])))
+        g_tid = post_tid[heads]
+        g_salt = post_salt[heads]
+        # term string per group from the (sorted) run table
+        run_heads_in_groups = np.searchsorted(
+            np.cumsum(run_df) - 1, np.cumsum(glen) - 1
+        )
+        g_term = group["term"].take(pa.array(run_heads_in_groups))
+        g_term = g_term.combine_chunks() if isinstance(g_term, pa.ChunkedArray) else g_term
+
+        tfn = tf_norm(tfs, dls, self.avgdl, cfg.bm25.k1, cfg.bm25.b)
+        max_tfn = np.maximum.reduceat(tfn, heads)
+
+        # block-max metadata: blocks of B tile each group exactly
+        nblks = (glen + B - 1) // B
+        blk_starts = np.repeat(heads, nblks) + concat_aranges(nblks) * B
+        g_end = np.repeat(heads + glen, nblks)
+        blk_last_idx = np.minimum(blk_starts + B - 1, g_end - 1)
+        blk_last_flat = ids[blk_last_idx]
+        blk_max_flat = np.maximum.reduceat(tfn, blk_starts)
+        blk_off = np.concatenate(([0], np.cumsum(nblks)))
+
+        doc_blobs = delta_encode_multi(ids, glen)
+        tf_blobs = varint_encode_multi(tfs, glen)
+        dl_blobs = varint_encode_multi(dls, glen)
+        pos_blobs = (
+            varint_encode_multi(poss, glen)
+            if poss is not None
+            else [b""] * len(glen)
+        )
+        n_postings = total
 
         tbl = pa.table(
             {
-                "term_id": pa.array(rows["term_id"], pa.int64()),
-                "term": pa.array(rows["term"], pa.string()),
-                "salt": pa.array(rows["salt"], pa.int32()),
-                "df": pa.array(rows["df"], pa.int64()),
-                "max_tfn": pa.array(rows["max_tfn"], pa.float64()),
-                "doc_ids_blob": pa.array(rows["doc_ids_blob"], pa.binary()),
-                "tfs_blob": pa.array(rows["tfs_blob"], pa.binary()),
-                "doclens_blob": pa.array(rows["doclens_blob"], pa.binary()),
-                "pos_blob": pa.array(rows["pos_blob"], pa.binary()),
-                "blk_last": pa.array(rows["blk_last"], pa.list_(pa.int64())),
-                "blk_max_tfn": pa.array(
-                    rows["blk_max_tfn"], pa.list_(pa.float64())
+                "term_id": pa.array(g_tid, pa.int64()),
+                "term": g_term.cast(pa.string()),
+                "salt": pa.array(g_salt.astype(np.int32), pa.int32()),
+                "df": pa.array(glen, pa.int64()),
+                "max_tfn": pa.array(max_tfn, pa.float64()),
+                "doc_ids_blob": pa.array(doc_blobs, pa.binary()),
+                "tfs_blob": pa.array(tf_blobs, pa.binary()),
+                "doclens_blob": pa.array(dl_blobs, pa.binary()),
+                "pos_blob": pa.array(pos_blobs, pa.binary()),
+                "blk_last": pa.ListArray.from_arrays(
+                    pa.array(blk_off, pa.int32()),
+                    pa.array(blk_last_flat, pa.int64()),
+                ),
+                "blk_max_tfn": pa.ListArray.from_arrays(
+                    pa.array(blk_off, pa.int32()),
+                    pa.array(blk_max_flat, pa.float64()),
                 ),
             }
         )
@@ -311,7 +535,7 @@ class SegmentWriter:
         meta = {
             "segment": seg,
             "path": path,
-            "n_terms": int(group["term_id"].nunique()),
+            "n_terms": int(len(np.unique(g_tid))),
             "n_runs": tbl.num_rows,
             "n_postings": n_postings,
             "bytes": os.path.getsize(path),
@@ -321,4 +545,4 @@ class SegmentWriter:
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
         os.replace(meta_path + ".tmp", meta_path)
-        return pd.DataFrame([meta])
+        return pa.Table.from_pylist([meta])

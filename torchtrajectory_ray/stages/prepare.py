@@ -41,7 +41,9 @@ def url_doc_id(url: str) -> int:
     return int.from_bytes(h, "little") & 0x3FFF_FFFF_FFFF_FFFF
 
 
-def prepare_table(tbl: pa.Table, *, check_invariant: bool = True) -> pa.Table:
+def prepare_table(
+    tbl: pa.Table, *, check_invariant: bool = True, doc_id_base: int | None = None
+) -> pa.Table:
     """Normalize one raw-pages table to the docs schema.
 
     Accepts any of: (url, warc_ts, html, text, lang) [input_hint shape],
@@ -50,7 +52,16 @@ def prepare_table(tbl: pa.Table, *, check_invariant: bool = True) -> pa.Table:
     (rows violating the invariant raise — determinism bugs must not pass
     silently).  The html column is dropped immediately after extraction
     so wide binary payloads never travel further (SURVEY.md §7.5).
-    """
+
+    doc_id assignment when the input has no doc_id column: with
+    ``doc_id_base`` given (the default build path), ids are dense
+    ``base + row`` — deterministic w.r.t. the (sorted) input file list,
+    independent of execution order, and doc-local per input shard, which
+    keeps every tokenize batch inside one salt range and keeps posting
+    deltas small (Lucene-style segment-local ids).  Without a base, ids
+    fall back to the 62-bit url hash (globally stable but spread over the
+    whole id space — every batch then fans out to all salts and deltas
+    are large; only use when no stable file layout exists)."""
     names = set(tbl.column_names)
     n = tbl.num_rows
 
@@ -73,12 +84,14 @@ def prepare_table(tbl: pa.Table, *, check_invariant: bool = True) -> pa.Table:
 
     if "doc_id" in names:
         doc_ids = tbl["doc_id"].to_numpy().astype(np.int64)
+    elif doc_id_base is not None:
+        doc_ids = doc_id_base + np.arange(n, dtype=np.int64)
     elif "url" in names:
         doc_ids = np.fromiter(
             (url_doc_id(u) for u in tbl["url"].to_pylist()), np.int64, n
         )
     else:
-        raise ValueError("need doc_id or url column")
+        raise ValueError("need doc_id, doc_id_base, or url column")
 
     urls = (
         tbl["url"]
@@ -115,17 +128,29 @@ class PrepareFileTask:
     def __init__(self, docs_dir: str, check_invariant: bool = True):
         self.docs_dir = docs_dir
         self.check_invariant = check_invariant
+        # the docs table of the most recent non-skipped _one() call, for
+        # the fused stage to consume without re-reading the shard
+        self.last_docs: pa.Table | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
+
+        _pin_arrow_single_thread()
+        bases = (
+            [None if b < 0 else b for b in batch["doc_id_base"].to_pylist()]
+            if "doc_id_base" in batch.column_names
+            else [None] * batch.num_rows
+        )
         rows = []
-        for path in batch["path"].to_pylist():
-            rows.append(self._one(path))
+        for path, base in zip(batch["path"].to_pylist(), bases):
+            rows.append(self._one(path, base))
         return pa.Table.from_pylist(rows)
 
-    def _one(self, path: str) -> dict:
+    def _one(self, path: str, doc_id_base: int | None = None) -> dict:
         stem = os.path.splitext(os.path.basename(path))[0]
         out = os.path.join(self.docs_dir, f"docs-{stem}.parquet")
         sidecar = out + ".lineage.json"
+        self.last_docs = None
         if os.path.exists(sidecar) and os.path.exists(out):
             with open(sidecar) as f:
                 lin = json.load(f)
@@ -134,10 +159,13 @@ class PrepareFileTask:
 
         t0 = time.monotonic()
         raw = pq.read_table(path)
-        docs = prepare_table(raw, check_invariant=self.check_invariant)
+        docs = prepare_table(
+            raw, check_invariant=self.check_invariant, doc_id_base=doc_id_base
+        )
         tmp = out + ".tmp"
         pq.write_table(docs, tmp)
         os.replace(tmp, out)
+        self.last_docs = docs
         dl = docs["doclen"].to_numpy()
         ids = docs["doc_id"].to_numpy()
         lin = {

@@ -48,7 +48,11 @@ class QueryEngine:
         # term dictionary: term_id -> (df, max_tfn).  At 10^12-doc scale
         # this table is itself term-sharded and probed with parquet
         # predicate pushdown per query; at bench scale it fits the driver.
-        d = pq.read_table(self.manifest["dict_path"]).to_pandas()
+        import pyarrow as pa
+
+        d = pa.concat_tables(
+            [pq.read_table(p) for p in self.manifest["dict_paths"]]
+        ).to_pandas()
         self._df = dict(zip(d["term_id"], d["df"]))
         self._max_tfn = dict(zip(d["term_id"], d["max_tfn"]))
 
