@@ -26,15 +26,23 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from torchtrajectory_ray.pipelines import corpus, events, textstats
+    from torchtrajectory_ray.pipelines import (
+        analytics,
+        corpus,
+        events,
+        knn,
+        textstats,
+    )
 
     return {
         # --- inverted-index core (SURVEY.md §2.1/2.5/2.6/2.7) ---
         "term_df": corpus.term_df,                # A8/J5: dictionary df
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
+        "topk_resolved": corpus.topk_resolved,    # M6: result hydration
         "bool_or": corpus.bool_or,                # U1: findByPath
         "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
+        "bool_or_lang": corpus.bool_or_lang,      # U3/M7: predicate filter
         # --- corpus / text analysis (training-data ops) ---
         "doc_stats": textstats.doc_stats,         # A7: global aggregates
         "token_count": textstats.token_count,
@@ -42,6 +50,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_count": textstats.lang_count,
         "source_doc_count": textstats.source_doc_count,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
+        # --- similarity search / embeddings ---
+        "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
+        "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
+        "embedding_neardup": knn.embedding_neardup,
+        # --- generic analytics (partial agg / broadcast join / top-k) ---
+        "pricing_summary": analytics.pricing_summary,
+        "revenue_topk": analytics.revenue_topk,
+        "nation_customer_stats": analytics.nation_customer_stats,
         # --- stream-shaped (W2 analog) ---
         "events_tumbling_hour": events.tumbling_hour_agg,
     }
@@ -59,9 +75,10 @@ def _query_values() -> str:
     )
 
 
-def _bool_sql(op: str) -> str:
+def _bool_sql(op: str, lang: str | None = None) -> str:
     from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
 
+    extra = f"lang = '{lang}' AND " if lang else ""
     parts = []
     for q in WEB_QUERIES:
         pred = f" {op} ".join(
@@ -69,7 +86,7 @@ def _bool_sql(op: str) -> str:
         )
         parts.append(
             f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
-            f"FROM documents WHERE {pred}"
+            f"FROM documents WHERE {extra}({pred})"
         )
     return " UNION ALL ".join(parts)
 
@@ -141,4 +158,59 @@ SELECT event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY event_type, window_start_us""",
+        "topk_resolved": topk.replace(
+            "SELECT query_id::BIGINT AS query_id,",
+            "SELECT query_id::BIGINT AS query_id, d.lang AS lang,"
+            f" len({_TOKS.replace('text', 'd.text')})::BIGINT AS doclen,",
+        ).replace(
+            "FROM scores QUALIFY rank <= 10",
+            "FROM scores JOIN documents d USING (doc_id) QUALIFY rank <= 10",
+        ),
+        "bool_or_lang": _bool_sql("OR", lang="en"),
+        "knn_bruteforce": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({', '.join(map(str, range(8)))})),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]), 6) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+       neighbor_id, sim
+FROM s QUALIFY rank <= 10""",
+        "embedding_neardup": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_extendedprice), 6) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "revenue_topk": """
+WITH rev AS (
+  SELECT o.o_orderkey AS l_orderkey, o.o_orderdate,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey, o.o_orderdate)
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS BIGINT)
+         AS rank,
+       l_orderkey, revenue, CAST(o_orderdate AS VARCHAR) AS o_orderdate
+FROM rev QUALIFY rank <= 10""",
+        "nation_customer_stats": """
+SELECT n_name, r_name, count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 6) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name""",
     }

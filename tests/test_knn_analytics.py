@@ -1,0 +1,102 @@
+"""Similarity search + analytics operators against driver testdata
+(sf0.001) and numpy/duckdb references."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from torchtrajectory_ray.pipelines import analytics, knn
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_reference(k=10):
+    """Numpy single-process cosine top-k reference."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    e = np.asarray([v for v in t["embedding"].to_pylist()], dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    q = e[[list(ids).index(v) for v in knn.QUERY_VEC_IDS]]
+    sims = (q @ e.T) / (
+        np.linalg.norm(q, axis=1, keepdims=True) * np.linalg.norm(e, axis=1)
+    )
+    out = {}
+    for qi, qid in enumerate(knn.QUERY_VEC_IDS):
+        s = np.round(sims[qi], 6)
+        order = np.lexsort((ids, -s))[:k]
+        out[qid] = [(int(ids[i]), float(s[i])) for i in order]
+    return out
+
+
+def test_knn_bruteforce_matches_numpy(ray_session):
+    got = knn.knn_bruteforce(SF)
+    ref = _brute_reference()
+    for qid, rows in got.groupby("query_id"):
+        expect = ref[qid]
+        assert list(rows["neighbor_id"]) == [d for d, _ in expect]
+        assert np.allclose(rows["sim"].to_numpy(), [s for _, s in expect], atol=1e-6)
+
+
+def test_knn_ivf_full_probe_is_exact(ray_session):
+    """nprobe == nlist ⇒ IVF degenerates to brute force (rank identity)."""
+    exact = knn.knn_bruteforce(SF)
+    ivf = knn.knn_ivf(SF, nlist=8, nprobe=8)
+    assert exact[["query_id", "rank", "neighbor_id"]].equals(
+        ivf[["query_id", "rank", "neighbor_id"]]
+    )
+
+
+def test_knn_ivf_recall(ray_session):
+    """Approximate probe keeps high recall@10 on the clustered corpus."""
+    exact = knn.knn_bruteforce(SF)
+    ivf = knn.knn_ivf(SF, nlist=16, nprobe=4)
+    recalls = []
+    for qid in knn.QUERY_VEC_IDS:
+        a = set(exact[exact.query_id == qid]["neighbor_id"])
+        b = set(ivf[ivf.query_id == qid]["neighbor_id"])
+        recalls.append(len(a & b) / len(a))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_embedding_neardup_threshold(ray_session):
+    pairs = knn.embedding_neardup(SF, threshold=0.45)
+    assert (pairs["sim"] >= 0.45 - 1e-9).all()
+    assert (pairs["vec_a"] < pairs["vec_b"]).all()
+
+
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (
+            analytics.pricing_summary,
+            """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty,
+               count(*)::BIGINT count_order
+               FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+        ),
+    ],
+)
+def test_pricing_summary_vs_duckdb(ray_session, fn, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    got = fn(SF).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    ref = con.execute(sql).fetchdf()
+    assert list(got["sum_qty"]) == list(ref["sum_qty"])
+    assert list(got["count_order"]) == list(ref["count_order"])
+
+
+def test_revenue_topk_ordered(ray_session):
+    df = analytics.revenue_topk(SF)
+    assert list(df["rank"]) == list(range(1, len(df) + 1))
+    assert (df["revenue"].diff().dropna() <= 1e-9).all()  # descending
+
+
+def test_nation_customer_stats_join(ray_session):
+    df = analytics.nation_customer_stats(SF)
+    assert df["n_customers"].sum() > 0
+    assert df["n_name"].is_unique
+    assert set(df.columns) == {"n_name", "r_name", "n_customers", "sum_acctbal"}

@@ -1,0 +1,189 @@
+"""Generic analytic operators over the TPC-H-ish tables — the engine's
+aggregate / join / top-k building blocks exercised end-to-end.
+
+Patterns (each named in SURVEY.md §2's Ray-mapping column):
+- partial (combiner) aggregation inside ``map_batches`` before the small
+  ``groupby`` — the A8-style histogram shape; the shuffle moves one row
+  per (batch × group), not per input row;
+- broadcast hash join: the small side is collected once and shipped to
+  every task (J2/J5 broadcast-lookup shape) instead of an all-to-all
+  shuffle join;
+- global sort + limit only on already-reduced data (K5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) sums/averages with
+    in-batch partial aggregation."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                sum_charge=("charge", "sum"),
+                sum_disc=("l_discount", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(
+            ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+             "sum_disc", "count_order"]
+        )
+    )
+    df = ds.to_pandas()
+    df.columns = [c.replace("sum(", "").replace(")", "") for c in df.columns]
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            # big float sums rounded to 2dp: accumulation order differs
+            # between engines, and ~1e9-magnitude doubles only carry ~7
+            # stable decimals — 6dp would compare noise
+            "sum_qty": df["sum_qty"].round(2),
+            "sum_base_price": df["sum_base_price"].round(2),
+            "sum_disc_price": df["sum_disc_price"].round(2),
+            "sum_charge": df["sum_charge"].round(2),
+            "avg_qty": (df["sum_qty"] / df["count_order"]).round(6),
+            "avg_price": (df["sum_base_price"] / df["count_order"]).round(6),
+            "avg_disc": (df["sum_disc"] / df["count_order"]).round(6),
+            "count_order": df["count_order"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.DataFrame:
+    """TPC-H Q3 shape: broadcast-join lineitem → orders → customer
+    (small sides collected once), partial revenue per batch, tiny final
+    groupby + sort + limit."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    wanted_cust = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], segment))["c_custkey"].to_pylist()
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    omask = pc.is_in(orders["o_custkey"], value_set=pa.array(list(wanted_cust)))
+    sel = orders.filter(omask)
+    # broadcast map o_orderkey -> o_orderdate (small side: one market
+    # segment's orders).  At real scale: ray.put once, read inside tasks.
+    odate = dict(
+        zip(sel["o_orderkey"].to_pylist(), sel["o_orderdate"].to_pylist())
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_orderkey"].isin(odate)]
+        if df.empty:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.float64()),
+                }
+            )
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"], "revenue": rev})
+            .groupby("l_orderkey", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("revenue")
+        .to_pandas()
+    )
+    agg.columns = ["l_orderkey", "revenue"]
+    agg["revenue"] = agg["revenue"].round(6)
+    agg["o_orderdate"] = agg["l_orderkey"].map(
+        {k_: str(v) for k_, v in odate.items()}
+    )
+    agg = agg.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True]
+    ).head(k)
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    return agg[["rank", "l_orderkey", "revenue", "o_orderdate"]].reset_index(
+        drop=True
+    )
+
+
+def nation_customer_stats(sf_dir: str) -> pd.DataFrame:
+    """Customer count + account balance per nation/region name: dimension
+    tables (nation, region) broadcast, fact aggregated with a partial."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+    }
+    nname = {n["n_nationkey"]: n["n_name"] for n in nation}
+    nregion = {n["n_nationkey"]: region[n["n_regionkey"]] for n in nation}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("c_custkey", "size"), sum_acctbal=("c_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .sum(["n_customers", "sum_acctbal"])
+        .to_pandas()
+    )
+    agg.columns = ["c_nationkey", "n_customers", "sum_acctbal"]
+    out = pd.DataFrame(
+        {
+            "n_name": agg["c_nationkey"].map(nname),
+            "r_name": agg["c_nationkey"].map(nregion),
+            "n_customers": agg["n_customers"].astype("int64"),
+            "sum_acctbal": agg["sum_acctbal"].round(6),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)

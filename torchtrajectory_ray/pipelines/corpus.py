@@ -124,6 +124,27 @@ def topk_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+def topk_resolved(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """topk_bm25 hydrated with doc metadata (M6 result resolution):
+    query_id, rank, doc_id, score, lang, doclen."""
+    ranks = topk_bm25(sf_dir, k=k)
+    eng = QueryEngine(documents_index(sf_dir))
+    meta = eng.resolve(ranks["doc_id"].unique())
+    out = ranks.merge(meta[["doc_id", "lang", "doclen"]], on="doc_id", how="left")
+    return out[["query_id", "rank", "doc_id", "score", "lang", "doclen"]]
+
+
+def bool_or_lang(sf_dir: str, lang: str = "en") -> pd.DataFrame:
+    """Boolean OR with a language predicate filter (U3 metadata-range /
+    M7 time-span filter analog — Arrow predicate on the doc-meta column)."""
+    eng = QueryEngine(documents_index(sf_dir), load_doc_meta=True)
+    rows = []
+    for q in WEB_QUERIES:
+        for d in eng.bool_or(q["terms"], lang=lang):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
 def bool_or(sf_dir: str) -> pd.DataFrame:
     eng = QueryEngine(documents_index(sf_dir))
     rows = []

@@ -53,6 +53,7 @@ class QueryEngine:
         d = pa.concat_tables(
             [pq.read_table(p) for p in self.manifest["dict_paths"]]
         ).to_pandas()
+        self.docs_dir = os.path.join(index_dir, "docs")
         self._df = dict(zip(d["term_id"], d["df"]))
         self._max_tfn = dict(zip(d["term_id"], d["max_tfn"]))
 
@@ -147,6 +148,28 @@ class QueryEngine:
             return np.empty(0, dtype=np.int64)
         parts = self._fanout("bool_and", tids, **filt)
         return np.sort(np.concatenate(parts))
+
+    def resolve(self, doc_ids) -> pd.DataFrame:
+        """Hydrate doc ids → (doc_id, url, lang, doclen) rows from the
+        forward-index shards (result resolution, the analog of
+        TrajectoryResolver.resolveRet, Torch/queryEngine/query/
+        TrajectoryResolver.java:151-223 — predicate-pushdown read of only
+        the requested ids instead of a broadcast geometry map)."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        wanted = pa.array(sorted({int(d) for d in doc_ids}), pa.int64())
+        files = [
+            os.path.join(self.docs_dir, p)
+            for p in sorted(os.listdir(self.docs_dir))
+            if p.endswith(".parquet")
+        ]
+        dset = pads.dataset(files, format="parquet")
+        t = dset.to_table(
+            columns=["doc_id", "url", "lang", "doclen"],
+            filter=pads.field("doc_id").isin(wanted),
+        )
+        return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
     def batch_topk(
         self, queries: list[dict], k: int = 10, method: str = "wand"
