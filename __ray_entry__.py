@@ -50,6 +50,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_count": textstats.lang_count,
         "source_doc_count": textstats.source_doc_count,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
+        "bpe_token_count": textstats.bpe_token_count,
+        "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
+        "top_bigrams": textstats.top_bigrams,
+        "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
@@ -58,8 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": analytics.pricing_summary,
         "revenue_topk": analytics.revenue_topk,
         "nation_customer_stats": analytics.nation_customer_stats,
-        # --- stream-shaped (W2 analog) ---
+        # --- stream-shaped (W1/W2 analogs) ---
         "events_tumbling_hour": events.tumbling_hour_agg,
+        "events_sliding_hour": events.sliding_hour_agg,
+        "events_sessions": events.session_windows,
     }
 
 
@@ -213,4 +219,37 @@ SELECT n_name, r_name, count(*)::BIGINT AS n_customers,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY n_name, r_name""",
+        "bpe_token_count": f"""
+SELECT doc_id, len({_TOKS})::BIGINT AS n_bpe_tokens FROM documents""",
+        "top_bigrams": f"""
+WITH tok AS (SELECT {_TOKS} AS ts FROM documents),
+bg AS (SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+       FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+cnt AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank,
+       bigram, n
+FROM cnt QUALIFY rank <= 20""",
+        "events_sliding_hour": """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
+w AS (SELECT event_type, value,
+        (t // 900000000 - off) * 900000000 AS window_start_us
+      FROM e, unnest([0, 1, 2, 3]) AS u(off))
+SELECT event_type, window_start_us, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM w GROUP BY event_type, window_start_us""",
+        "events_sessions": """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (SELECT user_id, t,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(t) AS session_start_us, max(t) AS session_end_us
+FROM s GROUP BY user_id, sid""",
     }

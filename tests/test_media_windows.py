@@ -1,0 +1,117 @@
+"""Multimodal plumbing + windowed event aggregates + text-analysis ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from torchtrajectory_ray.pipelines import events, media, textstats
+from torchtrajectory_ray.stages import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- multimodal codec + pipeline ---------------------------------------------
+
+
+def test_fake_codec_roundtrip():
+    img = mm.encode_fake_image(7, 8, 6)
+    kind, arr = mm.decode_payload(img)
+    assert kind == "image" and arr.shape == (8, 6, 3)
+    # deterministic: same id → same bytes
+    assert img == mm.encode_fake_image(7, 8, 6)
+
+    aud = mm.encode_fake_audio(3, 256)
+    kind, arr = mm.decode_payload(aud)
+    assert kind == "audio" and arr.dtype == np.int16 and len(arr) == 256
+
+    vid = mm.encode_fake_video(5, 4, 6, 5)
+    kind, arr = mm.decode_payload(vid)
+    assert kind == "video" and arr.shape == (4, 6, 5)
+
+
+def test_real_format_is_stubbed():
+    with pytest.raises((NotImplementedError, ValueError)):
+        mm.decode_payload(b"\xff\xd8\xff\xe0fakejpegbytes")
+    with pytest.raises((NotImplementedError, ValueError)):
+        mm.decode_payload(b"RIFF0000WAVEfmt ")
+
+
+def test_media_table_schema():
+    t = mm.fixtures_media_table(9)
+    assert t.column_names == [
+        "media_id", "kind", "payload", "width", "height", "frames",
+    ]
+    assert t.schema.field("payload").type == "large_binary"
+    assert set(t["kind"].to_pylist()) == {"image", "audio", "video"}
+
+
+def test_media_features_pipeline(ray_session):
+    df = media.media_features(n=60)
+    assert len(df) == 60
+    assert set(df["kind"]) == {"image", "audio", "video"}
+    vids = df[df["kind"] == "video"]
+    assert (vids["n_frames_sampled"] > 0).all()
+    imgs = df[df["kind"] == "image"]
+    assert (imgs["feat_dim"] == 4 * 4 * 3).all()
+    # deterministic across runs
+    df2 = media.media_features(n=60)
+    assert df.equals(df2)
+
+
+def test_resize_shapes():
+    ex = mm.MediaFeatureExtractor(resize_to=(4, 4))
+    img = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    assert ex._resize(img).shape == (4, 4, 3)
+
+
+# --- windowed aggregates ------------------------------------------------------
+
+
+def test_sliding_window_covers_tumbling(ray_session):
+    """Every event lands in exactly 4 sliding windows ⇒ total sliding
+    n_events = 4 × total events."""
+    import pyarrow.parquet as pq
+
+    n_events = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    sl = events.sliding_hour_agg(SF).to_pandas()
+    assert sl["n_events"].sum() == 4 * n_events
+    assert (sl["window_start_us"] % events.SLIDE_US == 0).all()
+
+
+def test_sessions_basic(ray_session):
+    s = events.session_windows(SF).to_pandas()
+    assert (s["session_end_us"] >= s["session_start_us"]).all()
+    assert (s["n_events"] >= 1).all()
+    # session ids are 1..k per user
+    for _, g in s.groupby("user_id"):
+        assert sorted(g["session_id"]) == list(range(1, len(g) + 1))
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+def test_lang_id_heuristic(ray_session):
+    import pyarrow as pa
+
+    lid = textstats.LangId()
+    assert lid.classify("the cat and the dog sat in the garden of things") == "en"
+    assert lid.classify("der hund und die katze schlafen in einem schönen haus") == "de"
+    assert lid.classify("w0001 w0002 w0003") == "und"
+    batch = pa.table({"doc_id": [1], "text": ["the quick brown fox and the hen"]})
+    out = lid(batch)
+    assert out["lang_pred"][0].as_py() == "en"
+
+
+def test_bpe_token_count_simple_text(ray_session):
+    df = textstats.bpe_token_count(SF).to_pandas()
+    tok = textstats.token_count(SF).to_pandas()
+    m = df.merge(tok, on="doc_id")
+    # single-spaced word corpus: pretokens == whitespace tokens
+    assert (m["n_bpe_tokens"] == m["n_tokens"]).all()
+
+
+def test_top_bigrams_rank(ray_session):
+    df = textstats.top_bigrams(SF, k=10)
+    assert list(df["rank"]) == list(range(1, 11))
+    assert (df["n"].diff().dropna() <= 0).all()

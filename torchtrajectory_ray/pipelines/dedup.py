@@ -46,69 +46,206 @@ def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     )
 
 
-class MinHasher:
-    """Actor-pool stage: docs → (doc_id, band, band_hash) rows.
+_POLY1 = np.uint64(1_000_003)
+_POLY2 = np.uint64(998_244_353)
 
-    Permutation parameters are generated once per actor in __init__
-    (deterministic seed), minhash computation per doc is one vectorized
-    (num_perm × n_shingles) min-reduction.
-    """
+
+class MinHasher:
+    """Actor-pool stage: docs batch → (doc_id, band, band_hash) rows,
+    fully vectorized across the batch.
+
+    Once per actor (__init__): permutation parameters + a memoized
+    token→hash cache.  Per batch: ONE factorize over all tokens, one
+    polynomial pass for every k-shingle, one (num_perm × n_shingles)
+    permutation matrix (chunked to bound memory), and per-doc signatures
+    via ``np.minimum.reduceat`` — no per-doc Python math."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         assert num_perm % bands == 0
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
         self.r = num_perm // bands
         self.a, self.b = _minhash_params(num_perm)
+        self._token_cache: dict[str, int] = {}
 
-    def signature(self, tokens: list[str]) -> np.ndarray:
-        sh = _shingle_hashes(tokens, self.k)
-        if len(sh) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        hv = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(MERSENNE)
-        return hv.min(axis=1)
+    def _token_hashes(self, uniq) -> np.ndarray:
+        cache = self._token_cache
+        out = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            h = cache.get(t)
+            if h is None:
+                h = zlib.crc32(t.encode("utf-8"))
+                cache[t] = h
+            out[i] = h
+        return out
+
+    def signatures(self, tok_lists: list[list[str]]) -> np.ndarray:
+        """List of token lists → (n_docs × num_perm) uint64 signatures."""
+        import itertools
+
+        import pandas as pd
+
+        n_docs = len(tok_lists)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n_docs)
+        total = int(counts.sum())
+        sigs = np.zeros((n_docs, self.num_perm), dtype=np.uint64)
+        if total == 0:
+            return sigs
+        flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+        codes, uniq = pd.factorize(flat, sort=False)
+        th = self._token_hashes(list(uniq))[codes]  # uint64 per token
+
+        k = self.k
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # k-shingle polynomial hash over token hashes, one pass;
+        # cross-doc windows masked out via per-doc shingle counts
+        nsh = np.maximum(counts - k + 1, 0)
+        if int(nsh.sum()):
+            win = np.zeros(total - k + 1 if total >= k else 0, dtype=np.uint64)
+            for j in range(k):
+                win = win * _POLY1 + th[j : total - k + 1 + j]
+            from torchtrajectory_ray.functions.codec import concat_aranges
+
+            keep_idx = (
+                np.repeat(starts[nsh > 0], nsh[nsh > 0])
+                + concat_aranges(nsh[nsh > 0])
+            )
+            sh = (win[keep_idx] & np.uint64((1 << 61) - 1)) % np.uint64(MERSENNE)
+            doc_of = np.repeat(np.flatnonzero(nsh > 0), nsh[nsh > 0])
+            sh_starts = np.concatenate(([0], np.cumsum(nsh[nsh > 0])[:-1]))
+            # chunk the permutation matrix to bound memory
+            CH = 1 << 18
+            mins = np.full(
+                (int((nsh > 0).sum()), self.num_perm), MERSENNE, dtype=np.uint64
+            )
+            bounds = np.concatenate((sh_starts, [len(sh)]))
+            for c0 in range(0, len(sh), CH):
+                c1 = min(c0 + CH, len(sh))
+                hv = (
+                    self.a[:, None] * sh[None, c0:c1] + self.b[:, None]
+                ) % np.uint64(MERSENNE)
+                # reduceat boundaries clipped to this chunk
+                lo = np.searchsorted(bounds, c0, side="right") - 1
+                hi = np.searchsorted(bounds, c1, side="left")
+                rs = np.clip(bounds[lo:hi], c0, c1) - c0
+                part = np.minimum.reduceat(hv, rs, axis=1).T  # groups × perm
+                np.minimum(mins[lo:hi], part, out=mins[lo:hi])
+            sigs[np.flatnonzero(nsh > 0)] = mins
+        # short docs (fewer than k tokens): one shingle of the whole doc
+        for di in np.flatnonzero((counts > 0) & (counts < k)):
+            s, c = starts[di], counts[di]
+            h = np.uint64(0)
+            for j in range(c):
+                h = h * _POLY1 + th[s + j]
+            shv = (h & np.uint64((1 << 61) - 1)) % np.uint64(MERSENNE)
+            sigs[di] = (self.a * shv + self.b) % np.uint64(MERSENNE)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, bands, bhashes = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = self.signature(text.split(" "))
-            for bi in range(self.bands):
-                band = sig[bi * self.r : (bi + 1) * self.r]
-                doc_ids.append(doc_id)
-                bands.append(bi)
-                bhashes.append(zlib.crc32(band.tobytes()))
+        doc_ids_in = batch["doc_id"].to_numpy().astype(np.int64)
+        tok_lists = [t.split(" ") for t in batch["text"].to_pylist()]
+        sigs = self.signatures(tok_lists)
+        n = len(doc_ids_in)
+        # band hash: polynomial mix of the band's signature rows (vectorized)
+        bands = np.empty((n, self.bands), dtype=np.int64)
+        for bi in range(self.bands):
+            band = sigs[:, bi * self.r : (bi + 1) * self.r]
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(self.r):
+                h = h * _POLY2 + band[:, j]
+            bands[:, bi] = (h >> np.uint64(1)).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids_in, self.bands), pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
+                ),
+                "band_hash": pa.array(bands.reshape(-1), pa.int64()),
             }
         )
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one (band, band_hash) bucket (a < b)."""
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "capped"])
-    capped = len(ids) > MAX_BUCKET
-    ids = ids[:MAX_BUCKET]
-    ia, ib = np.triu_indices(len(ids), k=1)
+N_BUCKET_PARTS = 64
+
+
+def _add_bucket_part(batch: pa.Table) -> pa.Table:
+    """Coarse partition key over (band, band_hash): the LSH bucket space
+    has ~one bucket per (doc, band) — grouping by the raw bucket key makes
+    millions of tiny groups (per-group overhead dominates), so buckets are
+    hashed into a BOUNDED number of partitions and each partition finds
+    its buckets' pairs vectorized."""
+    bh = batch["band_hash"].to_numpy().astype(np.int64)
+    band = batch["band"].to_numpy().astype(np.int64)
+    part = ((bh * 31 + band) % N_BUCKET_PARTS).astype(np.int32)
+    return batch.append_column("part", pa.array(part, pa.int32()))
+
+
+def _partition_pairs(tbl: pa.Table) -> pd.DataFrame:
+    """All candidate pairs within one partition: one lexsort, run-length
+    bucket boundaries, pair expansion only for buckets with ≥2 docs."""
+    ids = tbl["doc_id"].to_numpy().astype(np.int64)
+    band = tbl["band"].to_numpy().astype(np.int64)
+    bh = tbl["band_hash"].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, bh, band))
+    ids, band, bh = ids[order], band[order], bh[order]
+    change = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    heads = np.concatenate(([0], np.flatnonzero(change) + 1))
+    ends = np.concatenate((heads[1:], [len(ids)]))
+    out_a, out_b, capped_any = [], [], []
+    for h, e in zip(heads, ends):
+        if e - h < 2:
+            continue
+        u = np.unique(ids[h:e])
+        if len(u) < 2:
+            continue
+        capped = len(u) > MAX_BUCKET
+        u = u[:MAX_BUCKET]
+        ia, ib = np.triu_indices(len(u), k=1)
+        out_a.append(u[ia])
+        out_b.append(u[ib])
+        capped_any.append(np.full(len(ia), capped))
+    if not out_a:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "capped": []})
     return pd.DataFrame(
-        {"doc_a": ids[ia], "doc_b": ids[ib], "capped": capped}
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "capped": np.concatenate(capped_any),
+        }
     )
+
+
+_SKETCH_SINGLETONS: dict = {}
+
+
+def _minhash_task(batch: pa.Table, **kw) -> pa.Table:
+    """Task-pool entry for MinHasher (state is cheap to rebuild — a task
+    pool with a per-worker singleton avoids actor-pool spin-up; swap to
+    the class + concurrency=N when the sketcher loads real models)."""
+    key = ("minhash", tuple(sorted(kw.items())))
+    inst = _SKETCH_SINGLETONS.get(key)
+    if inst is None:
+        inst = MinHasher(**kw)
+        _SKETCH_SINGLETONS[key] = inst
+    return inst(batch)
+
+
+def _simhash_task(batch: pa.Table) -> pa.Table:
+    inst = _SKETCH_SINGLETONS.get("simhash")
+    if inst is None:
+        inst = SimHasher()
+        _SKETCH_SINGLETONS["simhash"] = inst
+    return inst(batch)
 
 
 def minhash_candidates(docs: ray.data.Dataset, **kw) -> pd.DataFrame:
     """documents Dataset → deduped candidate pair DataFrame."""
     pairs = (
         docs.map_batches(
-            MinHasher, fn_constructor_kwargs=kw, batch_format="pyarrow",
-            concurrency=(1, 4),
+            _minhash_task, fn_kwargs=kw, batch_format="pyarrow",
         )
-        .groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        .map_batches(_add_bucket_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_partition_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     if pairs.empty:
@@ -170,8 +307,11 @@ def minhash_dedup_pairs(
 
 
 class SimHasher:
-    """docs → (doc_id, simhash, band0..band3) — 64-bit tf-weighted simhash
-    split into 4×16-bit bands for hamming-≤3 candidate search."""
+    """docs batch → (doc_id, simhash, band, band_val) — 64-bit tf-weighted
+    simhash split into 4×16-bit bands for hamming-≤3 candidate search.
+    Batch-vectorized: one factorize, per-(doc, term) tf via run-length
+    boundaries, per-doc bit votes via ``np.add.reduceat`` — same flatten +
+    combine shape as the index build's TokenizeCombine."""
 
     def __init__(self):
         from torchtrajectory_ray.functions.text import TermHasher
@@ -179,33 +319,69 @@ class SimHasher:
         self.hasher = TermHasher()
 
     def simhash(self, tokens: list[str]) -> int:
+        """Single-doc reference implementation (used by tests)."""
         if not tokens:
             return 0
-        terms, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
-        hs = np.fromiter((self.hasher(t) for t in terms), np.uint64, len(terms))
-        bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = (bits.astype(np.int64) * 2 - 1) * counts[:, None]
-        return int(
-            ((votes.sum(axis=0) > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+        sigs = self._signatures([tokens])
+        return int(sigs[0])
+
+    def _signatures(self, tok_lists: list[list[str]]) -> np.ndarray:
+        import itertools
+
+        import pandas as pd
+
+        n_docs = len(tok_lists)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n_docs)
+        total = int(counts.sum())
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if total == 0:
+            return out
+        flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+        codes, uniq = pd.factorize(flat, sort=False)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        key = doc_idx * len(uniq) + codes
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        heads = np.concatenate(([0], np.flatnonzero(skey[1:] != skey[:-1]) + 1))
+        tf = np.diff(np.concatenate((heads, [total]))).astype(np.int64)
+        e_doc = doc_idx[order][heads]
+        e_code = codes[order][heads]
+
+        th = np.fromiter((self.hasher(t) for t in uniq), np.uint64, len(uniq))
+        bits = (
+            (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int64) * 2 - 1  # n_uniq × 64 of ±1
+        contrib = bits[e_code] * tf[:, None]  # n_pairs × 64
+        doc_heads = np.concatenate(
+            ([0], np.flatnonzero(e_doc[1:] != e_doc[:-1]) + 1)
         )
+        votes = np.add.reduceat(contrib, doc_heads, axis=0)  # docs_present × 64
+        sh = (
+            (votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+        out[e_doc[doc_heads]] = sh
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "simhash": [], "band": [], "band_val": []}
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sh = self.simhash(text.split(" "))
-            for bi in range(4):
-                out["doc_id"].append(doc_id)
-                out["simhash"].append(np.int64(np.uint64(sh)))
-                out["band"].append(bi)
-                out["band_val"].append((sh >> (16 * bi)) & 0xFFFF)
+        doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+        sigs = self._signatures([t.split(" ") for t in batch["text"].to_pylist()])
+        n = len(doc_ids)
+        band_idx = np.arange(4, dtype=np.uint64)
+        band_vals = (
+            (sigs[:, None] >> (np.uint64(16) * band_idx[None, :]))
+            & np.uint64(0xFFFF)
+        ).astype(np.int32)
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
-                "simhash": pa.array(out["simhash"], pa.int64()),
-                "band": pa.array(out["band"], pa.int32()),
-                "band_val": pa.array(out["band_val"], pa.int32()),
+                "doc_id": pa.array(np.repeat(doc_ids, 4), pa.int64()),
+                "simhash": pa.array(
+                    np.repeat(sigs.view(np.int64), 4), pa.int64()
+                ),
+                "band": pa.array(
+                    np.tile(np.arange(4, dtype=np.int32), n), pa.int32()
+                ),
+                "band_val": pa.array(band_vals.reshape(-1), pa.int32()),
             }
         )
 
@@ -216,22 +392,50 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    rows = docs.map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    rows = docs.map_batches(_simhash_task, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        u = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = u["doc_id"].to_numpy()[:MAX_BUCKET]
-        sh = u["simhash"].to_numpy()[:MAX_BUCKET]
-        ia, ib = np.triu_indices(len(ids), k=1)
+    def pairs(tbl: pa.Table) -> pd.DataFrame:
+        ids = tbl["doc_id"].to_numpy().astype(np.int64)
+        band = tbl["band"].to_numpy().astype(np.int64)
+        bv = tbl["band_val"].to_numpy().astype(np.int64)
+        sh = tbl["simhash"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, bv, band))
+        ids, band, bv, sh = ids[order], band[order], bv[order], sh[order]
+        change = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
+        heads = np.concatenate(([0], np.flatnonzero(change) + 1))
+        ends = np.concatenate((heads[1:], [len(ids)]))
+        a, b, sa, sb = [], [], [], []
+        for h, e in zip(heads, ends):
+            if e - h < 2:
+                continue
+            u, first = np.unique(ids[h:e], return_index=True)
+            if len(u) < 2:
+                continue
+            u = u[:MAX_BUCKET]
+            us = sh[h:e][first][:MAX_BUCKET]
+            ia, ib = np.triu_indices(len(u), k=1)
+            a.append(u[ia]); b.append(u[ib]); sa.append(us[ia]); sb.append(us[ib])
+        if not a:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "sh_a": [], "sh_b": []})
         return pd.DataFrame(
-            {"doc_a": ids[ia], "doc_b": ids[ib], "sh_a": sh[ia], "sh_b": sh[ib]}
+            {
+                "doc_a": np.concatenate(a),
+                "doc_b": np.concatenate(b),
+                "sh_a": np.concatenate(sa),
+                "sh_b": np.concatenate(sb),
+            }
         )
 
+    def add_part(batch: pa.Table) -> pa.Table:
+        bv = batch["band_val"].to_numpy().astype(np.int64)
+        band = batch["band"].to_numpy().astype(np.int64)
+        part = ((bv * 31 + band) % N_BUCKET_PARTS).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
     cand = (
-        rows.groupby(["band", "band_val"])
-        .map_groups(pairs, batch_format="pandas")
+        rows.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs, batch_format="pyarrow")
         .to_pandas()
     )
     if cand.empty:

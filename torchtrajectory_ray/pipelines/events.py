@@ -58,3 +58,86 @@ def tumbling_hour_agg(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+SLIDE_US = 900_000_000  # 15 min
+
+
+def sliding_hour_agg(sf_dir: str) -> ray.data.Dataset:
+    """1-hour windows sliding every 15 min: each event replicates into
+    hour/slide = 4 windows inside ``map_batches`` (vectorized repeat), then
+    the same partial-agg + small-groupby shape as the tumbling window."""
+    k = HOUR_US // SLIDE_US  # windows covering each event
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy()
+        base = ts // SLIDE_US  # last slide boundary ≤ ts
+        offs = np.arange(k, dtype=np.int64)
+        win = (base[:, None] - offs[None, :]) * SLIDE_US  # n × k
+        df = pd.DataFrame(
+            {
+                "event_type": np.repeat(
+                    np.asarray(batch["event_type"].to_pylist(), dtype=object), k
+                ),
+                "window_start_us": win.reshape(-1),
+                "value": np.repeat(batch["value"].to_numpy(), k),
+            }
+        )
+        g = df.groupby(["event_type", "window_start_us"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_us"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            pa.array(np.round(batch["sum_value"].to_numpy(), 6)),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def session_windows(sf_dir: str) -> ray.data.Dataset:
+    """Per-user session windows (gap > 30 min splits): the per-key ordered
+    stateful op — ``groupby(user_id).map_groups`` with a vectorized
+    sessionizer (sort, diff, cumsum) per group.  The analog of the
+    reference's per-car windowed index state (clustering/Streaming/
+    Streaming.java:25-46) keyed by user instead of car."""
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        new = np.empty(len(ts), dtype=np.int64)
+        new[0] = 1
+        new[1:] = (np.diff(ts) > SESSION_GAP_US).astype(np.int64)
+        sid = np.cumsum(new)
+        out = pd.DataFrame({"session_id": sid, "t": ts}).groupby(
+            "session_id", as_index=False
+        ).agg(
+            n_events=("t", "size"),
+            session_start_us=("t", "min"),
+            session_end_us=("t", "max"),
+        )
+        out.insert(0, "user_id", int(g["user_id"].iloc[0]))
+        return out
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+    )

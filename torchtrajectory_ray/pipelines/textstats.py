@@ -126,6 +126,121 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+_BPE_RE = None
+
+
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, n_bpe_tokens — GPT-2-style pretokenizer regex count (the
+    BPE-ish token counting op; regex compiled once per worker process).
+    On the single-spaced synthetic corpora every " word" is one
+    pretoken, so the DuckDB oracle is len(string_split(text, ' '))."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        global _BPE_RE
+        if _BPE_RE is None:
+            import re
+
+            _BPE_RE = re.compile(
+                r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+            )
+        n = [
+            len(_BPE_RE.findall(t)) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_bpe_tokens": pa.array(n, pa.int64())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+# public-knowledge top character trigrams per language (space-padded),
+# the classic Cavnar-Trenkle n-gram profile shape, truncated hard
+_LANG_TRIGRAMS = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "),
+    "de": ("er ", " de", "der", "ie ", " di", "die", "en ", "ein", "ch ", "sch"),
+    "pt": (" de", "de ", " qu", "que", "ão ", " co", "os ", "as ", " es", "ent"),
+    "fr": (" de", "de ", " le", "le ", "es ", " la", "la ", "ent", " et", "et "),
+    "es": (" de", "de ", " la", "la ", " qu", "que", "el ", " el", "os ", "ión"),
+}
+
+
+class LangId:
+    """Actor-pool stage: n-gram-profile language ID.  Profiles are built
+    once per actor in __init__ (the load-once pattern); per doc the score
+    is vectorized trigram-membership counting.  Docs matching no profile
+    (e.g. the synthetic token corpus) get 'und'."""
+
+    def __init__(self):
+        self.profiles = {
+            lang: set(tris) for lang, tris in _LANG_TRIGRAMS.items()
+        }
+
+    def classify(self, text: str) -> str:
+        t = f" {text.lower()} "
+        tris = [t[i : i + 3] for i in range(len(t) - 2)]
+        best, best_hits = "und", 0
+        for lang, prof in self.profiles.items():
+            hits = sum(1 for tr in tris if tr in prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits >= 2 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+        )
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, lang_pred — heuristic n-gram language ID (actor pool)."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """bigram, n — corpus-wide top-k token bigrams: vectorized bigram
+    explode per batch + in-batch partial counts, small groupby, driver
+    top-k on the reduced table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        grams: dict[str, int] = {}
+        for t in texts:
+            toks = t.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                g = f"{a} {b}"
+                grams[g] = grams.get(g, 0) + 1
+        return pa.table(
+            {
+                "bigram": pa.array(list(grams.keys()), pa.string()),
+                "n": pa.array(list(grams.values()), pa.int64()),
+            }
+        )
+
+    agg = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    return agg[["rank", "bigram", "n"]].reset_index(drop=True)
+
+
+def fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, fingerprint — order-sensitive rolling-hash content id
+    (document fingerprinting; see dedup.fingerprints)."""
+    from torchtrajectory_ray.pipelines.dedup import fingerprints as _fp
+
+    return _fp(sf_dir)
+
+
 def source_doc_count(sf_dir: str) -> ray.data.Dataset:
     """Docs + total tokens per source — a pre-aggregated two-key groupby."""
 

@@ -205,28 +205,40 @@ class SaltSearcher:
         cand, ub = cand[ok], ub[ok]
         if len(cand) == 0:
             return cand, ub
-        # visit in (ub desc, doc_id asc) order — the candidate heap
+        # visit in (ub desc, doc_id asc) order — the candidate heap — in
+        # vectorized chunks: a chunk is exact-scored in one pass per term,
+        # then the LORS termination check runs against the NEXT chunk's
+        # best bound (bestKth ≥ every later bound ⇒ stop).  Same pruning
+        # semantics as the per-candidate loop, ~100× fewer Python steps.
         visit = np.lexsort((cand, -ub))
-        out_ids: list[int] = []
-        out_scores: list[float] = []
+        CH = max(k, 256)
+        out_ids: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        n_scored = 0
         kth = -np.inf
-        for vi in visit:
-            if len(out_ids) >= k and ub[vi] <= kth:
-                break  # early termination: bestKth beats every later bound
-            d = cand[vi]
-            s = 0.0
+        for c0 in range(0, len(visit), CH):
+            if n_scored >= k and ub[visit[c0]] <= kth:
+                break
+            chunk = visit[c0 : c0 + CH]
+            d = cand[chunk]
+            order = np.argsort(d, kind="stable")
+            d_sorted = d[order]
+            s = np.zeros(len(d_sorted), dtype=np.float64)
             for _, w, ids, tfs, dls in posts:
-                j = np.searchsorted(ids, d)
-                if j < len(ids) and ids[j] == d:
-                    s += w * float(
-                        tf_norm(tfs[j : j + 1], dls[j : j + 1], self.avgdl, self.k1, self.b)[0]
+                j = np.searchsorted(ids, d_sorted)
+                j = np.clip(j, 0, len(ids) - 1)
+                hit = ids[j] == d_sorted
+                if hit.any():
+                    s[hit] += w * tf_norm(
+                        tfs[j[hit]], dls[j[hit]], self.avgdl, self.k1, self.b
                     )
-            out_ids.append(int(d))
+            out_ids.append(d_sorted)
             out_scores.append(s)
-            if len(out_ids) >= k:
-                kth = sorted(out_scores, reverse=True)[k - 1]
-        ids_arr = np.asarray(out_ids, dtype=np.int64)
-        sc_arr = np.asarray(out_scores, dtype=np.float64)
+            n_scored += len(d_sorted)
+            if n_scored >= k:
+                kth = np.sort(np.concatenate(out_scores))[-k]
+        ids_arr = np.concatenate(out_ids)
+        sc_arr = np.concatenate(out_scores)
         if len(ids_arr) > k:
             sel = np.lexsort((ids_arr, -sc_arr))[:k]
             return ids_arr[sel], sc_arr[sel]
