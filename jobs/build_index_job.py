@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""``ray job submit``-able index-build entry point.
+
+On a real cluster::
+
+    ray job submit --working-dir . -- \
+        python jobs/build_index_job.py \
+        --input 's3://bucket/pages/*.parquet' \
+        --out s3://bucket/index-v1 \
+        --term-shards 1024 --salts 256
+
+In this sandbox (local mode)::
+
+    python jobs/build_index_job.py --input '/tmp/corpus/*.parquet' \
+        --out /tmp/idx
+
+The job is resumable: re-submitting with the same --out skips finished
+shards/segments (per-partition checkpoints) and a complete manifest
+returns immediately.  Prints one JSON line of stage metrics on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="glob of raw-pages parquet files")
+    ap.add_argument("--out", required=True, help="index output directory")
+    ap.add_argument("--term-shards", type=int, default=8)
+    ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=4096)
+    ap.add_argument("--concurrency", type=int, default=32)
+    ap.add_argument("--shuffle-mode", choices=["storage", "groupby"], default="storage")
+    ap.add_argument("--doc-id-mode", choices=["dense", "url_hash"], default="dense")
+    ap.add_argument("--bad-rows", choices=["raise", "drop"], default="raise")
+    ap.add_argument("--store-positions", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():  # the job driver owns the session
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"))
+
+    from torchtrajectory_ray.config import IndexConfig
+    from torchtrajectory_ray.pipelines.build import build_index
+
+    paths = sorted(glob.glob(args.input))
+    if not paths:
+        raise SystemExit(f"no input files match {args.input!r}")
+    os.makedirs(args.out, exist_ok=True)
+    cfg = IndexConfig(
+        num_term_shards=args.term_shards,
+        num_salts=args.salts,
+        tokenize_batch_size=args.batch_size,
+        tokenize_concurrency=args.concurrency,
+        shuffle_mode=args.shuffle_mode,
+        doc_id_mode=args.doc_id_mode,
+        bad_rows=args.bad_rows,
+        store_positions=args.store_positions,
+    )
+    manifest = build_index(paths, args.out, cfg)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "n_inputs": len(paths),
+                "resumed_complete": manifest.get("resumed_complete", False),
+                "stats": manifest["stats"],
+                "metrics": manifest.get("metrics"),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Query-serving surfaces: distributed actor fan-out, batch pipeline,
+phrase query, prefix dictionary lookup, result envelope."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from torchtrajectory_ray import fixtures
+from torchtrajectory_ray.config import IndexConfig
+from torchtrajectory_ray.pipelines.build import build_index
+from torchtrajectory_ray.pipelines.query_batch import batch_topk_df
+from torchtrajectory_ray.state.engine import QueryEngine
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("corpus"))
+    out_dir = str(tmp_path_factory.mktemp("index"))
+    paths = fixtures.write_webpages(data_dir, N_DOCS, num_files=3)
+    build_index(
+        paths,
+        out_dir,
+        IndexConfig(num_term_shards=2, num_salts=3, store_positions=True,
+                    tokenize_batch_size=64),
+    )
+    return out_dir
+
+
+def _queries():
+    return [
+        {"query_id": i, "terms": q["terms"]}
+        for i, q in enumerate(fixtures.query_set(12, N_DOCS))
+    ]
+
+
+def test_distributed_engine_matches_inprocess(built):
+    local = QueryEngine(built)
+    dist = QueryEngine(built, distributed=True)
+    for q in _queries():
+        assert local.topk(q["terms"], k=10) == dist.topk(q["terms"], k=10)
+        assert local.bool_and(q["terms"]).tolist() == dist.bool_and(q["terms"]).tolist()
+
+
+def test_batch_pipeline_matches_engine(built):
+    qs = _queries()
+    eng = QueryEngine(built)
+    expect = eng.batch_topk(qs, k=10)
+    got = batch_topk_df(built, qs, k=10)
+    assert got.equals(expect.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_phrase_query_finds_needles(built):
+    eng = QueryEngine(built)
+    hits = eng.phrase_and(["needle_phrase_a", "needle_phrase_b"])
+    expect = sorted(
+        fixtures.dense_doc_id(i, N_DOCS, 3)
+        for i in fixtures.NEEDLE_PHRASE_DOCS
+        if i < N_DOCS
+    )
+    assert hits.tolist() == expect
+    # reversed order is not a phrase
+    assert eng.phrase_and(["needle_phrase_b", "needle_phrase_a"]).size == 0
+    # unknown term → empty
+    assert eng.phrase_and(["needle_phrase_a", "zzz_nope"]).size == 0
+
+
+def test_phrase_requires_positions(ray_session, tmp_path):
+    paths = fixtures.write_webpages(str(tmp_path / "c"), 50, num_files=2)
+    out = str(tmp_path / "i")
+    build_index(paths, out, IndexConfig(num_term_shards=2, num_salts=2,
+                                        store_positions=False))
+    eng = QueryEngine(out)
+    with pytest.raises(ValueError, match="store_positions"):
+        eng.phrase_and(["w0000", "w0001"])
+
+
+def test_prefix_dictionary_lookup(built):
+    eng = QueryEngine(built)
+    terms = eng.prefix_terms("needle_phrase")
+    assert terms == ["needle_phrase_a", "needle_phrase_b"]
+    ids = eng.prefix_or("needle_")
+    # superset of every needle doc present
+    assert set(
+        fixtures.dense_doc_id(i, N_DOCS, 3)
+        for i in fixtures.NEEDLE_PHRASE_DOCS
+        if i < N_DOCS
+    ) <= set(ids.tolist())
+
+
+def test_query_result_envelope(built):
+    eng = QueryEngine(built)
+    r = eng.query_result("w0000 w0003", k=5, resolve=True)
+    json.dumps(r)  # serializable
+    assert r["mapping_succeed"] and len(r["id_array"]) == 5
+    assert len(r["resolved"]) == len(set(r["id_array"]))
+    assert {m["doc_id"] for m in r["resolved"]} == set(r["id_array"])
+    bad = eng.query_result("zzz_missing_term")
+    assert not bad["mapping_succeed"] and bad["id_array"] == []
+    assert bad["fail_reason"]

@@ -76,3 +76,35 @@ def test_oracle_basics():
     top = idx.topk(["a"], k=2)
     assert [d for d, _ in top] == [1, 3]  # tf=2 in doc1 beats tf=1
     assert all(np.isfinite(s) and s > 0 for _, s in top)
+
+
+def test_bad_rows_drop_counts(ray_session, tmp_path):
+    """bad_rows="drop": invariant-violating rows are skipped + counted in
+    lineage (the reference's malformed-row policy, TrajReader.java:80-84),
+    while the default raises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from torchtrajectory_ray import fixtures
+    from torchtrajectory_ray.config import IndexConfig
+    from torchtrajectory_ray.pipelines.build import build_index
+
+    tbl = fixtures.webpages_table(30)
+    texts = tbl["text"].to_pylist()
+    texts[7] = texts[7] + " CORRUPTED"   # html no longer reproduces text
+    texts[19] = "also wrong"
+    bad = tbl.set_column(tbl.schema.get_field_index("text"), "text",
+                         pa.array(texts, pa.string()))
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(bad, src)
+
+    with pytest.raises(Exception):
+        build_index([src], str(tmp_path / "i1"),
+                    IndexConfig(num_term_shards=2, num_salts=2))
+
+    m = build_index([src], str(tmp_path / "i2"),
+                    IndexConfig(num_term_shards=2, num_salts=2,
+                                bad_rows="drop"))
+    assert m["stats"]["n_docs"] == 28
+    assert sum(r["n_rejected"] for r in m["lineage"]) == 2

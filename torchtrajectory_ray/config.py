@@ -64,6 +64,10 @@ class IndexConfig:
     #                layout entirely, but spreads every batch over all
     #                salt ranges and makes deltas large
     doc_id_mode: str = "dense"
+    # invariant-violating input rows: "raise" (default) or "drop" (skip +
+    # count in lineage, the reference's malformed-row policy,
+    # TrajReader.java:80-84)
+    bad_rows: str = "raise"
     # how partial posting runs reach their segment:
     #   "storage" — external shuffle through the filesystem (the out_dir;
     #               shared storage / S3 on a real cluster): each tokenize

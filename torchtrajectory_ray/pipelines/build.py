@@ -119,7 +119,7 @@ def build_index(
         # --- stage 1: prepare docs (extract + tokenize-count) only; the
         # exchange happens in ray.data groupby below.
         def prepare_files(batch):
-            return PrepareFileTask(docs_dir, cfg.check_invariant)(batch)
+            return PrepareFileTask(docs_dir, cfg.check_invariant, cfg.bad_rows)(batch)
 
         lineage = (
             ray.data.from_items(file_items)

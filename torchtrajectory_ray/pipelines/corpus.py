@@ -47,8 +47,15 @@ _INDEX_CFG = IndexConfig(
 def documents_index(sf_dir: str) -> str:
     """Build (or resume) the inverted index over ``sf_dir/documents.parquet``;
     returns the index dir."""
+    import dataclasses
+    import hashlib
+    import json as _json
+
     name = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(CACHE_ROOT, f"docindex-{name}")
+    cfg_tag = hashlib.md5(
+        _json.dumps(dataclasses.asdict(_INDEX_CFG), sort_keys=True).encode()
+    ).hexdigest()[:8]
+    out_dir = os.path.join(CACHE_ROOT, f"docindex-{name}-{cfg_tag}")
     os.makedirs(out_dir, exist_ok=True)
     build_index([os.path.join(sf_dir, "documents.parquet")], out_dir, _INDEX_CFG)
     return out_dir

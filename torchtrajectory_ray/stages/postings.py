@@ -129,7 +129,7 @@ class FusedShardTask:
     ):
         from torchtrajectory_ray.stages.prepare import PrepareFileTask
 
-        self.prepare = PrepareFileTask(docs_dir, cfg.check_invariant)
+        self.prepare = PrepareFileTask(docs_dir, cfg.check_invariant, cfg.bad_rows)
         self.partials = PartialsWriter(partials_dir, cfg, shift)
         self.cfg = cfg
 

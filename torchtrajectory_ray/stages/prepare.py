@@ -42,8 +42,12 @@ def url_doc_id(url: str) -> int:
 
 
 def prepare_table(
-    tbl: pa.Table, *, check_invariant: bool = True, doc_id_base: int | None = None
-) -> pa.Table:
+    tbl: pa.Table,
+    *,
+    check_invariant: bool = True,
+    doc_id_base: int | None = None,
+    bad_rows: str = "raise",
+) -> tuple[pa.Table, int]:
     """Normalize one raw-pages table to the docs schema.
 
     Accepts any of: (url, warc_ts, html, text, lang) [input_hint shape],
@@ -61,21 +65,38 @@ def prepare_table(
     deltas small (Lucene-style segment-local ids).  Without a base, ids
     fall back to the 62-bit url hash (globally stable but spread over the
     whole id space — every batch then fans out to all salts and deltas
-    are large; only use when no stable file layout exists)."""
+    are large; only use when no stable file layout exists).
+
+    Returns (docs table, n_rejected).  ``bad_rows`` controls rows that
+    violate the extract invariant: "raise" (determinism bugs must not
+    pass silently — the default) or "drop" (skip + count, the
+    reference's malformed-row policy)."""
     names = set(tbl.column_names)
     n = tbl.num_rows
 
+    n_rejected = 0
     if "html" in names:
         htmls = tbl["html"].to_pylist()
         extracted = [extract_text(h) for h in htmls]
         if "text" in names and check_invariant:
             golden = tbl["text"].to_pylist()
-            for i, (e, g) in enumerate(zip(extracted, golden)):
-                if e != g:
-                    raise ValueError(
-                        f"extract invariant violated at row {i}: "
-                        f"{e[:80]!r} != {g[:80]!r}"
-                    )
+            bad = [i for i, (e, g) in enumerate(zip(extracted, golden)) if e != g]
+            if bad and bad_rows == "raise":
+                i = bad[0]
+                raise ValueError(
+                    f"extract invariant violated at row {i}: "
+                    f"{extracted[i][:80]!r} != {golden[i][:80]!r}"
+                )
+            if bad:
+                # drop + count, the reference's malformed-row policy
+                # (TrajReader.java:80-84,104-108: log and skip)
+                keep = np.ones(n, dtype=bool)
+                keep[bad] = False
+                tbl = tbl.filter(pa.array(keep))
+                extracted = [e for i, e in enumerate(extracted) if keep[i]]
+                n_rejected = len(bad)
+                names = set(tbl.column_names)
+                n = tbl.num_rows
         texts = extracted
     elif "text" in names:
         texts = tbl["text"].to_pylist()
@@ -106,15 +127,18 @@ def prepare_table(
     langs = tbl["lang"] if "lang" in names else pa.nulls(n, pa.string())
     doclens = np.fromiter((len(tokenize(t)) for t in texts), np.int64, n)
 
-    return pa.table(
-        {
-            "doc_id": pa.array(doc_ids),
-            "url": urls,
-            "warc_ts": warc_ts,
-            "lang": langs,
-            "doclen": pa.array(doclens),
-            "text": pa.array(texts, pa.string()),
-        }
+    return (
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "url": urls,
+                "warc_ts": warc_ts,
+                "lang": langs,
+                "doclen": pa.array(doclens),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        n_rejected,
     )
 
 
@@ -125,9 +149,12 @@ class PrepareFileTask:
     north rule requires).  Already-finished shards are skipped by
     checking their lineage sidecar."""
 
-    def __init__(self, docs_dir: str, check_invariant: bool = True):
+    def __init__(
+        self, docs_dir: str, check_invariant: bool = True, bad_rows: str = "raise"
+    ):
         self.docs_dir = docs_dir
         self.check_invariant = check_invariant
+        self.bad_rows = bad_rows
         # the docs table of the most recent non-skipped _one() call, for
         # the fused stage to consume without re-reading the shard
         self.last_docs: pa.Table | None = None
@@ -159,8 +186,11 @@ class PrepareFileTask:
 
         t0 = time.monotonic()
         raw = pq.read_table(path)
-        docs = prepare_table(
-            raw, check_invariant=self.check_invariant, doc_id_base=doc_id_base
+        docs, n_rejected = prepare_table(
+            raw,
+            check_invariant=self.check_invariant,
+            doc_id_base=doc_id_base,
+            bad_rows=self.bad_rows,
         )
         tmp = out + ".tmp"
         pq.write_table(docs, tmp)
@@ -172,6 +202,7 @@ class PrepareFileTask:
             "input": path,
             "output": out,
             "n_docs": int(docs.num_rows),
+            "n_rejected": n_rejected,
             "sum_doclen": int(dl.sum()) if len(dl) else 0,
             "max_doc_id": int(ids.max()) if len(ids) else -1,
             "min_doc_id": int(ids.min()) if len(ids) else -1,

@@ -54,6 +54,7 @@ class QueryEngine:
             [pq.read_table(p) for p in self.manifest["dict_paths"]]
         ).to_pandas()
         self.docs_dir = os.path.join(index_dir, "docs")
+        self._terms = d["term"].tolist()  # dictionary scan support (J5)
         self._df = dict(zip(d["term_id"], d["df"]))
         self._max_tfn = dict(zip(d["term_id"], d["max_tfn"]))
 
@@ -171,6 +172,36 @@ class QueryEngine:
         )
         return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def phrase_and(self, terms: list[str], **filt) -> np.ndarray:
+        """Docs containing the terms at consecutive first positions —
+        requires an index built with ``store_positions=True``.  Uses the
+        first-occurrence position payload (the posting ``position`` of the
+        reference, InvertedIndex.java:23-25), so it is exact when each
+        phrase term occurs once per doc and a documented approximation
+        otherwise."""
+        uniq = list(dict.fromkeys(terms))  # order-preserving
+        tids = []
+        for t in uniq:
+            tid = term_hash(t)
+            if not self._df.get(tid):
+                return np.empty(0, dtype=np.int64)
+            tids.append(tid)
+        parts = self._fanout("phrase_and", tids, **filt)
+        return np.sort(np.concatenate(parts))
+
+    def prefix_terms(self, prefix: str) -> list[str]:
+        """Dictionary scan: all terms starting with ``prefix`` (the
+        street-name→edge-ids dictionary lookup shape, Torch/base/db/
+        NameEdgeIdLookup.java:17-27 used by PathQuery.java:74-87)."""
+        return sorted(t for t in self._terms if t.startswith(prefix))
+
+    def prefix_or(self, prefix: str, **filt) -> np.ndarray:
+        """OR query over every term matching a dictionary prefix."""
+        terms = self.prefix_terms(prefix)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        return self.bool_or(terms, **filt)
+
     def batch_topk(
         self, queries: list[dict], k: int = 10, method: str = "wand"
     ) -> pd.DataFrame:
@@ -189,3 +220,26 @@ class QueryEngine:
             for r, (d, s) in enumerate(res, 1):
                 rows.append((q["query_id"], r, d, s))
         return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+    def query_result(
+        self, query: str | list[str], k: int = 10, resolve: bool = False
+    ) -> dict:
+        """Uniform result envelope (the analog of QueryResult +
+        Formater.toMapVJSON, Torch/queryEngine/query/QueryResult.java:18-31,
+        queryEngine/visualization/Formater.java:20-47): raw + prepared
+        query, id array, optional hydrated rows — json.dumps-able."""
+        terms = tokenize(query) if isinstance(query, str) else list(query)
+        tids, _ = self.resolve_terms(terms)
+        res = self.topk(terms, k=k)
+        out = {
+            "raw_query": query if isinstance(query, str) else " ".join(query),
+            "prepared_terms": sorted(set(terms)),
+            "mapping_succeed": bool(tids),
+            "fail_reason": None if tids else "no query term is in the dictionary",
+            "id_array": [int(d) for d, _ in res],
+            "scores": [float(s) for _, s in res],
+            "resolved": None,
+        }
+        if resolve and res:
+            out["resolved"] = self.resolve(out["id_array"]).to_dict("records")
+        return out

@@ -96,6 +96,39 @@ class SaltSearcher:
         dls = np.concatenate([varint_decode(r["doclens_blob"], r["df"]) for r in rows])
         return ids, tfs, dls
 
+    def postings_pos(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, first_positions) — requires store_positions=True."""
+        rows = self.runs.get(term_id)
+        if not rows:
+            e = np.empty(0, dtype=np.int64)
+            return e, e
+        if any(len(r["pos_blob"]) == 0 and r["df"] > 0 for r in rows):
+            raise ValueError(
+                "index was built without store_positions=True; phrase "
+                "queries need the position payload"
+            )
+        ids = np.concatenate([delta_decode(r["doc_ids_blob"], r["df"]) for r in rows])
+        pos = np.concatenate([varint_decode(r["pos_blob"], r["df"]) for r in rows])
+        return ids, pos
+
+    def phrase_and(
+        self, term_ids: list[int], lang=None, ts_lo=None, ts_hi=None
+    ) -> np.ndarray:
+        """Docs where the terms' FIRST positions are consecutive in query
+        order (position-payload phrase matching; exact when each term
+        occurs once per doc)."""
+        parts = [self.postings_pos(t) for t in term_ids]
+        if not parts or any(len(p[0]) == 0 for p in parts):
+            return np.empty(0, dtype=np.int64)
+        base_ids, base_pos = parts[0]
+        ok = np.ones(len(base_ids), dtype=bool)
+        for i, (ids, pos) in enumerate(parts[1:], 1):
+            j = np.searchsorted(ids, base_ids)
+            j = np.clip(j, 0, len(ids) - 1)
+            ok &= (ids[j] == base_ids) & (pos[j] == base_pos + i)
+        cand = base_ids[ok]
+        return cand[self._allowed_mask(cand, lang, ts_lo, ts_hi)]
+
     def _allowed_mask(self, ids: np.ndarray, lang, ts_lo, ts_hi) -> np.ndarray:
         if self.doc_meta is None or (lang is None and ts_lo is None and ts_hi is None):
             return np.ones(len(ids), dtype=bool)
