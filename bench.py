@@ -120,11 +120,28 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("bool_or", lambda: [eng.bool_or(q["terms"]) for q in WEB_QUERIES])
     timed("bool_and", lambda: [eng.bool_and(q["terms"]) for q in WEB_QUERIES])
 
+    from torchtrajectory_ray.pipelines import analytics, knn, media
+    from torchtrajectory_ray.pipelines.query_batch import batch_topk_df
+
+    timed(
+        "batch_query_pipeline",
+        lambda: batch_topk_df(
+            idx_dir,
+            [{"query_id": q["query_id"], "terms": q["terms"]} for q in WEB_QUERIES],
+        ),
+    )
     timed("token_quality", lambda: textstats.quality_score(sf_dir).to_pandas())
     timed("exact_dedup", lambda: textstats.exact_dedup(sf_dir).to_pandas())
     timed("minhash_dedup", lambda: dedup.minhash_dedup_pairs(sf_dir))
     timed("simhash_dedup", lambda: dedup.simhash_dedup_pairs(sf_dir))
+    timed("knn_bruteforce", lambda: knn.knn_bruteforce(sf_dir))
+    timed("knn_ivf", lambda: knn.knn_ivf(sf_dir))
+    timed("embedding_neardup", lambda: knn.embedding_neardup(sf_dir))
+    timed("pricing_summary", lambda: analytics.pricing_summary(sf_dir))
+    timed("revenue_topk", lambda: analytics.revenue_topk(sf_dir))
     timed("events_window", lambda: events.tumbling_hour_agg(sf_dir).to_pandas())
+    timed("events_sessions", lambda: events.session_windows(sf_dir).to_pandas())
+    timed("media_features", lambda: media.media_features(n=300))
 
     return {
         "metric": "e2e_suite_seconds",

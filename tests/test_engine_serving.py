@@ -102,3 +102,16 @@ def test_query_result_envelope(built):
     bad = eng.query_result("zzz_missing_term")
     assert not bad["mapping_succeed"] and bad["id_array"] == []
     assert bad["fail_reason"]
+
+
+def test_lazy_load_mode_matches_memory(built):
+    """load_mode="lazy" (term_id row-group pushdown probes) must produce
+    identical results to the in-memory path."""
+    mem = QueryEngine(built)
+    lazy = QueryEngine(built, load_mode="lazy")
+    for q in _queries()[:6]:
+        assert mem.topk(q["terms"], k=10) == lazy.topk(q["terms"], k=10)
+        assert mem.bool_or(q["terms"]).tolist() == lazy.bool_or(q["terms"]).tolist()
+    # cache hit path
+    q = _queries()[0]
+    assert mem.topk(q["terms"], k=10) == lazy.topk(q["terms"], k=10)

@@ -55,6 +55,10 @@ class IndexConfig:
     tokenize_batch_size: int = 512
     tokenize_concurrency: int = 4
     store_positions: bool = False
+    # parquet row-group size of segment files: small groups let the LAZY
+    # query path prune by term_id row-group statistics (segments are
+    # written sorted by term_id)
+    segment_row_group_size: int = 1024
     check_invariant: bool = True
     # doc id assignment for inputs with no doc_id column:
     #   "dense"    — file_ordinal << 34 | row: deterministic w.r.t. the

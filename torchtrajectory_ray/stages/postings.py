@@ -144,9 +144,12 @@ class FusedShardTask:
         for path, base in zip(batch["path"].to_pylist(), bases):
             prep_lin = self.prepare._one(path, base)
             part_lin = self.partials._one(
-                prep_lin["output"], docs_tbl=self.prepare.last_docs
+                prep_lin["output"],
+                docs_tbl=self.prepare.last_docs,
+                tok_lists=self.prepare.last_tokens,
             )
             self.prepare.last_docs = None
+            self.prepare.last_tokens = None
             rows.append(
                 {
                     **prep_lin,
@@ -178,10 +181,16 @@ class TokenizeCombine:
         self.hasher = TermHasher()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
         doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
         texts = batch["text"].to_pylist()
-        tok_lists = [tokenize(t) for t in texts]
+        return self.combine_tokens(doc_ids, [tokenize(t) for t in texts])
+
+    def combine_tokens(
+        self, doc_ids: np.ndarray, tok_lists: list[list[str]]
+    ) -> pa.Table:
+        """Pre-tokenized entry — lets the fused build stage tokenize each
+        doc exactly once (prepare needs token counts too)."""
+        cfg = self.cfg
         counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
         total = int(counts.sum())
         if total == 0:
@@ -324,7 +333,12 @@ class PartialsWriter:
             [self._one(p) for p in batch["path"].to_pylist()]
         )
 
-    def _one(self, docs_path: str, docs_tbl: pa.Table | None = None) -> dict:
+    def _one(
+        self,
+        docs_path: str,
+        docs_tbl: pa.Table | None = None,
+        tok_lists: list[list[str]] | None = None,
+    ) -> dict:
         stem = os.path.splitext(os.path.basename(docs_path))[0]
         out = os.path.join(self.partials_dir, f"partials-{stem}.parquet")
         sidecar = out + ".rgmap.json"
@@ -341,10 +355,20 @@ class PartialsWriter:
             else pq.read_table(docs_path, columns=["doc_id", "text"])
         )
         bs = self.cfg.tokenize_batch_size
-        parts = [
-            self.combine(tbl.slice(off, bs))
-            for off in range(0, max(tbl.num_rows, 1), bs)
-        ]
+        if tok_lists is not None:
+            # fused path: docs were tokenized once in prepare — reuse
+            all_ids = tbl["doc_id"].to_numpy().astype(np.int64)
+            parts = [
+                self.combine.combine_tokens(
+                    all_ids[off : off + bs], tok_lists[off : off + bs]
+                )
+                for off in range(0, max(len(all_ids), 1), bs)
+            ]
+        else:
+            parts = [
+                self.combine(tbl.slice(off, bs))
+                for off in range(0, max(tbl.num_rows, 1), bs)
+            ]
         runs = pa.concat_tables(parts)
         segs = runs["segment"].to_numpy().astype(np.int64, copy=False)
         order = np.argsort(segs, kind="stable")
@@ -530,7 +554,7 @@ class SegmentWriter:
             }
         )
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=cfg.segment_row_group_size)
         os.replace(tmp, path)
         meta = {
             "segment": seg,

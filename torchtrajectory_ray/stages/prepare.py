@@ -47,7 +47,7 @@ def prepare_table(
     check_invariant: bool = True,
     doc_id_base: int | None = None,
     bad_rows: str = "raise",
-) -> tuple[pa.Table, int]:
+) -> tuple[pa.Table, int, list[list[str]]]:
     """Normalize one raw-pages table to the docs schema.
 
     Accepts any of: (url, warc_ts, html, text, lang) [input_hint shape],
@@ -67,7 +67,9 @@ def prepare_table(
     whole id space — every batch then fans out to all salts and deltas
     are large; only use when no stable file layout exists).
 
-    Returns (docs table, n_rejected).  ``bad_rows`` controls rows that
+    Returns (docs table, n_rejected, token lists — computed for doclen
+    anyway and reused by the fused build stage so each doc is tokenized
+    exactly once).  ``bad_rows`` controls rows that
     violate the extract invariant: "raise" (determinism bugs must not
     pass silently — the default) or "drop" (skip + count, the
     reference's malformed-row policy)."""
@@ -125,7 +127,8 @@ def prepare_table(
         else pa.nulls(n, pa.timestamp("us"))
     )
     langs = tbl["lang"] if "lang" in names else pa.nulls(n, pa.string())
-    doclens = np.fromiter((len(tokenize(t)) for t in texts), np.int64, n)
+    tok_lists = [tokenize(t) for t in texts]
+    doclens = np.fromiter((len(t) for t in tok_lists), np.int64, n)
 
     return (
         pa.table(
@@ -139,6 +142,7 @@ def prepare_table(
             }
         ),
         n_rejected,
+        tok_lists,
     )
 
 
@@ -155,9 +159,11 @@ class PrepareFileTask:
         self.docs_dir = docs_dir
         self.check_invariant = check_invariant
         self.bad_rows = bad_rows
-        # the docs table of the most recent non-skipped _one() call, for
-        # the fused stage to consume without re-reading the shard
+        # docs table + token lists of the most recent non-skipped _one()
+        # call, for the fused stage to consume without re-reading or
+        # re-tokenizing the shard
         self.last_docs: pa.Table | None = None
+        self.last_tokens: list[list[str]] | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
@@ -178,6 +184,7 @@ class PrepareFileTask:
         out = os.path.join(self.docs_dir, f"docs-{stem}.parquet")
         sidecar = out + ".lineage.json"
         self.last_docs = None
+        self.last_tokens = None
         if os.path.exists(sidecar) and os.path.exists(out):
             with open(sidecar) as f:
                 lin = json.load(f)
@@ -186,7 +193,7 @@ class PrepareFileTask:
 
         t0 = time.monotonic()
         raw = pq.read_table(path)
-        docs, n_rejected = prepare_table(
+        docs, n_rejected, tok_lists = prepare_table(
             raw,
             check_invariant=self.check_invariant,
             doc_id_base=doc_id_base,
@@ -196,6 +203,7 @@ class PrepareFileTask:
         pq.write_table(docs, tmp)
         os.replace(tmp, out)
         self.last_docs = docs
+        self.last_tokens = tok_lists
         dl = docs["doclen"].to_numpy()
         ids = docs["doc_id"].to_numpy()
         lin = {

@@ -33,6 +33,7 @@ class QueryEngine:
         *,
         distributed: bool = False,
         load_doc_meta: bool = False,
+        load_mode: str = "memory",
     ):
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -67,6 +68,7 @@ class QueryEngine:
             k1=self.k1,
             b=self.b,
             load_doc_meta=load_doc_meta,
+            load_mode=load_mode,
         )
         if distributed:
             import ray

@@ -38,22 +38,40 @@ class SaltSearcher:
         k1: float = 1.2,
         b: float = 0.75,
         load_doc_meta: bool = False,
+        load_mode: str = "memory",
     ):
+        """``load_mode``:
+
+        - "memory" — all of this bucket's compressed runs live in the
+          actor heap (decoded per probe, like the reference's
+          compressedIndex, InvertedIndex.java:170-209).  Right when a
+          bucket's segments fit a serving node.
+        - "lazy" — probes read only the probed term's rows from the
+          segment parquet via term_id row-group-statistics pushdown
+          (segments are written sorted by term_id with small row groups),
+          with a per-term cache.  The 10^12-doc path: actor memory stays
+          O(hot terms), storage does the lookups.
+        """
         self.salt = salt
         self.avgdl = avgdl
         self.k1, self.b = k1, b
+        self.load_mode = load_mode
         # compressed runs: term_id -> list of row dicts (kept compressed,
         # decoded per probe like the reference)
         self.runs: dict[int, list[dict]] = {}
+        self._lazy_cache: dict[int, list[dict]] = {}
         seg_dir = os.path.join(index_dir, "segments")
+        self.seg_paths: list[str] = []
         for shard in range(num_term_shards):
             seg = shard * num_salts + salt
             path = os.path.join(seg_dir, f"seg-{seg:05d}.parquet")
             if not os.path.exists(path):
                 continue
-            tbl = pq.read_table(path)
-            for row in tbl.to_pylist():
-                self.runs.setdefault(row["term_id"], []).append(row)
+            self.seg_paths.append(path)
+            if load_mode == "memory":
+                tbl = pq.read_table(path)
+                for row in tbl.to_pylist():
+                    self.runs.setdefault(row["term_id"], []).append(row)
         # optional doc metadata for predicate filters (lang / warc_ts) —
         # bucket-local, analog of the broadcast timeSpanLookup
         # (TrajectoryResolver.java:250-276) but partitioned, not global
@@ -82,12 +100,29 @@ class SaltSearcher:
                     "ts": ts[order],
                 }
 
+    _LAZY_CACHE_MAX = 4096
+
+    def _rows(self, term_id: int) -> list[dict]:
+        if self.load_mode == "memory":
+            return self.runs.get(term_id, [])
+        hit = self._lazy_cache.get(term_id)
+        if hit is not None:
+            return hit
+        rows: list[dict] = []
+        for p in self.seg_paths:
+            t = pq.read_table(p, filters=[("term_id", "==", term_id)])
+            rows.extend(t.to_pylist())
+        if len(self._lazy_cache) >= self._LAZY_CACHE_MAX:
+            self._lazy_cache.clear()  # simple epoch eviction
+        self._lazy_cache[term_id] = rows
+        return rows
+
     # --- posting access (J1: the fundamental probe) ---
 
     def postings(self, term_id: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decoded (doc_ids, tfs, doclens) for a term in this bucket,
         runs concatenated in salt order (single salt here → ≤1 run)."""
-        rows = self.runs.get(term_id)
+        rows = self._rows(term_id)
         if not rows:
             e = np.empty(0, dtype=np.int64)
             return e, e, e
@@ -98,7 +133,7 @@ class SaltSearcher:
 
     def postings_pos(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, first_positions) — requires store_positions=True."""
-        rows = self.runs.get(term_id)
+        rows = self._rows(term_id)
         if not rows:
             e = np.empty(0, dtype=np.int64)
             return e, e
@@ -222,7 +257,7 @@ class SaltSearcher:
         cand = np.unique(allc)
         ub = np.zeros(len(cand), dtype=np.float64)
         for tid, w, ids, tfs, dls in posts:
-            rows = self.runs.get(tid, [])
+            rows = self._rows(tid)
             # per-posting block-max bound (tighter than idf·(k1+1))
             off = 0
             for r in rows:
