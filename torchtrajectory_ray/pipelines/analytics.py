@@ -99,25 +99,32 @@ def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.Data
     )
     omask = pc.is_in(orders["o_custkey"], value_set=pa.array(list(wanted_cust)))
     sel = orders.filter(omask)
-    # broadcast map o_orderkey -> o_orderdate (small side: one market
-    # segment's orders).  At real scale: ray.put once, read inside tasks.
+    # broadcast side: sorted wanted-orderkey array (one market segment's
+    # orders) — membership via searchsorted, not per-batch set hashing.
+    # At real scale: ray.put once, read inside tasks.
+    wanted_keys = np.sort(sel["o_orderkey"].to_numpy())
     odate = dict(
         zip(sel["o_orderkey"].to_pylist(), sel["o_orderdate"].to_pylist())
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["l_orderkey"].isin(odate)]
-        if df.empty:
+        keys = batch["l_orderkey"].to_numpy()
+        j = np.searchsorted(wanted_keys, keys)
+        j = np.clip(j, 0, len(wanted_keys) - 1)
+        hit = wanted_keys[j] == keys
+        if not hit.any():
             return pa.table(
                 {
                     "l_orderkey": pa.array([], pa.int64()),
                     "revenue": pa.array([], pa.float64()),
                 }
             )
-        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        rev = (
+            batch["l_extendedprice"].to_numpy()[hit]
+            * (1 - batch["l_discount"].to_numpy()[hit])
+        )
         g = (
-            pd.DataFrame({"l_orderkey": df["l_orderkey"], "revenue": rev})
+            pd.DataFrame({"l_orderkey": keys[hit], "revenue": rev})
             .groupby("l_orderkey", as_index=False)
             .sum()
         )

@@ -60,6 +60,7 @@ class SaltSearcher:
         # decoded per probe like the reference)
         self.runs: dict[int, list[dict]] = {}
         self._lazy_cache: dict[int, list[dict]] = {}
+        self._decoded_cache: dict[int, tuple] = {}
         seg_dir = os.path.join(index_dir, "segments")
         self.seg_paths: list[str] = []
         for shard in range(num_term_shards):
@@ -119,9 +120,17 @@ class SaltSearcher:
 
     # --- posting access (J1: the fundamental probe) ---
 
+    _DECODED_CACHE_MAX = 128
+
     def postings(self, term_id: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Decoded (doc_ids, tfs, doclens) for a term in this bucket,
-        runs concatenated in salt order (single salt here → ≤1 run)."""
+        runs concatenated in salt order (single salt here → ≤1 run).
+        Hot terms stay decoded in a small cache — the reference decodes
+        per probe (InvertedIndex.java:138-148); with 10^6-posting head
+        terms the decode dominates query latency, so serving caches it."""
+        hit = self._decoded_cache.get(term_id)
+        if hit is not None:
+            return hit
         rows = self._rows(term_id)
         if not rows:
             e = np.empty(0, dtype=np.int64)
@@ -129,6 +138,9 @@ class SaltSearcher:
         ids = np.concatenate([delta_decode(r["doc_ids_blob"], r["df"]) for r in rows])
         tfs = np.concatenate([varint_decode(r["tfs_blob"], r["df"]) for r in rows])
         dls = np.concatenate([varint_decode(r["doclens_blob"], r["df"]) for r in rows])
+        if len(self._decoded_cache) >= self._DECODED_CACHE_MAX:
+            self._decoded_cache.clear()  # simple epoch eviction
+        self._decoded_cache[term_id] = (ids, tfs, dls)
         return ids, tfs, dls
 
     def postings_pos(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
@@ -279,15 +291,22 @@ class SaltSearcher:
         # best bound (bestKth ≥ every later bound ⇒ stop).  Same pruning
         # semantics as the per-candidate loop, ~100× fewer Python steps.
         visit = np.lexsort((cand, -ub))
-        CH = max(k, 256)
+        # geometric chunk growth: when bounds prune well the first small
+        # chunks terminate cheaply; when they don't (uniform scores), the
+        # loop degrades gracefully into ~O(log n) vectorized passes over
+        # everything instead of n/CH small ones
+        CH = max(k, 512)
         out_ids: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
         n_scored = 0
         kth = -np.inf
-        for c0 in range(0, len(visit), CH):
+        c0 = 0
+        while c0 < len(visit):
             if n_scored >= k and ub[visit[c0]] <= kth:
                 break
             chunk = visit[c0 : c0 + CH]
+            c0 += CH
+            CH *= 4
             d = cand[chunk]
             order = np.argsort(d, kind="stable")
             d_sorted = d[order]
