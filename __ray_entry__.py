@@ -28,6 +28,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from torchtrajectory_ray.pipelines import (
         analytics,
+        clustering,
         corpus,
         events,
         knn,
@@ -58,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
         "embedding_neardup": knn.embedding_neardup,
+        "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
         # --- generic analytics (partial agg / broadcast join / top-k) ---
         "pricing_summary": analytics.pricing_summary,
         "revenue_topk": analytics.revenue_topk,

@@ -100,3 +100,26 @@ def test_nation_customer_stats_join(ray_session):
     assert df["n_customers"].sum() > 0
     assert df["n_name"].is_unique
     assert set(df.columns) == {"n_name", "r_name", "n_customers", "sum_acctbal"}
+
+
+def test_kmeans_converges(ray_session):
+    """Lloyd iterations must monotonically reduce inertia and beat the
+    random-init assignment substantially.  (The synthetic embeddings'
+    ``label`` column is not geometrically separable — max pairwise cosine
+    is ~0.5 — so label recovery is not a valid check here.)"""
+    from torchtrajectory_ray.pipelines.clustering import kmeans_embeddings
+
+    assigns, centroids, history = kmeans_embeddings(SF, k=8)
+    assert len(assigns) == 500
+    assert assigns["cluster"].nunique() <= 8
+    # non-increasing inertia, and real improvement over the first pass
+    assert all(b <= a + 1e-9 for a, b in zip(history, history[1:]))
+    assert history[-1] < history[0] * 0.95
+
+
+def test_kmeans_deterministic(ray_session):
+    from torchtrajectory_ray.pipelines.clustering import kmeans_embeddings
+
+    a1, c1, h1 = kmeans_embeddings(SF, k=4, iters=5)
+    a2, c2, h2 = kmeans_embeddings(SF, k=4, iters=5)
+    assert a1.equals(a2) and np.allclose(c1, c2) and h1 == h2

@@ -115,3 +115,31 @@ def test_output_independent_of_parallelism_dense(ray_session, tmp_path):
     da = {k: v for k, v in _digest(a_dir).items() if k.startswith("segments/")}
     db = {k: v for k, v in _digest(b_dir).items() if k.startswith("segments/")}
     assert da == db
+
+
+def test_extend_index_matches_full_rebuild(ray_session, tmp_path):
+    """Incremental ingest (generation append) must produce the same query
+    results as a fresh build over the union of inputs — same doc ids,
+    same scores, same ranks (stats refreshed globally; old segments stay
+    valid because block bounds are avgdl-independent)."""
+    from torchtrajectory_ray.pipelines.build import extend_index
+    from torchtrajectory_ray.state.engine import QueryEngine
+
+    base = fixtures.write_webpages(str(tmp_path / "c"), N_DOCS, num_files=4)
+    cfg = IndexConfig(**CFG)
+
+    inc_dir = str(tmp_path / "inc")
+    build_index(base[:2], inc_dir, cfg)
+    m = extend_index(inc_dir, base[2:], cfg)
+    assert m["generation"] == 1
+    assert m["stats"]["n_docs"] == N_DOCS
+
+    full_dir = str(tmp_path / "full")
+    build_index(base, full_dir, cfg)
+
+    inc, full = QueryEngine(inc_dir), QueryEngine(full_dir)
+    assert inc._df == full._df                      # dictionary identical
+    for q in fixtures.query_set(20, N_DOCS):
+        assert inc.topk(q["terms"], k=10) == full.topk(q["terms"], k=10)
+        assert inc.bool_and(q["terms"]).tolist() == full.bool_and(q["terms"]).tolist()
+        assert inc.bool_or(q["terms"]).tolist() == full.bool_or(q["terms"]).tolist()

@@ -9,7 +9,7 @@ Output layout under ``out_dir`` (all writes atomic: tmp + rename):
     segments/seg-<id>.parquet (+ .meta.json)      posting runs, per
                                                   (term_shard × salt) cell
     dict/*.parquet                                term dictionary:
-                                                  term, term_id, df, max_tfn
+                                                  term, term_id, df, max_tf, min_dl
     stats.json                                    N, avgdl, max_doc_id, shift
     manifest.json                                 config + lineage + segment
                                                   metas + stage metrics
@@ -45,6 +45,59 @@ def _write_json(path: str, obj: Any) -> None:
     with open(path + ".tmp", "w") as f:
         json.dump(obj, f, indent=1)
     os.replace(path + ".tmp", path)
+
+
+def _build_dictionary(dict_dir: str, seg_rows: list[dict], cfg: IndexConfig) -> list[str]:
+    """Per-term-shard dictionary build over the given segment files
+    (possibly spanning generations); partition-local, one task per shard."""
+    seg_by_shard: dict[int, list[str]] = {}
+    for r in seg_rows:
+        seg_by_shard.setdefault(int(r["segment"]) // cfg.num_salts, []).append(
+            r["path"]
+        )
+    shard_items = [
+        {"shard": s, "paths": json.dumps(sorted(ps))}
+        for s, ps in sorted(seg_by_shard.items())
+    ]
+
+    def build_dict_shard(batch):
+        import pandas as pd  # noqa: F401
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = []
+        for shard, paths_json in zip(
+            batch["shard"].to_pylist(), batch["paths"].to_pylist()
+        ):
+            path = os.path.join(dict_dir, f"dict-{shard:05d}.parquet")
+            if not os.path.exists(path):
+                parts = [
+                    pq.read_table(
+                        p, columns=["term_id", "term", "df", "max_tf", "min_dl"]
+                    )
+                    for p in json.loads(paths_json)
+                ]
+                df = (
+                    pa.concat_tables(parts)
+                    .to_pandas()
+                    .groupby("term_id", sort=True)
+                    .agg(term=("term", "first"), df=("df", "sum"),
+                         max_tf=("max_tf", "max"), min_dl=("min_dl", "min"))
+                    .reset_index()[["term", "term_id", "df", "max_tf", "min_dl"]]
+                )
+                pq.write_table(
+                    pa.Table.from_pandas(df, preserve_index=False), path + ".tmp"
+                )
+                os.replace(path + ".tmp", path)
+            out.append({"shard": shard, "path": path})
+        return pa.Table.from_pylist(out)
+
+    dict_rows = (
+        ray.data.from_items(shard_items)
+        .map_batches(build_dict_shard, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    return sorted(r["path"] for r in dict_rows)
 
 
 def build_index(
@@ -199,51 +252,7 @@ def build_index(
     # metadata columns of its own segment files (parquet column pruning
     # keeps the blobs on disk) and aggregates.  Analog of the id lookup
     # tables the reference writes (TorSaver.java:116-141).
-    seg_by_shard: dict[int, list[str]] = {}
-    for r in seg_rows:
-        seg_by_shard.setdefault(int(r["segment"]) // cfg.num_salts, []).append(
-            r["path"]
-        )
-    shard_items = [
-        {"shard": s, "paths": json.dumps(sorted(ps))}
-        for s, ps in sorted(seg_by_shard.items())
-    ]
-
-    def build_dict_shard(batch):
-        import pandas as pd
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        out = []
-        for shard, paths_json in zip(
-            batch["shard"].to_pylist(), batch["paths"].to_pylist()
-        ):
-            path = os.path.join(dict_dir, f"dict-{shard:05d}.parquet")
-            if not os.path.exists(path):
-                parts = [
-                    pq.read_table(p, columns=["term_id", "term", "df", "max_tfn"])
-                    for p in json.loads(paths_json)
-                ]
-                df = (
-                    pa.concat_tables(parts)
-                    .to_pandas()
-                    .groupby("term_id", sort=True)
-                    .agg(term=("term", "first"), df=("df", "sum"), max_tfn=("max_tfn", "max"))
-                    .reset_index()[["term", "term_id", "df", "max_tfn"]]
-                )
-                pq.write_table(
-                    pa.Table.from_pandas(df, preserve_index=False), path + ".tmp"
-                )
-                os.replace(path + ".tmp", path)
-            out.append({"shard": shard, "path": path})
-        return pa.Table.from_pylist(out)
-
-    dict_rows = (
-        ray.data.from_items(shard_items)
-        .map_batches(build_dict_shard, batch_size=1, batch_format="pyarrow")
-        .take_all()
-    )
-    dict_paths = sorted(r["path"] for r in dict_rows)
+    dict_paths = _build_dictionary(dict_dir, seg_rows, cfg)
     t3 = time.monotonic()
 
     manifest = {
@@ -261,6 +270,124 @@ def build_index(
             "docs_per_s": round(n_docs / (t3 - t0), 1) if t3 > t0 else 0.0,
         },
     }
+    _write_json(manifest_path, manifest)
+    return manifest
+
+
+def extend_index(
+    out_dir: str,
+    new_input_paths: list[str],
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """Incremental ingest (the analog of the reference's sliding-window
+    index recompute, clustering/Streaming/Streaming.java:25-46, done
+    Lucene-style): append a new GENERATION of docs/partials/segment files
+    to an existing index without touching the old (immutable) ones.
+
+    - new files continue the doc-ordinal space (ids stay unique and
+      deterministic given the ingest order of file lists);
+    - the original salt shift is kept, so appended generations CLAMP into
+      the tail salt buckets — documented skew; a full rebuild re-balances
+      (the compaction analog);
+    - old segments stay valid because block bounds are stored as
+      (max_tf, min_dl) — avgdl/df-independent — and all scoring uses the
+      UPDATED global stats at query time;
+    - the dictionary shards are rebuilt over old + new segments (df sums
+      across generations).
+
+    Query results equal a fresh full build over the union of inputs
+    (doc ids and postings identical; only file layout differs) — tested.
+    """
+    cfg = cfg or IndexConfig()
+    if cfg.shuffle_mode != "storage":
+        raise ValueError("extend_index supports shuffle_mode='storage'")
+    if cfg.doc_id_mode != "dense":
+        raise ValueError(
+            "extend_index requires doc_id_mode='dense' (appended runs must "
+            "stay doc_id-sorted after concatenation with older generations)"
+        )
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if manifest["config"] != dataclasses.asdict(cfg):
+        raise ValueError("config mismatch with the existing index")
+    gen = int(manifest.get("generation", 0)) + 1
+    n_prev = int(manifest.get("n_input_files", len(manifest["lineage"])))
+    shift = manifest["stats"]["salt_shift"]
+
+    docs_dir = os.path.join(out_dir, "docs", f"gen-{gen:03d}")
+    partials_dir = os.path.join(out_dir, "partials", f"gen-{gen:03d}")
+    seg_dir = os.path.join(out_dir, "segments", f"gen-{gen:03d}")
+    for d in (docs_dir, partials_dir, seg_dir):
+        os.makedirs(d, exist_ok=True)
+
+    t0 = time.monotonic()
+    file_items = [
+        {
+            "path": p,
+            "doc_id_base": ((n_prev + i) << 34)
+            if cfg.doc_id_mode == "dense"
+            else -1,
+        }
+        for i, p in enumerate(sorted(new_input_paths))
+    ]
+
+    def fused(batch):
+        return FusedShardTask(docs_dir, partials_dir, cfg, shift)(batch)
+
+    lineage = (
+        ray.data.from_items(file_items)
+        .map_batches(fused, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    partial_paths = sorted(r["partials_output"] for r in lineage)
+    writer = SegmentWriter(seg_dir, cfg, avgdl=0.0)  # avgdl unused in bounds
+
+    def assemble(batch):
+        import pyarrow as pa
+
+        out = []
+        for s in batch["segment"].to_pylist():
+            t = assemble_segment(int(s), partial_paths, writer)
+            if t is not None:
+                out.extend(t.to_pylist())
+        return pa.Table.from_pylist(out)
+
+    seg_rows = (
+        ray.data.from_items([{"segment": s} for s in range(cfg.num_segments)])
+        .map_batches(assemble, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+
+    # merged stats + manifest
+    manifest["lineage"] = manifest["lineage"] + lineage
+    manifest["segments"] = manifest["segments"] + seg_rows
+    n_docs = manifest["stats"]["n_docs"] + sum(r["n_docs"] for r in lineage)
+    sum_doclen = manifest["stats"]["sum_doclen"] + sum(
+        r["sum_doclen"] for r in lineage
+    )
+    max_doc_id = max(
+        manifest["stats"]["max_doc_id"],
+        max((r["max_doc_id"] for r in lineage), default=-1),
+    )
+    manifest["stats"].update(
+        n_docs=n_docs,
+        sum_doclen=sum_doclen,
+        avgdl=(sum_doclen / n_docs) if n_docs else 0.0,
+        max_doc_id=max_doc_id,
+    )
+    manifest["generation"] = gen
+    manifest["n_input_files"] = n_prev + len(file_items)
+    _write_json(os.path.join(out_dir, "stats.json"), manifest["stats"])
+
+    # rebuild dictionary shards over ALL generations' segments
+    dict_dir = os.path.join(out_dir, "dict")
+    for p in os.listdir(dict_dir):
+        os.remove(os.path.join(dict_dir, p))
+    manifest["dict_paths"] = _build_dictionary(
+        dict_dir, manifest["segments"], cfg
+    )
+    manifest["metrics"]["extend_s"] = round(time.monotonic() - t0, 3)
     _write_json(manifest_path, manifest)
     return manifest
 

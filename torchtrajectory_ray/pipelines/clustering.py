@@ -1,0 +1,153 @@
+"""Iterative k-means clustering over an embedding column — the web-text
+analog of the reference's k-paths trajectory clustering (Torch-Clus:
+/root/reference/src/main/java/au/edu/rmit/bdm/clustering/trajectory/
+kpaths/Process.java:21-90, Yinyang.java:50-120): an iterative loop of
+(broadcast centers → assign every record → re-aggregate centers), with
+the same bound-based assignment-skipping idea (Yinyang's group bounds)
+expressed as a vectorized distance computation per batch.
+
+Dataflow shape per iteration (ST7's "iterative groupby + broadcast loop
+driven from the driver"):
+
+  centroids (small, driver)  --broadcast-->  map_batches(assign+partial
+  sums per cluster)  --small groupby-->  new centroids (driver)
+
+Only per-cluster partial sums travel — never the vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _assign_partials(batch: pa.Table, centroids: np.ndarray) -> pa.Table:
+    """Assign each vector to its nearest (euclidean) centroid; emit per-
+    cluster partial sums (sum vector, count, inertia) for the re-center
+    step — the combiner that keeps the shuffle tiny."""
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    e = (
+        col.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(len(col), -1)
+    )
+    # ||x - c||² = ||x||² - 2x·c + ||c||² ; argmin over c drops ||x||²
+    d = -2.0 * (e @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
+    assign = np.argmin(d, axis=1)
+    inertia = ((e - centroids[assign]) ** 2).sum(axis=1)
+    rows = []
+    for c in np.unique(assign):
+        m = assign == c
+        rows.append(
+            {
+                "cluster": int(c),
+                "count": int(m.sum()),
+                "inertia": float(inertia[m].sum()),
+                "vec_sum": e[m].sum(axis=0).tolist(),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def kmeans_embeddings(
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 12,
+    seed: int = 42,
+) -> tuple[pd.DataFrame, np.ndarray, list[float]]:
+    """K-means over ``embeddings.parquet``.
+
+    Returns (assignments DataFrame(vec_id, cluster), centroids, inertia
+    per iteration).  Deterministic: seeded init from the first rows,
+    fixed iteration count with early stop on converged inertia.
+    """
+    import pyarrow.parquet as pq
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_e = (
+        head["embedding"]
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .reshape(head.num_rows, -1)
+    )
+    rng = np.random.default_rng(seed)
+    centroids = all_e[rng.choice(len(all_e), size=k, replace=False)].copy()
+
+    history: list[float] = []
+    for _ in range(iters):
+        parts = (
+            ds.map_batches(
+                _assign_partials,
+                fn_kwargs={"centroids": centroids},
+                batch_format="pyarrow",
+                batch_size=4096,
+            )
+            .to_pandas()
+        )
+        agg = parts.groupby("cluster").agg(
+            count=("count", "sum"),
+            inertia=("inertia", "sum"),
+            vec_sum=("vec_sum", lambda s: np.sum(np.stack(s.to_numpy()), axis=0)),
+        )
+        history.append(float(agg["inertia"].sum()))
+        new_c = centroids.copy()
+        for c, row in agg.iterrows():
+            new_c[int(c)] = np.asarray(row["vec_sum"]) / row["count"]
+        if np.allclose(new_c, centroids, atol=1e-12):
+            break
+        centroids = new_c
+        if len(history) >= 2 and abs(history[-1] - history[-2]) < 1e-9:
+            break
+
+    # final assignment pass (vec_id → cluster)
+    def final_assign(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        e = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(col), -1)
+        )
+        d = -2.0 * (e @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+            }
+        )
+
+    assigns = (
+        ds.map_batches(final_assign, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return assigns, centroids, history
+
+
+def cluster_sizes(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """cluster, n — driver-facing summary of the k-means run."""
+    assigns, _, _ = kmeans_embeddings(sf_dir, k=k)
+    out = (
+        assigns.groupby("cluster", as_index=False)
+        .agg(n=("vec_id", "size"))
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    out["cluster"] = out["cluster"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out

@@ -425,13 +425,15 @@ SEGMENT_COLS = [
     "term",
     "salt",
     "df",
-    "max_tfn",
+    "max_tf",
+    "min_dl",
     "doc_ids_blob",
     "tfs_blob",
     "doclens_blob",
     "pos_blob",
     "blk_last",
-    "blk_max_tfn",
+    "blk_max_tf",
+    "blk_min_dl",
 ]
 
 
@@ -510,8 +512,13 @@ class SegmentWriter:
         g_term = group["term"].take(pa.array(run_heads_in_groups))
         g_term = g_term.combine_chunks() if isinstance(g_term, pa.ChunkedArray) else g_term
 
-        tfn = tf_norm(tfs, dls, self.avgdl, cfg.bm25.k1, cfg.bm25.b)
-        max_tfn = np.maximum.reduceat(tfn, heads)
+        # avgdl-independent bound ingredients: (max tf, min doclen) per
+        # run and per block — tf_norm is increasing in tf and decreasing
+        # in dl, so tfn(max_tf, min_dl) at ANY avgdl upper-bounds every
+        # posting.  Bounds stay valid when corpus stats change (e.g.
+        # incremental ingest); serving computes them under current avgdl.
+        max_tf = np.maximum.reduceat(tfs, heads)
+        min_dl = np.minimum.reduceat(dls, heads)
 
         # block-max metadata: blocks of B tile each group exactly
         nblks = (glen + B - 1) // B
@@ -519,7 +526,8 @@ class SegmentWriter:
         g_end = np.repeat(heads + glen, nblks)
         blk_last_idx = np.minimum(blk_starts + B - 1, g_end - 1)
         blk_last_flat = ids[blk_last_idx]
-        blk_max_flat = np.maximum.reduceat(tfn, blk_starts)
+        blk_max_tf_flat = np.maximum.reduceat(tfs, blk_starts)
+        blk_min_dl_flat = np.minimum.reduceat(dls, blk_starts)
         blk_off = np.concatenate(([0], np.cumsum(nblks)))
 
         doc_blobs = delta_encode_multi(ids, glen)
@@ -538,7 +546,8 @@ class SegmentWriter:
                 "term": g_term.cast(pa.string()),
                 "salt": pa.array(g_salt.astype(np.int32), pa.int32()),
                 "df": pa.array(glen, pa.int64()),
-                "max_tfn": pa.array(max_tfn, pa.float64()),
+                "max_tf": pa.array(max_tf, pa.int64()),
+                "min_dl": pa.array(min_dl, pa.int64()),
                 "doc_ids_blob": pa.array(doc_blobs, pa.binary()),
                 "tfs_blob": pa.array(tf_blobs, pa.binary()),
                 "doclens_blob": pa.array(dl_blobs, pa.binary()),
@@ -547,9 +556,13 @@ class SegmentWriter:
                     pa.array(blk_off, pa.int32()),
                     pa.array(blk_last_flat, pa.int64()),
                 ),
-                "blk_max_tfn": pa.ListArray.from_arrays(
+                "blk_max_tf": pa.ListArray.from_arrays(
                     pa.array(blk_off, pa.int32()),
-                    pa.array(blk_max_flat, pa.float64()),
+                    pa.array(blk_max_tf_flat, pa.int64()),
+                ),
+                "blk_min_dl": pa.ListArray.from_arrays(
+                    pa.array(blk_off, pa.int32()),
+                    pa.array(blk_min_dl_flat, pa.int64()),
                 ),
             }
         )

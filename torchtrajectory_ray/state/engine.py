@@ -46,7 +46,7 @@ class QueryEngine:
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
 
-        # term dictionary: term_id -> (df, max_tfn).  At 10^12-doc scale
+        # term dictionary: term_id -> (df, max_tf, min_dl).  At 10^12-doc scale
         # this table is itself term-sharded and probed with parquet
         # predicate pushdown per query; at bench scale it fits the driver.
         import pyarrow as pa
@@ -57,7 +57,8 @@ class QueryEngine:
         self.docs_dir = os.path.join(index_dir, "docs")
         self._terms = d["term"].tolist()  # dictionary scan support (J5)
         self._df = dict(zip(d["term_id"], d["df"]))
-        self._max_tfn = dict(zip(d["term_id"], d["max_tfn"]))
+        self._max_tf = dict(zip(d["term_id"], d["max_tf"]))
+        self._min_dl = dict(zip(d["term_id"], d["min_dl"]))
 
         self.distributed = distributed
         kwargs = dict(
@@ -162,11 +163,12 @@ class QueryEngine:
         import pyarrow.dataset as pads
 
         wanted = pa.array(sorted({int(d) for d in doc_ids}), pa.int64())
-        files = [
-            os.path.join(self.docs_dir, p)
-            for p in sorted(os.listdir(self.docs_dir))
+        files = sorted(
+            os.path.join(root, p)
+            for root, _, names in os.walk(self.docs_dir)
+            for p in names
             if p.endswith(".parquet")
-        ]
+        )
         dset = pads.dataset(files, format="parquet")
         t = dset.to_table(
             columns=["doc_id", "url", "lang", "doclen"],

@@ -61,18 +61,26 @@ class SaltSearcher:
         self.runs: dict[int, list[dict]] = {}
         self._lazy_cache: dict[int, list[dict]] = {}
         self._decoded_cache: dict[int, tuple] = {}
+        import glob as _glob
+
         seg_dir = os.path.join(index_dir, "segments")
         self.seg_paths: list[str] = []
         for shard in range(num_term_shards):
             seg = shard * num_salts + salt
-            path = os.path.join(seg_dir, f"seg-{seg:05d}.parquet")
-            if not os.path.exists(path):
-                continue
-            self.seg_paths.append(path)
-            if load_mode == "memory":
-                tbl = pq.read_table(path)
-                for row in tbl.to_pylist():
-                    self.runs.setdefault(row["term_id"], []).append(row)
+            # base build first, then generations in order (extend_index):
+            # dense doc ordinals grow per generation, so concatenated runs
+            # stay doc_id-sorted
+            paths = [os.path.join(seg_dir, f"seg-{seg:05d}.parquet")] + sorted(
+                _glob.glob(os.path.join(seg_dir, "gen-*", f"seg-{seg:05d}.parquet"))
+            )
+            for path in paths:
+                if not os.path.exists(path):
+                    continue
+                self.seg_paths.append(path)
+                if load_mode == "memory":
+                    tbl = pq.read_table(path)
+                    for row in tbl.to_pylist():
+                        self.runs.setdefault(row["term_id"], []).append(row)
         # optional doc metadata for predicate filters (lang / warc_ts) —
         # bucket-local, analog of the broadcast timeSpanLookup
         # (TrajectoryResolver.java:250-276) but partitioned, not global
@@ -80,14 +88,15 @@ class SaltSearcher:
         if load_doc_meta:
             docs_dir = os.path.join(index_dir, "docs")
             metas = []
-            for p in sorted(os.listdir(docs_dir)):
-                if p.endswith(".parquet"):
-                    metas.append(
-                        pq.read_table(
-                            os.path.join(docs_dir, p),
-                            columns=["doc_id", "lang", "warc_ts"],
+            for root, _, files in sorted(os.walk(docs_dir)):
+                for p in sorted(files):
+                    if p.endswith(".parquet"):
+                        metas.append(
+                            pq.read_table(
+                                os.path.join(root, p),
+                                columns=["doc_id", "lang", "warc_ts"],
+                            )
                         )
-                    )
             if metas:
                 import pyarrow as pa
 
@@ -275,7 +284,11 @@ class SaltSearcher:
             for r in rows:
                 n = r["df"]
                 blk_last = np.asarray(r["blk_last"], dtype=np.int64)
-                blk_max = np.asarray(r["blk_max_tfn"], dtype=np.float64)
+                blk_max = tf_norm(
+                    np.asarray(r["blk_max_tf"], dtype=np.int64),
+                    np.asarray(r["blk_min_dl"], dtype=np.int64),
+                    self.avgdl, self.k1, self.b,
+                )
                 seg_ids = ids[off : off + n]
                 blk_of = np.searchsorted(blk_last, seg_ids)
                 idx = np.searchsorted(cand, seg_ids)
