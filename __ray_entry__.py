@@ -64,10 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": analytics.pricing_summary,
         "revenue_topk": analytics.revenue_topk,
         "nation_customer_stats": analytics.nation_customer_stats,
+        "part_type_stats": analytics.part_type_stats,
+        "supplier_nation_balance": analytics.supplier_nation_balance,
         # --- stream-shaped (W1/W2 analogs) ---
         "events_tumbling_hour": events.tumbling_hour_agg,
         "events_sliding_hour": events.sliding_hour_agg,
         "events_sessions": events.session_windows,
+        "events_prop_stats": events.prop_k_stats,
     }
 
 
@@ -254,4 +257,17 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        count(*)::BIGINT AS n_events,
        min(t) AS session_start_us, max(t) AS session_end_us
 FROM s GROUP BY user_id, sid""",
+        "part_type_stats": """
+SELECT p_type, count(*)::BIGINT AS n_parts,
+       round(avg(p_retailprice), 6) AS avg_retail
+FROM part GROUP BY p_type""",
+        "supplier_nation_balance": """
+SELECT n_name, count(*)::BIGINT AS n_suppliers,
+       round(sum(s_acctbal), 6) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name""",
+        "events_prop_stats": """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY k_bucket""",
     }

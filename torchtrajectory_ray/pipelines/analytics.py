@@ -154,6 +154,76 @@ def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.Data
     )
 
 
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    """p_type, n_parts, avg_retail — single-key groupby with in-batch
+    partials over the part dimension table."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("p_type", as_index=False).agg(
+            n_parts=("p_partkey", "size"), sum_retail=("p_retailprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_type", "p_retailprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .sum(["n_parts", "sum_retail"])
+        .to_pandas()
+    )
+    agg.columns = ["p_type", "n_parts", "sum_retail"]
+    out = pd.DataFrame(
+        {
+            "p_type": agg["p_type"],
+            "n_parts": agg["n_parts"].astype("int64"),
+            "avg_retail": (agg["sum_retail"] / agg["n_parts"]).round(6),
+        }
+    )
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+def supplier_nation_balance(sf_dir: str) -> pd.DataFrame:
+    """n_name, n_suppliers, sum_acctbal — supplier fact joined to the
+    broadcast nation dimension."""
+    import pyarrow.parquet as pq
+
+    nname = {
+        n["n_nationkey"]: n["n_name"]
+        for n in pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("s_nationkey", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"), sum_acctbal=("s_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("s_nationkey")
+        .sum(["n_suppliers", "sum_acctbal"])
+        .to_pandas()
+    )
+    agg.columns = ["s_nationkey", "n_suppliers", "sum_acctbal"]
+    out = pd.DataFrame(
+        {
+            "n_name": agg["s_nationkey"].map(nname),
+            "n_suppliers": agg["n_suppliers"].astype("int64"),
+            "sum_acctbal": agg["sum_acctbal"].round(6),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 def nation_customer_stats(sf_dir: str) -> pd.DataFrame:
     """Customer count + account balance per nation/region name: dimension
     tables (nation, region) broadcast, fact aggregated with a partial."""

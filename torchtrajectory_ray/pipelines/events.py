@@ -110,6 +110,46 @@ def sliding_hour_agg(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def prop_k_stats(sf_dir: str) -> ray.data.Dataset:
+    """k_bucket, n_events, sum_value — aggregate keyed on a field parsed
+    out of the JSON ``props`` column (the semi-structured payload path:
+    parse per batch, never ship raw JSON through the shuffle)."""
+    import json as _json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (_json.loads(p)["k"] for p in batch["props"].to_pylist()),
+            np.int64,
+            batch.num_rows,
+        )
+        df = pd.DataFrame(
+            {"k_bucket": ks // 10, "value": batch["value"].to_numpy()}
+        )
+        g = df.groupby("k_bucket", as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["props", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            pa.array(np.round(batch["sum_value"].to_numpy(), 6)),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
