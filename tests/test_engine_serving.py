@@ -67,6 +67,9 @@ def test_phrase_query_finds_needles(built):
     assert eng.phrase_and(["needle_phrase_b", "needle_phrase_a"]).size == 0
     # unknown term → empty
     assert eng.phrase_and(["needle_phrase_a", "zzz_nope"]).size == 0
+    # repeated phrase terms are rejected (first-position payload limit)
+    with pytest.raises(ValueError, match="repeated"):
+        eng.phrase_and(["needle_phrase_a", "needle_phrase_b", "needle_phrase_a"])
 
 
 def test_phrase_requires_positions(ray_session, tmp_path):

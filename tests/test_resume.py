@@ -143,3 +143,20 @@ def test_extend_index_matches_full_rebuild(ray_session, tmp_path):
         assert inc.topk(q["terms"], k=10) == full.topk(q["terms"], k=10)
         assert inc.bool_and(q["terms"]).tolist() == full.bool_and(q["terms"]).tolist()
         assert inc.bool_or(q["terms"]).tolist() == full.bool_or(q["terms"]).tolist()
+
+
+def test_extend_index_idempotent_rerun(ray_session, tmp_path):
+    from torchtrajectory_ray.pipelines.build import extend_index
+    from torchtrajectory_ray.state.engine import QueryEngine
+
+    base = fixtures.write_webpages(str(tmp_path / "c"), N_DOCS, num_files=4)
+    cfg = IndexConfig(**CFG)
+    d = str(tmp_path / "i")
+    build_index(base[:2], d, cfg)
+    m1 = extend_index(d, base[2:], cfg)
+    n1 = m1["stats"]["n_docs"]
+    # re-running the SAME extension must be a no-op, not a duplicate gen
+    m2 = extend_index(d, base[2:], cfg)
+    assert m2.get("resumed_complete") is True
+    assert m2["stats"]["n_docs"] == n1 == N_DOCS
+    assert QueryEngine(d).n_docs == N_DOCS

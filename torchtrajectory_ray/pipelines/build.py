@@ -47,9 +47,14 @@ def _write_json(path: str, obj: Any) -> None:
     os.replace(path + ".tmp", path)
 
 
-def _build_dictionary(dict_dir: str, seg_rows: list[dict], cfg: IndexConfig) -> list[str]:
+def _build_dictionary(
+    dict_dir: str, seg_rows: list[dict], cfg: IndexConfig, tag: str = ""
+) -> list[str]:
     """Per-term-shard dictionary build over the given segment files
-    (possibly spanning generations); partition-local, one task per shard."""
+    (possibly spanning generations); partition-local, one task per shard.
+    ``tag`` versions the file names so an extend writes a NEW dictionary
+    generation and the manifest swap stays atomic (stale files are
+    harmless garbage)."""
     seg_by_shard: dict[int, list[str]] = {}
     for r in seg_rows:
         seg_by_shard.setdefault(int(r["segment"]) // cfg.num_salts, []).append(
@@ -65,11 +70,11 @@ def _build_dictionary(dict_dir: str, seg_rows: list[dict], cfg: IndexConfig) -> 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        out = []
+        out = []  # tag is closed over; rebuilt files skip if present
         for shard, paths_json in zip(
             batch["shard"].to_pylist(), batch["paths"].to_pylist()
         ):
-            path = os.path.join(dict_dir, f"dict-{shard:05d}.parquet")
+            path = os.path.join(dict_dir, f"dict-{shard:05d}{tag}.parquet")
             if not os.path.exists(path):
                 parts = [
                     pq.read_table(
@@ -314,6 +319,12 @@ def extend_index(
     gen = int(manifest.get("generation", 0)) + 1
     n_prev = int(manifest.get("n_input_files", len(manifest["lineage"])))
     shift = manifest["stats"]["salt_shift"]
+    new_sorted = sorted(new_input_paths)
+    extensions = manifest.get("extensions", [])
+    if extensions and extensions[-1] == new_sorted:
+        # idempotent re-run of the last extension (its outputs exist)
+        manifest["resumed_complete"] = True
+        return manifest
 
     docs_dir = os.path.join(out_dir, "docs", f"gen-{gen:03d}")
     partials_dir = os.path.join(out_dir, "partials", f"gen-{gen:03d}")
@@ -329,7 +340,7 @@ def extend_index(
             if cfg.doc_id_mode == "dense"
             else -1,
         }
-        for i, p in enumerate(sorted(new_input_paths))
+        for i, p in enumerate(new_sorted)
     ]
 
     def fused(batch):
@@ -380,13 +391,14 @@ def extend_index(
     manifest["n_input_files"] = n_prev + len(file_items)
     _write_json(os.path.join(out_dir, "stats.json"), manifest["stats"])
 
-    # rebuild dictionary shards over ALL generations' segments
+    # rebuild dictionary shards over ALL generations' segments into
+    # generation-tagged files; the manifest swap makes it atomic (a crash
+    # here leaves the old dictionary valid)
     dict_dir = os.path.join(out_dir, "dict")
-    for p in os.listdir(dict_dir):
-        os.remove(os.path.join(dict_dir, p))
     manifest["dict_paths"] = _build_dictionary(
-        dict_dir, manifest["segments"], cfg
+        dict_dir, manifest["segments"], cfg, tag=f"-g{gen:03d}"
     )
+    manifest["extensions"] = extensions + [new_sorted]
     manifest["metrics"]["extend_s"] = round(time.monotonic() - t0, 3)
     _write_json(manifest_path, manifest)
     return manifest

@@ -182,8 +182,14 @@ class QueryEngine:
         first-occurrence position payload (the posting ``position`` of the
         reference, InvertedIndex.java:23-25), so it is exact when each
         phrase term occurs once per doc and a documented approximation
-        otherwise."""
+        otherwise.  Phrases with REPEATED terms ("a b a") cannot be
+        verified from first positions only and are rejected."""
         uniq = list(dict.fromkeys(terms))  # order-preserving
+        if len(uniq) != len(terms):
+            raise ValueError(
+                "phrase_and cannot verify phrases with repeated terms from "
+                "the first-position payload"
+            )
         tids = []
         for t in uniq:
             tid = term_hash(t)
