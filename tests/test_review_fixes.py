@@ -1,0 +1,91 @@
+"""Regression tests for review findings: stale-checkpoint reuse, orphan
+generations, filter misuse, row-group map desync."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from torchtrajectory_ray import fixtures, oracle
+from torchtrajectory_ray.config import IndexConfig
+from torchtrajectory_ray.pipelines.build import build_index
+from torchtrajectory_ray.stages.postings import PartialsWriter
+from torchtrajectory_ray.state.engine import QueryEngine
+
+N = 120
+
+
+def test_config_change_rerun_rebuilds_checkpoints(ray_session, tmp_path):
+    """A rerun into the same out_dir with a CHANGED config after a crash
+    (manifest missing) must rebuild artifacts, not silently reuse ones
+    computed under the old segment grid."""
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    d = str(tmp_path / "i")
+    build_index(paths, d, IndexConfig(num_term_shards=2, num_salts=4))
+    os.remove(os.path.join(d, "manifest.json"))  # simulate crash
+    # different grid: old partials' segment ids are meaningless now
+    shutil.rmtree(os.path.join(d, "segments"))
+    os.makedirs(os.path.join(d, "segments"))
+    for p in os.listdir(os.path.join(d, "dict")):
+        os.remove(os.path.join(d, "dict", p))
+    m = build_index(paths, d, IndexConfig(num_term_shards=2, num_salts=2))
+    # nothing may be "skipped" from the old config
+    assert all(not r["skipped"] for r in m["lineage"])
+    eng = QueryEngine(d)
+    ids = [fixtures.dense_doc_id(i, N, 2) for i in range(N)]
+    orc = oracle.build_oracle(ids, [" ".join(fixtures.doc_tokens(i)) for i in range(N)])
+    got = eng.topk(["w0000", "w0003"], k=10)
+    exp = orc.topk(["w0000", "w0003"], k=10)
+    assert [x for x, _ in got] == [x for x, _ in exp]
+
+
+def test_filters_without_doc_meta_raise(ray_session, tmp_path):
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    d = str(tmp_path / "i")
+    build_index(paths, d, IndexConfig(num_term_shards=2, num_salts=2))
+    eng = QueryEngine(d)  # load_doc_meta defaults to False
+    with pytest.raises(ValueError, match="load_doc_meta"):
+        eng.bool_or(["w0000"], lang="en")
+    with pytest.raises(ValueError, match="load_doc_meta"):
+        eng.topk(["w0000"], k=5, ts_lo=0)
+
+
+def test_orphan_generation_not_served(ray_session, tmp_path):
+    """Segment files of a crashed (un-manifested) extend generation must
+    be invisible to the engine — segments come from the manifest."""
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    d = str(tmp_path / "i")
+    build_index(paths, d, IndexConfig(num_term_shards=2, num_salts=2))
+    before = QueryEngine(d).bool_or(["w0000"]).tolist()
+    # orphan generation: copy an existing segment under gen-001/ without
+    # touching the manifest (as if extend crashed before its swap)
+    seg_dir = os.path.join(d, "segments")
+    orphan = os.path.join(seg_dir, "gen-001")
+    os.makedirs(orphan)
+    src = sorted(p for p in os.listdir(seg_dir) if p.endswith(".parquet"))[0]
+    shutil.copy(os.path.join(seg_dir, src), os.path.join(orphan, src))
+    after = QueryEngine(d).bool_or(["w0000"]).tolist()
+    assert after == before  # duplicated postings would change the result
+
+
+def test_rgmap_stays_in_sync_with_physical_row_groups(ray_session, tmp_path, monkeypatch):
+    """Force tiny row-group caps so every segment slice splits into many
+    physical row groups; the recorded map must still address the right
+    groups (query results equal the oracle)."""
+    monkeypatch.setattr(PartialsWriter, "_RG_CAP", 7)
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    d = str(tmp_path / "i")
+    build_index(paths, d, IndexConfig(num_term_shards=2, num_salts=2))
+    eng = QueryEngine(d)
+    ids = [fixtures.dense_doc_id(i, N, 2) for i in range(N)]
+    orc = oracle.build_oracle(ids, [" ".join(fixtures.doc_tokens(i)) for i in range(N)])
+    for terms in (["w0000"], ["w0001", "w0002"], ["needle_unique"]):
+        got = eng.topk(terms, k=10)
+        exp = orc.topk(terms, k=10)
+        assert [x for x, _ in got] == [x for x, _ in exp], terms
+        assert np.allclose([s for _, s in got], [s for _, s in exp])
+        assert eng.bool_or(terms).tolist() == orc.bool_or(terms)

@@ -102,8 +102,9 @@ def delta_decode(blob: bytes, count: int | None = None) -> np.ndarray:
 
 def _run_starts(lengths: np.ndarray) -> np.ndarray:
     starts = np.empty(len(lengths), dtype=np.int64)
-    starts[0] = 0
-    np.cumsum(lengths[:-1], out=starts[1:])
+    if len(lengths):
+        starts[0] = 0
+        np.cumsum(lengths[:-1], out=starts[1:])
     return starts
 
 
@@ -171,6 +172,8 @@ def varint_decode_concat(blobs, total: int) -> np.ndarray:
 def delta_decode_concat(blobs, lengths: np.ndarray) -> np.ndarray:
     """Decode many delta+varint runs in one pass (run sizes in ``lengths``)."""
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    if len(lengths) == 0:
+        return np.empty(0, dtype=np.int64)
     total = int(lengths.sum())
     deltas = varint_decode_concat(blobs, total)
     cs = np.cumsum(deltas, dtype=np.int64)

@@ -106,6 +106,8 @@ def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.Data
     odate = dict(
         zip(sel["o_orderkey"].to_pylist(), sel["o_orderdate"].to_pylist())
     )
+    if len(wanted_keys) == 0:
+        return pd.DataFrame(columns=["rank", "l_orderkey", "revenue", "o_orderdate"])
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch["l_orderkey"].to_numpy()

@@ -36,6 +36,7 @@ from torchtrajectory_ray.stages.postings import (
     SegmentWriter,
     assemble_segment,
     compute_salt_shift,
+    config_tag,
     tokenize_combine_task,
 )
 from torchtrajectory_ray.stages.prepare import PrepareFileTask
@@ -177,7 +178,9 @@ def build_index(
         # --- stage 1: prepare docs (extract + tokenize-count) only; the
         # exchange happens in ray.data groupby below.
         def prepare_files(batch):
-            return PrepareFileTask(docs_dir, cfg.check_invariant, cfg.bad_rows)(batch)
+            return PrepareFileTask(
+                docs_dir, cfg.check_invariant, cfg.bad_rows, config_tag(cfg, shift)
+            )(batch)
 
         lineage = (
             ray.data.from_items(file_items)

@@ -52,9 +52,18 @@ def documents_index(sf_dir: str) -> str:
     import json as _json
 
     name = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    # tag covers config + source identity/content (path, size, mtime) so
+    # a regenerated corpus or a same-named sibling dir never serves a
+    # stale cached index
     cfg_tag = hashlib.md5(
-        _json.dumps(dataclasses.asdict(_INDEX_CFG), sort_keys=True).encode()
-    ).hexdigest()[:8]
+        _json.dumps(
+            [dataclasses.asdict(_INDEX_CFG), os.path.abspath(src),
+             st.st_size, st.st_mtime_ns],
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:10]
     out_dir = os.path.join(CACHE_ROOT, f"docindex-{name}-{cfg_tag}")
     os.makedirs(out_dir, exist_ok=True)
     build_index([os.path.join(sf_dir, "documents.parquet")], out_dir, _INDEX_CFG)

@@ -65,11 +65,14 @@ def decode_payload(payload: bytes):
     # real formats: gate on the actual libraries
     if payload[:2] == b"\xff\xd8":  # JPEG
         try:
-            import PIL.Image  # noqa: F401
+            import io
+
+            import PIL.Image
         except ImportError as e:
             raise NotImplementedError(
                 "real JPEG decode requires PIL (not in this container)"
             ) from e
+        return "image", np.asarray(PIL.Image.open(io.BytesIO(payload)))
     if payload[:4] == b"RIFF":  # WAV
         raise NotImplementedError(
             "real WAV decode requires an audio library (not in this container)"

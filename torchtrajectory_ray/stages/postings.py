@@ -73,6 +73,20 @@ PARTIAL_COLS = [
 ]
 
 
+def config_tag(cfg: IndexConfig, shift: int | None = None) -> str:
+    """Fingerprint of everything that determines a checkpoint's content.
+    Stored in every per-partition sidecar and REQUIRED to match on
+    resume — a rerun into the same out_dir with a changed config must
+    rebuild artifacts, not silently reuse ones computed under the old
+    grid (wrong salts/segments → wrong query results)."""
+    import dataclasses
+    import hashlib
+    import json as _json
+
+    blob = _json.dumps([dataclasses.asdict(cfg), shift], sort_keys=True)
+    return hashlib.md5(blob.encode()).hexdigest()[:12]
+
+
 def salt_shift(max_doc_id: int, num_salts: int) -> int:
     """Right-shift such that doc_id >> shift lands in [0, num_salts)."""
     span = max(int(max_doc_id), 0) + 1
@@ -129,7 +143,9 @@ class FusedShardTask:
     ):
         from torchtrajectory_ray.stages.prepare import PrepareFileTask
 
-        self.prepare = PrepareFileTask(docs_dir, cfg.check_invariant, cfg.bad_rows)
+        self.prepare = PrepareFileTask(
+            docs_dir, cfg.check_invariant, cfg.bad_rows, config_tag(cfg, shift)
+        )
         self.partials = PartialsWriter(partials_dir, cfg, shift)
         self.cfg = cfg
 
@@ -322,9 +338,12 @@ class PartialsWriter:
     fabric, the pattern external-shuffle index builders use.  Finished
     shards are skipped via their sidecar (per-partition checkpoint)."""
 
+    _RG_CAP = 1 << 20  # pyarrow's implicit per-write row-group cap, made explicit
+
     def __init__(self, partials_dir: str, cfg: IndexConfig, shift: int):
         self.partials_dir = partials_dir
         self.cfg = cfg
+        self.cfg_tag = config_tag(cfg, shift)
         self.combine = TokenizeCombine(cfg, shift)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -344,9 +363,12 @@ class PartialsWriter:
         sidecar = out + ".rgmap.json"
         if os.path.exists(sidecar) and os.path.exists(out):
             with open(sidecar) as f:
-                lin = json.load(f)["lineage"]
-            lin["skipped"] = True
-            return lin
+                side = json.load(f)
+            if side.get("cfg_tag") == self.cfg_tag:
+                lin = side["lineage"]
+                lin["skipped"] = True
+                return lin
+            # stale checkpoint from a different config/shift: rebuild
 
         t0 = time.monotonic()
         tbl = (
@@ -379,12 +401,21 @@ class PartialsWriter:
         ) if len(segs) else np.empty(0, np.int64)
         ends = np.concatenate((heads[1:], [len(segs)]))
 
+        # one or more row groups per segment slice: cap rows per write so
+        # the recorded indices always equal the PHYSICAL row groups
+        # (pyarrow silently splits writes larger than ~1M rows — an
+        # enumerate-based map would silently desynchronize)
         rgmap: dict[str, list[int]] = {}
         tmp = out + ".tmp"
         writer = pq.ParquetWriter(tmp, runs.schema)
-        for rg, (h, e) in enumerate(zip(heads, ends)):
-            writer.write_table(runs.slice(h, e - h))
-            rgmap[str(int(segs[h]))] = [rg]
+        rg = 0
+        for h, e in zip(heads, ends):
+            idxs = []
+            for off in range(h, e, self._RG_CAP):
+                writer.write_table(runs.slice(off, min(self._RG_CAP, e - off)))
+                idxs.append(rg)
+                rg += 1
+            rgmap[str(int(segs[h]))] = idxs
         writer.close()
         os.replace(tmp, out)
         lin = {
@@ -397,7 +428,9 @@ class PartialsWriter:
             "skipped": False,
         }
         with open(sidecar + ".tmp", "w") as f:
-            json.dump({"segments": rgmap, "lineage": lin}, f)
+            json.dump(
+                {"segments": rgmap, "lineage": lin, "cfg_tag": self.cfg_tag}, f
+            )
         os.replace(sidecar + ".tmp", sidecar)
         return lin
 
@@ -454,6 +487,7 @@ class SegmentWriter:
     def __init__(self, out_dir: str, cfg: IndexConfig, avgdl: float):
         self.out_dir = out_dir
         self.cfg = cfg
+        self.cfg_tag = config_tag(cfg)
         self.avgdl = avgdl
 
     def __call__(self, group: pa.Table | pd.DataFrame) -> pa.Table:
@@ -466,8 +500,10 @@ class SegmentWriter:
         if os.path.exists(path) and os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            meta["skipped"] = True
-            return pa.Table.from_pylist([meta])
+            if meta.get("cfg_tag") == self.cfg_tag:
+                meta["skipped"] = True
+                return pa.Table.from_pylist([meta])
+            # stale checkpoint from a different config: rebuild
 
         t0 = time.monotonic()
         cfg, B = self.cfg, self.cfg.block_size
@@ -572,6 +608,7 @@ class SegmentWriter:
         meta = {
             "segment": seg,
             "path": path,
+            "cfg_tag": self.cfg_tag,
             "n_terms": int(len(np.unique(g_tid))),
             "n_runs": tbl.num_rows,
             "n_postings": n_postings,

@@ -154,11 +154,16 @@ class PrepareFileTask:
     checking their lineage sidecar."""
 
     def __init__(
-        self, docs_dir: str, check_invariant: bool = True, bad_rows: str = "raise"
+        self,
+        docs_dir: str,
+        check_invariant: bool = True,
+        bad_rows: str = "raise",
+        cfg_tag: str = "",
     ):
         self.docs_dir = docs_dir
         self.check_invariant = check_invariant
         self.bad_rows = bad_rows
+        self.cfg_tag = cfg_tag
         # docs table + token lists of the most recent non-skipped _one()
         # call, for the fused stage to consume without re-reading or
         # re-tokenizing the shard
@@ -188,8 +193,10 @@ class PrepareFileTask:
         if os.path.exists(sidecar) and os.path.exists(out):
             with open(sidecar) as f:
                 lin = json.load(f)
-            lin["skipped"] = True
-            return lin
+            if lin.get("cfg_tag", "") == self.cfg_tag:
+                lin["skipped"] = True
+                return lin
+            # stale checkpoint from a different config: rebuild
 
         t0 = time.monotonic()
         raw = pq.read_table(path)
@@ -209,6 +216,7 @@ class PrepareFileTask:
         lin = {
             "input": path,
             "output": out,
+            "cfg_tag": self.cfg_tag,
             "n_docs": int(docs.num_rows),
             "n_rejected": n_rejected,
             "sum_doclen": int(dl.sum()) if len(dl) else 0,

@@ -61,6 +61,12 @@ class QueryEngine:
         self._min_dl = dict(zip(d["term_id"], d["min_dl"]))
 
         self.distributed = distributed
+        # segment files come from the MANIFEST (not directory globs) so a
+        # crashed extend's orphan generation is never served before its
+        # manifest/dictionary swap
+        seg_by_salt: dict[int, list[str]] = {s: [] for s in range(self.num_salts)}
+        for row in self.manifest["segments"]:
+            seg_by_salt[int(row["segment"]) % self.num_salts].append(row["path"])
         kwargs = dict(
             index_dir=index_dir,
             num_term_shards=self.num_term_shards,
@@ -70,17 +76,20 @@ class QueryEngine:
             b=self.b,
             load_doc_meta=load_doc_meta,
             load_mode=load_mode,
+            salt_shift=self.stats.get("salt_shift"),
         )
         if distributed:
             import ray
 
             Remote = ray.remote(num_cpus=1)(SaltSearcher)
             self.searchers = [
-                Remote.remote(salt=s, **kwargs) for s in range(self.num_salts)
+                Remote.remote(salt=s, seg_paths=seg_by_salt[s], **kwargs)
+                for s in range(self.num_salts)
             ]
         else:
             self.searchers = [
-                SaltSearcher(salt=s, **kwargs) for s in range(self.num_salts)
+                SaltSearcher(salt=s, seg_paths=seg_by_salt[s], **kwargs)
+                for s in range(self.num_salts)
             ]
 
     # --- query prep (same tokenizer as the build) ---

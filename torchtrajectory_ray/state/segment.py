@@ -39,6 +39,8 @@ class SaltSearcher:
         b: float = 0.75,
         load_doc_meta: bool = False,
         load_mode: str = "memory",
+        salt_shift: int | None = None,
+        seg_paths: list[str] | None = None,
     ):
         """``load_mode``:
 
@@ -61,26 +63,33 @@ class SaltSearcher:
         self.runs: dict[int, list[dict]] = {}
         self._lazy_cache: dict[int, list[dict]] = {}
         self._decoded_cache: dict[int, tuple] = {}
-        import glob as _glob
+        if seg_paths is None:
+            # standalone fallback: discover by glob (base build first, then
+            # generations in order — dense doc ordinals grow per
+            # generation, so concatenated runs stay doc_id-sorted).  The
+            # engine instead passes the MANIFEST's segment list, so a
+            # crashed extend's orphan generation files are never served.
+            import glob as _glob
 
-        seg_dir = os.path.join(index_dir, "segments")
-        self.seg_paths: list[str] = []
-        for shard in range(num_term_shards):
-            seg = shard * num_salts + salt
-            # base build first, then generations in order (extend_index):
-            # dense doc ordinals grow per generation, so concatenated runs
-            # stay doc_id-sorted
-            paths = [os.path.join(seg_dir, f"seg-{seg:05d}.parquet")] + sorted(
-                _glob.glob(os.path.join(seg_dir, "gen-*", f"seg-{seg:05d}.parquet"))
-            )
-            for path in paths:
-                if not os.path.exists(path):
-                    continue
-                self.seg_paths.append(path)
-                if load_mode == "memory":
-                    tbl = pq.read_table(path)
-                    for row in tbl.to_pylist():
-                        self.runs.setdefault(row["term_id"], []).append(row)
+            seg_dir = os.path.join(index_dir, "segments")
+            seg_paths = []
+            for shard in range(num_term_shards):
+                seg = shard * num_salts + salt
+                for path in [
+                    os.path.join(seg_dir, f"seg-{seg:05d}.parquet")
+                ] + sorted(
+                    _glob.glob(
+                        os.path.join(seg_dir, "gen-*", f"seg-{seg:05d}.parquet")
+                    )
+                ):
+                    if os.path.exists(path):
+                        seg_paths.append(path)
+        self.seg_paths = list(seg_paths)
+        if load_mode == "memory":
+            for path in self.seg_paths:
+                tbl = pq.read_table(path)
+                for row in tbl.to_pylist():
+                    self.runs.setdefault(row["term_id"], []).append(row)
         # optional doc metadata for predicate filters (lang / warc_ts) —
         # bucket-local, analog of the broadcast timeSpanLookup
         # (TrajectoryResolver.java:250-276) but partitioned, not global
@@ -102,6 +111,15 @@ class SaltSearcher:
 
                 t = pa.concat_tables(metas)
                 ids = t["doc_id"].to_numpy().astype(np.int64)
+                # keep only THIS bucket's docs (bucket-local, as the
+                # docstring promises): salt ranges are disjoint, so each
+                # searcher holds 1/num_salts of the corpus metadata
+                if salt_shift is not None:
+                    mine = (
+                        np.minimum(ids >> salt_shift, num_salts - 1) == salt
+                    )
+                    t = t.filter(pa.array(mine))
+                    ids = ids[mine]
                 order = np.argsort(ids, kind="stable")
                 ts = t["warc_ts"].cast("int64").to_numpy(zero_copy_only=False)
                 self.doc_meta = {
@@ -186,8 +204,13 @@ class SaltSearcher:
         return cand[self._allowed_mask(cand, lang, ts_lo, ts_hi)]
 
     def _allowed_mask(self, ids: np.ndarray, lang, ts_lo, ts_hi) -> np.ndarray:
-        if self.doc_meta is None or (lang is None and ts_lo is None and ts_hi is None):
+        if lang is None and ts_lo is None and ts_hi is None:
             return np.ones(len(ids), dtype=bool)
+        if self.doc_meta is None:
+            raise ValueError(
+                "lang/ts predicate filters require the engine to be opened "
+                "with load_doc_meta=True"
+            )
         m = self.doc_meta
         pos = np.searchsorted(m["doc_id"], ids)
         pos = np.clip(pos, 0, len(m["doc_id"]) - 1)
