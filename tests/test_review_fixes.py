@@ -13,7 +13,7 @@ import pytest
 from torchtrajectory_ray import fixtures, oracle
 from torchtrajectory_ray.config import IndexConfig
 from torchtrajectory_ray.pipelines.build import build_index
-from torchtrajectory_ray.stages.postings import PartialsWriter
+
 from torchtrajectory_ray.state.engine import QueryEngine
 
 N = 120
@@ -72,14 +72,28 @@ def test_orphan_generation_not_served(ray_session, tmp_path):
     assert after == before  # duplicated postings would change the result
 
 
-def test_rgmap_stays_in_sync_with_physical_row_groups(ray_session, tmp_path, monkeypatch):
-    """Force tiny row-group caps so every segment slice splits into many
-    physical row groups; the recorded map must still address the right
-    groups (query results equal the oracle)."""
-    monkeypatch.setattr(PartialsWriter, "_RG_CAP", 7)
+def test_rgmap_stays_in_sync_with_physical_row_groups(ray_session, tmp_path):
+    """Force a tiny row-group cap (carried in IndexConfig, so it reaches
+    the Ray workers — a driver-side monkeypatch would not) so every
+    segment slice splits into many physical row groups; the recorded map
+    must still address the right groups (query results equal the oracle)."""
     paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
     d = str(tmp_path / "i")
-    build_index(paths, d, IndexConfig(num_term_shards=2, num_salts=2))
+    build_index(
+        paths, d,
+        IndexConfig(num_term_shards=2, num_salts=2, partials_rg_rows=7),
+    )
+    import json
+
+    import pyarrow.parquet as pq
+
+    # the partials files really did split into many physical row groups
+    pdir = os.path.join(d, "partials")
+    some = [p for p in os.listdir(pdir) if p.endswith(".parquet")][0]
+    assert pq.ParquetFile(os.path.join(pdir, some)).num_row_groups > 10
+    with open(os.path.join(pdir, some) + ".rgmap.json") as f:
+        rgmap = json.load(f)["segments"]
+    assert any(len(v) > 1 for v in rgmap.values())  # multi-group slices exist
     eng = QueryEngine(d)
     ids = [fixtures.dense_doc_id(i, N, 2) for i in range(N)]
     orc = oracle.build_oracle(ids, [" ".join(fixtures.doc_tokens(i)) for i in range(N)])
@@ -89,3 +103,17 @@ def test_rgmap_stays_in_sync_with_physical_row_groups(ray_session, tmp_path, mon
         assert [x for x, _ in got] == [x for x, _ in exp], terms
         assert np.allclose([s for _, s in got], [s for _, s in exp])
         assert eng.bool_or(terms).tolist() == orc.bool_or(terms)
+
+
+def test_index_is_relocatable(ray_session, tmp_path):
+    """A moved/renamed index directory must still open and answer
+    identically (manifest stores artifact paths relative to the dir)."""
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    d1 = str(tmp_path / "i1")
+    build_index(paths, d1, IndexConfig(num_term_shards=2, num_salts=2))
+    before = QueryEngine(d1).topk(["w0000", "w0003"], k=10)
+    d2 = str(tmp_path / "moved")
+    shutil.move(d1, d2)
+    eng = QueryEngine(d2)
+    assert eng.topk(["w0000", "w0003"], k=10) == before
+    assert len(eng.resolve([before[0][0]])) == 1

@@ -73,9 +73,13 @@ def test_head_term_salting_bounds_runs(ray_session, tmp_path):
     from torchtrajectory_ray.functions.text import term_hash
 
     tid = term_hash("head")
+    from torchtrajectory_ray.pipelines.build import manifest_abspath
+
     seen_salts, max_run = set(), 0
     for s in m["segments"]:
-        t = pq.read_table(s["path"], columns=["term_id", "salt", "df"])
+        t = pq.read_table(
+            manifest_abspath(s["path"], out), columns=["term_id", "salt", "df"]
+        )
         for row in t.to_pylist():
             if row["term_id"] == tid:
                 seen_salts.add(row["salt"])

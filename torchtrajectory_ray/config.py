@@ -59,6 +59,10 @@ class IndexConfig:
     # query path prune by term_id row-group statistics (segments are
     # written sorted by term_id)
     segment_row_group_size: int = 1024
+    # max rows per partials row-group WRITE: keeps the recorded row-group
+    # map in lockstep with the physical groups (pyarrow silently splits
+    # writes above ~1M rows)
+    partials_rg_rows: int = 1 << 20
     check_invariant: bool = True
     # doc id assignment for inputs with no doc_id column:
     #   "dense"    — file_ordinal << 34 | row: deterministic w.r.t. the

@@ -42,6 +42,25 @@ from torchtrajectory_ray.stages.postings import (
 from torchtrajectory_ray.stages.prepare import PrepareFileTask
 
 
+def manifest_relpath(p: str, out_dir: str) -> str:
+    """Store artifact paths relative to the index dir so a moved/renamed
+    index directory stays openable."""
+    try:
+        return os.path.relpath(p, out_dir)
+    except ValueError:
+        return p
+
+
+def manifest_abspath(p: str, index_dir: str) -> str:
+    """Resolve a manifest-recorded path against the index dir (accepts
+    legacy absolute paths if they still exist)."""
+    if os.path.isabs(p):
+        return p if os.path.exists(p) else os.path.join(
+            index_dir, "segments", os.path.basename(p)
+        )
+    return os.path.join(index_dir, p)
+
+
 def _write_json(path: str, obj: Any) -> None:
     with open(path + ".tmp", "w") as f:
         json.dump(obj, f, indent=1)
@@ -51,6 +70,7 @@ def _write_json(path: str, obj: Any) -> None:
 def _build_dictionary(
     dict_dir: str, seg_rows: list[dict], cfg: IndexConfig, tag: str = ""
 ) -> list[str]:
+    tag = f"{tag}-{config_tag(cfg)}"
     """Per-term-shard dictionary build over the given segment files
     (possibly spanning generations); partition-local, one task per shard.
     ``tag`` versions the file names so an extend writes a NEW dictionary
@@ -123,7 +143,10 @@ def build_index(
                 f"{out_dir} holds a complete index built with a different "
                 "config; use a fresh out_dir (indexes are immutable)"
             )
-        if all(os.path.exists(s["path"]) for s in manifest["segments"]):
+        if all(
+            os.path.exists(manifest_abspath(s["path"], out_dir))
+            for s in manifest["segments"]
+        ):
             manifest["resumed_complete"] = True
             return manifest
 
@@ -213,7 +236,7 @@ def build_index(
     # parallel, per-shard checkpoints) or "groupby" (ray.data sort
     # exchange through the object store).
     docs_paths = sorted(r["output"] for r in lineage)
-    writer = SegmentWriter(seg_dir, cfg, avgdl)
+    writer = SegmentWriter(seg_dir, cfg, avgdl, shift=shift)
 
     if cfg.shuffle_mode == "storage":
         partial_paths = sorted(r["output"] for r in partials_lineage)
@@ -263,13 +286,15 @@ def build_index(
     dict_paths = _build_dictionary(dict_dir, seg_rows, cfg)
     t3 = time.monotonic()
 
+    for r in seg_rows:
+        r["path"] = manifest_relpath(r["path"], out_dir)
     manifest = {
         "config": dataclasses.asdict(cfg),
         "stats": stats,
         "lineage": lineage,
         "partials": partials_lineage,
         "segments": seg_rows,
-        "dict_paths": dict_paths,
+        "dict_paths": [manifest_relpath(p, out_dir) for p in dict_paths],
         "metrics": {
             "prepare_s": round(t1 - t0, 3),
             "index_s": round(t2 - t1, 3),
@@ -355,7 +380,7 @@ def extend_index(
         .take_all()
     )
     partial_paths = sorted(r["partials_output"] for r in lineage)
-    writer = SegmentWriter(seg_dir, cfg, avgdl=0.0)  # avgdl unused in bounds
+    writer = SegmentWriter(seg_dir, cfg, avgdl=0.0, shift=shift)  # avgdl unused in bounds
 
     def assemble(batch):
         import pyarrow as pa
@@ -373,7 +398,9 @@ def extend_index(
         .take_all()
     )
 
-    # merged stats + manifest
+    # merged stats + manifest (paths stored relative to out_dir)
+    for r in seg_rows:
+        r["path"] = manifest_relpath(r["path"], out_dir)
     manifest["lineage"] = manifest["lineage"] + lineage
     manifest["segments"] = manifest["segments"] + seg_rows
     n_docs = manifest["stats"]["n_docs"] + sum(r["n_docs"] for r in lineage)
@@ -398,9 +425,18 @@ def extend_index(
     # generation-tagged files; the manifest swap makes it atomic (a crash
     # here leaves the old dictionary valid)
     dict_dir = os.path.join(out_dir, "dict")
-    manifest["dict_paths"] = _build_dictionary(
-        dict_dir, manifest["segments"], cfg, tag=f"-g{gen:03d}"
-    )
+    manifest["dict_paths"] = [
+        manifest_relpath(p, out_dir)
+        for p in _build_dictionary(
+            dict_dir,
+            [
+                {**r, "path": manifest_abspath(r["path"], out_dir)}
+                for r in manifest["segments"]
+            ],
+            cfg,
+            tag=f"-g{gen:03d}",
+        )
+    ]
     manifest["extensions"] = extensions + [new_sorted]
     manifest["metrics"]["extend_s"] = round(time.monotonic() - t0, 3)
     _write_json(manifest_path, manifest)

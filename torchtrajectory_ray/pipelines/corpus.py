@@ -78,10 +78,13 @@ def term_df(sf_dir: str) -> pd.DataFrame:
     idx = documents_index(sf_dir)
     import json
 
+    from torchtrajectory_ray.pipelines.build import manifest_abspath
+
     with open(os.path.join(idx, "manifest.json")) as f:
         manifest = json.load(f)
     parts = [
-        pq.read_table(p, columns=["term", "df"]) for p in manifest["dict_paths"]
+        pq.read_table(manifest_abspath(p, idx), columns=["term", "df"])
+        for p in manifest["dict_paths"]
     ]
     d = pa.concat_tables(parts).to_pandas()
     return d.sort_values("term").reset_index(drop=True)[["term", "df"]]

@@ -65,14 +65,15 @@ def knn_bruteforce(sf_dir: str, k: int = 10) -> pd.DataFrame:
         e = _batch_matrix(batch)
         vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
         sims = _cosine(q, e)
-        # over-fetch 2k per batch so 6dp-rounding ties at the merge's
-        # (sim desc, id asc) ranking cannot lose a tied smaller id that
-        # raw argpartition would have dropped (same defense as topk_bm25)
-        kk = min(2 * k, sims.shape[1])
+        # per-batch selection uses the MERGE'S exact ordering (rounded sim
+        # desc, id asc): truncating a batch to its top-k under the final
+        # ordering can never drop a global top-k element, whatever the
+        # tie structure
+        kk = min(k, sims.shape[1])
         out_q, out_n, out_s = [], [], []
         for qi in range(sims.shape[0]):
             s = sims[qi]
-            sel = np.argpartition(-s, kk - 1)[:kk]
+            sel = np.lexsort((vec_ids, -np.round(s, 6)))[:kk]
             out_q.extend([QUERY_VEC_IDS[qi]] * len(sel))
             out_n.extend(vec_ids[sel].tolist())
             out_s.extend(s[sel].tolist())
@@ -145,8 +146,8 @@ def knn_ivf(
                 continue
             s = sims[qi][mask]
             ids = vec_ids[mask]
-            kk = min(2 * k, len(s))
-            sel = np.argpartition(-s, kk - 1)[:kk]
+            kk = min(k, len(s))
+            sel = np.lexsort((ids, -np.round(s, 6)))[:kk]
             out_q.extend([QUERY_VEC_IDS[qi]] * len(sel))
             out_n.extend(ids[sel].tolist())
             out_s.extend(s[sel].tolist())

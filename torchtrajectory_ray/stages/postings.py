@@ -338,13 +338,12 @@ class PartialsWriter:
     fabric, the pattern external-shuffle index builders use.  Finished
     shards are skipped via their sidecar (per-partition checkpoint)."""
 
-    _RG_CAP = 1 << 20  # pyarrow's implicit per-write row-group cap, made explicit
-
     def __init__(self, partials_dir: str, cfg: IndexConfig, shift: int):
         self.partials_dir = partials_dir
         self.cfg = cfg
         self.cfg_tag = config_tag(cfg, shift)
         self.combine = TokenizeCombine(cfg, shift)
+        self._RG_CAP = cfg.partials_rg_rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         _pin_arrow_single_thread()
@@ -484,10 +483,12 @@ class SegmentWriter:
     per-term edge-length upper bound (EdgeInvertedIndex.java:121).
     """
 
-    def __init__(self, out_dir: str, cfg: IndexConfig, avgdl: float):
+    def __init__(
+        self, out_dir: str, cfg: IndexConfig, avgdl: float, shift: int | None = None
+    ):
         self.out_dir = out_dir
         self.cfg = cfg
-        self.cfg_tag = config_tag(cfg)
+        self.cfg_tag = config_tag(cfg, shift)
         self.avgdl = avgdl
 
     def __call__(self, group: pa.Table | pd.DataFrame) -> pa.Table:

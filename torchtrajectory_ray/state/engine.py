@@ -51,8 +51,13 @@ class QueryEngine:
         # predicate pushdown per query; at bench scale it fits the driver.
         import pyarrow as pa
 
+        from torchtrajectory_ray.pipelines.build import manifest_abspath
+
         d = pa.concat_tables(
-            [pq.read_table(p) for p in self.manifest["dict_paths"]]
+            [
+                pq.read_table(manifest_abspath(p, index_dir))
+                for p in self.manifest["dict_paths"]
+            ]
         ).to_pandas()
         self.docs_dir = os.path.join(index_dir, "docs")
         self._terms = d["term"].tolist()  # dictionary scan support (J5)
@@ -66,7 +71,9 @@ class QueryEngine:
         # manifest/dictionary swap
         seg_by_salt: dict[int, list[str]] = {s: [] for s in range(self.num_salts)}
         for row in self.manifest["segments"]:
-            seg_by_salt[int(row["segment"]) % self.num_salts].append(row["path"])
+            seg_by_salt[int(row["segment"]) % self.num_salts].append(
+                manifest_abspath(row["path"], index_dir)
+            )
         kwargs = dict(
             index_dir=index_dir,
             num_term_shards=self.num_term_shards,

@@ -94,7 +94,17 @@ class SaltSearcher:
         # bucket-local, analog of the broadcast timeSpanLookup
         # (TrajectoryResolver.java:250-276) but partitioned, not global
         self.doc_meta: dict | None = None
+        self._doc_meta_requested = load_doc_meta
         if load_doc_meta:
+            # salt ranges are contiguous doc_id intervals, so the range
+            # predicate pushes into the parquet read — each searcher
+            # reads ~1/num_salts of the corpus metadata, not all of it
+            filters = None
+            if salt_shift is not None:
+                lo = salt << salt_shift
+                filters = [("doc_id", ">=", lo)]
+                if salt < num_salts - 1:  # tail bucket is open-ended (clamp)
+                    filters.append(("doc_id", "<", (salt + 1) << salt_shift))
             docs_dir = os.path.join(index_dir, "docs")
             metas = []
             for root, _, files in sorted(os.walk(docs_dir)):
@@ -104,6 +114,7 @@ class SaltSearcher:
                             pq.read_table(
                                 os.path.join(root, p),
                                 columns=["doc_id", "lang", "warc_ts"],
+                                filters=filters,
                             )
                         )
             if metas:
@@ -111,15 +122,6 @@ class SaltSearcher:
 
                 t = pa.concat_tables(metas)
                 ids = t["doc_id"].to_numpy().astype(np.int64)
-                # keep only THIS bucket's docs (bucket-local, as the
-                # docstring promises): salt ranges are disjoint, so each
-                # searcher holds 1/num_salts of the corpus metadata
-                if salt_shift is not None:
-                    mine = (
-                        np.minimum(ids >> salt_shift, num_salts - 1) == salt
-                    )
-                    t = t.filter(pa.array(mine))
-                    ids = ids[mine]
                 order = np.argsort(ids, kind="stable")
                 ts = t["warc_ts"].cast("int64").to_numpy(zero_copy_only=False)
                 self.doc_meta = {
@@ -207,6 +209,11 @@ class SaltSearcher:
         if lang is None and ts_lo is None and ts_hi is None:
             return np.ones(len(ids), dtype=bool)
         if self.doc_meta is None:
+            if self._doc_meta_requested:
+                raise ValueError(
+                    "doc metadata was requested but no docs/ parquet shards "
+                    "exist in this index — cannot apply lang/ts filters"
+                )
             raise ValueError(
                 "lang/ts predicate filters require the engine to be opened "
                 "with load_doc_meta=True"
