@@ -196,11 +196,11 @@ def scaling_child(num_cpus: int) -> None:
     # flush pending writeback from earlier runs so background disk flushes
     # don't bleed into the timed window, then best of 2 timed runs: the
     # first may pay cold page-cache reads of the corpus; steady-state
-    # throughput is what the criterion compares
+    # (best-of-3) throughput is what the criterion compares
     os.sync()
     time.sleep(5)
     wall = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(idx_dir, ignore_errors=True)
         os.makedirs(idx_dir, exist_ok=True)
         t0 = time.monotonic()
