@@ -61,7 +61,9 @@ def _stage_documents(sf_dir: str, n_shards: int) -> list[str]:
     prep, not timed — at real scale the corpus already arrives sharded)."""
     import pyarrow.parquet as pq
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}-{st.st_size}-{st.st_mtime_ns}"
     stage = os.path.join(WORK, f"staged-{tag}-{n_shards}")
     marker = os.path.join(stage, "_STAGED")
     paths = [os.path.join(stage, f"docs-{i:04d}.parquet") for i in range(n_shards)]

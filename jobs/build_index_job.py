@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """``ray job submit``-able index-build entry point.
 
-On a real cluster::
+On a real cluster (inputs and --out on a filesystem every node mounts —
+NFS/Lustre/FUSE-mounted object storage; plain s3:// URLs would need an
+fsspec-aware glob/IO layer, which this job does not ship)::
 
     ray job submit --working-dir . -- \
         python jobs/build_index_job.py \
-        --input 's3://bucket/pages/*.parquet' \
-        --out s3://bucket/index-v1 \
+        --input '/mnt/shared/pages/*.parquet' \
+        --out /mnt/shared/index-v1 \
         --term-shards 1024 --salts 256
 
 In this sandbox (local mode)::

@@ -117,3 +117,62 @@ def test_index_is_relocatable(ray_session, tmp_path):
     eng = QueryEngine(d2)
     assert eng.topk(["w0000", "w0003"], k=10) == before
     assert len(eng.resolve([before[0][0]])) == 1
+
+
+def test_input_change_invalidates_resume(ray_session, tmp_path):
+    """Re-running into the same out_dir after an input file's CONTENT
+    changed must rebuild (per-file identity) — and a complete manifest
+    must not short-circuit when the input set differs."""
+    import pyarrow.parquet as pq
+
+    src_dir = tmp_path / "c"
+    paths = fixtures.write_webpages(str(src_dir), N, num_files=2)
+    d = str(tmp_path / "i")
+    cfg = IndexConfig(num_term_shards=2, num_salts=2)
+    m1 = build_index(paths, d, cfg)
+    assert m1["stats"]["n_docs"] == N
+
+    # change one input file's content (fewer docs), same path
+    small = fixtures.webpages_table(10)
+    pq.write_table(small, paths[0])
+    m2 = build_index(paths, d, cfg)
+    assert m2.get("resumed_complete") is not True
+    # shard 0 rebuilt, shard 1 skipped (unchanged)
+    by_input = {r["input"]: r for r in m2["lineage"]}
+    assert by_input[paths[0]]["skipped"] is False
+    assert by_input[paths[1]]["skipped"] is True
+    assert m2["stats"]["n_docs"] == 10 + (N - N // 2)
+
+
+def test_duplicate_basenames_rejected(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    a = tmp_path / "a"; b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    t = fixtures.webpages_table(5)
+    pq.write_table(t, str(a / "part.parquet"))
+    pq.write_table(t, str(b / "part.parquet"))
+    with pytest.raises(ValueError, match="unique basenames"):
+        build_index([str(a / "part.parquet"), str(b / "part.parquet")],
+                    str(tmp_path / "i"), IndexConfig())
+
+
+def test_degenerate_bucket_star_expansion(ray_session):
+    """>MAX_BUCKET identical docs: every member must still appear in at
+    least one candidate pair (star expansion), with capped=True."""
+    import pyarrow as pa
+    import ray.data
+
+    from torchtrajectory_ray.pipelines import dedup
+
+    n = dedup.MAX_BUCKET + 36
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["spam page " * 30] * n, pa.string()),
+        }
+    )
+    cand = dedup.minhash_candidates(ray.data.from_arrow(tbl))
+    covered = set(cand["doc_a"]) | set(cand["doc_b"])
+    assert covered == set(range(n))
+    assert cand["capped"].any()

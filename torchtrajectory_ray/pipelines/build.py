@@ -42,6 +42,22 @@ from torchtrajectory_ray.stages.postings import (
 from torchtrajectory_ray.stages.prepare import PrepareFileTask
 
 
+def _file_identity(path: str) -> list:
+    st = os.stat(path)
+    return [os.path.abspath(path), st.st_size, st.st_mtime_ns]
+
+
+def inputs_fingerprint(paths: list[str]) -> str:
+    """Identity of the whole input set (paths + sizes + mtimes): segments
+    and the manifest short-circuit depend on ALL inputs, so any change to
+    the set or to a file's content must invalidate them (per-file
+    checkpoints carry their own single-file identity instead)."""
+    import hashlib
+
+    blob = json.dumps([_file_identity(p) for p in sorted(paths)])
+    return hashlib.md5(blob.encode()).hexdigest()[:12]
+
+
 def manifest_relpath(p: str, out_dir: str) -> str:
     """Store artifact paths relative to the index dir so a moved/renamed
     index directory stays openable."""
@@ -55,9 +71,12 @@ def manifest_abspath(p: str, index_dir: str) -> str:
     """Resolve a manifest-recorded path against the index dir (accepts
     legacy absolute paths if they still exist)."""
     if os.path.isabs(p):
-        return p if os.path.exists(p) else os.path.join(
-            index_dir, "segments", os.path.basename(p)
-        )
+        if os.path.exists(p):
+            return p
+        # legacy absolute path from before relocation: re-root the last
+        # two components (e.g. segments/seg-x.parquet, dict/dict-x.parquet)
+        tail = os.path.join(*p.split(os.sep)[-2:])
+        return os.path.join(index_dir, tail)
     return os.path.join(index_dir, p)
 
 
@@ -143,12 +162,17 @@ def build_index(
                 f"{out_dir} holds a complete index built with a different "
                 "config; use a fresh out_dir (indexes are immutable)"
             )
-        if all(
+        if manifest.get("inputs_fingerprint") == inputs_fingerprint(
+            sorted(input_paths)
+        ) and all(
             os.path.exists(manifest_abspath(s["path"], out_dir))
             for s in manifest["segments"]
         ):
             manifest["resumed_complete"] = True
             return manifest
+        # different input set/content: fall through — per-file checkpoints
+        # skip unchanged files, segments rebuild (their tag includes the
+        # inputs fingerprint)
 
     docs_dir = os.path.join(out_dir, "docs")
     seg_dir = os.path.join(out_dir, "segments")
@@ -158,6 +182,14 @@ def build_index(
 
     t0 = time.monotonic()
     sorted_inputs = sorted(input_paths)
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in sorted_inputs]
+    if len(set(stems)) != len(stems):
+        raise ValueError(
+            "input files must have unique basenames (checkpoints and docs "
+            f"shards are named by stem); duplicates: "
+            f"{sorted({x for x in stems if stems.count(x) > 1})}"
+        )
+    inputs_fp = inputs_fingerprint(sorted_inputs)
     # salt shift from id-space bounds / parquet footers — no data pass, so
     # tokenization can start with the first byte read (fused stage below)
     shift = compute_salt_shift(sorted_inputs, cfg)
@@ -236,7 +268,7 @@ def build_index(
     # parallel, per-shard checkpoints) or "groupby" (ray.data sort
     # exchange through the object store).
     docs_paths = sorted(r["output"] for r in lineage)
-    writer = SegmentWriter(seg_dir, cfg, avgdl, shift=shift)
+    writer = SegmentWriter(seg_dir, cfg, avgdl, shift=shift, extra_tag=inputs_fp)
 
     if cfg.shuffle_mode == "storage":
         partial_paths = sorted(r["output"] for r in partials_lineage)
@@ -283,13 +315,14 @@ def build_index(
     # metadata columns of its own segment files (parquet column pruning
     # keeps the blobs on disk) and aggregates.  Analog of the id lookup
     # tables the reference writes (TorSaver.java:116-141).
-    dict_paths = _build_dictionary(dict_dir, seg_rows, cfg)
+    dict_paths = _build_dictionary(dict_dir, seg_rows, cfg, tag=f"-{inputs_fp}")
     t3 = time.monotonic()
 
     for r in seg_rows:
         r["path"] = manifest_relpath(r["path"], out_dir)
     manifest = {
         "config": dataclasses.asdict(cfg),
+        "inputs_fingerprint": inputs_fp,
         "stats": stats,
         "lineage": lineage,
         "partials": partials_lineage,
@@ -380,7 +413,10 @@ def extend_index(
         .take_all()
     )
     partial_paths = sorted(r["partials_output"] for r in lineage)
-    writer = SegmentWriter(seg_dir, cfg, avgdl=0.0, shift=shift)  # avgdl unused in bounds
+    gen_fp = inputs_fingerprint(new_sorted)
+    writer = SegmentWriter(
+        seg_dir, cfg, avgdl=0.0, shift=shift, extra_tag=gen_fp
+    )  # avgdl unused in bounds
 
     def assemble(batch):
         import pyarrow as pa

@@ -71,10 +71,13 @@ def kmeans_embeddings(
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    head = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    # seed centroids from the FIRST ROW GROUP only — the driver never
+    # materializes the table (at 10^12 rows that would OOM before the
+    # distributed loop starts); the deterministic sample is plenty
+    head = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+        0, columns=["embedding"]
     )
-    all_e = (
+    sample = (
         head["embedding"]
         .combine_chunks()
         .flatten()
@@ -83,7 +86,7 @@ def kmeans_embeddings(
         .reshape(head.num_rows, -1)
     )
     rng = np.random.default_rng(seed)
-    centroids = all_e[rng.choice(len(all_e), size=k, replace=False)].copy()
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
 
     history: list[float] = []
     for _ in range(iters):

@@ -70,6 +70,20 @@ def documents_index(sf_dir: str) -> str:
     return out_dir
 
 
+_ENGINE_CACHE: dict[tuple, QueryEngine] = {}
+
+
+def _engine(idx: str, **kw) -> QueryEngine:
+    """One engine per (index dir, options) — index opens are expensive
+    (dict shards + all segments), and gate queries reuse the same index."""
+    key = (idx, tuple(sorted(kw.items())))
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = QueryEngine(idx, **kw)
+        _ENGINE_CACHE[key] = eng
+    return eng
+
+
 def term_df(sf_dir: str) -> pd.DataFrame:
     """term, df — straight from the built term dictionary (validates the
     groupby-aggregate dictionary path against SQL)."""
@@ -94,11 +108,16 @@ def postings_flat(sf_dir: str) -> ray.data.Dataset:
     """term, doc_id, tf — segments decoded back to flat rows (validates
     the full build+compress+store+decode cycle against SQL)."""
     idx = documents_index(sf_dir)
-    seg_dir = os.path.join(idx, "segments")
+    import json
+
+    from torchtrajectory_ray.pipelines.build import manifest_abspath
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        manifest = json.load(f)
+    # segments from the MANIFEST (covers extend generations, excludes
+    # orphans) — same rule as the query engine
     paths = sorted(
-        os.path.join(seg_dir, p)
-        for p in os.listdir(seg_dir)
-        if p.endswith(".parquet")
+        manifest_abspath(r["path"], idx) for r in manifest["segments"]
     )
 
     def decode(batch: pa.Table) -> pa.Table:
@@ -130,7 +149,7 @@ def topk_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
     SQL oracle is float-stable; the engine is asked for 2k candidates so
     the rounded re-rank cannot change the top-k membership silently.
     """
-    eng = QueryEngine(documents_index(sf_dir))
+    eng = _engine(documents_index(sf_dir))
     rows = []
     for q in WEB_QUERIES:
         res = eng.topk(q["terms"], k=2 * k, method="wand")
@@ -147,7 +166,7 @@ def topk_resolved(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """topk_bm25 hydrated with doc metadata (M6 result resolution):
     query_id, rank, doc_id, score, lang, doclen."""
     ranks = topk_bm25(sf_dir, k=k)
-    eng = QueryEngine(documents_index(sf_dir))
+    eng = _engine(documents_index(sf_dir))
     meta = eng.resolve(ranks["doc_id"].unique())
     out = ranks.merge(meta[["doc_id", "lang", "doclen"]], on="doc_id", how="left")
     return out[["query_id", "rank", "doc_id", "score", "lang", "doclen"]]
@@ -156,7 +175,7 @@ def topk_resolved(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def bool_or_lang(sf_dir: str, lang: str = "en") -> pd.DataFrame:
     """Boolean OR with a language predicate filter (U3 metadata-range /
     M7 time-span filter analog — Arrow predicate on the doc-meta column)."""
-    eng = QueryEngine(documents_index(sf_dir), load_doc_meta=True)
+    eng = _engine(documents_index(sf_dir), load_doc_meta=True)
     rows = []
     for q in WEB_QUERIES:
         for d in eng.bool_or(q["terms"], lang=lang):
@@ -165,7 +184,7 @@ def bool_or_lang(sf_dir: str, lang: str = "en") -> pd.DataFrame:
 
 
 def bool_or(sf_dir: str) -> pd.DataFrame:
-    eng = QueryEngine(documents_index(sf_dir))
+    eng = _engine(documents_index(sf_dir))
     rows = []
     for q in WEB_QUERIES:
         for d in eng.bool_or(q["terms"]):
@@ -174,7 +193,7 @@ def bool_or(sf_dir: str) -> pd.DataFrame:
 
 
 def bool_and(sf_dir: str) -> pd.DataFrame:
-    eng = QueryEngine(documents_index(sf_dir))
+    eng = _engine(documents_index(sf_dir))
     rows = []
     for q in WEB_QUERIES:
         for d in eng.bool_and(q["terms"]):

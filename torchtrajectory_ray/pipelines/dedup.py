@@ -25,7 +25,12 @@ import pyarrow.compute as pc
 import ray.data
 
 MERSENNE = (1 << 61) - 1
-MAX_BUCKET = 64  # pairs per bucket cap: 64*63/2 ≈ 2k pairs
+# all-pairs expansion cap: buckets up to this size emit the full pair
+# set; LARGER (degenerate) buckets fall back to star expansion — every
+# member pairs with the bucket's min doc_id — so no member is silently
+# unpaired (union-find connectivity is preserved at O(n) pairs) and the
+# pair rows carry capped=True
+MAX_BUCKET = 64
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
@@ -197,12 +202,16 @@ def _partition_pairs(tbl: pa.Table) -> pd.DataFrame:
         u = np.unique(ids[h:e])
         if len(u) < 2:
             continue
-        capped = len(u) > MAX_BUCKET
-        u = u[:MAX_BUCKET]
-        ia, ib = np.triu_indices(len(u), k=1)
-        out_a.append(u[ia])
-        out_b.append(u[ib])
-        capped_any.append(np.full(len(ia), capped))
+        if len(u) > MAX_BUCKET:
+            # star expansion: connect every member to the representative
+            out_a.append(np.full(len(u) - 1, u[0]))
+            out_b.append(u[1:])
+            capped_any.append(np.full(len(u) - 1, True))
+        else:
+            ia, ib = np.triu_indices(len(u), k=1)
+            out_a.append(u[ia])
+            out_b.append(u[ib])
+            capped_any.append(np.full(len(ia), False))
     if not out_a:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "capped": []})
     return pd.DataFrame(
@@ -249,9 +258,10 @@ def minhash_candidates(docs: ray.data.Dataset, **kw) -> pd.DataFrame:
         .to_pandas()
     )
     if pairs.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b"])
+        return pd.DataFrame(columns=["doc_a", "doc_b", "capped"])
     return (
-        pairs.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+        pairs.groupby(["doc_a", "doc_b"], as_index=False)
+        .agg(capped=("capped", "any"))
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
@@ -296,7 +306,7 @@ def minhash_dedup_pairs(
         .set_index("doc_id")["text"]
     )
     rows = []
-    for a, b in cand.itertuples(index=False):
+    for a, b in cand[["doc_a", "doc_b"]].itertuples(index=False):
         j = exact_jaccard(tbl[a].split(" "), tbl[b].split(" "), shingle_k)
         if j >= threshold:
             rows.append((int(a), int(b), round(j, 6)))
@@ -411,10 +421,16 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
             u, first = np.unique(ids[h:e], return_index=True)
             if len(u) < 2:
                 continue
-            u = u[:MAX_BUCKET]
-            us = sh[h:e][first][:MAX_BUCKET]
-            ia, ib = np.triu_indices(len(u), k=1)
-            a.append(u[ia]); b.append(u[ib]); sa.append(us[ia]); sb.append(us[ib])
+            us = sh[h:e][first]
+            if len(u) > MAX_BUCKET:
+                # star expansion (see MAX_BUCKET note)
+                a.append(np.full(len(u) - 1, u[0]))
+                b.append(u[1:])
+                sa.append(np.full(len(u) - 1, us[0]))
+                sb.append(us[1:])
+            else:
+                ia, ib = np.triu_indices(len(u), k=1)
+                a.append(u[ia]); b.append(u[ib]); sa.append(us[ia]); sb.append(us[ib])
         if not a:
             return pd.DataFrame({"doc_a": [], "doc_b": [], "sh_a": [], "sh_b": []})
         return pd.DataFrame(

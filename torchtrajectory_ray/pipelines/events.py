@@ -18,6 +18,25 @@ from ray.data.aggregate import Sum
 HOUR_US = 3_600_000_000
 
 
+def _agg_rounded(parts: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """Shared tail of every windowed aggregate: small groupby over the
+    partials + 6dp rounding of the float sum (one definition so rounding
+    and aggregation cannot drift between window flavors)."""
+    out = parts.groupby(keys).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"),
+            "sum_value",
+            pa.array(np.round(batch["sum_value"].to_numpy(), 6)),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def tumbling_hour_agg(sf_dir: str) -> ray.data.Dataset:
     """event_type, window_start_us, n_events, sum_value — 1-hour tumbling
     windows by event time.  Partial-aggregates inside map_batches so the
@@ -38,26 +57,12 @@ def tumbling_hour_agg(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
+    return _agg_rounded(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start_us"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start_us"],
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("sum_value"),
-            "sum_value",
-            pa.array(np.round(batch["sum_value"].to_numpy(), 6)),
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
 
 
 SLIDE_US = 900_000_000  # 15 min
@@ -88,26 +93,12 @@ def sliding_hour_agg(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
+    return _agg_rounded(
         ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start_us"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_start_us"],
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("sum_value"),
-            "sum_value",
-            pa.array(np.round(batch["sum_value"].to_numpy(), 6)),
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def prop_k_stats(sf_dir: str) -> ray.data.Dataset:
@@ -130,24 +121,12 @@ def prop_k_stats(sf_dir: str) -> ray.data.Dataset:
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["props", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("k_bucket")
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+    return _agg_rounded(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["props", "value"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["k_bucket"],
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("sum_value"),
-            "sum_value",
-            pa.array(np.round(batch["sum_value"].to_numpy(), 6)),
-        )
-
-    return out.map_batches(finish, batch_format="pyarrow")
 
 
 SESSION_GAP_US = 1_800_000_000  # 30 min

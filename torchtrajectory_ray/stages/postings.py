@@ -360,14 +360,20 @@ class PartialsWriter:
         stem = os.path.splitext(os.path.basename(docs_path))[0]
         out = os.path.join(self.partials_dir, f"partials-{stem}.parquet")
         sidecar = out + ".rgmap.json"
+        st = os.stat(docs_path)
+        src_id = [st.st_size, st.st_mtime_ns]
         if os.path.exists(sidecar) and os.path.exists(out):
             with open(sidecar) as f:
                 side = json.load(f)
-            if side.get("cfg_tag") == self.cfg_tag:
+            if (
+                side.get("cfg_tag") == self.cfg_tag
+                and side.get("src_id") == src_id
+            ):
                 lin = side["lineage"]
                 lin["skipped"] = True
                 return lin
-            # stale checkpoint from a different config/shift: rebuild
+            # stale checkpoint (different config/shift OR rebuilt docs
+            # shard): rebuild
 
         t0 = time.monotonic()
         tbl = (
@@ -428,7 +434,13 @@ class PartialsWriter:
         }
         with open(sidecar + ".tmp", "w") as f:
             json.dump(
-                {"segments": rgmap, "lineage": lin, "cfg_tag": self.cfg_tag}, f
+                {
+                    "segments": rgmap,
+                    "lineage": lin,
+                    "cfg_tag": self.cfg_tag,
+                    "src_id": src_id,
+                },
+                f,
             )
         os.replace(sidecar + ".tmp", sidecar)
         return lin
@@ -484,11 +496,19 @@ class SegmentWriter:
     """
 
     def __init__(
-        self, out_dir: str, cfg: IndexConfig, avgdl: float, shift: int | None = None
+        self,
+        out_dir: str,
+        cfg: IndexConfig,
+        avgdl: float,
+        shift: int | None = None,
+        extra_tag: str = "",
     ):
         self.out_dir = out_dir
         self.cfg = cfg
-        self.cfg_tag = config_tag(cfg, shift)
+        # a segment merges runs from EVERY input shard, so its checkpoint
+        # is invalidated by any change to the input set (extra_tag =
+        # inputs fingerprint), not just the config/shift
+        self.cfg_tag = config_tag(cfg, shift) + extra_tag
         self.avgdl = avgdl
 
     def __call__(self, group: pa.Table | pd.DataFrame) -> pa.Table:

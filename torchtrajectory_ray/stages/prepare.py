@@ -190,13 +190,19 @@ class PrepareFileTask:
         sidecar = out + ".lineage.json"
         self.last_docs = None
         self.last_tokens = None
+        st = os.stat(path)
+        src_id = [st.st_size, st.st_mtime_ns]
         if os.path.exists(sidecar) and os.path.exists(out):
             with open(sidecar) as f:
                 lin = json.load(f)
-            if lin.get("cfg_tag", "") == self.cfg_tag:
+            if (
+                lin.get("cfg_tag", "") == self.cfg_tag
+                and lin.get("src_id") == src_id
+            ):
                 lin["skipped"] = True
                 return lin
-            # stale checkpoint from a different config: rebuild
+            # stale checkpoint (different config OR changed source file):
+            # rebuild
 
         t0 = time.monotonic()
         raw = pq.read_table(path)
@@ -217,6 +223,7 @@ class PrepareFileTask:
             "input": path,
             "output": out,
             "cfg_tag": self.cfg_tag,
+            "src_id": src_id,
             "n_docs": int(docs.num_rows),
             "n_rejected": n_rejected,
             "sum_doclen": int(dl.sum()) if len(dl) else 0,
