@@ -176,3 +176,71 @@ def test_degenerate_bucket_star_expansion(ray_session):
     covered = set(cand["doc_a"]) | set(cand["doc_b"])
     assert covered == set(range(n))
     assert cand["capped"].any()
+
+
+def test_ordinal_shift_rebuilds_doc_ids(ray_session, tmp_path):
+    """Adding an input file shifts later files' doc_id bases; their docs
+    shards must rebuild (identity includes doc_id_base) or two files
+    would silently share ids."""
+    import pyarrow.parquet as pq
+
+    t = fixtures.webpages_table(40)
+    pb = str(tmp_path / "b.parquet"); pc = str(tmp_path / "c.parquet")
+    pq.write_table(t.slice(0, 20), pb)
+    pq.write_table(t.slice(20, 20), pc)
+    d = str(tmp_path / "i")
+    cfg = IndexConfig(num_term_shards=2, num_salts=2)
+    build_index([pb, pc], d, cfg)
+
+    pa_ = str(tmp_path / "a.parquet")
+    pq.write_table(fixtures.webpages_table(10, start=100), pa_)
+    m = build_index([pa_, pb, pc], d, cfg)
+    assert all(not r["skipped"] for r in m["lineage"])  # all rebased
+    # every doc id unique across the merged docs shards
+    import glob
+
+    ids = []
+    for f in glob.glob(os.path.join(d, "docs", "**", "*.parquet"), recursive=True):
+        ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert len(ids) == 50 and len(set(ids)) == 50
+
+
+def test_wand_exhaustive_parity_tie_prone(ray_session, tmp_path):
+    """Heavily tied corpus (many identical docs, mixed tf, tiny blocks):
+    wand must stay bit-identical to exhaustive, including kth-score ties
+    (strict-inequality termination, the reference's bestKth > bound)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i in range(160):
+        if i % 13 == 0:
+            rows.append("alpha alpha alpha alpha alpha beta")   # tf-5 spikes
+        elif i % 3 == 0:
+            rows.append("alpha beta gamma")                      # tf-1 ties
+        else:
+            rows.append("gamma delta filler" + str(i % 7))
+    tbl = pa.table(
+        {
+            "url": pa.array([f"u/{i}" for i in range(len(rows))], pa.string()),
+            "text": pa.array(rows, pa.string()),
+        }
+    )
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, src)
+    d = str(tmp_path / "i")
+    build_index([src], d, IndexConfig(num_term_shards=2, num_salts=2, block_size=4))
+    eng = QueryEngine(d)
+    for terms in (["alpha"], ["alpha", "beta"], ["beta", "gamma"], ["alpha", "gamma"]):
+        for k in (1, 3, 5, 10, 40):
+            assert eng.topk(terms, k=k, method="wand") == eng.topk(
+                terms, k=k, method="exhaustive"
+            ), (terms, k)
+
+
+def test_entity_decode_order():
+    from torchtrajectory_ray.functions.text import extract_text
+
+    assert extract_text(b"a &amp;lt; b") == "a &lt; b"
+    assert extract_text(b"x &amp; y &lt; z") == 'x & y < z'
+    assert extract_text(b"&amp;quot;") == "&quot;"

@@ -22,32 +22,14 @@ _MAX_VARINT_BYTES = 10
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """Vectorized LEB128 encode of a non-negative integer array."""
+    """Vectorized LEB128 encode of a non-negative integer array.
+    Single-run facade over :func:`varint_encode_multi` (one encoder, one
+    on-disk byte format — the two copies this replaces had already begun
+    to drift)."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     if v.size == 0:
         return b""
-    if v.min() < 0:
-        raise ValueError("varint_encode requires non-negative values")
-    u = v.astype(_U64)
-    # bytes needed per value: ceil(bitlen / 7), min 1
-    nbytes = np.ones(u.shape, dtype=np.int64)
-    thresh = _U64(1 << 7)
-    shifted = u.copy()
-    for _ in range(_MAX_VARINT_BYTES - 1):
-        more = shifted >= thresh
-        if not more.any():
-            break
-        nbytes += more
-        shifted = shifted >> _U64(7)
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    for j in range(int(nbytes.max())):
-        mask = nbytes > j
-        chunk = ((u[mask] >> _U64(7 * j)) & _U64(0x7F)).astype(np.uint8)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << np.uint8(7)
-        out[offsets[mask] + j] = chunk | cont
-    return out.tobytes()
+    return varint_encode_multi(v, np.array([v.size], dtype=np.int64))[0]
 
 
 def varint_decode(blob: bytes, count: int | None = None) -> np.ndarray:
@@ -71,7 +53,8 @@ def varint_decode(blob: bytes, count: int | None = None) -> np.ndarray:
 
 
 def delta_encode(sorted_values: np.ndarray) -> bytes:
-    """Delta + varint encode a sorted non-decreasing int64 array.
+    """Delta + varint encode a sorted non-decreasing int64 array
+    (single-run facade over :func:`delta_encode_multi`).
 
     Precondition mirrors the reference: posting lists are sorted by id
     ascending before compression (InvertedIndex.java:63-67,102-105).
@@ -79,12 +62,7 @@ def delta_encode(sorted_values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(sorted_values, dtype=np.int64)
     if v.size == 0:
         return b""
-    deltas = np.empty_like(v)
-    deltas[0] = v[0]
-    np.subtract(v[1:], v[:-1], out=deltas[1:])
-    if v.size > 1 and deltas[1:].min() < 0:
-        raise ValueError("delta_encode requires sorted input")
-    return varint_encode(deltas)
+    return delta_encode_multi(v, np.array([v.size], dtype=np.int64))[0]
 
 
 def delta_decode(blob: bytes, count: int | None = None) -> np.ndarray:

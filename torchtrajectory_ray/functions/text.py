@@ -27,13 +27,15 @@ _SCRIPT_STYLE = re.compile(
 _COMMENT = re.compile(rb"<!--.*?-->", re.DOTALL)
 _TAG = re.compile(rb"<[^>]*>")
 _WS = re.compile(rb"\s+")
+# &amp; decoded LAST: decoding it first would double-decode escaped
+# entities ("&amp;lt;" must yield "&lt;", not "<")
 _ENTITIES = [
-    (b"&amp;", b"&"),
     (b"&lt;", b"<"),
     (b"&gt;", b">"),
     (b"&quot;", b'"'),
     (b"&#39;", b"'"),
     (b"&nbsp;", b" "),
+    (b"&amp;", b"&"),
 ]
 
 

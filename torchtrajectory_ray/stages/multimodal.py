@@ -37,7 +37,9 @@ def encode_fake_image(media_id: int, h: int, w: int, c: int = 3) -> bytes:
 def encode_fake_audio(media_id: int, n_samples: int) -> bytes:
     rng = np.random.default_rng(2000 + media_id)
     samples = (rng.standard_normal(n_samples) * 1000).astype(np.int16)
-    return MAGIC + b"A" + struct.pack("<HHB", n_samples, 0, 1) + samples.tobytes()
+    # header length fields unused for audio (length = payload size; a
+    # uint16 field would cap clips at 65535 samples)
+    return MAGIC + b"A" + struct.pack("<HHB", 0, 0, 1) + samples.tobytes()
 
 
 def encode_fake_video(media_id: int, frames: int, h: int, w: int) -> bytes:

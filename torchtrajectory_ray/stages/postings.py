@@ -38,7 +38,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from torchtrajectory_ray.config import IndexConfig
-from torchtrajectory_ray.functions.bm25 import tf_norm
 from torchtrajectory_ray.functions.codec import (
     concat_aranges,
     delta_decode_concat,
@@ -107,6 +106,8 @@ def compute_salt_shift(input_paths: list[str], cfg: IndexConfig) -> int:
       ``n_files << 34``;
     - url_hash mode: ids span the full 62-bit hash space.
     """
+    if not input_paths:
+        raise ValueError("no input files given")
     schema = pq.read_schema(input_paths[0])
     if "doc_id" in schema.names:
         mx = -1
@@ -462,23 +463,6 @@ def assemble_segment(
     if not tables:
         return None
     return writer(pa.concat_tables(tables))
-
-
-SEGMENT_COLS = [
-    "term_id",
-    "term",
-    "salt",
-    "df",
-    "max_tf",
-    "min_dl",
-    "doc_ids_blob",
-    "tfs_blob",
-    "doclens_blob",
-    "pos_blob",
-    "blk_last",
-    "blk_max_tf",
-    "blk_min_dl",
-]
 
 
 class SegmentWriter:

@@ -29,9 +29,6 @@ import pyarrow.parquet as pq
 
 from torchtrajectory_ray.functions.text import extract_text, tokenize
 
-DOCS_SCHEMA_COLS = ["doc_id", "url", "warc_ts", "lang", "doclen", "text"]
-
-
 def url_doc_id(url: str) -> int:
     """Stable 62-bit doc id from the url (order-independent, unlike the
     reference's arrival-order idGenerator++, Torch/base/model/TorEdge.java:17).
@@ -191,7 +188,10 @@ class PrepareFileTask:
         self.last_docs = None
         self.last_tokens = None
         st = os.stat(path)
-        src_id = [st.st_size, st.st_mtime_ns]
+        # identity includes doc_id_base: the same file re-ordinaled by a
+        # changed input set must rebuild, or two files would silently
+        # share doc ids
+        src_id = [st.st_size, st.st_mtime_ns, doc_id_base]
         if os.path.exists(sidecar) and os.path.exists(out):
             with open(sidecar) as f:
                 lin = json.load(f)

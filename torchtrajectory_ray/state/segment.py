@@ -63,6 +63,7 @@ class SaltSearcher:
         self.runs: dict[int, list[dict]] = {}
         self._lazy_cache: dict[int, list[dict]] = {}
         self._decoded_cache: dict[int, tuple] = {}
+        self._pos_cache: dict[int, tuple] = {}
         if seg_paths is None:
             # standalone fallback: discover by glob (base build first, then
             # generations in order — dense doc ordinals grow per
@@ -173,7 +174,11 @@ class SaltSearcher:
         return ids, tfs, dls
 
     def postings_pos(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids, first_positions) — requires store_positions=True."""
+        """(doc_ids, first_positions) — requires store_positions=True.
+        Cached like :meth:`postings` (same decode-dominates argument)."""
+        hit = self._pos_cache.get(term_id)
+        if hit is not None:
+            return hit
         rows = self._rows(term_id)
         if not rows:
             e = np.empty(0, dtype=np.int64)
@@ -185,6 +190,9 @@ class SaltSearcher:
             )
         ids = np.concatenate([delta_decode(r["doc_ids_blob"], r["df"]) for r in rows])
         pos = np.concatenate([varint_decode(r["pos_blob"], r["df"]) for r in rows])
+        if len(self._pos_cache) >= self._DECODED_CACHE_MAX:
+            self._pos_cache.clear()
+        self._pos_cache[term_id] = (ids, pos)
         return ids, pos
 
     def phrase_and(
@@ -345,7 +353,11 @@ class SaltSearcher:
         kth = -np.inf
         c0 = 0
         while c0 < len(visit):
-            if n_scored >= k and ub[visit[c0]] <= kth:
+            # STRICT inequality (the reference's `bestKth > upperBound`
+            # break, EdgeInvertedIndex.java:160): a candidate whose bound
+            # ties the kth score can still tie exactly and win the
+            # (score desc, doc_id asc) tie-break, so it must be scored
+            if n_scored >= k and ub[visit[c0]] < kth:
                 break
             chunk = visit[c0 : c0 + CH]
             c0 += CH
@@ -366,7 +378,8 @@ class SaltSearcher:
             out_scores.append(s)
             n_scored += len(d_sorted)
             if n_scored >= k:
-                kth = np.sort(np.concatenate(out_scores))[-k]
+                allsc = np.concatenate(out_scores)
+                kth = np.partition(allsc, len(allsc) - k)[len(allsc) - k]
         ids_arr = np.concatenate(out_ids)
         sc_arr = np.concatenate(out_scores)
         if len(ids_arr) > k:
