@@ -82,6 +82,7 @@ def test_bitpack_roundtrip_random():
 @given(
     st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1), max_size=400)
 )
+@settings(deadline=None)
 def test_bitpack_roundtrip_hypothesis(vals):
     from torchtrajectory_ray.functions.codec import bitpack_decode, bitpack_encode
 

@@ -19,7 +19,8 @@ def _planted_corpus() -> pa.Table:
         toks = [vocab[j] for j in rng.integers(0, 400, 60)]
         ids.append(i)
         texts.append(" ".join(toks))
-    # planted near-dups: docs 100/101 differ by 2 tokens from doc 0
+    # planted near-dups: docs 100/101 each differ by ONE token from doc 0
+    # (and by two from each other)
     base = texts[0].split(" ")
     for j, did in enumerate((100, 101)):
         mod = list(base)

@@ -66,12 +66,16 @@ def test_query_matches_oracle(entry_mod, con, name):
         f"{name} columns {list(got.columns)} != {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"{name} rows {len(got)} != {len(exp)}"
-    pd.testing.assert_frame_equal(got, exp, check_dtype=True, atol=0, rtol=0)
+    # values rounded to 6dp on both sides, then compared with a small
+    # absolute tolerance: two engines can straddle a rounding boundary by
+    # 1 ulp (different summation order), which exact comparison would
+    # flag even though the unrounded values agree to 1e-9
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True, atol=2e-6, rtol=0)
 
 
 def test_entry_smoke(entry_mod):
     res = _to_pandas(entry_mod.entry())
-    assert len(res) >= 0
+    assert len(res) > 0
     assert list(res.columns) == ["query_id", "rank", "doc_id", "score"]
 
 
@@ -80,4 +84,4 @@ def test_every_query_has_result(entry_mod):
     assert len(qs) >= 10
     for name, fn in qs.items():
         df = _to_pandas(fn(SF_DIR))
-        assert len(df) >= 0, name
+        assert len(df) > 0, name

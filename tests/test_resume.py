@@ -68,7 +68,7 @@ def test_resume_skips_and_is_byte_identical(ray_session, tmp_path):
     # a third run with a complete manifest short-circuits entirely
     m3 = build_index(paths, crash_dir, IndexConfig(**CFG))
     assert m3.get("resumed_complete") is True
-    assert m1["stats"] == m2["stats"]
+    assert m1["stats"] == m2["stats"] == m3["stats"]
 
 
 def test_output_independent_of_sharding_and_batching(ray_session, tmp_path):

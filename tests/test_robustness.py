@@ -33,18 +33,24 @@ def test_tokenize_never_raises(text):
 
 
 def test_build_with_empty_shard(ray_session, tmp_path):
-    """An input shard with zero rows must not break the build or shift
-    other shards' doc ids."""
+    """An input shard with zero rows must not break the build, and every
+    doc id must stay unique (ordinals DO shift around the empty shard —
+    that is fine; collisions are not)."""
+    import glob as _glob
+
     paths = fixtures.write_webpages(str(tmp_path / "c"), 60, num_files=2)
     empty = str(tmp_path / "c" / "webpages-0000a-empty.parquet")
     pq.write_table(fixtures.webpages_table(0), empty)
+    out = str(tmp_path / "i")
     m = build_index(
-        paths + [empty],
-        str(tmp_path / "i"),
-        IndexConfig(num_term_shards=2, num_salts=2),
+        paths + [empty], out, IndexConfig(num_term_shards=2, num_salts=2)
     )
     assert m["stats"]["n_docs"] == 60
     assert len(m["lineage"]) == 3
+    ids = []
+    for f in _glob.glob(f"{out}/docs/**/*.parquet", recursive=True):
+        ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert len(ids) == 60 and len(set(ids)) == 60
 
 
 def test_head_term_salting_bounds_runs(ray_session, tmp_path):

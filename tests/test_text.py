@@ -99,7 +99,7 @@ def test_bad_rows_drop_counts(ray_session, tmp_path):
     src = str(tmp_path / "pages.parquet")
     pq.write_table(bad, src)
 
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="invariant violated"):
         build_index([src], str(tmp_path / "i1"),
                     IndexConfig(num_term_shards=2, num_salts=2))
 
