@@ -28,6 +28,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from torchtrajectory_ray.pipelines import (
         analytics,
+        clean,
         clustering,
         corpus,
         events,
@@ -55,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
         "top_bigrams": textstats.top_bigrams,
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
+        "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
+        "clean_summary": clean.clean_corpus_summary,
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
@@ -266,6 +269,47 @@ SELECT n_name, count(*)::BIGINT AS n_suppliers,
        round(sum(s_acctbal), 6) AS sum_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name""",
+        "clean_verdicts": f"""
+WITH f AS (
+  SELECT doc_id, text, len({_TOKS}) AS n_tokens,
+         len(list_filter({_TOKS}, x -> x IN {_STOP_SQL}))::DOUBLE
+           / len({_TOKS}) AS stop_ratio
+  FROM documents),
+r1 AS (
+  SELECT doc_id, text,
+    CASE WHEN n_tokens < 10 THEN 'too_short'
+         WHEN n_tokens > 100000 THEN 'too_long'
+         WHEN stop_ratio > 0.5 THEN 'high_stop_ratio'
+         ELSE 'kept' END AS reason
+  FROM f),
+mins AS (SELECT text, min(doc_id) AS keep_id
+         FROM r1 WHERE reason = 'kept' GROUP BY text)
+SELECT r1.doc_id,
+  CASE WHEN r1.reason != 'kept' THEN r1.reason
+       WHEN r1.doc_id != m.keep_id THEN 'exact_dup'
+       ELSE 'kept' END AS reason
+FROM r1 LEFT JOIN mins m ON r1.text = m.text""",
+        "clean_summary": f"""
+WITH f AS (
+  SELECT doc_id, text, len({_TOKS}) AS n_tokens,
+         len(list_filter({_TOKS}, x -> x IN {_STOP_SQL}))::DOUBLE
+           / len({_TOKS}) AS stop_ratio
+  FROM documents),
+r1 AS (
+  SELECT doc_id, text,
+    CASE WHEN n_tokens < 10 THEN 'too_short'
+         WHEN n_tokens > 100000 THEN 'too_long'
+         WHEN stop_ratio > 0.5 THEN 'high_stop_ratio'
+         ELSE 'kept' END AS reason
+  FROM f),
+mins AS (SELECT text, min(doc_id) AS keep_id
+         FROM r1 WHERE reason = 'kept' GROUP BY text),
+v AS (SELECT r1.doc_id,
+        CASE WHEN r1.reason != 'kept' THEN r1.reason
+             WHEN r1.doc_id != m.keep_id THEN 'exact_dup'
+             ELSE 'kept' END AS reason
+      FROM r1 LEFT JOIN mins m ON r1.text = m.text)
+SELECT reason, count(*)::BIGINT AS n FROM v GROUP BY reason""",
         "events_prop_stats": """
 SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value

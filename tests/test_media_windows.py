@@ -115,3 +115,66 @@ def test_top_bigrams_rank(ray_session):
     df = textstats.top_bigrams(SF, k=10)
     assert list(df["rank"]) == list(range(1, 11))
     assert (df["n"].diff().dropna() <= 0).all()
+
+
+# --- corpus cleaning ----------------------------------------------------------
+
+
+def test_clean_corpus_planted_verdicts(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import clean
+
+    rows = {
+        0: "alpha beta gamma delta " * 5,          # kept
+        1: "tiny doc",                              # too_short
+        2: "the a of to and in is the a of",        # high_stop_ratio (10 toks, 10 stop)
+        3: "alpha beta gamma delta " * 5,           # exact dup of 0
+        4: " ".join(f"w{i}" for i in range(30)),    # kept
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": pa.array(list(rows.values()), pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    v = clean.clean_corpus(str(d), with_near_dup=False).set_index("doc_id")["reason"]
+    assert v[0] == "kept" and v[4] == "kept"
+    assert v[1] == "too_short"
+    assert v[2] == "high_stop_ratio"
+    assert v[3] == "exact_dup"
+
+    out = clean.write_clean_corpus(str(d), str(tmp_path / "clean"))
+    assert out["counts"]["kept"] == 2
+    kept = pq.read_table(str(tmp_path / "clean"))
+    assert sorted(kept["doc_id"].to_pylist()) == [0, 4]
+
+
+def test_clean_corpus_near_dup(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import clean
+
+    rng = np.random.default_rng(5)
+    base = [f"t{i}" for i in rng.integers(0, 300, 60)]
+    near = list(base); near[7] = "changed"
+    texts = [" ".join(base), " ".join(near)] + [
+        " ".join(f"u{i}{j}" for i in range(40)) for j in range(5)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"; d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    v = clean.clean_corpus(str(d)).set_index("doc_id")["reason"]
+    assert v[0] == "kept"
+    assert v[1] == "near_dup"   # higher id of the confirmed pair drops
