@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         clean,
         clustering,
         corpus,
+        embed,
         events,
         knn,
         textstats,
@@ -63,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
+        "doc_embeddings": embed.doc_embeddings,       # feature hashing (rows-only)
+        "doc_embedding_neardup": embed.doc_embedding_neardup,
         # --- generic analytics (partial agg / broadcast join / top-k) ---
         "pricing_summary": analytics.pricing_summary,
         "revenue_topk": analytics.revenue_topk,

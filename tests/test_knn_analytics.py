@@ -123,3 +123,25 @@ def test_kmeans_deterministic(ray_session):
     a1, c1, h1 = kmeans_embeddings(SF, k=4, iters=5)
     a2, c2, h2 = kmeans_embeddings(SF, k=4, iters=5)
     assert a1.equals(a2) and np.allclose(c1, c2) and h1 == h2
+
+
+def test_doc_embeddings_deterministic_and_dup_detecting(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import embed
+
+    texts = ["alpha beta gamma " * 10, "alpha beta gamma " * 10,
+             " ".join(f"q{i}" for i in range(50))]
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "sf"; d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    v1 = embed.doc_embeddings(str(d)).to_pandas()
+    v2 = embed.doc_embeddings(str(d)).to_pandas()
+    a = np.stack(v1["embedding"].to_numpy())
+    assert np.allclose(a, np.stack(v2["embedding"].to_numpy()))  # deterministic
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)           # normalized
+    pairs = embed.doc_embedding_neardup(str(d), threshold=0.99)
+    assert (1, 2) in set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (1, 3) not in set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
