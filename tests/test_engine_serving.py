@@ -118,3 +118,21 @@ def test_lazy_load_mode_matches_memory(built):
     # cache hit path
     q = _queries()[0]
     assert mem.topk(q["terms"], k=10) == lazy.topk(q["terms"], k=10)
+
+
+def test_batch_pipeline_honors_filters(ray_session, tmp_path):
+    """Per-query lang filters must flow through the batch scorer pipeline
+    exactly as they do through engine.batch_topk."""
+    paths = fixtures.write_webpages(str(tmp_path / "c"), 120, num_files=2)
+    out = str(tmp_path / "i")
+    build_index(paths, out, IndexConfig(num_term_shards=2, num_salts=2))
+    qs = [
+        {"query_id": 0, "terms": ["w0000"], "lang": "pt"},
+        {"query_id": 1, "terms": ["w0000"]},
+    ]
+    eng = QueryEngine(out, load_doc_meta=True)
+    expect = eng.batch_topk(qs, k=20)
+    got = batch_topk_df(out, qs, k=20)
+    assert got.equals(expect.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # the filtered query returns fewer docs than the unfiltered one
+    assert (got.query_id == 0).sum() < (got.query_id == 1).sum()

@@ -34,13 +34,29 @@ MAX_STOP_RATIO = 0.5
 
 
 def _features(batch: pa.Table) -> pa.Table:
+    """Per-doc (content hash, n_tokens, stop_ratio) — vectorized with the
+    factorize pattern; kept separate from textstats.quality_score because
+    the verdicts need the UNROUNDED ratio (boundary semantics match the
+    SQL oracle) plus the sha."""
+    import itertools
+
     texts = batch["text"].to_pylist()
-    n_tok, n_stop = [], []
-    stop = set(STOPWORDS)
-    for t in texts:
-        toks = t.split(" ")
-        n_tok.append(len(toks))
-        n_stop.append(sum(1 for x in toks if x in stop))
+    tok_lists = [t.split(" ") for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    total = int(counts.sum())
+    if total:
+        flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+        codes, uniq = pd.factorize(flat, sort=False)
+        stop_codes = np.fromiter(
+            (t in STOPWORDS for t in uniq), bool, len(uniq)
+        )
+        doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), counts)
+        n_stop = np.bincount(
+            doc_idx, weights=stop_codes[codes], minlength=len(tok_lists)
+        )
+    else:
+        n_stop = np.zeros(len(tok_lists))
+    n_tok = counts
     out = text_sha1(batch.select(["doc_id", "text"]))
     return pa.table(
         {
@@ -85,14 +101,24 @@ def clean_corpus(
     reason[ok & feats["doc_id"].isin(dup_ids)] = "exact_dup"
 
     if with_near_dup:
-        pairs = dedup_mod.minhash_dedup_pairs(
-            sf_dir, threshold=near_dup_threshold
+        # sketch ONLY the surviving docs (quality-filtered + exact-deduped)
+        # — on spam-heavy corpora the dropped docs dominate and their LSH
+        # work would be wasted
+        kept_ids = set(int(x) for x in feats.loc[reason == "kept", "doc_id"])
+        keep_arr = pa.array(sorted(kept_ids), pa.int64())
+
+        def only_kept(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.is_in(batch["doc_id"], value_set=keep_arr))
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(only_kept, batch_format="pyarrow")
+        pairs = dedup_mod.verify_pairs(
+            docs, dedup_mod.minhash_candidates(docs), near_dup_threshold
         )
-        kept_ids = set(feats.loc[reason == "kept", "doc_id"])
-        near = set()
-        for a, b, _ in pairs.itertuples(index=False):
-            if a in kept_ids and b in kept_ids:
-                near.add(int(b))  # drop the higher id of each pair
+        near = {int(b) for _, b, _ in pairs.itertuples(index=False)}
         reason[(reason == "kept") & feats["doc_id"].isin(near)] = "near_dup"
 
     return (
@@ -120,6 +146,9 @@ def write_clean_corpus(sf_dir: str, out_dir: str) -> dict:
     """Write the kept documents as partitioned parquet (resumable output
     layout — many files via Ray's block-parallel writer, never one giant
     file) and return audit counts."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # rerun = replace, not append
     verdicts = clean_corpus(sf_dir)
     keep = pa.array(
         sorted(verdicts.loc[verdicts["reason"] == "kept", "doc_id"]), pa.int64()

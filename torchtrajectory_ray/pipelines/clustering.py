@@ -27,15 +27,9 @@ def _assign_partials(batch: pa.Table, centroids: np.ndarray) -> pa.Table:
     """Assign each vector to its nearest (euclidean) centroid; emit per-
     cluster partial sums (sum vector, count, inertia) for the re-center
     step — the combiner that keeps the shuffle tiny."""
-    col = batch["embedding"]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    e = (
-        col.flatten()
-        .to_numpy(zero_copy_only=False)
-        .astype(np.float64)
-        .reshape(len(col), -1)
-    )
+    from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+    e = _batch_matrix(batch)
     # ||x - c||² = ||x||² - 2x·c + ||c||² ; argmin over c drops ||x||²
     d = -2.0 * (e @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
     assign = np.argmin(d, axis=1)
@@ -68,23 +62,27 @@ def kmeans_embeddings(
     """
     import pyarrow.parquet as pq
 
+    # decoded blocks pinned in the object store: every Lloyd iteration is
+    # a pure compute pass instead of a fresh parquet scan
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    # seed centroids from the FIRST ROW GROUP only — the driver never
+    ).materialize()
+    # seed centroids from the first row group(s) — the driver never
     # materializes the table (at 10^12 rows that would OOM before the
-    # distributed loop starts); the deterministic sample is plenty
-    head = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
-        0, columns=["embedding"]
-    )
-    sample = (
-        head["embedding"]
-        .combine_chunks()
-        .flatten()
-        .to_numpy(zero_copy_only=False)
-        .astype(np.float64)
-        .reshape(head.num_rows, -1)
-    )
+    # distributed loop starts); read further groups only when the first
+    # holds fewer than k rows
+    from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    heads, n_rows = [], 0
+    for rg in range(pf.num_row_groups):
+        heads.append(pf.read_row_group(rg, columns=["embedding"]))
+        n_rows += heads[-1].num_rows
+        if n_rows >= k:
+            break
+    sample = _batch_matrix(pa.concat_tables(heads))
+    if len(sample) < k:
+        raise ValueError(f"corpus has {len(sample)} vectors < k={k}")
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=k, replace=False)].copy()
 
@@ -116,15 +114,9 @@ def kmeans_embeddings(
 
     # final assignment pass (vec_id → cluster)
     def final_assign(batch: pa.Table) -> pa.Table:
-        col = batch["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        e = (
-            col.flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-            .reshape(len(col), -1)
-        )
+        from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+        e = _batch_matrix(batch)
         d = -2.0 * (e @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
         return pa.table(
             {

@@ -275,6 +275,36 @@ def exact_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float
     return len(sa & sb) / len(sa | sb)
 
 
+def verify_pairs(
+    docs: ray.data.Dataset,
+    cand: pd.DataFrame,
+    threshold: float,
+    shingle_k: int = 3,
+) -> pd.DataFrame:
+    """Exact n-gram-Jaccard verification of candidate pairs: re-reads
+    only the involved docs (vectorized semi-join) → (doc_a, doc_b,
+    jaccard) pairs ≥ threshold."""
+    if cand.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    involved = pa.array(
+        sorted(set(cand["doc_a"]) | set(cand["doc_b"])), pa.int64()
+    )
+    tbl = (
+        docs.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=involved)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    rows = []
+    for a, b in cand[["doc_a", "doc_b"]].itertuples(index=False):
+        j = exact_jaccard(tbl[a].split(" "), tbl[b].split(" "), shingle_k)
+        if j >= threshold:
+            rows.append((int(a), int(b), round(j, 6)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
 def minhash_dedup_pairs(
     sf_dir: str,
     threshold: float = 0.7,
@@ -291,26 +321,7 @@ def minhash_dedup_pairs(
     cand = minhash_candidates(
         docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
-    if cand.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    involved = pa.array(
-        sorted(set(cand["doc_a"]) | set(cand["doc_b"])), pa.int64()
-    )
-    # verification re-reads only the involved docs (vectorized semi-join)
-    tbl = (
-        docs.map_batches(
-            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=involved)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .set_index("doc_id")["text"]
-    )
-    rows = []
-    for a, b in cand[["doc_a", "doc_b"]].itertuples(index=False):
-        j = exact_jaccard(tbl[a].split(" "), tbl[b].split(" "), shingle_k)
-        if j >= threshold:
-            rows.append((int(a), int(b), round(j, 6)))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    return verify_pairs(docs, cand, threshold, shingle_k)
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -86,20 +86,42 @@ def doc_embedding_neardup(
 ) -> pd.DataFrame:
     """doc_a, doc_b, sim — cosine near-dup pairs over the GENERATED doc
     vectors (embedding-cosine dedup applied to raw documents; exact and
-    near duplicate texts land at sim ≈ 1)."""
-    t = doc_embeddings(sf_dir, dim).to_pandas()
-    ids = t["doc_id"].to_numpy().astype(np.int64)
-    e = np.stack(t["embedding"].to_numpy()).astype(np.float64)
-    sims = e @ e.T  # vectors are L2-normalized
-    ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-    return (
-        pd.DataFrame(
+    near duplicate texts land at sim ≈ 1).
+
+    Streamed like :func:`knn.embedding_neardup`: each batch is compared
+    against the broadcast full matrix inside ``map_batches`` — the driver
+    never holds an n×n similarity matrix (only the n×dim vectors, the
+    small side; at 10^12 docs this kernel runs per IVF bucket)."""
+    import pyarrow.parquet as pq  # noqa: F401
+
+    eds = doc_embeddings(sf_dir, dim).materialize()  # one embedding pass
+    vec_tbl = eds.to_pandas()
+    if vec_tbl.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "sim"])
+    all_ids = vec_tbl["doc_id"].to_numpy().astype(np.int64)
+    all_e = np.stack(vec_tbl["embedding"].to_numpy()).astype(np.float64)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        e = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        sims = e @ all_e.T  # B × n (vectors are L2-normalized)
+        bi, aj = np.nonzero(sims >= threshold)
+        a, b = ids[bi], all_ids[aj]
+        keep = a < b
+        return pa.table(
             {
-                "doc_a": np.minimum(ids[ia], ids[ib]),
-                "doc_b": np.maximum(ids[ia], ids[ib]),
-                "sim": np.round(sims[ia, ib], 6),
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(np.round(sims[bi, aj][keep], 6), pa.float64()),
             }
         )
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+
+    out = (
+        eds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+        .to_pandas()
     )
+    if out.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "sim"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

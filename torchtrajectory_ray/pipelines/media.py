@@ -20,8 +20,13 @@ from torchtrajectory_ray.stages.multimodal import (
 CACHE_ROOT = "/tmp/ttray_cache"
 
 
+MEDIA_FORMAT_VERSION = 2  # bump when fixtures_media_table/codecs change
+
+
 def media_corpus(n: int = 300, num_files: int = 4) -> list[str]:
-    out_dir = os.path.join(CACHE_ROOT, f"media-{n}-{num_files}")
+    out_dir = os.path.join(
+        CACHE_ROOT, f"media-v{MEDIA_FORMAT_VERSION}-{n}-{num_files}"
+    )
     os.makedirs(out_dir, exist_ok=True)
     paths = [
         os.path.join(out_dir, f"media-{i:04d}.parquet") for i in range(num_files)
@@ -52,5 +57,6 @@ def media_features(sf_dir: str | None = None, n: int = 300) -> pd.DataFrame:
         concurrency=(1, 4),     # actor pool: codec state loads once/actor
         num_cpus=1,
     )
-    df = feats.to_pandas().drop(columns=["resized"])
+    # drop the wide per-image float lists BEFORE shipping to the driver
+    df = feats.drop_columns(["resized"]).to_pandas()
     return df.sort_values("media_id").reset_index(drop=True)

@@ -22,17 +22,34 @@ from torchtrajectory_ray.state.engine import QueryEngine
 class BatchScorer:
     """map_batches actor: one full in-process engine per actor."""
 
-    def __init__(self, index_dir: str, k: int = 10, method: str = "wand"):
-        self.engine = QueryEngine(index_dir)
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        method: str = "wand",
+        load_doc_meta: bool = False,
+    ):
+        self.engine = QueryEngine(index_dir, load_doc_meta=load_doc_meta)
         self.k = k
         self.method = method
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+        langs = batch["lang"].to_pylist() if "lang" in names else None
+        los = batch["ts_lo"].to_pylist() if "ts_lo" in names else None
+        his = batch["ts_hi"].to_pylist() if "ts_hi" in names else None
         out_q, out_r, out_d, out_s = [], [], [], []
-        for qid, terms in zip(
-            batch["query_id"].to_pylist(), batch["terms"].to_pylist()
+        for i, (qid, terms) in enumerate(
+            zip(batch["query_id"].to_pylist(), batch["terms"].to_pylist())
         ):
-            res = self.engine.topk(list(terms), k=self.k, method=self.method)
+            res = self.engine.topk(
+                list(terms),
+                k=self.k,
+                method=self.method,
+                lang=langs[i] if langs else None,
+                ts_lo=los[i] if los else None,
+                ts_hi=his[i] if his else None,
+            )
             for r, (d, s) in enumerate(res, 1):
                 out_q.append(qid)
                 out_r.append(r)
@@ -60,12 +77,36 @@ def batch_topk_pipeline(
     score).  Engine state loads once per actor; queries stream through
     the pool with backpressure (size concurrency × batch_size to the
     query volume)."""
-    qds = ray.data.from_items(
-        [{"query_id": int(q["query_id"]), "terms": list(q["terms"])} for q in queries]
+    has_filters = any(
+        q.get("lang") is not None or q.get("ts_lo") is not None
+        or q.get("ts_hi") is not None
+        for q in queries
     )
+    items = [
+        {
+            "query_id": int(q["query_id"]),
+            "terms": list(q["terms"]),
+            **(
+                {
+                    "lang": q.get("lang"),
+                    "ts_lo": q.get("ts_lo"),
+                    "ts_hi": q.get("ts_hi"),
+                }
+                if has_filters
+                else {}
+            ),
+        }
+        for q in queries
+    ]
+    qds = ray.data.from_items(items)
     return qds.map_batches(
         BatchScorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "method": method},
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "k": k,
+            "method": method,
+            "load_doc_meta": has_filters,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
