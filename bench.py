@@ -145,6 +145,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("events_sessions", lambda: events.session_windows(sf_dir).to_pandas())
     timed("media_features", lambda: media.media_features(n=300))
 
+    from torchtrajectory_ray.pipelines import clean, embed
+
+    timed("clean_corpus", lambda: clean.clean_corpus(sf_dir))
+    timed("doc_embeddings", lambda: embed.doc_embeddings(sf_dir).materialize())
+
     return {
         "metric": "e2e_suite_seconds",
         "value": round(sum(timings.values()), 3),
