@@ -136,3 +136,24 @@ def test_batch_pipeline_honors_filters(ray_session, tmp_path):
     assert got.equals(expect.sort_values(["query_id", "rank"]).reset_index(drop=True))
     # the filtered query returns fewer docs than the unfiltered one
     assert (got.query_id == 0).sum() < (got.query_id == 1).sum()
+
+
+def test_runtime_scoring_param_swap(built):
+    """engine.update(k1, b) must rescore under the new parameters without
+    a rebuild — wand stays parity with the oracle at the swapped values
+    (possible because bound metadata is (max_tf, min_dl))."""
+    from torchtrajectory_ray import oracle
+
+    eng = QueryEngine(built)
+    ids = [fixtures.dense_doc_id(i, N_DOCS, 3) for i in range(N_DOCS)]
+    orc = oracle.build_oracle(ids, [" ".join(fixtures.doc_tokens(i)) for i in range(N_DOCS)])
+    eng.update(k1=2.0, b=0.3)
+    for terms in (["w0000", "w0003"], ["w0001", "w0100", "w0500"]):
+        got = eng.topk(terms, k=10, method="wand")
+        exp = orc.topk(terms, k=10, k1=2.0, b=0.3)
+        assert [d for d, _ in got] == [d for d, _ in exp]
+        for (_, gs), (_, es) in zip(got, exp):
+            assert abs(gs - es) < 1e-9
+    # swap back
+    eng.update(k1=1.2, b=0.75)
+    assert eng.topk(["w0000"], k=5) == QueryEngine(built).topk(["w0000"], k=5)

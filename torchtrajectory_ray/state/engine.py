@@ -99,6 +99,18 @@ class QueryEngine:
                 for s in range(self.num_salts)
             ]
 
+    def update(self, k1: float | None = None, b: float | None = None) -> None:
+        """Runtime scoring-parameter swap (the analog of the reference's
+        Engine.update / QueryPool.update, Torch/queryEngine/Engine.java:
+        165-171) — no index rebuild needed: bound metadata stores
+        (max_tf, min_dl) and exact scores are computed from raw tf/doclen
+        under the engine's CURRENT parameters."""
+        if k1 is not None:
+            self.k1 = float(k1)
+        if b is not None:
+            self.b = float(b)
+        self._fanout("set_params", k1, b)
+
     # --- query prep (same tokenizer as the build) ---
 
     def resolve_terms(self, terms: list[str]) -> tuple[list[int], list[float]]:

@@ -131,6 +131,16 @@ class SaltSearcher:
                     "ts": ts[order],
                 }
 
+    def set_params(self, k1: float | None = None, b: float | None = None) -> bool:
+        """Runtime scoring-parameter swap — valid because segment bound
+        metadata is (max_tf, min_dl), independent of BM25 params; nothing
+        cached depends on k1/b (decoded postings are raw tf/doclen)."""
+        if k1 is not None:
+            self.k1 = float(k1)
+        if b is not None:
+            self.b = float(b)
+        return True
+
     _LAZY_CACHE_MAX = 4096
 
     def _rows(self, term_id: int) -> list[dict]:
