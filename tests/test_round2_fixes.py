@@ -1,0 +1,118 @@
+"""Round-2 regression tests for the advisor findings: stale forward-index
+shards, generation-aware path re-rooting, exact Mersenne-61 MinHash math."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from torchtrajectory_ray import fixtures
+from torchtrajectory_ray.config import IndexConfig
+from torchtrajectory_ray.pipelines.build import build_index, manifest_abspath
+from torchtrajectory_ray.state.engine import QueryEngine
+
+N = 120
+
+
+def test_manifest_abspath_reroots_generation_segments():
+    """A relocated legacy-absolute generation path must keep its full
+    suffix under the recognized top-level dir (segments/gen-001/..., not
+    gen-001/...)."""
+    assert manifest_abspath(
+        "/old/home/idx/segments/gen-001/seg-00001.parquet", "/new/idx"
+    ) == "/new/idx/segments/gen-001/seg-00001.parquet"
+    assert manifest_abspath(
+        "/old/home/idx/dict/dict-00001-x.parquet", "/new/idx"
+    ) == "/new/idx/dict/dict-00001-x.parquet"
+    assert manifest_abspath(
+        "/old/home/idx/docs/gen-002/docs-a.parquet", "/new/idx"
+    ) == "/new/idx/docs/gen-002/docs-a.parquet"
+    # relative paths resolve against the index dir unchanged
+    assert manifest_abspath("segments/seg-1.parquet", "/i") == (
+        "/i/segments/seg-1.parquet"
+    )
+
+
+def test_stale_docs_shard_not_resolved(ray_session, tmp_path):
+    """Rebuilding into the same out_dir with an input file REMOVED leaves
+    the removed file's docs shard on disk; its (re-ordinaled) doc_id range
+    collides with a live shard.  resolve()/doc_meta must read only the
+    manifest's docs shard list, so the stale shard is invisible."""
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    d = str(tmp_path / "i")
+    cfg = IndexConfig(num_term_shards=2, num_salts=2)
+    build_index(paths, d, cfg)
+    # drop the FIRST input: the surviving file re-ordinals to doc base 0,
+    # colliding with the stale shard of the removed file
+    m = build_index(paths[1:], d, cfg)
+    docs_dir = os.path.join(d, "docs")
+    on_disk = sorted(p for p in os.listdir(docs_dir) if p.endswith(".parquet"))
+    assert len(on_disk) == 2  # the stale shard is still on disk...
+    assert len(m["docs_paths"]) == 1  # ...but not in the manifest
+
+    eng = QueryEngine(d, load_doc_meta=True)
+    hits = eng.bool_or(["w0000"])
+    got = eng.resolve(hits[:5])
+    # exactly one row per requested id — a stale-shard read would return
+    # duplicate/conflicting rows for the colliding ids
+    assert got["doc_id"].tolist() == sorted(set(int(x) for x in hits[:5]))
+    # filtered queries consult only live metadata
+    en = eng.bool_or(["w0000"], lang="en")
+    assert set(en).issubset(set(hits.tolist()))
+
+
+def test_relocated_extended_index_serves_generations(ray_session, tmp_path):
+    """build + extend + move the directory: the engine must still open
+    and answer identically (generation segment paths survive the move)."""
+    from torchtrajectory_ray.pipelines.build import extend_index
+
+    paths = fixtures.write_webpages(str(tmp_path / "c1"), N, num_files=3)
+    d1 = str(tmp_path / "i1")
+    cfg = IndexConfig(num_term_shards=2, num_salts=2)
+    build_index(paths[:2], d1, cfg)
+    extend_index(d1, paths[2:], cfg)
+    before = QueryEngine(d1).topk(["w0000", "w0003"], k=10)
+    import shutil
+
+    d2 = str(tmp_path / "moved")
+    shutil.move(d1, d2)
+    eng = QueryEngine(d2)
+    assert eng.topk(["w0000", "w0003"], k=10) == before
+    assert len(eng.resolve([before[0][0]])) == 1
+
+
+def test_mulmod61_matches_bigint_math():
+    from torchtrajectory_ray.pipelines.dedup import MERSENNE, _mulmod61
+
+    rng = np.random.default_rng(7)
+    M = MERSENNE
+    a = rng.integers(0, M, size=500, dtype=np.int64).astype(np.uint64)
+    x = rng.integers(0, M, size=500, dtype=np.int64).astype(np.uint64)
+    edge = np.array([0, 1, 2, M - 1, M - 2, (1 << 32) - 1, 1 << 32], np.uint64)
+    a = np.concatenate([a, edge, edge[::-1]])
+    x = np.concatenate([x, edge[::-1], edge])
+    got = _mulmod61(a, x)
+    exp = np.array([(int(u) * int(v)) % M for u, v in zip(a, x)], np.uint64)
+    assert np.array_equal(got, exp)
+    # broadcasting form used by the signature kernel
+    got2 = _mulmod61(a[:8, None], x[None, :8])
+    exp2 = np.array(
+        [[(int(u) * int(v)) % M for v in x[:8]] for u in a[:8]], np.uint64
+    )
+    assert np.array_equal(got2, exp2)
+
+
+def test_minhash_jaccard_estimate_still_calibrated():
+    """The exact-mulmod permutation family must keep the MinHash estimator
+    unbiased: signature agreement ≈ true Jaccard on a known pair."""
+    from torchtrajectory_ray.pipelines.dedup import MinHasher, exact_jaccard
+
+    mh = MinHasher(num_perm=256, bands=32)
+    a = [f"tok{i}" for i in range(200)]
+    b = a[:150] + [f"other{i}" for i in range(50)]
+    true_j = exact_jaccard(a, b)
+    sa, sb = mh.signatures([a, b])
+    est = float(np.mean(sa == sb))
+    assert abs(est - true_j) < 0.12

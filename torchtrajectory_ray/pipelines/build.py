@@ -67,16 +67,24 @@ def manifest_relpath(p: str, out_dir: str) -> str:
         return p
 
 
+_INDEX_TOP_DIRS = ("segments", "dict", "docs", "partials", "input")
+
+
 def manifest_abspath(p: str, index_dir: str) -> str:
     """Resolve a manifest-recorded path against the index dir (accepts
     legacy absolute paths if they still exist)."""
     if os.path.isabs(p):
         if os.path.exists(p):
             return p
-        # legacy absolute path from before relocation: re-root the last
-        # two components (e.g. segments/seg-x.parquet, dict/dict-x.parquet)
-        tail = os.path.join(*p.split(os.sep)[-2:])
-        return os.path.join(index_dir, tail)
+        # legacy absolute path from before relocation: re-root on the
+        # suffix starting at the first recognized top-level index dir so
+        # generation subpaths survive (segments/gen-001/seg-x.parquet must
+        # NOT collapse to gen-001/seg-x.parquet)
+        parts = p.split(os.sep)
+        for i, comp in enumerate(parts):
+            if comp in _INDEX_TOP_DIRS:
+                return os.path.join(index_dir, *parts[i:])
+        return os.path.join(index_dir, *parts[-2:])
     return os.path.join(index_dir, p)
 
 
@@ -327,6 +335,13 @@ def build_index(
         "lineage": lineage,
         "partials": partials_lineage,
         "segments": seg_rows,
+        # forward-index shards BY NAME (relative): resolve()/doc_meta load
+        # exactly these files — a stale docs shard left by a rebuild with a
+        # removed input, or a crashed extend's orphan gen-* dir, is never
+        # read (same manifest-not-glob rule as segments)
+        "docs_paths": sorted(
+            manifest_relpath(r["output"], out_dir) for r in lineage
+        ),
         "dict_paths": [manifest_relpath(p, out_dir) for p in dict_paths],
         "metrics": {
             "prepare_s": round(t1 - t0, 3),
@@ -437,8 +452,15 @@ def extend_index(
     # merged stats + manifest (paths stored relative to out_dir)
     for r in seg_rows:
         r["path"] = manifest_relpath(r["path"], out_dir)
+    prev_docs = manifest.get(
+        "docs_paths",
+        [manifest_relpath(r["output"], out_dir) for r in manifest["lineage"]],
+    )
     manifest["lineage"] = manifest["lineage"] + lineage
     manifest["segments"] = manifest["segments"] + seg_rows
+    manifest["docs_paths"] = sorted(prev_docs) + sorted(
+        manifest_relpath(r["output"], out_dir) for r in lineage
+    )
     n_docs = manifest["stats"]["n_docs"] + sum(r["n_docs"] for r in lineage)
     sum_doclen = manifest["stats"]["sum_doclen"] + sum(
         r["sum_doclen"] for r in lineage

@@ -40,6 +40,32 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+_M61 = np.uint64(MERSENNE)
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a·x) mod (2^61−1), vectorized (broadcasts like ``a * x``).
+
+    32-bit-limb decomposition keeps every partial product inside uint64
+    (2^64 ≡ 8 and 2^61 ≡ 1 mod p), so the permutation is the intended
+    universal hash family — no silent wrap of a·x mod 2^64 before the
+    Mersenne reduction.  Inputs must be < 2^61−1."""
+    a = np.asarray(a, np.uint64)
+    x = np.asarray(x, np.uint64)
+    ah, al = a >> np.uint64(32), a & _MASK32
+    xh, xl = x >> np.uint64(32), x & _MASK32
+    t = ah * xh * np.uint64(8)  # (ah·xh)·2^64 ≡ (ah·xh)·8
+    mid = ah * xl + al * xh  # < 2^62; mid·2^32 ≡ (mid>>29) + (mid&(2^29−1))·2^32
+    t += (mid >> np.uint64(29)) + (
+        (mid & np.uint64((1 << 29) - 1)) << np.uint64(32)
+    )
+    low = al * xl
+    t += (low >> np.uint64(61)) + (low & _M61)
+    t = (t >> np.uint64(61)) + (t & _M61)
+    return np.where(t >= _M61, t - _M61, t)
+
+
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     """crc32 of each k-token shingle — stable across processes."""
     if len(tokens) < k:
@@ -126,8 +152,8 @@ class MinHasher:
             for c0 in range(0, len(sh), CH):
                 c1 = min(c0 + CH, len(sh))
                 hv = (
-                    self.a[:, None] * sh[None, c0:c1] + self.b[:, None]
-                ) % np.uint64(MERSENNE)
+                    _mulmod61(self.a[:, None], sh[None, c0:c1]) + self.b[:, None]
+                ) % _M61
                 # reduceat boundaries clipped to this chunk
                 lo = np.searchsorted(bounds, c0, side="right") - 1
                 hi = np.searchsorted(bounds, c1, side="left")
@@ -142,7 +168,7 @@ class MinHasher:
             for j in range(c):
                 h = h * _POLY1 + th[s + j]
             shv = (h & np.uint64((1 << 61) - 1)) % np.uint64(MERSENNE)
-            sigs[di] = (self.a * shv + self.b) % np.uint64(MERSENNE)
+            sigs[di] = (_mulmod61(self.a, shv) + self.b) % _M61
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:

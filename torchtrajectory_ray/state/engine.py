@@ -60,6 +60,22 @@ class QueryEngine:
             ]
         ).to_pandas()
         self.docs_dir = os.path.join(index_dir, "docs")
+        # forward-index shards from the MANIFEST (not os.walk): a stale
+        # docs shard from a rebuild with a removed input, or a crashed
+        # extend's orphan gen-* dir, would collide with live doc_id ranges
+        # and silently corrupt resolve()/filtered queries
+        if "docs_paths" in self.manifest:
+            self.docs_paths = [
+                manifest_abspath(p, index_dir)
+                for p in self.manifest["docs_paths"]
+            ]
+        else:  # legacy manifest: fall back to the directory walk
+            self.docs_paths = sorted(
+                os.path.join(root, p)
+                for root, _, names in os.walk(self.docs_dir)
+                for p in names
+                if p.endswith(".parquet")
+            )
         self._terms = d["term"].tolist()  # dictionary scan support (J5)
         self._df = dict(zip(d["term_id"], d["df"]))
         self._max_tf = dict(zip(d["term_id"], d["max_tf"]))
@@ -84,6 +100,7 @@ class QueryEngine:
             load_doc_meta=load_doc_meta,
             load_mode=load_mode,
             salt_shift=self.stats.get("salt_shift"),
+            docs_paths=self.docs_paths,
         )
         if distributed:
             import ray
@@ -191,13 +208,7 @@ class QueryEngine:
         import pyarrow.dataset as pads
 
         wanted = pa.array(sorted({int(d) for d in doc_ids}), pa.int64())
-        files = sorted(
-            os.path.join(root, p)
-            for root, _, names in os.walk(self.docs_dir)
-            for p in names
-            if p.endswith(".parquet")
-        )
-        dset = pads.dataset(files, format="parquet")
+        dset = pads.dataset(self.docs_paths, format="parquet")
         t = dset.to_table(
             columns=["doc_id", "url", "lang", "doclen"],
             filter=pads.field("doc_id").isin(wanted),

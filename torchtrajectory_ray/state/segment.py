@@ -41,6 +41,7 @@ class SaltSearcher:
         load_mode: str = "memory",
         salt_shift: int | None = None,
         seg_paths: list[str] | None = None,
+        docs_paths: list[str] | None = None,
     ):
         """``load_mode``:
 
@@ -106,18 +107,23 @@ class SaltSearcher:
                 filters = [("doc_id", ">=", lo)]
                 if salt < num_salts - 1:  # tail bucket is open-ended (clamp)
                     filters.append(("doc_id", "<", (salt + 1) << salt_shift))
-            docs_dir = os.path.join(index_dir, "docs")
-            metas = []
-            for root, _, files in sorted(os.walk(docs_dir)):
-                for p in sorted(files):
-                    if p.endswith(".parquet"):
-                        metas.append(
-                            pq.read_table(
-                                os.path.join(root, p),
-                                columns=["doc_id", "lang", "warc_ts"],
-                                filters=filters,
-                            )
-                        )
+            if docs_paths is None:
+                # standalone fallback: walk docs/ (the engine instead
+                # passes the MANIFEST's docs shard list so stale/orphan
+                # shards are never read — same rule as seg_paths)
+                docs_dir = os.path.join(index_dir, "docs")
+                docs_paths = sorted(
+                    os.path.join(root, p)
+                    for root, _, files in os.walk(docs_dir)
+                    for p in files
+                    if p.endswith(".parquet")
+                )
+            metas = [
+                pq.read_table(
+                    p, columns=["doc_id", "lang", "warc_ts"], filters=filters
+                )
+                for p in docs_paths
+            ]
             if metas:
                 import pyarrow as pa
 
