@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_or": corpus.bool_or,                # U1: findByPath
         "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
         "bool_or_lang": corpus.bool_or_lang,      # U3/M7: predicate filter
+        "range_scan": corpus.range_scan,          # U3: terms-free findInRange
+        "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
         # --- corpus / text analysis (training-data ops) ---
         "doc_stats": textstats.doc_stats,         # A7: global aggregates
         "token_count": textstats.token_count,
@@ -134,7 +136,32 @@ SELECT query_id::BIGINT AS query_id,
        doc_id, score
 FROM scores QUALIFY rank <= 10
 """
+    tfidf = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+st AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_query_values()}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1.0 + st.n / df.df) * (1.0 + ln(tf.tf)) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= 10
+"""
     return {
+        "range_scan": f"""
+SELECT doc_id FROM documents
+WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
+        "tfidf_topk": tfidf,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df
 FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents)

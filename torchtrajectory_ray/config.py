@@ -52,6 +52,10 @@ class IndexConfig:
     num_salts: int = 8
     block_size: int = 128
     bm25: BM25Params = field(default_factory=BM25Params)
+    # tokenizer registry name (functions.text.TOKENIZERS) — the mapper
+    # plug point (reference Mappers factory, Mappers.java:22-44); carried
+    # in the manifest so query prep uses the build's tokenizer
+    tokenizer: str = "default"
     tokenize_batch_size: int = 512
     tokenize_concurrency: int = 4
     store_positions: bool = False

@@ -72,6 +72,30 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN.findall(text.lower())
 
 
+def tokenize_ws(text: str) -> list[str]:
+    """Plain lowercase whitespace tokenizer (punctuation stays attached) —
+    the alternate mapper behind the plug point (the analog of the
+    reference's Mappers factory choosing between matcher implementations,
+    Torch/mapMatching/algorithm/Mappers.java:22-44)."""
+    return text.lower().split()
+
+
+# Tokenizer registry: IndexConfig.tokenizer names an entry; the SAME name
+# travels in the index manifest so the query engine prepares queries with
+# the tokenizer the index was built with (query prep == build prep, the
+# map-matching-the-query rule, QueryImpl.java:21-32).
+TOKENIZERS: dict = {"default": tokenize, "ws": tokenize_ws}
+
+
+def get_tokenizer(name: str):
+    try:
+        return TOKENIZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown tokenizer {name!r}; registered: {sorted(TOKENIZERS)}"
+        ) from None
+
+
 # --- term hashing -----------------------------------------------------------
 # Analog of the reference keying vertices by geohash strings
 # (Torch/mapMatching/model/TorVertex.java:16-22): a stable content hash is

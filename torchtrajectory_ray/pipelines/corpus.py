@@ -162,6 +162,37 @@ def topk_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — top-k under the ALTERNATE scorer
+    (log-tf·idf) on the SAME index, via the pluggable-measure point
+    (functions.scoring.SCORERS; the analog of the reference's
+    SimilarityFunction swap, SimilarityFunction.java:44-47).  Same
+    rounding/re-rank protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir), scorer="tfidf")
+    rows = []
+    for q in WEB_QUERIES:
+        res = eng.topk(q["terms"], k=2 * k, method="wand")
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.head(k).reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def range_scan(
+    sf_dir: str, doclen_lo: int = 40, doclen_hi: int = 90, lang: str = "en"
+) -> pd.DataFrame:
+    """doc_id — terms-free metadata range query through the engine
+    (find_in_range: predicate-pushdown scan of the forward-index shards,
+    no posting probe — the reference's pure range search,
+    LEVI.java:73-92 / WindowQuery.java:21-31)."""
+    eng = _engine(documents_index(sf_dir))
+    ids = eng.find_in_range(lang=lang, doclen_lo=doclen_lo, doclen_hi=doclen_hi)
+    return pd.DataFrame({"doc_id": ids})
+
+
 def topk_resolved(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """topk_bm25 hydrated with doc metadata (M6 result resolution):
     query_id, rank, doc_id, score, lang, doclen."""

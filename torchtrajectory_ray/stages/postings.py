@@ -45,7 +45,7 @@ from torchtrajectory_ray.functions.codec import (
     varint_decode_concat,
     varint_encode_multi,
 )
-from torchtrajectory_ray.functions.text import TermHasher, tokenize
+from torchtrajectory_ray.functions.text import TermHasher
 
 def _pin_arrow_single_thread() -> None:
     """Called once per worker process by every task entrypoint: Arrow's
@@ -145,7 +145,11 @@ class FusedShardTask:
         from torchtrajectory_ray.stages.prepare import PrepareFileTask
 
         self.prepare = PrepareFileTask(
-            docs_dir, cfg.check_invariant, cfg.bad_rows, config_tag(cfg, shift)
+            docs_dir,
+            cfg.check_invariant,
+            cfg.bad_rows,
+            config_tag(cfg, shift),
+            tokenizer=cfg.tokenizer,
         )
         self.partials = PartialsWriter(partials_dir, cfg, shift)
         self.cfg = cfg
@@ -193,14 +197,17 @@ class TokenizeCombine:
     """
 
     def __init__(self, cfg: IndexConfig, shift: int):
+        from torchtrajectory_ray.functions.text import get_tokenizer
+
         self.cfg = cfg
         self.shift = shift
         self.hasher = TermHasher()
+        self.tokenize = get_tokenizer(cfg.tokenizer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
         texts = batch["text"].to_pylist()
-        return self.combine_tokens(doc_ids, [tokenize(t) for t in texts])
+        return self.combine_tokens(doc_ids, [self.tokenize(t) for t in texts])
 
     def combine_tokens(
         self, doc_ids: np.ndarray, tok_lists: list[list[str]]

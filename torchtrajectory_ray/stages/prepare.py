@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from torchtrajectory_ray.functions.text import extract_text, tokenize
+from torchtrajectory_ray.functions.text import extract_text, get_tokenizer
 
 def url_doc_id(url: str) -> int:
     """Stable 62-bit doc id from the url (order-independent, unlike the
@@ -44,6 +44,7 @@ def prepare_table(
     check_invariant: bool = True,
     doc_id_base: int | None = None,
     bad_rows: str = "raise",
+    tokenizer: str = "default",
 ) -> tuple[pa.Table, int, list[list[str]]]:
     """Normalize one raw-pages table to the docs schema.
 
@@ -124,7 +125,8 @@ def prepare_table(
         else pa.nulls(n, pa.timestamp("us"))
     )
     langs = tbl["lang"] if "lang" in names else pa.nulls(n, pa.string())
-    tok_lists = [tokenize(t) for t in texts]
+    tok = get_tokenizer(tokenizer)
+    tok_lists = [tok(t) for t in texts]
     doclens = np.fromiter((len(t) for t in tok_lists), np.int64, n)
 
     return (
@@ -156,11 +158,13 @@ class PrepareFileTask:
         check_invariant: bool = True,
         bad_rows: str = "raise",
         cfg_tag: str = "",
+        tokenizer: str = "default",
     ):
         self.docs_dir = docs_dir
         self.check_invariant = check_invariant
         self.bad_rows = bad_rows
         self.cfg_tag = cfg_tag
+        self.tokenizer = tokenizer
         # docs table + token lists of the most recent non-skipped _one()
         # call, for the fused stage to consume without re-reading or
         # re-tokenizing the shard
@@ -211,6 +215,7 @@ class PrepareFileTask:
             check_invariant=self.check_invariant,
             doc_id_base=doc_id_base,
             bad_rows=self.bad_rows,
+            tokenizer=self.tokenizer,
         )
         tmp = out + ".tmp"
         pq.write_table(docs, tmp)

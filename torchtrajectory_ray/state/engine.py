@@ -21,8 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
-from torchtrajectory_ray.functions.bm25 import idf as idf_fn
-from torchtrajectory_ray.functions.text import term_hash, tokenize
+from torchtrajectory_ray.functions.scoring import make_scorer
+from torchtrajectory_ray.functions.text import get_tokenizer, term_hash
 from torchtrajectory_ray.state.segment import SaltSearcher
 
 
@@ -34,6 +34,7 @@ class QueryEngine:
         distributed: bool = False,
         load_doc_meta: bool = False,
         load_mode: str = "memory",
+        scorer: str = "bm25",
     ):
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
@@ -45,6 +46,10 @@ class QueryEngine:
         self.b = self.stats["b"]
         self.n_docs = self.stats["n_docs"]
         self.avgdl = self.stats["avgdl"]
+        # pluggable measure + the BUILD's tokenizer (query prep must match
+        # the index's mapper — the map-matching-the-query rule)
+        self.scorer = make_scorer(scorer, k1=self.k1, b=self.b)
+        self._tokenize = get_tokenizer(cfg.get("tokenizer", "default"))
 
         # term dictionary: term_id -> (df, max_tf, min_dl).  At 10^12-doc scale
         # this table is itself term-sharded and probed with parquet
@@ -101,6 +106,7 @@ class QueryEngine:
             load_mode=load_mode,
             salt_shift=self.stats.get("salt_shift"),
             docs_paths=self.docs_paths,
+            scorer=scorer,
         )
         if distributed:
             import ray
@@ -116,17 +122,26 @@ class QueryEngine:
                 for s in range(self.num_salts)
             ]
 
-    def update(self, k1: float | None = None, b: float | None = None) -> None:
-        """Runtime scoring-parameter swap (the analog of the reference's
-        Engine.update / QueryPool.update, Torch/queryEngine/Engine.java:
-        165-171) — no index rebuild needed: bound metadata stores
-        (max_tf, min_dl) and exact scores are computed from raw tf/doclen
-        under the engine's CURRENT parameters."""
+    def update(
+        self,
+        k1: float | None = None,
+        b: float | None = None,
+        scorer: str | None = None,
+    ) -> None:
+        """Runtime scoring swap — parameters AND measure (the analog of
+        the reference's Engine.update / QueryPool.update,
+        Torch/queryEngine/Engine.java:165-171) — no index rebuild needed:
+        bound metadata stores (max_tf, min_dl) and exact scores are
+        computed from raw tf/doclen under the engine's CURRENT scorer."""
         if k1 is not None:
             self.k1 = float(k1)
         if b is not None:
             self.b = float(b)
-        self._fanout("set_params", k1, b)
+        if scorer is not None:
+            self.scorer = make_scorer(scorer, k1=self.k1, b=self.b)
+        else:
+            self.scorer.set_params(k1=k1, b=b)
+        self._fanout("set_params", k1, b, scorer)
 
     # --- query prep (same tokenizer as the build) ---
 
@@ -139,7 +154,7 @@ class QueryEngine:
             df = self._df.get(tid)
             if df:
                 tids.append(tid)
-                idfs.append(float(idf_fn(df, self.n_docs)))
+                idfs.append(float(self.scorer.idf(df, self.n_docs)))
         return tids, idfs
 
     def _fanout(self, method: str, *args, **kwargs) -> list:
@@ -162,7 +177,7 @@ class QueryEngine:
         ts_lo: int | None = None,
         ts_hi: int | None = None,
     ) -> list[tuple[int, float]]:
-        terms = tokenize(query) if isinstance(query, str) else list(query)
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
         tids, idfs = self.resolve_terms(terms)
         if not tids:
             return []
@@ -182,7 +197,7 @@ class QueryEngine:
         return [(-nd, s) for s, nd in merged]
 
     def bool_or(self, query: str | list[str], **filt) -> np.ndarray:
-        terms = tokenize(query) if isinstance(query, str) else list(query)
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
         tids, _ = self.resolve_terms(terms)
         if not tids:
             return np.empty(0, dtype=np.int64)
@@ -190,7 +205,7 @@ class QueryEngine:
         return np.sort(np.concatenate(parts))
 
     def bool_and(self, query: str | list[str], **filt) -> np.ndarray:
-        terms = tokenize(query) if isinstance(query, str) else list(query)
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
         uniq = sorted(set(terms))
         tids, _ = self.resolve_terms(uniq)
         if len(tids) < len(uniq):  # a term with no postings ⇒ empty AND
@@ -214,6 +229,52 @@ class QueryEngine:
             filter=pads.field("doc_id").isin(wanted),
         )
         return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def find_in_range(
+        self,
+        ts_lo: int | None = None,
+        ts_hi: int | None = None,
+        lang: str | None = None,
+        doclen_lo: int | None = None,
+        doclen_hi: int | None = None,
+    ) -> np.ndarray:
+        """Terms-free metadata range query: all doc ids whose warc_ts /
+        lang / doclen fall in the given window — no posting probe at all
+        (the analog of the reference's pure range search,
+        Torch/base/spatialIndex/LEVI.java:73-92 findInRange and
+        queryEngine/query/WindowQuery.java:21-31).
+
+        Predicate-pushdown scan of the manifest's forward-index shards:
+        parquet row-group statistics prune doc ranges before any IO.  For
+        BULK range scans over 10^12 docs use the distributed form (the
+        same filter inside ``ray.data.read_parquet`` over the shards);
+        this serving-path variant answers interactively on the driver.
+        Timestamps are int64 microseconds (same unit as ``topk``'s
+        ts filters)."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        f = None
+
+        def conj(a, b):
+            return b if a is None else a & b
+
+        if ts_lo is not None:
+            f = conj(f, pads.field("warc_ts") >= pa.scalar(
+                int(ts_lo), pa.timestamp("us")))
+        if ts_hi is not None:
+            f = conj(f, pads.field("warc_ts") <= pa.scalar(
+                int(ts_hi), pa.timestamp("us")))
+        if lang is not None:
+            f = conj(f, pads.field("lang") == lang)
+        if doclen_lo is not None:
+            f = conj(f, pads.field("doclen") >= int(doclen_lo))
+        if doclen_hi is not None:
+            f = conj(f, pads.field("doclen") <= int(doclen_hi))
+        t = pads.dataset(self.docs_paths, format="parquet").to_table(
+            columns=["doc_id"], filter=f
+        )
+        return np.sort(t["doc_id"].to_numpy().astype(np.int64))
 
     def phrase_and(self, terms: list[str], **filt) -> np.ndarray:
         """Docs containing the terms at consecutive first positions —
@@ -277,7 +338,7 @@ class QueryEngine:
         Formater.toMapVJSON, Torch/queryEngine/query/QueryResult.java:18-31,
         queryEngine/visualization/Formater.java:20-47): raw + prepared
         query, id array, optional hydrated rows — json.dumps-able."""
-        terms = tokenize(query) if isinstance(query, str) else list(query)
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
         tids, _ = self.resolve_terms(terms)
         res = self.topk(terms, k=k)
         out = {

@@ -23,8 +23,8 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-from torchtrajectory_ray.functions.bm25 import tf_norm
 from torchtrajectory_ray.functions.codec import delta_decode, varint_decode
+from torchtrajectory_ray.functions.scoring import make_scorer
 
 
 class SaltSearcher:
@@ -42,6 +42,7 @@ class SaltSearcher:
         salt_shift: int | None = None,
         seg_paths: list[str] | None = None,
         docs_paths: list[str] | None = None,
+        scorer: str = "bm25",
     ):
         """``load_mode``:
 
@@ -58,6 +59,9 @@ class SaltSearcher:
         self.salt = salt
         self.avgdl = avgdl
         self.k1, self.b = k1, b
+        # pluggable similarity measure (scoring.SCORERS); bounds are
+        # (max_tf, min_dl) so any registered scorer works on any index
+        self.scorer = make_scorer(scorer, k1=k1, b=b)
         self.load_mode = load_mode
         # compressed runs: term_id -> list of row dicts (kept compressed,
         # decoded per probe like the reference)
@@ -137,14 +141,24 @@ class SaltSearcher:
                     "ts": ts[order],
                 }
 
-    def set_params(self, k1: float | None = None, b: float | None = None) -> bool:
-        """Runtime scoring-parameter swap — valid because segment bound
-        metadata is (max_tf, min_dl), independent of BM25 params; nothing
-        cached depends on k1/b (decoded postings are raw tf/doclen)."""
+    def set_params(
+        self,
+        k1: float | None = None,
+        b: float | None = None,
+        scorer: str | None = None,
+    ) -> bool:
+        """Runtime scoring swap (params AND measure) — valid because
+        segment bound metadata is (max_tf, min_dl), independent of any
+        scorer; nothing cached depends on the measure (decoded postings
+        are raw tf/doclen)."""
         if k1 is not None:
             self.k1 = float(k1)
         if b is not None:
             self.b = float(b)
+        if scorer is not None:
+            self.scorer = make_scorer(scorer, k1=self.k1, b=self.b)
+        else:
+            self.scorer.set_params(k1=k1, b=b)
         return True
 
     _LAZY_CACHE_MAX = 4096
@@ -314,7 +328,7 @@ class SaltSearcher:
         scores = np.zeros(len(uniq), dtype=np.float64)
         for _, w, ids, tfs, dls in posts:
             idx = np.searchsorted(uniq, ids)
-            np.add.at(scores, idx, w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
+            np.add.at(scores, idx, w * self.scorer.tf_norm(tfs, dls, self.avgdl))
         ok = self._allowed_mask(uniq, lang, ts_lo, ts_hi)
         uniq, scores = uniq[ok], scores[ok]
         if len(uniq) > k:
@@ -338,10 +352,10 @@ class SaltSearcher:
             for r in rows:
                 n = r["df"]
                 blk_last = np.asarray(r["blk_last"], dtype=np.int64)
-                blk_max = tf_norm(
+                blk_max = self.scorer.tf_norm(
                     np.asarray(r["blk_max_tf"], dtype=np.int64),
                     np.asarray(r["blk_min_dl"], dtype=np.int64),
-                    self.avgdl, self.k1, self.b,
+                    self.avgdl,
                 )
                 seg_ids = ids[off : off + n]
                 blk_of = np.searchsorted(blk_last, seg_ids)
@@ -387,8 +401,8 @@ class SaltSearcher:
                 j = np.clip(j, 0, len(ids) - 1)
                 hit = ids[j] == d_sorted
                 if hit.any():
-                    s[hit] += w * tf_norm(
-                        tfs[j[hit]], dls[j[hit]], self.avgdl, self.k1, self.b
+                    s[hit] += w * self.scorer.tf_norm(
+                        tfs[j[hit]], dls[j[hit]], self.avgdl
                     )
             out_ids.append(d_sorted)
             out_scores.append(s)
