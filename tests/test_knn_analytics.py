@@ -67,6 +67,87 @@ def test_embedding_neardup_threshold(ray_session):
     assert (pairs["vec_a"] < pairs["vec_b"]).all()
 
 
+def test_knn_ivf_probe_prunes_io(ray_session):
+    """The scale claim itself: a partial probe must READ strictly fewer
+    bytes than the layout holds, bounded by the probed buckets' share."""
+    stats = knn.knn_ivf_stats(SF, nlist=16, nprobe=2)
+    assert stats["total_bytes"] > 0
+    assert stats["bytes_read"] < stats["total_bytes"]
+    # 8 queries × 2 probes can touch at most 16 distinct buckets, but the
+    # clustered query set concentrates: require a real reduction
+    assert stats["bytes_read"] <= 0.75 * stats["total_bytes"], stats
+    full = knn.knn_ivf_stats(SF, nlist=16, nprobe=16)
+    assert full["bytes_read"] == full["total_bytes"]
+
+
+def test_embedding_neardup_exact_vs_bruteforce(ray_session):
+    """Bucket-pair near-dup must return EXACTLY the brute-force pair set
+    (the triangle-inequality prune may lose nothing)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    e = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    en = e / np.linalg.norm(e, axis=1, keepdims=True)
+    sims = en @ en.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    for thr in (0.45, 0.8):
+        m = sims[iu, ju] >= thr
+        exp = sorted(
+            (min(int(ids[a]), int(ids[b])), max(int(ids[a]), int(ids[b])))
+            for a, b in zip(iu[m], ju[m])
+        )
+        got = knn.embedding_neardup(SF, threshold=thr)
+        assert sorted(map(tuple, got[["vec_a", "vec_b"]].to_numpy())) == exp, thr
+
+
+def test_neardup_bucket_pair_pruning_fires_on_clustered_data(
+    ray_session, tmp_path
+):
+    """On TIGHTLY clustered vectors (what real near-dup corpora look
+    like — duplicates concentrate) the sphere triangle inequality must
+    prune most of the bucket-pair grid while staying exact.  (The sf
+    embeddings table is near-uniform on the sphere — radii ~80° — where
+    no partitioning can prune exact all-pairs; that's a data property,
+    hence this dedicated fixture.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import ivf
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, 40, axis=0) + 0.05 * rng.normal(size=(320, 32))
+    ids = np.arange(320, dtype=np.int64)
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        src,
+    )
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=8)
+    got, stats = ivf.neardup_pairs(d, 0.9)
+    assert stats["n_pruned"] > stats["n_bucket_pairs"] // 2, stats
+    # exactness under pruning
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    e32 = np.stack([np.asarray(v, np.float32) for v in vecs]).astype(np.float64)
+    e32 /= np.linalg.norm(e32, axis=1, keepdims=True)
+    sims = e32 @ e32.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    m = sims[iu, ju] >= 0.9
+    exp = sorted((int(a), int(b)) for a, b in zip(iu[m], ju[m]))
+    assert sorted(map(tuple, got[["vec_a", "vec_b"]].to_numpy())) == exp
+
+
 @pytest.mark.parametrize(
     "fn,sql",
     [

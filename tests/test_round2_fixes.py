@@ -104,6 +104,30 @@ def test_mulmod61_matches_bigint_math():
     assert np.array_equal(got2, exp2)
 
 
+def test_fingerprint_batch_matches_sequential_fold():
+    """The vectorized polynomial fingerprint must equal the per-token
+    sequential reference on every shape: empty, single, long, dup-heavy,
+    order-sensitive."""
+    from torchtrajectory_ray.pipelines.dedup import (
+        fingerprint_batch,
+        fingerprint_tokens,
+    )
+
+    docs = [
+        [],
+        [""],
+        ["a"],
+        ["a", "b", "c"],
+        ["c", "b", "a"],  # order must matter
+        ["a"] * 500,
+        [f"tok{i % 7}" for i in range(1000)],
+    ]
+    got = fingerprint_batch(docs)
+    exp = [fingerprint_tokens(d) for d in docs]
+    assert got.tolist() == exp
+    assert got[3] != got[4]  # order-sensitive
+
+
 def test_minhash_jaccard_estimate_still_calibrated():
     """The exact-mulmod permutation family must keep the MinHash estimator
     unbiased: signature agreement ≈ true Jaccard on a known pair."""

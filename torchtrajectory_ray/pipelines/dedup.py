@@ -506,20 +506,64 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 # --- document fingerprint ----------------------------------------------------
 
 
+_FP_SEED = np.uint64(1469598103934665603)
+_FP_POLY = np.uint64(1099511628211)
+
+
+def fingerprint_tokens(tokens: list[str]) -> int:
+    """Single-doc reference implementation of the polynomial rolling hash
+    h ← h·P + crc32(token) (mod 2^64) — the sequential fold the batched
+    kernel must reproduce exactly (golden test)."""
+    h = int(_FP_SEED)
+    for t in tokens:
+        h = (h * int(_FP_POLY) + zlib.crc32(t.encode("utf-8"))) & ((1 << 64) - 1)
+    return h >> 1  # keep int64-positive
+
+
+def fingerprint_batch(tok_lists: list[list[str]]) -> np.ndarray:
+    """Batched fingerprints, fully vectorized: h·P + c is linear, so
+    h_doc = seed·P^L + Σ_j c_j·P^(L−1−j) (mod 2^64) — one factorize over
+    all tokens, one power table, one ``np.add.reduceat`` per batch (the
+    same shape as MinHasher.signatures; uint64 wrap-around IS the mod)."""
+    import itertools
+
+    n_docs = len(tok_lists)
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, n_docs)
+    total = int(counts.sum())
+    if total == 0:
+        return np.full(n_docs, int(_FP_SEED) >> 1, dtype=np.int64)
+    flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+    codes, uniq = pd.factorize(flat, sort=False)
+    crcs = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in uniq), np.uint64, len(uniq)
+    )
+    max_len = int(counts.max())
+    powers = np.empty(max_len + 1, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    if max_len:
+        np.multiply.accumulate(
+            np.full(max_len, _FP_POLY, dtype=np.uint64), out=powers[1:]
+        )
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ends = starts + counts
+    # exponent of token j in doc d: (end_d − 1 − j)
+    exp = np.repeat(ends - 1, counts) - np.arange(total, dtype=np.int64)
+    contrib = crcs[codes] * powers[exp]  # uint64 wrap == mod 2^64
+    sums = np.zeros(n_docs, dtype=np.uint64)
+    nz = counts > 0
+    if nz.any():
+        sums[nz] = np.add.reduceat(contrib, starts[nz])
+    h = _FP_SEED * powers[counts] + sums
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
 def fingerprints(sf_dir: str) -> ray.data.Dataset:
     """doc_id, fingerprint — polynomial rolling hash of the token stream
     (order-sensitive content id; exact-dup detection that, unlike the
     sha1 of exact_dedup, is computable incrementally over a stream)."""
 
-    MASK = (1 << 64) - 1
-
     def f(batch: pa.Table) -> pa.Table:
-        fps = []
-        for text in batch["text"].to_pylist():
-            h = 1469598103934665603
-            for t in text.split(" "):
-                h = ((h * 1099511628211) & MASK) ^ zlib.crc32(t.encode("utf-8"))
-            fps.append(h >> 1)  # keep int64-positive
+        fps = fingerprint_batch([t.split(" ") for t in batch["text"].to_pylist()])
         return pa.table(
             {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.int64())}
         )

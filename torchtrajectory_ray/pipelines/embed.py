@@ -11,6 +11,8 @@ same determinism contract as the index build.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -81,6 +83,32 @@ def doc_embeddings(sf_dir: str, dim: int = DIM) -> ray.data.Dataset:
     ).map_batches(_embed_task, fn_kwargs={"dim": dim}, batch_format="pyarrow")
 
 
+def _staged_doc_embeddings(sf_dir: str, dim: int) -> list[str]:
+    """One embedding pass staged to parquet shards (content-keyed /tmp
+    cache) — the IVF build and any other embedding consumer read these
+    files instead of re-embedding."""
+    import hashlib
+    import json
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        json.dumps([os.path.abspath(src), st.st_size, st.st_mtime_ns, dim]).encode()
+    ).hexdigest()[:10]
+    stage = os.path.join("/tmp/ttray_cache", f"docvecs-{tag}")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        doc_embeddings(sf_dir, dim).write_parquet(stage)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return sorted(
+        os.path.join(stage, p)
+        for p in os.listdir(stage)
+        if p.endswith(".parquet")
+    )
+
+
 def doc_embedding_neardup(
     sf_dir: str, threshold: float = 0.95, dim: int = DIM
 ) -> pd.DataFrame:
@@ -88,40 +116,15 @@ def doc_embedding_neardup(
     vectors (embedding-cosine dedup applied to raw documents; exact and
     near duplicate texts land at sim ≈ 1).
 
-    Streamed like :func:`knn.embedding_neardup`: each batch is compared
-    against the broadcast full matrix inside ``map_batches`` — the driver
-    never holds an n×n similarity matrix (only the n×dim vectors, the
-    small side; at 10^12 docs this kernel runs per IVF bucket)."""
-    import pyarrow.parquet as pq  # noqa: F401
+    Exact, through the bucket-partitioned IVF layout (ivf.neardup_pairs):
+    vectors staged to parquet, bucketed by centroid, and bucket-PAIR
+    tasks compute the cross blocks — no full-matrix broadcast, per-task
+    memory = two buckets, and at near-dup thresholds (≥0.9) the sphere
+    triangle inequality prunes most of the bucket-pair grid."""
+    from torchtrajectory_ray.pipelines import ivf
 
-    eds = doc_embeddings(sf_dir, dim).materialize()  # one embedding pass
-    vec_tbl = eds.to_pandas()
-    if vec_tbl.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "sim"])
-    all_ids = vec_tbl["doc_id"].to_numpy().astype(np.int64)
-    all_e = np.stack(vec_tbl["embedding"].to_numpy()).astype(np.float64)
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy().astype(np.int64)
-        e = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
-        sims = e @ all_e.T  # B × n (vectors are L2-normalized)
-        bi, aj = np.nonzero(sims >= threshold)
-        a, b = ids[bi], all_ids[aj]
-        keep = a < b
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
-                "sim": pa.array(np.round(sims[bi, aj][keep], 6), pa.float64()),
-            }
-        )
-
-    out = (
-        eds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
-        .to_pandas()
-    )
-    if out.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "sim"])
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    paths = _staged_doc_embeddings(sf_dir, dim)
+    d = ivf.cached_ivf_dir(paths, id_col="doc_id", nlist=16, label="docvec")
+    ivf.build_ivf(paths, d, id_col="doc_id", nlist=16)
+    out, _stats = ivf.neardup_pairs(d, threshold, names=("doc_a", "doc_b"))
+    return out
