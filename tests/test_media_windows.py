@@ -178,3 +178,41 @@ def test_clean_corpus_near_dup(ray_session, tmp_path):
     v = clean.clean_corpus(str(d)).set_index("doc_id")["reason"]
     assert v[0] == "kept"
     assert v[1] == "near_dup"   # higher id of the confirmed pair drops
+
+
+def test_clean_semi_join_kept(ray_session, tmp_path):
+    """The distributed semi-join must select exactly the kept docs —
+    including when sparse sha partitions emit empty blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from torchtrajectory_ray.pipelines import clean
+
+    texts = (
+        ["dup dup dup dup dup dup dup dup dup dup dup"] * 3  # exact dups
+        + ["short"]
+        + [" ".join(f"u{i}_{j}" for j in range(30)) for i in range(5)]
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    verd = clean.clean_verdicts_ds(str(d))
+    docs = ray.data.read_parquet(
+        str(d / "documents.parquet"), columns=["doc_id", "text"]
+    )
+    kept = clean._semi_join_kept(docs, verd).to_pandas()
+    v = clean.clean_corpus(str(d), with_near_dup=False)
+    exp = sorted(v.loc[v["reason"] == "kept", "doc_id"])
+    assert sorted(kept["doc_id"]) == exp
+    assert set(kept.columns) == {"doc_id", "text"}
+    # texts joined back intact
+    assert all(
+        kept.set_index("doc_id")["text"][i] == texts[i] for i in exp
+    )

@@ -2,20 +2,32 @@
 the training-data operators: quality filter → exact dedup → near-dup
 removal → partitioned clean-corpus write.
 
-One streaming pass computes per-doc quality features and the content
-hash; the exact-dedup keep-set (min doc_id per content hash) comes from
-the same small groupby used by ``textstats.exact_dedup``; MinHash-LSH
-near-dup pairs (verified by n-gram Jaccard) remove the higher-id member
-of each confirmed pair.  The verdict per document is explicit — docs are
-never silently dropped, every removal carries a reason code, which is
-what an auditable data pipeline needs:
+Fully distributed verdict chain (nothing per-doc ever sits on the
+driver):
+
+1. one streaming pass computes per-doc quality features + the content
+   sha and assigns the RULE verdict (length / stopword-ratio) in the
+   same batch;
+2. exact dedup is ONE shuffle keyed by a coarse hash of the sha
+   (bounded partition count — the high-cardinality-groupby trap), each
+   partition resolving keep-min per sha vectorized;
+3. near-dup: the kept docs are selected with a distributed HASH JOIN
+   (``Dataset.join`` on doc_id), sketched by MinHash-LSH, candidates
+   verified by the pair-partitioned ``dedup.verify_pairs`` — only the
+   (small, LSH-bounded) confirmed pair list ever reaches the driver and
+   is broadcast back into the final verdict ``map_batches``.
+
+The verdict per document stays explicit — docs are never silently
+dropped, every removal carries a reason code, which is what an auditable
+data pipeline needs:
 
     reason ∈ {kept, too_short, too_long, high_stop_ratio,
               exact_dup, near_dup}
 
-``clean_corpus`` returns the verdicts (driver-gate friendly);
-``write_clean_corpus`` additionally writes the kept docs as partitioned
-parquet (resumable output layout: one file per input block range).
+``clean_corpus`` returns the verdicts (driver-gate friendly — the
+verdict table IS the result); ``write_clean_corpus`` never collects
+verdicts at all: counts come from a distributed aggregate and the kept
+docs are written via the same hash join.
 """
 
 from __future__ import annotations
@@ -31,14 +43,30 @@ from torchtrajectory_ray.pipelines.textstats import STOPWORDS, text_sha1
 MIN_TOKENS = 10
 MAX_TOKENS = 100_000
 MAX_STOP_RATIO = 0.5
+N_SHA_PARTS = 64
+JOIN_PARTS = 16
 
 
-def _features(batch: pa.Table) -> pa.Table:
-    """Per-doc (content hash, n_tokens, stop_ratio) — vectorized with the
-    factorize pattern; kept separate from textstats.quality_score because
-    the verdicts need the UNROUNDED ratio (boundary semantics match the
-    SQL oracle) plus the sha."""
+_SKETCH_KEY = "clean-minhash"
+
+
+def _feats_sketch(batch: pa.Table, *, sketch: bool = True) -> pa.Table:
+    """ONE read + ONE tokenize pass per batch emitting BOTH row kinds:
+
+    - kind=0 (one per doc): content sha, rule verdict, sha partition —
+      feeds the exact-dedup shuffle;
+    - kind=1 (LSH band rows, only for rule-passing docs): doc_id, band,
+      band_hash — feeds the near-dup candidate shuffle.
+
+    Exact-dup docs ARE sketched (their keep-min isn't known batch-
+    locally) — identical texts have identical signatures, so the pair
+    set over kept docs is unchanged and the wasted sketch work is
+    bounded by the dup rate; the RULE filter (the spam gate) still
+    prunes before sketching.  Both downstream shuffles move only small
+    columns, never text."""
     import itertools
+
+    from torchtrajectory_ray.pipelines.dedup import _SKETCH_SINGLETONS, MinHasher
 
     texts = batch["text"].to_pylist()
     tok_lists = [t.split(" ") for t in texts]
@@ -47,28 +75,247 @@ def _features(batch: pa.Table) -> pa.Table:
     if total:
         flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
         codes, uniq = pd.factorize(flat, sort=False)
-        stop_codes = np.fromiter(
-            (t in STOPWORDS for t in uniq), bool, len(uniq)
-        )
+        stop_codes = np.fromiter((t in STOPWORDS for t in uniq), bool, len(uniq))
         doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), counts)
         n_stop = np.bincount(
             doc_idx, weights=stop_codes[codes], minlength=len(tok_lists)
         )
     else:
         n_stop = np.zeros(len(tok_lists))
-    n_tok = counts
-    out = text_sha1(batch.select(["doc_id", "text"]))
-    return pa.table(
+    stop_ratio = np.asarray(n_stop, np.float64) / np.maximum(
+        counts.astype(np.float64), 1
+    )
+    rule = np.full(len(tok_lists), "kept", dtype=object)
+    rule[counts < MIN_TOKENS] = "too_short"
+    rule[counts > MAX_TOKENS] = "too_long"
+    rule[(rule == "kept") & (stop_ratio > MAX_STOP_RATIO)] = "high_stop_ratio"
+    sha = text_sha1(batch.select(["doc_id", "text"]))["text_sha"]
+    part = np.fromiter(
+        (int(s[:8], 16) % N_SHA_PARTS for s in sha.to_pylist()),
+        np.int32,
+        len(tok_lists),
+    )
+    n = len(tok_lists)
+    doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+    feat = pa.table(
         {
-            "doc_id": out["doc_id"],
-            "text_sha": out["text_sha"],
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "stop_ratio": pa.array(
-                np.asarray(n_stop, np.float64)
-                / np.maximum(np.asarray(n_tok, np.float64), 1)
-            ),
+            "kind": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "doc_id": batch["doc_id"],
+            "text_sha": sha,
+            "rule_reason": pa.array(rule, pa.string()),
+            "part": pa.array(part, pa.int32()),
+            "band": pa.array(np.full(n, -1, np.int32), pa.int32()),
+            "band_hash": pa.array(np.zeros(n, np.int64), pa.int64()),
         }
     )
+    if not sketch:
+        return feat
+    mh = _SKETCH_SINGLETONS.get(_SKETCH_KEY)
+    if mh is None:
+        mh = MinHasher()
+        _SKETCH_SINGLETONS[_SKETCH_KEY] = mh
+    keep = rule == "kept"
+    bands = mh.band_rows(
+        doc_ids[keep], [t for t, k in zip(tok_lists, keep) if k]
+    )
+    m = bands.num_rows
+    brows = pa.table(
+        {
+            "kind": pa.array(np.ones(m, np.int8), pa.int8()),
+            "doc_id": bands["doc_id"],
+            "text_sha": pa.nulls(m, pa.string()),
+            "rule_reason": pa.nulls(m, pa.string()),
+            "part": pa.nulls(m, pa.int32()),
+            "band": bands["band"],
+            "band_hash": bands["band_hash"],
+        }
+    )
+    return pa.concat_tables([feat, brows])
+
+
+def _verdict_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Within one sha partition (all copies of a sha co-located): keep
+    the min doc_id per sha among rule-kept docs, mark the rest
+    exact_dup — vectorized pandas, no per-sha Python loop."""
+    reason = g["rule_reason"].copy()
+    kept = reason == "kept"
+    if kept.any():
+        keep_min = g.loc[kept].groupby("text_sha")["doc_id"].transform("min")
+        dup = kept & (g["doc_id"] != keep_min.reindex(g.index))
+        reason[dup.fillna(False)] = "exact_dup"
+    return pd.DataFrame({"doc_id": g["doc_id"], "reason": reason})
+
+
+def _verdicts_from(rows: ray.data.Dataset) -> ray.data.Dataset:
+    """kind=0 rows → (doc_id, reason) via the sha-partition shuffle."""
+
+    def only_feats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "text_sha": pa.nulls(0, pa.string()),
+                    "rule_reason": pa.nulls(0, pa.string()),
+                    "part": pa.nulls(0, pa.int32()),
+                }
+            )
+        return t.filter(pc.equal(t["kind"], 0)).select(
+            ["doc_id", "text_sha", "rule_reason", "part"]
+        )
+
+    return (
+        rows.map_batches(only_feats, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_verdict_partition, batch_format="pandas")
+    )
+
+
+def clean_verdicts_ds(sf_dir: str) -> ray.data.Dataset:
+    """Distributed (doc_id, reason) verdicts for rules + exact dedup —
+    the only wide exchange is the sha-partition groupby, and it moves
+    (sha, doc_id, reason) rows, never the text."""
+    return _verdicts_from(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(
+            _feats_sketch, fn_kwargs={"sketch": False}, batch_format="pyarrow"
+        )
+    )
+
+
+def _semi_join_kept(
+    docs: ray.data.Dataset, verdicts: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Distributed hash semi-join: docs rows whose doc_id has verdict
+    'kept'.  Implemented as tag + union + ONE coarse-hash groupby (both
+    sides partition by the same doc_id hash, each partition filters
+    vectorized) — the same exchange a hash join does, with no driver
+    keep-set and no O(n) broadcast.  (Ray's built-in hash-join operator
+    rejects the schema-less empty blocks a sparse ``map_groups`` emits,
+    so the join is spelled with groupby, which tolerates them.)"""
+    schema = docs.schema()
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+    MULT = np.uint64(2654435761)
+
+    def docs_side(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _tagged_empty(names, types)
+        ids = t["doc_id"].to_numpy().astype(np.int64).astype(np.uint64)
+        part = ((ids * MULT) % np.uint64(JOIN_PARTS)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32())).append_column(
+            "tag", pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        )
+
+    def ids_side(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return _tagged_empty(names, types)
+        import pyarrow.compute as pc
+
+        kept = t.filter(pc.equal(t["reason"], "kept"))["doc_id"].cast(pa.int64())
+        n = len(kept)
+        ids = kept.to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((ids * MULT) % np.uint64(JOIN_PARTS)).astype(np.int32)
+        cols = {
+            name: (kept if name == "doc_id" else pa.nulls(n, types[name]))
+            for name in names
+        }
+        cols["part"] = pa.array(part, pa.int32())
+        cols["tag"] = pa.array(np.zeros(n, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def _tagged_empty(names, types):
+        cols = {name: pa.nulls(0, types[name]) for name in names}
+        cols["part"] = pa.nulls(0, pa.int32())
+        cols["tag"] = pa.nulls(0, pa.int8())
+        return pa.table(cols)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        keep = set(g.loc[g["tag"] == 0, "doc_id"])
+        out = g[(g["tag"] == 1) & g["doc_id"].isin(keep)]
+        return out[names]
+
+    return (
+        docs.map_batches(docs_side, batch_format="pyarrow")
+        .union(verdicts.map_batches(ids_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def _kept_docs(sf_dir: str, verdicts: ray.data.Dataset) -> ray.data.Dataset:
+    """Kept docs' (doc_id, text) via the distributed semi-join."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _semi_join_kept(docs, verdicts)
+
+
+def _candidates_from(rows: ray.data.Dataset) -> pd.DataFrame:
+    """kind=1 band rows → LSH candidate pairs (small, driver-held)."""
+
+    def only_bands(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "band": pa.nulls(0, pa.int32()),
+                    "band_hash": pa.nulls(0, pa.int64()),
+                }
+            )
+        return t.filter(pc.equal(t["kind"], 1)).select(
+            ["doc_id", "band", "band_hash"]
+        )
+
+    return dedup_mod.candidates_from_band_rows(
+        rows.map_batches(only_bands, batch_format="pyarrow")
+    )
+
+
+def _near_dup_ids(
+    sf_dir: str, rows: ray.data.Dataset, threshold: float
+) -> set[int]:
+    """Confirmed near-dup victims (the higher doc_id of each verified
+    pair): candidates from the fused pass's band rows, verification
+    pair-partitioned with pushdown doc reads — only the (LSH-bounded,
+    small) pair lists ever reach the driver.  Pairs involving exact-dup
+    docs are harmless: the stamp only ever demotes docs whose verdict is
+    'kept', and identical texts have identical signatures, so every
+    kept-vs-kept pair is still found."""
+    cand = _candidates_from(rows)
+    pairs = dedup_mod.verify_pairs(
+        [f"{sf_dir}/documents.parquet"], cand, threshold
+    )
+    return {int(b) for b in pairs["doc_b"]} if len(pairs) else set()
+
+
+def _restrict_to_kept(verdicts: ray.data.Dataset, ids: set[int]) -> set[int]:
+    """Subset of ``ids`` whose verdict is 'kept' — a pushdown lookup of
+    the (small) victim set against the distributed verdict table."""
+    if not ids:
+        return ids
+    want = pa.array(sorted(ids), pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "reason": pa.nulls(0, pa.string()),
+                }
+            )
+        return t.filter(pc.is_in(t["doc_id"], value_set=want)).select(
+            ["doc_id", "reason"]
+        )
+
+    df = verdicts.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return {int(d) for d, r in zip(df["doc_id"], df["reason"]) if r == "kept"}
 
 
 def clean_corpus(
@@ -78,91 +325,95 @@ def clean_corpus(
     with_near_dup: bool = True,
 ) -> pd.DataFrame:
     """doc_id, reason — one verdict per document of the sf documents
-    table, in the order the rules fire (length → stopwords → exact dup →
-    near dup)."""
-    feats = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        .map_batches(_features, batch_format="pyarrow")
-        .to_pandas()
+    table, rules firing in order (length → stopwords → exact dup → near
+    dup).  The returned verdict table is the RESULT — collecting it is
+    the sink, not an intermediate."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    reason = pd.Series("kept", index=feats.index, dtype=object)
-    reason[feats["n_tokens"] < MIN_TOKENS] = "too_short"
-    reason[feats["n_tokens"] > MAX_TOKENS] = "too_long"
-    ok = reason == "kept"
-    reason[ok & (feats["stop_ratio"] > MAX_STOP_RATIO)] = "high_stop_ratio"
-
-    # exact dedup among survivors: keep the min doc_id per content hash
-    ok = reason == "kept"
-    surv = feats[ok]
-    keep_min = surv.groupby("text_sha")["doc_id"].transform("min")
-    dup_ids = set(surv.loc[surv["doc_id"] != keep_min, "doc_id"])
-    reason[ok & feats["doc_id"].isin(dup_ids)] = "exact_dup"
-
+    rows = docs.map_batches(
+        _feats_sketch, fn_kwargs={"sketch": with_near_dup},
+        batch_format="pyarrow",
+    )
     if with_near_dup:
-        # sketch ONLY the surviving docs (quality-filtered + exact-deduped)
-        # — on spam-heavy corpora the dropped docs dominate and their LSH
-        # work would be wasted
-        kept_ids = set(int(x) for x in feats.loc[reason == "kept", "doc_id"])
-        keep_arr = pa.array(sorted(kept_ids), pa.int64())
+        # rows feed two consumers (verdict shuffle + candidate shuffle):
+        # pin them once — small columns only, ~1/50th of the corpus bytes
+        rows = rows.materialize()
+    verdicts = _verdicts_from(rows)
+    if with_near_dup:
+        near = _near_dup_ids(sf_dir, rows, near_dup_threshold)
+        if near:
+            drop = pa.array(sorted(near), pa.int64())
 
-        def only_kept(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+            def apply_near(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
 
-            return batch.filter(pc.is_in(batch["doc_id"], value_set=keep_arr))
+                hit = pc.and_(
+                    pc.equal(batch["reason"], "kept"),
+                    pc.is_in(batch["doc_id"], value_set=drop),
+                )
+                return batch.set_column(
+                    batch.schema.get_field_index("reason"),
+                    "reason",
+                    pc.if_else(hit, "near_dup", batch["reason"]),
+                )
 
-        docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).map_batches(only_kept, batch_format="pyarrow")
-        pairs = dedup_mod.verify_pairs(
-            docs, dedup_mod.minhash_candidates(docs), near_dup_threshold
-        )
-        near = {int(b) for _, b, _ in pairs.itertuples(index=False)}
-        reason[(reason == "kept") & feats["doc_id"].isin(near)] = "near_dup"
-
+            verdicts = verdicts.map_batches(apply_near, batch_format="pyarrow")
     return (
-        pd.DataFrame({"doc_id": feats["doc_id"], "reason": reason})
-        .sort_values("doc_id")
-        .reset_index(drop=True)
+        verdicts.to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
 
 
 def clean_corpus_summary(sf_dir: str) -> pd.DataFrame:
-    """reason, n — audit counts of the cleaning run (oracle-checkable:
-    the rule chain up to exact dedup is pure SQL)."""
-    v = clean_corpus(sf_dir, with_near_dup=False)
+    """reason, n — audit counts of the cleaning run, computed as a
+    distributed aggregate (oracle-checkable: the rule chain up to exact
+    dedup is pure SQL)."""
     out = (
-        v.groupby("reason", as_index=False)
-        .agg(n=("doc_id", "size"))
+        clean_verdicts_ds(sf_dir)
+        .groupby("reason")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n"})
         .sort_values("reason")
         .reset_index(drop=True)
     )
     out["n"] = out["n"].astype("int64")
-    return out
+    return out[["reason", "n"]]
 
 
 def write_clean_corpus(sf_dir: str, out_dir: str) -> dict:
     """Write the kept documents as partitioned parquet (resumable output
     layout — many files via Ray's block-parallel writer, never one giant
-    file) and return audit counts."""
+    file) and return audit counts.  Fully distributed: verdicts are
+    joined to the docs via the hash semi-join, never collected."""
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)  # rerun = replace, not append
-    verdicts = clean_corpus(sf_dir)
-    keep = pa.array(
-        sorted(verdicts.loc[verdicts["reason"] == "kept", "doc_id"]), pa.int64()
+    docs_small = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+    rows = docs_small.map_batches(_feats_sketch, batch_format="pyarrow").materialize()
+    verdicts = _verdicts_from(rows).materialize()
+    near = _restrict_to_kept(verdicts, _near_dup_ids(sf_dir, rows, 0.7))
+    counts = {
+        str(r["reason"]): int(r["count()"])
+        for r in verdicts.groupby("reason").count().take_all()
+    }
+    if near:
+        counts["near_dup"] = len(near)
+        counts["kept"] = counts.get("kept", 0) - len(near)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    kept = _semi_join_kept(docs, verdicts)
+    if near:
+        drop = pa.array(sorted(near), pa.int64())
 
-    def keep_only(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def not_near(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        return batch.filter(pc.is_in(batch["doc_id"], value_set=keep))
+            return batch.filter(
+                pc.invert(pc.is_in(batch["doc_id"], value_set=drop))
+            )
 
-    (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-        .map_batches(keep_only, batch_format="pyarrow")
-        .write_parquet(out_dir)
-    )
-    counts = verdicts["reason"].value_counts().to_dict()
-    return {"out_dir": out_dir, "counts": {k: int(v) for k, v in counts.items()}}
+        kept = kept.map_batches(not_near, batch_format="pyarrow")
+    kept.write_parquet(out_dir)
+    return {"out_dir": out_dir, "counts": counts}
