@@ -122,6 +122,21 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("bool_or", lambda: [eng.bool_or(q["terms"]) for q in WEB_QUERIES])
     timed("bool_and", lambda: [eng.bool_and(q["terms"]) for q in WEB_QUERIES])
 
+    def tfidf_round():
+        eng.update(scorer="tfidf")
+        out = eng.batch_topk(
+            [{"query_id": q["query_id"], "terms": q["terms"]} for q in WEB_QUERIES],
+            k=10,
+        )
+        eng.update(scorer="bm25")
+        return out
+
+    timed("tfidf_topk", tfidf_round)
+    timed(
+        "range_scan",
+        lambda: eng.find_in_range(lang="en", doclen_lo=40, doclen_hi=90),
+    )
+
     from torchtrajectory_ray.pipelines import analytics, knn, media
     from torchtrajectory_ray.pipelines.query_batch import batch_topk_df
 
@@ -149,8 +164,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     timed("clean_corpus", lambda: clean.clean_corpus(sf_dir))
     timed("doc_embeddings", lambda: embed.doc_embeddings(sf_dir).materialize())
+    timed("doc_embedding_neardup", lambda: embed.doc_embedding_neardup(sf_dir))
 
-    return {
+    out = {
         "metric": "e2e_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -159,6 +175,31 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         **extra,
     }
+    out["regressions_vs_r01"] = _regressions(timings)
+    return out
+
+
+def _regressions(timings: dict[str, float]) -> dict:
+    """Fail-loud comparison against the previous round's recorded bench
+    (BENCH_r01.json): any shared pipeline >1.3× slower AND >0.5 s absolute
+    is reported in the JSON line and on stderr, so a change can't
+    silently regress the suite."""
+    ref_path = os.path.join(REPO, "BENCH_r01.json")
+    if not os.path.exists(ref_path):
+        return {}
+    try:
+        with open(ref_path) as f:
+            ref = json.load(f).get("parsed", {}).get("queries", {})
+    except Exception:
+        return {}
+    bad = {}
+    for k, new in timings.items():
+        old = ref.get(k)
+        if old and new > 1.3 * old and new - old > 0.5:
+            bad[k] = {"now_s": new, "r01_s": old, "ratio": round(new / old, 2)}
+    if bad:
+        print(f"BENCH REGRESSION vs r01: {json.dumps(bad)}", file=sys.stderr)
+    return bad
 
 
 # --- scaling mode ------------------------------------------------------------

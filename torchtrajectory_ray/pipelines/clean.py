@@ -119,13 +119,20 @@ def _feats_sketch(batch: pa.Table, *, sketch: bool = True) -> pa.Table:
         doc_ids[keep], [t for t, k in zip(tok_lists, keep) if k]
     )
     m = bands.num_rows
+    # band rows get their OWN partition range (N_SHA_PARTS + bucket) so
+    # ONE combined shuffle routes sha groups and LSH buckets together
+    bh = bands["band_hash"].to_numpy().astype(np.int64)
+    bb = bands["band"].to_numpy().astype(np.int64)
+    from torchtrajectory_ray.pipelines.dedup import N_BUCKET_PARTS
+
+    bpart = (N_SHA_PARTS + (bh * 31 + bb) % N_BUCKET_PARTS).astype(np.int32)
     brows = pa.table(
         {
             "kind": pa.array(np.ones(m, np.int8), pa.int8()),
             "doc_id": bands["doc_id"],
             "text_sha": pa.nulls(m, pa.string()),
             "rule_reason": pa.nulls(m, pa.string()),
-            "part": pa.nulls(m, pa.int32()),
+            "part": pa.array(bpart, pa.int32()),
             "band": bands["band"],
             "band_hash": bands["band_hash"],
         }
@@ -144,6 +151,59 @@ def _verdict_partition(g: pd.DataFrame) -> pd.DataFrame:
         dup = kept & (g["doc_id"] != keep_min.reindex(g.index))
         reason[dup.fillna(False)] = "exact_dup"
     return pd.DataFrame({"doc_id": g["doc_id"], "reason": reason})
+
+
+def _combined_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """ONE shuffle serves both reductions: partitions below N_SHA_PARTS
+    hold per-doc feature rows (exact-dedup keep-min), partitions above
+    hold LSH band rows (candidate pair expansion).  Unified output
+    schema (kind, doc_id, doc_b, reason, capped); pair rows are the
+    small LSH-bounded side."""
+    if g.empty:
+        return pd.DataFrame(
+            {
+                "kind": pd.Series([], dtype="int8"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "reason": pd.Series([], dtype=object),
+                "capped": pd.Series([], dtype=bool),
+            }
+        )
+    if int(g["part"].iloc[0]) < N_SHA_PARTS:
+        v = _verdict_partition(g)
+        return pd.DataFrame(
+            {
+                "kind": np.zeros(len(v), np.int8),
+                "doc_id": v["doc_id"].to_numpy(),
+                "doc_b": np.zeros(len(v), np.int64),
+                "reason": v["reason"],
+                "capped": np.zeros(len(v), bool),
+            }
+        )
+    from torchtrajectory_ray.pipelines.dedup import _partition_pairs
+
+    pairs = _partition_pairs(
+        pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "band": pa.array(
+                    g["band"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "band_hash": pa.array(
+                    g["band_hash"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+    )
+    return pd.DataFrame(
+        {
+            "kind": np.ones(len(pairs), np.int8),
+            "doc_id": pairs["doc_a"].to_numpy().astype(np.int64),
+            "doc_b": pairs["doc_b"].to_numpy().astype(np.int64),
+            "reason": np.full(len(pairs), "", dtype=object),
+            "capped": pairs["capped"].to_numpy().astype(bool),
+        }
+    )
 
 
 def _verdicts_from(rows: ray.data.Dataset) -> ray.data.Dataset:
@@ -253,40 +313,82 @@ def _kept_docs(sf_dir: str, verdicts: ray.data.Dataset) -> ray.data.Dataset:
     return _semi_join_kept(docs, verdicts)
 
 
-def _candidates_from(rows: ray.data.Dataset) -> pd.DataFrame:
-    """kind=1 band rows → LSH candidate pairs (small, driver-held)."""
+def _mixed_outputs(sf_dir: str) -> ray.data.Dataset:
+    """Fused read → feats+sketch → ONE combined shuffle → materialized
+    (kind, doc_id, doc_b, reason, capped) rows: verdicts (kind=0) and
+    candidate pairs (kind=1) from a single exchange."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return (
+        docs.map_batches(_feats_sketch, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_combined_partition, batch_format="pandas")
+        .materialize()
+    )
 
-    def only_bands(t: pa.Table) -> pa.Table:
+
+def _verdicts_of(mixed: ray.data.Dataset) -> ray.data.Dataset:
+    def only_verdicts(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         if t.num_columns == 0 or t.num_rows == 0:
             return pa.table(
                 {
                     "doc_id": pa.nulls(0, pa.int64()),
-                    "band": pa.nulls(0, pa.int32()),
-                    "band_hash": pa.nulls(0, pa.int64()),
+                    "reason": pa.nulls(0, pa.string()),
                 }
             )
-        return t.filter(pc.equal(t["kind"], 1)).select(
-            ["doc_id", "band", "band_hash"]
+        return t.filter(pc.equal(t["kind"], 0)).select(["doc_id", "reason"])
+
+    return mixed.map_batches(only_verdicts, batch_format="pyarrow")
+
+
+def _candidates_of(mixed: ray.data.Dataset) -> pd.DataFrame:
+    """kind=1 rows → deduped candidate pairs (small, driver-held)."""
+
+    def only_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.nulls(0, pa.int64()),
+                    "doc_b": pa.nulls(0, pa.int64()),
+                    "capped": pa.nulls(0, pa.bool_()),
+                }
+            )
+        sel = t.filter(pc.equal(t["kind"], 1))
+        return pa.table(
+            {
+                "doc_a": sel["doc_id"],
+                "doc_b": sel["doc_b"],
+                "capped": sel["capped"],
+            }
         )
 
-    return dedup_mod.candidates_from_band_rows(
-        rows.map_batches(only_bands, batch_format="pyarrow")
+    pairs = mixed.map_batches(only_pairs, batch_format="pyarrow").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "capped"])
+    return (
+        pairs.groupby(["doc_a", "doc_b"], as_index=False)
+        .agg(capped=("capped", "any"))
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
     )
 
 
 def _near_dup_ids(
-    sf_dir: str, rows: ray.data.Dataset, threshold: float
+    sf_dir: str, mixed: ray.data.Dataset, threshold: float
 ) -> set[int]:
     """Confirmed near-dup victims (the higher doc_id of each verified
-    pair): candidates from the fused pass's band rows, verification
-    pair-partitioned with pushdown doc reads — only the (LSH-bounded,
-    small) pair lists ever reach the driver.  Pairs involving exact-dup
-    docs are harmless: the stamp only ever demotes docs whose verdict is
-    'kept', and identical texts have identical signatures, so every
-    kept-vs-kept pair is still found."""
-    cand = _candidates_from(rows)
+    pair): candidates from the combined shuffle's pair rows,
+    verification pair-partitioned with pushdown doc reads — only the
+    (LSH-bounded, small) pair lists ever reach the driver.  Pairs
+    involving exact-dup docs are harmless: the stamp only ever demotes
+    docs whose verdict is 'kept', and identical texts have identical
+    signatures, so every kept-vs-kept pair is still found."""
+    cand = _candidates_of(mixed)
     pairs = dedup_mod.verify_pairs(
         [f"{sf_dir}/documents.parquet"], cand, threshold
     )
@@ -328,37 +430,31 @@ def clean_corpus(
     table, rules firing in order (length → stopwords → exact dup → near
     dup).  The returned verdict table is the RESULT — collecting it is
     the sink, not an intermediate."""
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    rows = docs.map_batches(
-        _feats_sketch, fn_kwargs={"sketch": with_near_dup},
-        batch_format="pyarrow",
-    )
-    if with_near_dup:
-        # rows feed two consumers (verdict shuffle + candidate shuffle):
-        # pin them once — small columns only, ~1/50th of the corpus bytes
-        rows = rows.materialize()
-    verdicts = _verdicts_from(rows)
-    if with_near_dup:
-        near = _near_dup_ids(sf_dir, rows, near_dup_threshold)
-        if near:
-            drop = pa.array(sorted(near), pa.int64())
+    if not with_near_dup:
+        verdicts = clean_verdicts_ds(sf_dir)
+        return (
+            verdicts.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    mixed = _mixed_outputs(sf_dir)
+    verdicts = _verdicts_of(mixed)
+    near = _near_dup_ids(sf_dir, mixed, near_dup_threshold)
+    if near:
+        drop = pa.array(sorted(near), pa.int64())
 
-            def apply_near(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
+        def apply_near(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-                hit = pc.and_(
-                    pc.equal(batch["reason"], "kept"),
-                    pc.is_in(batch["doc_id"], value_set=drop),
-                )
-                return batch.set_column(
-                    batch.schema.get_field_index("reason"),
-                    "reason",
-                    pc.if_else(hit, "near_dup", batch["reason"]),
-                )
+            hit = pc.and_(
+                pc.equal(batch["reason"], "kept"),
+                pc.is_in(batch["doc_id"], value_set=drop),
+            )
+            return batch.set_column(
+                batch.schema.get_field_index("reason"),
+                "reason",
+                pc.if_else(hit, "near_dup", batch["reason"]),
+            )
 
-            verdicts = verdicts.map_batches(apply_near, batch_format="pyarrow")
+        verdicts = verdicts.map_batches(apply_near, batch_format="pyarrow")
     return (
         verdicts.to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
@@ -389,12 +485,9 @@ def write_clean_corpus(sf_dir: str, out_dir: str) -> dict:
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)  # rerun = replace, not append
-    docs_small = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    rows = docs_small.map_batches(_feats_sketch, batch_format="pyarrow").materialize()
-    verdicts = _verdicts_from(rows).materialize()
-    near = _restrict_to_kept(verdicts, _near_dup_ids(sf_dir, rows, 0.7))
+    mixed = _mixed_outputs(sf_dir)
+    verdicts = _verdicts_of(mixed).materialize()
+    near = _restrict_to_kept(verdicts, _near_dup_ids(sf_dir, mixed, 0.7))
     counts = {
         str(r["reason"]): int(r["count()"])
         for r in verdicts.groupby("reason").count().take_all()

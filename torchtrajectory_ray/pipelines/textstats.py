@@ -207,17 +207,37 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     top-k on the reduced table."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # one factorize over all bigram strings per batch (the same
+        # flatten + combine shape as the index tokenizer) — no per-token
+        # Python dict loop
+        import itertools
+
         texts = batch["text"].to_pylist()
-        grams: dict[str, int] = {}
-        for t in texts:
-            toks = t.split(" ")
-            for a, b in zip(toks, toks[1:]):
-                g = f"{a} {b}"
-                grams[g] = grams.get(g, 0) + 1
+        tok_lists = [t.split(" ") for t in texts]
+        counts = np.fromiter(
+            (max(len(t) - 1, 0) for t in tok_lists), np.int64, len(tok_lists)
+        )
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.fromiter(
+            itertools.chain.from_iterable(
+                (f"{a} {b}" for a, b in zip(t, t[1:])) for t in tok_lists
+            ),
+            object,
+            total,
+        )
+        codes, uniq = pd.factorize(flat, sort=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         return pa.table(
             {
-                "bigram": pa.array(list(grams.keys()), pa.string()),
-                "n": pa.array(list(grams.values()), pa.int64()),
+                "bigram": pa.array(uniq, pa.string()),
+                "n": pa.array(n, pa.int64()),
             }
         )
 
