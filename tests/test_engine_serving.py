@@ -67,19 +67,70 @@ def test_phrase_query_finds_needles(built):
     assert eng.phrase_and(["needle_phrase_b", "needle_phrase_a"]).size == 0
     # unknown term → empty
     assert eng.phrase_and(["needle_phrase_a", "zzz_nope"]).size == 0
-    # repeated phrase terms are rejected (first-position payload limit)
-    with pytest.raises(ValueError, match="repeated"):
-        eng.phrase_and(["needle_phrase_a", "needle_phrase_b", "needle_phrase_a"])
+    # repeated phrase terms verify exactly against the forward index
+    # (no planted "a b a" sequence exists in the fixtures)
+    assert eng.phrase_and(
+        ["needle_phrase_a", "needle_phrase_b", "needle_phrase_a"]
+    ).size == 0
 
 
-def test_phrase_requires_positions(ray_session, tmp_path):
-    paths = fixtures.write_webpages(str(tmp_path / "c"), 50, num_files=2)
+def test_phrase_works_without_positions(ray_session, tmp_path):
+    """Forward-index verification makes phrase queries exact on ANY
+    index — no position payload needed."""
+    paths = fixtures.write_webpages(str(tmp_path / "c"), 90, num_files=2)
     out = str(tmp_path / "i")
     build_index(paths, out, IndexConfig(num_term_shards=2, num_salts=2,
                                         store_positions=False))
     eng = QueryEngine(out)
-    with pytest.raises(ValueError, match="store_positions"):
-        eng.phrase_and(["w0000", "w0001"])
+    hits = eng.phrase_and(["needle_phrase_a", "needle_phrase_b"])
+    expect = sorted(
+        fixtures.dense_doc_id(i, 90, 2)
+        for i in fixtures.NEEDLE_PHRASE_DOCS
+        if i < 90
+    )
+    assert hits.tolist() == expect
+
+
+def test_phrase_repeated_terms_and_nonfirst_occurrence(ray_session, tmp_path):
+    """The two cases first-position payloads cannot answer: repeated
+    phrase terms and matches at a non-first occurrence — both exact
+    against a python reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = {
+        1: "a b a x y",        # matches "a b a"
+        2: "a b x a b a",      # matches "a b a" at a NON-first occurrence
+        3: "a x b a b",        # no "a b a"
+        4: "z a b q",          # has "a b" but not "a b a"
+        5: "a a b a a",        # matches "a b a" (and "a a b")
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "i")
+    build_index([src], out, IndexConfig(num_term_shards=2, num_salts=2))
+    eng = QueryEngine(out)
+
+    def ref(phrase):
+        n = len(phrase)
+        return sorted(
+            d
+            for d, t in texts.items()
+            if any(
+                t.split(" ")[i : i + n] == phrase
+                for i in range(len(t.split(" ")) - n + 1)
+            )
+        )
+
+    for phrase in (["a", "b", "a"], ["a", "b"], ["b", "a"], ["a", "a", "b"]):
+        assert eng.phrase_and(phrase).tolist() == ref(phrase), phrase
 
 
 def test_prefix_dictionary_lookup(built):

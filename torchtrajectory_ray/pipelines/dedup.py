@@ -393,20 +393,25 @@ def verify_pairs(
     if cand.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     paths = _as_docs_paths(docs_source)
+    # pairs are independent — ANY split works, so partition driver-side
+    # into bounded chunks (no shuffle/sort at all) and fan the chunks out
+    # as one block each.  (Candidates are LSH-bounded and already driver-
+    # held; at extreme scale they'd stay a Dataset and stream through the
+    # same task via repartition.)
     n_parts = int(max(1, min(64, -(-len(cand) // 512))))
-    work = cand[["doc_a", "doc_b"]].copy()
-    work["part"] = (
-        (work["doc_a"] * 1_000_003 + work["doc_b"]) % n_parts
-    ).astype(np.int32)
+    work = cand[["doc_a", "doc_b"]].reset_index(drop=True)
+    chunks = [
+        work.iloc[i : i + -(-len(work) // n_parts)]
+        for i in range(0, len(work), -(-len(work) // n_parts))
+    ]
     task = _VerifyPairsTask(paths, threshold, shingle_k)
 
-    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
         return task(g)
 
     out = (
-        ray.data.from_pandas(work)
-        .groupby("part")
-        .map_groups(verify_partition, batch_format="pandas")
+        ray.data.from_pandas(chunks)
+        .map_batches(verify_chunk, batch_format="pandas", batch_size=None)
         .to_pandas()
     )
     if out.empty:

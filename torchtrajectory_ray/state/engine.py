@@ -277,27 +277,55 @@ class QueryEngine:
         return np.sort(t["doc_id"].to_numpy().astype(np.int64))
 
     def phrase_and(self, terms: list[str], **filt) -> np.ndarray:
-        """Docs containing the terms at consecutive first positions —
-        requires an index built with ``store_positions=True``.  Uses the
-        first-occurrence position payload (the posting ``position`` of the
-        reference, InvertedIndex.java:23-25), so it is exact when each
-        phrase term occurs once per doc and a documented approximation
-        otherwise.  Phrases with REPEATED terms ("a b a") cannot be
-        verified from first positions only and are rejected."""
+        """EXACT phrase matching on any index, repeated terms included.
+
+        Candidates come from the boolean AND of the phrase's unique
+        terms (every true match must contain them all), then each
+        candidate is VERIFIED against the forward index: a pushdown read
+        of only the candidate docs, re-tokenized with the build's
+        tokenizer, sliding-window equality vectorized per doc.  This
+        exceeds the reference, which stores one position per (term, doc)
+        (InvertedIndex.java:23-25) and so can neither verify repeated
+        terms nor matches at non-first occurrences; the verification
+        cost is bounded by the AND candidate set — the same
+        candidate-then-hydrate shape as ``resolve``.
+
+        The searcher-level first-position chain (``SaltSearcher.
+        phrase_and``) remains available as a cheap index-only prefilter
+        for indexes built with ``store_positions=True``."""
         uniq = list(dict.fromkeys(terms))  # order-preserving
-        if len(uniq) != len(terms):
-            raise ValueError(
-                "phrase_and cannot verify phrases with repeated terms from "
-                "the first-position payload"
-            )
-        tids = []
         for t in uniq:
-            tid = term_hash(t)
-            if not self._df.get(tid):
+            if not self._df.get(term_hash(t)):
                 return np.empty(0, dtype=np.int64)
-            tids.append(tid)
-        parts = self._fanout("phrase_and", tids, **filt)
-        return np.sort(np.concatenate(parts))
+        cand = self.bool_and(uniq, **filt)
+        if cand.size == 0:
+            return cand
+        return self._verify_phrase(cand, terms)
+
+    def _verify_phrase(self, cand: np.ndarray, terms: list[str]) -> np.ndarray:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        wanted = pa.array(sorted(int(d) for d in cand), pa.int64())
+        t = pads.dataset(self.docs_paths, format="parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(wanted),
+        )
+        n = len(terms)
+        hits = []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = self._tokenize(text)
+            if len(toks) < n:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            m = np.ones(len(toks) - n + 1, dtype=bool)
+            for j, term in enumerate(terms):
+                m &= arr[j : len(toks) - n + 1 + j] == term
+                if not m.any():
+                    break
+            if m.any():
+                hits.append(int(d))
+        return np.asarray(sorted(hits), dtype=np.int64)
 
     def prefix_terms(self, prefix: str) -> list[str]:
         """Dictionary scan: all terms starting with ``prefix`` (the
