@@ -226,3 +226,65 @@ def test_doc_embeddings_deterministic_and_dup_detecting(ray_session, tmp_path):
     pairs = embed.doc_embedding_neardup(str(d), threshold=0.99)
     assert (1, 2) in set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
     assert (1, 3) not in set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+
+
+def test_ivf_build_is_resumable_and_input_aware(ray_session, tmp_path):
+    """Same inputs → second build returns the cached meta without
+    rewriting files; changed inputs → stale layout is wiped and rebuilt
+    (same identity discipline as the index build checkpoints)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import ivf
+
+    rng = np.random.default_rng(5)
+    def write(n, path):
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(
+                        [v.tolist() for v in vecs], pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            path,
+        )
+
+    src = str(tmp_path / "e.parquet")
+    write(200, src)
+    d = str(tmp_path / "ivf")
+    m1 = ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    m2 = ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    assert m2 == m1  # cached meta, no rebuild
+    assert {f: os.path.getmtime(f) for f in files} == mtimes
+
+    # crash between parts and meta: meta missing → parts reused by
+    # content address, meta rebuilt, result identical
+    os.remove(os.path.join(d, "meta.json"))
+    m3 = ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    # canonical centroids ⇒ identical bucket contents (file names may
+    # differ if Ray batched differently; counts and radii may not)
+    assert {
+        b: (v["n"], round(v["min_cos"], 12)) for b, v in m3["buckets"].items()
+    } == {
+        b: (v["n"], round(v["min_cos"], 12)) for b, v in m1["buckets"].items()
+    }
+
+    # changed input content → stale layout wiped, counts follow new data
+    _time.sleep(0.01)
+    write(150, src)
+    m4 = ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    assert m4["n_vectors"] == 150
+    assert m4["inputs_fingerprint"] != m1["inputs_fingerprint"]

@@ -160,16 +160,22 @@ def build_ivf(
 
     def sample_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy().astype(np.int64)
-        return batch.filter(pa.array(ids % sample_mod == 0)).select(["embedding"])
+        return batch.filter(pa.array(ids % sample_mod == 0)).select(
+            [id_col, "embedding"]
+        )
 
-    # the sampling runs distributed; only the SAMPLE reaches the driver
-    sample = _batch_matrix(
-        pa.concat_tables(
-            ds.map_batches(sample_batch, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
-            )
+    # the sampling runs distributed; only the SAMPLE reaches the driver,
+    # where it is CANONICALIZED by id — Ray block arrival order is not
+    # deterministic, and k-means init indexes into the sample matrix, so
+    # an unsorted sample would make centroids (and every bucket) vary
+    # across reruns
+    sample_tbl = pa.concat_tables(
+        ds.map_batches(sample_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
         )
     )
+    order = np.argsort(sample_tbl[id_col].to_numpy().astype(np.int64), kind="stable")
+    sample = _batch_matrix(sample_tbl.take(pa.array(order)))
     centroids = _lloyd(sample, nlist, iters=iters, seed=seed)
 
     partials = (
