@@ -25,6 +25,28 @@ def entry() -> Any:
     return topk_bm25("/root/testdata/sf0.001")
 
 
+def _ivf_probe_stats(sf_dir: str) -> Any:
+    """One audit row proving the IVF probe's IO pruning: bytes actually
+    read from the bucket layout vs its total (rows-only — filesystem
+    stats have no SQL analog)."""
+    import pandas as pd
+
+    from torchtrajectory_ray.pipelines import knn
+
+    s = knn.knn_ivf_stats(sf_dir, nlist=16, nprobe=4)
+    return pd.DataFrame(
+        [
+            {
+                "nlist": s["nlist"],
+                "n_buckets_probed": s["n_buckets_probed"],
+                "bytes_read": s["bytes_read"],
+                "total_bytes": s["total_bytes"],
+                "pruned": bool(s["bytes_read"] < s["total_bytes"]),
+            }
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from torchtrajectory_ray.pipelines import (
         analytics,
@@ -64,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
+        "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
         "doc_embeddings": embed.doc_embeddings,       # feature hashing (rows-only)
