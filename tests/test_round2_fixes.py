@@ -140,3 +140,45 @@ def test_minhash_jaccard_estimate_still_calibrated():
     sa, sb = mh.signatures([a, b])
     est = float(np.mean(sa == sb))
     assert abs(est - true_j) < 0.12
+
+
+def test_empty_and_degenerate_corpora(ray_session, tmp_path):
+    """A 0-row input and a blank-text doc must build and serve cleanly
+    (empty results, not crashes) — the degenerate shard case any real
+    crawl partition set contains."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines.build import build_index
+
+    cfg = IndexConfig(num_term_shards=2, num_salts=2)
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        ),
+        empty,
+    )
+    m = build_index([empty], str(tmp_path / "i0"), cfg)
+    assert m["stats"]["n_docs"] == 0
+    eng = QueryEngine(str(tmp_path / "i0"))
+    assert eng.topk(["anything"]) == []
+    assert eng.bool_or(["x"]).size == 0
+    assert eng.find_in_range(doclen_lo=0).size == 0
+    assert eng.phrase_and(["a", "b"]).size == 0
+    assert len(eng.resolve([1])) == 0
+
+    blank = str(tmp_path / "blank.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["", "real tokens here live"], pa.string()),
+            }
+        ),
+        blank,
+    )
+    build_index([blank], str(tmp_path / "i2"), cfg)
+    eng2 = QueryEngine(str(tmp_path / "i2"))
+    assert [d for d, _ in eng2.topk(["real"])] == [2]
+    assert eng2.phrase_and(["tokens", "here"]).tolist() == [2]

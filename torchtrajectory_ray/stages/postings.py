@@ -117,10 +117,12 @@ def compute_salt_shift(input_paths: list[str], cfg: IndexConfig) -> int:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or st.max is None:
-                    mx = max(mx, int(pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy().max()))
+                    ids = pq.read_table(p, columns=["doc_id"])["doc_id"]
+                    if len(ids):  # 0-row shards contribute nothing
+                        mx = max(mx, int(ids.to_numpy().max()))
                     break
                 mx = max(mx, int(st.max))
-        return salt_shift(mx, cfg.num_salts)
+        return salt_shift(max(mx, 0), cfg.num_salts)
     if cfg.doc_id_mode == "dense":
         return salt_shift((len(input_paths) << 34) - 1, cfg.num_salts)
     return salt_shift((1 << 62) - 1, cfg.num_salts)

@@ -58,12 +58,17 @@ class QueryEngine:
 
         from torchtrajectory_ray.pipelines.build import manifest_abspath
 
-        d = pa.concat_tables(
-            [
-                pq.read_table(manifest_abspath(p, index_dir))
-                for p in self.manifest["dict_paths"]
-            ]
-        ).to_pandas()
+        dict_tbls = [
+            pq.read_table(manifest_abspath(p, index_dir))
+            for p in self.manifest["dict_paths"]
+        ]
+        d = (
+            pa.concat_tables(dict_tbls).to_pandas()
+            if dict_tbls
+            else pd.DataFrame(
+                columns=["term", "term_id", "df", "max_tf", "min_dl"]
+            )  # empty corpus: no dictionary shards exist
+        )
         self.docs_dir = os.path.join(index_dir, "docs")
         # forward-index shards from the MANIFEST (not os.walk): a stale
         # docs shard from a rebuild with a removed input, or a crashed
