@@ -288,3 +288,59 @@ def test_ivf_build_is_resumable_and_input_aware(ray_session, tmp_path):
     m4 = ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
     assert m4["n_vectors"] == 150
     assert m4["inputs_fingerprint"] != m1["inputs_fingerprint"]
+
+
+def test_ivf_sample_mod_is_part_of_layout_identity(ray_session, tmp_path):
+    """Changing sample_mod must rebuild the layout (different sampling →
+    different centroids), not silently serve the cached one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import ivf
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(120, 8)).astype(np.float32)
+    src = str(tmp_path / "e.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        src,
+    )
+    d = str(tmp_path / "ivf")
+    m1 = ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    m2 = ivf.build_ivf([src], d, id_col="vec_id", nlist=4, sample_mod=3)
+    assert m2["params"]["sample_mod"] == 3
+    assert m2["params"] != m1["params"]  # rebuilt, not cached
+
+
+def test_ivf_empty_corpus(ray_session, tmp_path):
+    """An empty embeddings corpus builds a valid empty layout; probe and
+    near-dup answer empty instead of crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import ivf
+
+    src = str(tmp_path / "e.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        ),
+        src,
+    )
+    d = str(tmp_path / "ivf")
+    m = ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    assert m["n_vectors"] == 0 and m["buckets"] == {}
+    df, st = ivf.probe_topk(d, [0], np.zeros((1, 4)), k=5, nprobe=2)
+    assert len(df) == 0 and st["total_bytes"] == 0
+    pr, st2 = ivf.neardup_pairs(d, 0.9)
+    assert len(pr) == 0 and st2["n_bucket_pairs"] == 0

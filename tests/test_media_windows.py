@@ -216,3 +216,37 @@ def test_clean_semi_join_kept(ray_session, tmp_path):
     assert all(
         kept.set_index("doc_id")["text"][i] == texts[i] for i in exp
     )
+
+
+def test_write_clean_corpus_with_near_dups(ray_session, tmp_path):
+    """The near-dup branch of write_clean_corpus (drop-set filter over
+    the semi-join output, which contains schema-less empty blocks from
+    sparse partitions) — previously untested and crash-prone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import clean
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    texts = {
+        0: base,
+        1: near,                                   # near-dup of 0 → dropped
+        2: " ".join(f"other{i}" for i in range(30)),
+        3: base,                                   # exact dup of 0
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = clean.write_clean_corpus(str(d), str(tmp_path / "clean"))
+    assert out["counts"] == {"kept": 2, "exact_dup": 1, "near_dup": 1}
+    kept = pq.read_table(str(tmp_path / "clean"))
+    assert sorted(kept["doc_id"].to_pylist()) == [0, 2]

@@ -77,12 +77,13 @@ def manifest_abspath(p: str, index_dir: str) -> str:
         if os.path.exists(p):
             return p
         # legacy absolute path from before relocation: re-root on the
-        # suffix starting at the first recognized top-level index dir so
+        # suffix starting at the LAST recognized top-level index dir so
         # generation subpaths survive (segments/gen-001/seg-x.parquet must
-        # NOT collapse to gen-001/seg-x.parquet)
+        # NOT collapse to gen-001/seg-x.parquet) and an ancestor dir that
+        # happens to be named docs/input/... cannot hijack the re-rooting
         parts = p.split(os.sep)
-        for i, comp in enumerate(parts):
-            if comp in _INDEX_TOP_DIRS:
+        for i in range(len(parts) - 1, -1, -1):
+            if parts[i] in _INDEX_TOP_DIRS:
                 return os.path.join(index_dir, *parts[i:])
         return os.path.join(index_dir, *parts[-2:])
     return os.path.join(index_dir, p)

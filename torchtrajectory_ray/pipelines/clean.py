@@ -58,12 +58,18 @@ def _feats_sketch(batch: pa.Table, *, sketch: bool = True) -> pa.Table:
     - kind=1 (LSH band rows, only for rule-passing docs): doc_id, band,
       band_hash — feeds the near-dup candidate shuffle.
 
-    Exact-dup docs ARE sketched (their keep-min isn't known batch-
-    locally) — identical texts have identical signatures, so the pair
-    set over kept docs is unchanged and the wasted sketch work is
-    bounded by the dup rate; the RULE filter (the spam gate) still
-    prunes before sketching.  Both downstream shuffles move only small
-    columns, never text."""
+    Exact-dup copies whose keep-min isn't known batch-locally ARE
+    sketched — identical texts have identical signatures, so every
+    kept-vs-kept candidate pair is still generated — but only ONE copy
+    per sha per batch sketches (the batch's min doc_id): a batch-local
+    non-min copy can never be the global keep-min, its band rows would
+    be redundant, and dup-flooded corpora would otherwise push LSH
+    buckets past the MAX_BUCKET star-expansion cap and cost kept-vs-kept
+    candidates.  Residual caveat: a sha spread over many batches still
+    contributes one sketch per batch, so an adversarially dup-flooded
+    bucket can still hit the cap — those pairs carry ``capped=True`` for
+    audit.  Both downstream shuffles move only small columns, never
+    text."""
     import itertools
 
     from torchtrajectory_ray.pipelines.dedup import _SKETCH_SINGLETONS, MinHasher
@@ -115,6 +121,15 @@ def _feats_sketch(batch: pa.Table, *, sketch: bool = True) -> pa.Table:
         mh = MinHasher()
         _SKETCH_SINGLETONS[_SKETCH_KEY] = mh
     keep = rule == "kept"
+    # batch-local sha dedupe: sketch only the batch's min-doc_id copy
+    sha_codes, _ = pd.factorize(np.asarray(sha.to_pylist(), object), sort=False)
+    order = np.lexsort((doc_ids, sha_codes))
+    first = np.zeros(n, dtype=bool)
+    seen_change = np.concatenate(
+        ([True], sha_codes[order][1:] != sha_codes[order][:-1])
+    )
+    first[order[seen_change]] = True
+    keep = keep & first
     bands = mh.band_rows(
         doc_ids[keep], [t for t, k in zip(tok_lists, keep) if k]
     )
@@ -503,6 +518,8 @@ def write_clean_corpus(sf_dir: str, out_dir: str) -> dict:
         def not_near(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return batch  # schema-less empties from sparse map_groups
             return batch.filter(
                 pc.invert(pc.is_in(batch["doc_id"], value_set=drop))
             )

@@ -359,22 +359,23 @@ class _VerifyPairsTask:
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
-def _as_docs_paths(docs_source) -> list[str]:
+def _as_docs_paths(docs_source) -> tuple[list[str], str | None]:
+    """(paths, staged_dir_to_cleanup_or_None)."""
     if isinstance(docs_source, (list, tuple)):
-        return list(docs_source)
+        return list(docs_source), None
     if isinstance(docs_source, str):
-        return [docs_source]
+        return [docs_source], None
     # Dataset input (compat): stage once so verification tasks can do
-    # per-partition predicate-pushdown reads
+    # per-partition predicate-pushdown reads; caller removes the staging
+    import os
     import tempfile
 
     stage = tempfile.mkdtemp(prefix="verify-docs-", dir="/tmp")
     docs_source.select_columns(["doc_id", "text"]).write_parquet(stage)
-    import os
-
-    return sorted(
+    paths = sorted(
         os.path.join(stage, p) for p in os.listdir(stage) if p.endswith(".parquet")
     )
+    return paths, stage
 
 
 def verify_pairs(
@@ -392,7 +393,7 @@ def verify_pairs(
     (staged once).  Returns (doc_a, doc_b, jaccard) pairs ≥ threshold."""
     if cand.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    paths = _as_docs_paths(docs_source)
+    paths, staged = _as_docs_paths(docs_source)
     # pairs are independent — ANY split works, so partition driver-side
     # into bounded chunks (no shuffle/sort at all) and fan the chunks out
     # as one block each.  (Candidates are LSH-bounded and already driver-
@@ -409,11 +410,17 @@ def verify_pairs(
     def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
         return task(g)
 
-    out = (
-        ray.data.from_pandas(chunks)
-        .map_batches(verify_chunk, batch_format="pandas", batch_size=None)
-        .to_pandas()
-    )
+    try:
+        out = (
+            ray.data.from_pandas(chunks)
+            .map_batches(verify_chunk, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+    finally:
+        if staged is not None:  # don't leak a staged corpus copy per call
+            import shutil
+
+            shutil.rmtree(staged, ignore_errors=True)
     if out.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     return (
@@ -603,7 +610,14 @@ _FP_POLY = np.uint64(1099511628211)
 def fingerprint_tokens(tokens: list[str]) -> int:
     """Single-doc reference implementation of the polynomial rolling hash
     h ← h·P + crc32(token) (mod 2^64) — the sequential fold the batched
-    kernel must reproduce exactly (golden test)."""
+    kernel must reproduce exactly (golden test).
+
+    DEFINITION v2 (round 2): the fold is multiply-ADD, deliberately
+    replacing round 1's multiply-XOR FNV variant — the additive form is
+    linear, which is what makes the fingerprint both incrementally
+    computable over a stream AND batch-vectorizable; fingerprints are a
+    self-contained content id with no persisted consumers, so the value
+    change is a versioned definition change, not silent drift."""
     h = int(_FP_SEED)
     for t in tokens:
         h = (h * int(_FP_POLY) + zlib.crc32(t.encode("utf-8"))) & ((1 << 64) - 1)

@@ -98,6 +98,12 @@ def _staged_doc_embeddings(sf_dir: str, dim: int) -> list[str]:
     stage = os.path.join("/tmp/ttray_cache", f"docvecs-{tag}")
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
+        # no marker = stage incomplete (or a crash mid-write left partial
+        # shards): start clean, or the rerun would append a second shard
+        # set and duplicate every vector
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         doc_embeddings(sf_dir, dim).write_parquet(stage)
         with open(marker, "w") as f:

@@ -89,10 +89,22 @@ class _AssignWrite:
         self.c = centroids
         self.id_col = id_col
 
+    _PARTIAL_SCHEMA = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("n", pa.int64()),
+            ("min_cos", pa.float64()),
+            ("path", pa.string()),
+            ("bytes", pa.int64()),
+        ]
+    )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
 
         _pin_arrow_single_thread()
+        if batch.num_rows == 0:  # 0-row input shards are legal
+            return self._PARTIAL_SCHEMA.empty_table()
         e = _norm_rows(_batch_matrix(batch))
         ids = batch[self.id_col].to_numpy().astype(np.int64)
         sims = self.c @ e.T  # nlist × B
@@ -143,7 +155,18 @@ def build_ivf(
 
     meta_path = os.path.join(out_dir, "meta.json")
     fp = inputs_fingerprint(sorted(input_paths))
-    params = {"id_col": id_col, "nlist": nlist, "iters": iters, "seed": seed}
+    n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
+    if sample_mod is None:
+        sample_mod = max(1, n_rows // 100_000)
+    # sample_mod is part of the layout identity: a different sampling
+    # trains different centroids, so it must invalidate the cache
+    params = {
+        "id_col": id_col,
+        "nlist": nlist,
+        "iters": iters,
+        "seed": seed,
+        "sample_mod": sample_mod,
+    }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
@@ -151,10 +174,6 @@ def build_ivf(
             return meta
         shutil.rmtree(out_dir, ignore_errors=True)  # stale layout: rebuild
     os.makedirs(out_dir, exist_ok=True)
-
-    n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
-    if sample_mod is None:
-        sample_mod = max(1, n_rows // 100_000)
 
     ds = ray.data.read_parquet(input_paths, columns=[id_col, "embedding"])
 
@@ -169,11 +188,34 @@ def build_ivf(
     # deterministic, and k-means init indexes into the sample matrix, so
     # an unsorted sample would make centroids (and every bucket) vary
     # across reruns
-    sample_tbl = pa.concat_tables(
+    sample_parts = list(
         ds.map_batches(sample_batch, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         )
     )
+    sample_tbl = (
+        pa.concat_tables(sample_parts)
+        if sample_parts
+        else pa.table(
+            {id_col: pa.array([], pa.int64()), "embedding": pa.array([], pa.list_(pa.float32()))}
+        )
+    )
+    if sample_tbl.num_rows == 0:  # empty corpus: valid empty layout
+        meta = {
+            "params": params,
+            "inputs_fingerprint": fp,
+            "n_vectors": 0,
+            "nlist": 0,
+            "dim": 0,
+            "sample_mod": sample_mod,
+            "centroids": [],
+            "buckets": {},
+            "total_bytes": 0,
+        }
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(meta_path + ".tmp", meta_path)
+        return meta
     order = np.argsort(sample_tbl[id_col].to_numpy().astype(np.int64), kind="stable")
     sample = _batch_matrix(sample_tbl.take(pa.array(order)))
     centroids = _lloyd(sample, nlist, iters=iters, seed=seed)
@@ -187,7 +229,7 @@ def build_ivf(
         .to_pandas()
     )
     buckets: dict[str, dict] = {}
-    for b, g in partials.groupby("bucket"):
+    for b, g in (partials.groupby("bucket") if len(partials) else ()):
         buckets[str(int(b))] = {
             "n": int(g["n"].sum()),
             "min_cos": float(g["min_cos"].min()),
@@ -239,6 +281,14 @@ def probe_topk(
     and the driver merges Q × k × n_batches rows."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
+    cols = ["query_id", "rank", "neighbor_id", "sim"]
+    if not meta["centroids"]:  # empty layout
+        return pd.DataFrame(columns=cols), {
+            "bytes_read": 0,
+            "total_bytes": 0,
+            "n_buckets_probed": 0,
+            "nlist": 0,
+        }
     C = np.asarray(meta["centroids"], dtype=np.float64)
     qn = _norm_rows(np.asarray(q, dtype=np.float64))
     nprobe = min(nprobe, len(C))
@@ -250,7 +300,6 @@ def probe_topk(
         "n_buckets_probed": len({int(b) for b in probe.ravel()}),
         "nlist": int(meta["nlist"]),
     }
-    cols = ["query_id", "rank", "neighbor_id", "sim"]
     if not files:
         return pd.DataFrame(columns=cols), stats
     id_col = meta["params"]["id_col"]
@@ -370,6 +419,11 @@ def neardup_pairs(
     radian slack guards float32 storage noise)."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
+    if not meta["centroids"]:  # empty layout
+        return (
+            pd.DataFrame(columns=[names[0], names[1], "sim"]),
+            {"n_bucket_pairs": 0, "n_pruned": 0, "nlist": 0},
+        )
     C = np.asarray(meta["centroids"], dtype=np.float64)
     live = sorted(int(b) for b in meta["buckets"])
     R = {
