@@ -449,12 +449,15 @@ def neardup_pairs(
     cols = [names[0], names[1], "sim"]
     if not items:
         return pd.DataFrame(columns=cols), stats
+    # a few bucket pairs per task: the per-task bucket cache makes
+    # consecutive pairs sharing a bucket reuse its decoded matrix, and
+    # ~64 tasks amortize Ray task overhead without hurting parallelism
     out = (
         ray.data.from_items(items)
         .map_batches(
             _PairTask(out_dir, meta, threshold),
             batch_format="pyarrow",
-            batch_size=1,
+            batch_size=max(1, -(-len(items) // 64)),
         )
         .to_pandas()
     )
