@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--doc-id-mode", choices=["dense", "url_hash"], default="dense")
     ap.add_argument("--bad-rows", choices=["raise", "drop"], default="raise")
     ap.add_argument("--store-positions", action="store_true")
+    ap.add_argument(
+        "--tokenizer",
+        default="default",
+        help="tokenizer registry name (functions.text.TOKENIZERS)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -67,6 +72,7 @@ def main() -> None:
         doc_id_mode=args.doc_id_mode,
         bad_rows=args.bad_rows,
         store_positions=args.store_positions,
+        tokenizer=args.tokenizer,
     )
     manifest = build_index(paths, args.out, cfg)
     print(
