@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from torchtrajectory_ray.pipelines import (
         analytics,
         clean,
+        dedup,
         clustering,
         corpus,
         embed,
@@ -83,6 +84,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
         "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
         "clean_summary": clean.clean_corpus_summary,
+        # LSH near-dup pipelines (rows-only: the candidate set is
+        # probabilistic, so no SQL oracle — planted-pair recall is
+        # pytest-gated in test_dedup.py)
+        "minhash_neardup": dedup.minhash_dedup_pairs,
+        "simhash_neardup": dedup.simhash_dedup_pairs,
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
