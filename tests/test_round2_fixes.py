@@ -180,3 +180,42 @@ def test_empty_and_degenerate_corpora(ray_session, tmp_path):
     eng2 = QueryEngine(str(tmp_path / "i2"))
     assert [d for d, _ in eng2.topk(["real"])] == [2]
     assert eng2.phrase_and(["tokens", "here"]).tolist() == [2]
+
+
+def test_fingerprint_batch_property(ray_session):
+    """Property test: random token-list shapes, batched == sequential."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from torchtrajectory_ray.pipelines.dedup import (
+        fingerprint_batch,
+        fingerprint_tokens,
+    )
+
+    token = st.text(alphabet="abcdef ", min_size=0, max_size=6)
+    doc = st.lists(token, min_size=0, max_size=50)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=20))
+    def check(docs):
+        got = fingerprint_batch(docs)
+        assert got.tolist() == [fingerprint_tokens(d) for d in docs]
+
+    check()
+
+
+def test_distributed_engine_scorer_and_filters(ray_session, tmp_path):
+    """distributed=True actors must honor the scorer option, runtime
+    update fan-out, and metadata filters identically to in-process."""
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    d = str(tmp_path / "i")
+    build_index(paths, d, IndexConfig(num_term_shards=2, num_salts=2))
+    local = QueryEngine(d, scorer="tfidf", load_doc_meta=True)
+    dist = QueryEngine(d, scorer="tfidf", distributed=True, load_doc_meta=True)
+    terms = ["w0000", "w0003"]
+    assert local.topk(terms, k=10) == dist.topk(terms, k=10)
+    assert local.topk(terms, k=10, lang="en") == dist.topk(terms, k=10, lang="en")
+    # runtime swap fans out to the remote actors too
+    local.update(scorer="bm25")
+    dist.update(scorer="bm25")
+    assert local.topk(terms, k=10) == dist.topk(terms, k=10)
