@@ -127,8 +127,8 @@ def test_fingerprint_batch_matches_sequential_fold():
 
 
 def test_minhash_jaccard_estimate_still_calibrated():
-    """The exact-mulmod permutation family must keep the MinHash estimator
-    unbiased: signature agreement ≈ true Jaccard on a known pair."""
+    """The odd-affine mod-2^64 permutation family must keep the MinHash
+    estimator unbiased: signature agreement ≈ true Jaccard on a pair."""
     from torchtrajectory_ray.pipelines.dedup import MinHasher, exact_jaccard
 
     mh = MinHasher(num_perm=256, bands=32)
@@ -182,7 +182,7 @@ def test_empty_and_degenerate_corpora(ray_session, tmp_path):
     assert eng2.phrase_and(["tokens", "here"]).tolist() == [2]
 
 
-def test_fingerprint_batch_property(ray_session):
+def test_fingerprint_batch_property():
     """Property test: random token-list shapes, batched == sequential."""
     from hypothesis import given, settings
     from hypothesis import strategies as st

@@ -48,7 +48,7 @@ def _minhash_params(num_perm: int, seed: int = 42):
     a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * np.uint64(
         2
     ) + np.uint64(1)
-    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 64, size=num_perm, dtype=np.uint64)
     return a, b
 
 
