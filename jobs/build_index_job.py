@@ -49,6 +49,12 @@ def main() -> None:
         default="default",
         help="tokenizer registry name (functions.text.TOKENIZERS)",
     )
+    ap.add_argument(
+        "--extend",
+        action="store_true",
+        help="append the inputs as a new GENERATION to the existing index "
+        "at --out (incremental ingest; rank-identical to a full rebuild)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -57,7 +63,7 @@ def main() -> None:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"))
 
     from torchtrajectory_ray.config import IndexConfig
-    from torchtrajectory_ray.pipelines.build import build_index
+    from torchtrajectory_ray.pipelines.build import build_index, extend_index
 
     paths = sorted(glob.glob(args.input))
     if not paths:
@@ -74,7 +80,10 @@ def main() -> None:
         store_positions=args.store_positions,
         tokenizer=args.tokenizer,
     )
-    manifest = build_index(paths, args.out, cfg)
+    if args.extend:
+        manifest = extend_index(args.out, paths, cfg)
+    else:
+        manifest = build_index(paths, args.out, cfg)
     print(
         json.dumps(
             {
