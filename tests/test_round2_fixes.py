@@ -219,3 +219,44 @@ def test_distributed_engine_scorer_and_filters(ray_session, tmp_path):
     local.update(scorer="bm25")
     dist.update(scorer="bm25")
     assert local.topk(terms, k=10) == dist.topk(terms, k=10)
+
+
+def test_compact_index_rank_identical_and_rebalanced(ray_session, tmp_path):
+    """Compacting a multi-generation index must preserve every query
+    answer (doc ids survive) while recomputing the salt shift from real
+    id bounds — the generation-append tail-salt skew disappears."""
+    from torchtrajectory_ray.pipelines.build import compact_index, extend_index
+
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=4)
+    src = str(tmp_path / "src")
+    cfg = IndexConfig(num_term_shards=2, num_salts=4)
+    build_index(paths[:2], src, cfg)
+    extend_index(src, paths[2:], cfg)
+
+    dst = str(tmp_path / "compact")
+    m = compact_index(src, dst)
+    assert m["config"] == __import__("dataclasses").asdict(cfg)
+    # single generation: no gen-* segment paths
+    assert all("gen-" not in s["path"] for s in m["segments"])
+
+    a, b = QueryEngine(src), QueryEngine(dst)
+    assert a._df == b._df  # identical dictionary (same corpus, same ids)
+    for q in fixtures.query_set(15, N):
+        assert a.topk(q["terms"], k=10) == b.topk(q["terms"], k=10)
+        assert a.bool_and(q["terms"]).tolist() == b.bool_and(q["terms"]).tolist()
+    # the extend clamped appended docs into the tail salt; compaction
+    # recomputes the shift from the true id bounds
+    assert m["stats"]["salt_shift"] >= QueryEngine(src).stats["salt_shift"]
+
+
+def test_batch_pipeline_scorer_option(ray_session, tmp_path):
+    from torchtrajectory_ray.pipelines.query_batch import batch_topk_df
+
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    d = str(tmp_path / "i")
+    build_index(paths, d, IndexConfig(num_term_shards=2, num_salts=2))
+    qs = [{"query_id": 0, "terms": ["w0000", "w0003"]}]
+    eng = QueryEngine(d, scorer="tfidf")
+    expect = eng.batch_topk(qs, k=10)
+    got = batch_topk_df(d, qs, k=10, scorer="tfidf")
+    assert got.equals(expect.sort_values(["query_id", "rank"]).reset_index(drop=True))

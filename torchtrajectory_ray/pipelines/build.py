@@ -502,6 +502,45 @@ def extend_index(
     return manifest
 
 
+def config_from_manifest(manifest: dict) -> IndexConfig:
+    """Reconstruct the IndexConfig a manifest was built with."""
+    from torchtrajectory_ray.config import BM25Params
+
+    d = dict(manifest["config"])
+    bm25 = BM25Params(**d.pop("bm25"))
+    return IndexConfig(bm25=bm25, **d)
+
+
+def compact_index(
+    index_dir: str,
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """Compaction: rebuild a (possibly multi-generation) index into a
+    FRESH balanced layout from its own forward-index shards — the docs
+    shards carry doc_id + text, so the original raw inputs are not
+    needed.  Doc ids are PRESERVED, so the compacted index answers every
+    query identically (tested); the salt shift is recomputed from the
+    actual id-space bounds, which removes the tail-salt clamp skew that
+    generation appends accumulate (extend_index keeps the original
+    shift).  The LSM/Lucene segment-merge analog; the reference has no
+    equivalent (TorSaver rewrites everything or nothing).
+
+    ``cfg`` defaults to the source index's own config (same grid); pass
+    a different one to re-shard/re-salt during compaction."""
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    cfg = cfg or config_from_manifest(manifest)
+    docs_paths = [
+        manifest_abspath(p, index_dir)
+        for p in manifest.get(
+            "docs_paths",
+            [r["output"] for r in manifest["lineage"]],
+        )
+    ]
+    return build_index(docs_paths, out_dir, cfg)
+
+
 def build_index_from_dataset(
     ds: "ray.data.Dataset",
     out_dir: str,

@@ -28,8 +28,11 @@ class BatchScorer:
         k: int = 10,
         method: str = "wand",
         load_doc_meta: bool = False,
+        scorer: str = "bm25",
     ):
-        self.engine = QueryEngine(index_dir, load_doc_meta=load_doc_meta)
+        self.engine = QueryEngine(
+            index_dir, load_doc_meta=load_doc_meta, scorer=scorer
+        )
         self.k = k
         self.method = method
 
@@ -72,6 +75,7 @@ def batch_topk_pipeline(
     method: str = "wand",
     concurrency: int = 4,
     batch_size: int = 64,
+    scorer: str = "bm25",
 ) -> ray.data.Dataset:
     """queries [{query_id, terms}] → Dataset(query_id, rank, doc_id,
     score).  Engine state loads once per actor; queries stream through
@@ -106,6 +110,7 @@ def batch_topk_pipeline(
             "k": k,
             "method": method,
             "load_doc_meta": has_filters,
+            "scorer": scorer,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
