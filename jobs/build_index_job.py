@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="glob of raw-pages parquet files")
+    ap.add_argument("--input", default="", help="glob of raw-pages parquet files (unused with --compact-from)")
     ap.add_argument("--out", required=True, help="index output directory")
     ap.add_argument("--term-shards", type=int, default=8)
     ap.add_argument("--salts", type=int, default=8)
@@ -55,6 +55,14 @@ def main() -> None:
         help="append the inputs as a new GENERATION to the existing index "
         "at --out (incremental ingest; rank-identical to a full rebuild)",
     )
+    ap.add_argument(
+        "--compact-from",
+        default=None,
+        metavar="INDEX_DIR",
+        help="ignore --input and rebuild the index at INDEX_DIR into "
+        "--out from its own forward shards (generation merge + salt "
+        "rebalance; doc ids and query answers preserved)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -63,10 +71,14 @@ def main() -> None:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"))
 
     from torchtrajectory_ray.config import IndexConfig
-    from torchtrajectory_ray.pipelines.build import build_index, extend_index
+    from torchtrajectory_ray.pipelines.build import (
+        build_index,
+        compact_index,
+        extend_index,
+    )
 
-    paths = sorted(glob.glob(args.input))
-    if not paths:
+    paths = [] if args.compact_from else sorted(glob.glob(args.input))
+    if not paths and not args.compact_from:
         raise SystemExit(f"no input files match {args.input!r}")
     os.makedirs(args.out, exist_ok=True)
     cfg = IndexConfig(
@@ -80,7 +92,9 @@ def main() -> None:
         store_positions=args.store_positions,
         tokenizer=args.tokenizer,
     )
-    if args.extend:
+    if args.compact_from:
+        manifest = compact_index(args.compact_from, args.out, cfg)
+    elif args.extend:
         manifest = extend_index(args.out, paths, cfg)
     else:
         manifest = build_index(paths, args.out, cfg)

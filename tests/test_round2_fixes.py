@@ -260,3 +260,20 @@ def test_batch_pipeline_scorer_option(ray_session, tmp_path):
     expect = eng.batch_topk(qs, k=10)
     got = batch_topk_df(d, qs, k=10, scorer="tfidf")
     assert got.equals(expect.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_compact_to_different_grid_is_rank_identical(ray_session, tmp_path):
+    """Compaction may re-shard/re-salt to a NEW grid; answers must not
+    change (grid is physical layout, not semantics)."""
+    from torchtrajectory_ray.pipelines.build import compact_index
+
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    src = str(tmp_path / "src")
+    build_index(paths, src, IndexConfig(num_term_shards=2, num_salts=2))
+    dst = str(tmp_path / "wide")
+    m = compact_index(src, dst, IndexConfig(num_term_shards=4, num_salts=4))
+    assert m["config"]["num_term_shards"] == 4
+    a, b = QueryEngine(src), QueryEngine(dst)
+    for q in fixtures.query_set(10, N):
+        assert a.topk(q["terms"], k=10) == b.topk(q["terms"], k=10)
+        assert a.bool_or(q["terms"]).tolist() == b.bool_or(q["terms"]).tolist()
