@@ -344,3 +344,36 @@ def test_ivf_empty_corpus(ray_session, tmp_path):
     assert len(df) == 0 and st["total_bytes"] == 0
     pr, st2 = ivf.neardup_pairs(d, 0.9)
     assert len(pr) == 0 and st2["n_bucket_pairs"] == 0
+
+
+def test_neardup_quadratic_output_guard(ray_session, tmp_path):
+    """An ill-posed threshold (most pairs qualify) must fail fast with
+    guidance, not grind through a quadratic answer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import ivf
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=16)
+    vecs = base + 0.001 * rng.normal(size=(500, 16))  # all near-identical
+    src = str(tmp_path / "e.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        src,
+    )
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    with pytest.raises(Exception, match="max_pairs"):
+        ivf.neardup_pairs(d, 0.5, max_pairs_per_task=1000)
+    # a permissive cap returns the full (intended) quadratic answer
+    out, _ = ivf.neardup_pairs(d, 0.5, max_pairs_per_task=10_000_000)
+    assert len(out) == 500 * 499 // 2

@@ -349,12 +349,21 @@ class _PairTask:
     buckets' files (two-bucket memory bound — never the corpus), computes
     the cross cosine block in chunks, emits (a, b, sim) pairs ≥ threshold
     with a < b.  Buckets partition the vectors, so every qualifying pair
-    is computed in exactly ONE surviving bucket-pair task."""
+    is computed in exactly ONE surviving bucket-pair task.
 
-    def __init__(self, out_dir: str, meta: dict, threshold: float):
+    ``max_pairs``: loud guard against ill-posed queries — a threshold at
+    which a meaningful fraction of ALL pairs qualifies makes the ANSWER
+    itself quadratic (e.g. near-identical short docs under a coarse
+    hashing embedding); such a run fails fast with guidance instead of
+    grinding through an output nobody can hold."""
+
+    def __init__(
+        self, out_dir: str, meta: dict, threshold: float, max_pairs: int
+    ):
         self.out_dir = out_dir
         self.meta = meta
         self.threshold = threshold
+        self.max_pairs = max_pairs
         self.id_col = meta["params"]["id_col"]
         self._cache: dict[int, tuple] = {}
 
@@ -376,6 +385,7 @@ class _PairTask:
 
         _pin_arrow_single_thread()
         out_a, out_b, out_s = [], [], []
+        n_emitted = 0
         for b1, b2 in zip(
             batch["b1"].to_pylist(), batch["b2"].to_pylist()
         ):
@@ -397,9 +407,27 @@ class _PairTask:
                     # full symmetric matrix: keep one orientation only
                     keep2 = a_ids < b_ids
                     lo, hi, sv = lo[keep2], hi[keep2], sv[keep2]
-                out_a.extend(lo.tolist())
-                out_b.extend(hi.tolist())
-                out_s.extend(sv.tolist())
+                n_emitted += len(lo)
+                if n_emitted > self.max_pairs:
+                    raise ValueError(
+                        f"near-dup output exceeded max_pairs={self.max_pairs} "
+                        f"in one bucket-pair task (threshold {self.threshold} "
+                        "qualifies a large fraction of ALL pairs on this "
+                        "corpus — the answer itself is quadratic). Raise the "
+                        "threshold, or raise max_pairs if the output volume "
+                        "is intended."
+                    )
+                out_a.append(lo)
+                out_b.append(hi)
+                out_s.append(sv)
+        cat = (
+            lambda parts, dt: np.concatenate(parts)
+            if parts
+            else np.empty(0, dt)
+        )
+        out_a = cat(out_a, np.int64)
+        out_b = cat(out_b, np.int64)
+        out_s = cat(out_s, np.float64)
         return pa.table(
             {
                 "id_a": pa.array(out_a, pa.int64()),
@@ -410,7 +438,11 @@ class _PairTask:
 
 
 def neardup_pairs(
-    out_dir: str, threshold: float, *, names: tuple[str, str] = ("vec_a", "vec_b")
+    out_dir: str,
+    threshold: float,
+    *,
+    names: tuple[str, str] = ("vec_a", "vec_b"),
+    max_pairs_per_task: int = 5_000_000,
 ) -> tuple[pd.DataFrame, dict]:
     """Exact cosine pairs ≥ threshold over the bucketed layout + prune
     stats.  Bucket-pair (i, j) survives iff the minimum possible angle
@@ -455,7 +487,7 @@ def neardup_pairs(
     out = (
         ray.data.from_items(items)
         .map_batches(
-            _PairTask(out_dir, meta, threshold),
+            _PairTask(out_dir, meta, threshold, max_pairs_per_task),
             batch_format="pyarrow",
             batch_size=max(1, -(-len(items) // 64)),
         )
