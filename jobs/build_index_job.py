@@ -64,6 +64,8 @@ def main() -> None:
         "rebalance; doc ids and query answers preserved)",
     )
     args = ap.parse_args()
+    if args.extend and args.compact_from:
+        ap.error("--extend and --compact-from are mutually exclusive")
 
     import ray
 
@@ -93,7 +95,21 @@ def main() -> None:
         tokenizer=args.tokenizer,
     )
     if args.compact_from:
-        manifest = compact_index(args.compact_from, args.out, cfg)
+        # compaction defaults to the SOURCE index's config (tokenizer,
+        # grid, bm25) — the CLI cfg is only honored when the user
+        # explicitly set a config flag, otherwise the compacted index
+        # would silently re-tokenize/re-shard under CLI defaults
+        cfg_flags = (
+            "term_shards", "salts", "batch_size", "concurrency",
+            "shuffle_mode", "doc_id_mode", "bad_rows", "store_positions",
+            "tokenizer",
+        )
+        explicit = any(
+            getattr(args, k) != ap.get_default(k) for k in cfg_flags
+        )
+        manifest = compact_index(
+            args.compact_from, args.out, cfg if explicit else None
+        )
     elif args.extend:
         manifest = extend_index(args.out, paths, cfg)
     else:

@@ -245,8 +245,9 @@ def test_compact_index_rank_identical_and_rebalanced(ray_session, tmp_path):
         assert a.topk(q["terms"], k=10) == b.topk(q["terms"], k=10)
         assert a.bool_and(q["terms"]).tolist() == b.bool_and(q["terms"]).tolist()
     # the extend clamped appended docs into the tail salt; compaction
-    # recomputes the shift from the true id bounds
-    assert m["stats"]["salt_shift"] >= QueryEngine(src).stats["salt_shift"]
+    # must recompute a STRICTLY larger shift from the true id bounds
+    # (the fixture doubles the file-ordinal space)
+    assert m["stats"]["salt_shift"] > a.stats["salt_shift"]
 
 
 def test_batch_pipeline_scorer_option(ray_session, tmp_path):
@@ -277,3 +278,51 @@ def test_compact_to_different_grid_is_rank_identical(ray_session, tmp_path):
     for q in fixtures.query_set(10, N):
         assert a.topk(q["terms"], k=10) == b.topk(q["terms"], k=10)
         assert a.bool_or(q["terms"]).tolist() == b.bool_or(q["terms"]).tolist()
+
+
+def test_compact_handles_colliding_generation_stems(ray_session, tmp_path):
+    """Compacting an index whose extension inputs share basenames with
+    earlier generations must work (docs shards are fed through
+    position-uniquified links), and in-place compaction must refuse."""
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines.build import compact_index, extend_index
+
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    # same BASENAME in a sibling dir for the extension
+    alt = tmp_path / "c2"
+    alt.mkdir()
+    t = pq.read_table(paths[1])
+    dup_name = str(alt / os.path.basename(paths[0]))
+    pq.write_table(t, dup_name)
+
+    src = str(tmp_path / "src")
+    cfg = IndexConfig(num_term_shards=2, num_salts=2)
+    build_index([paths[0]], src, cfg)
+    extend_index(src, [dup_name], cfg)  # stem collides with generation 0
+
+    dst = str(tmp_path / "dst")
+    m = compact_index(src, dst)
+    assert m["stats"]["n_docs"] == QueryEngine(src).n_docs
+    a, b = QueryEngine(src), QueryEngine(dst)
+    assert a.topk(["w0000", "w0003"], k=10) == b.topk(["w0000", "w0003"], k=10)
+
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        compact_index(src, src)
+
+
+def test_extend_rejects_duplicate_basenames(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines.build import extend_index
+
+    paths = fixtures.write_webpages(str(tmp_path / "c"), N, num_files=2)
+    src = str(tmp_path / "src")
+    cfg = IndexConfig(num_term_shards=2, num_salts=2)
+    build_index([paths[0]], src, cfg)
+    alt = tmp_path / "c2"
+    alt.mkdir()
+    dup = str(alt / os.path.basename(paths[1]))
+    pq.write_table(pq.read_table(paths[1]), dup)
+    with pytest.raises(ValueError, match="unique basenames"):
+        extend_index(src, [paths[1], dup], cfg)

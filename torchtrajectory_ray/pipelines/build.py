@@ -397,6 +397,15 @@ def extend_index(
     n_prev = int(manifest.get("n_input_files", len(manifest["lineage"])))
     shift = manifest["stats"]["salt_shift"]
     new_sorted = sorted(new_input_paths)
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in new_sorted]
+    if len(set(stems)) != len(stems):
+        # same rule as build_index: shards are named by stem, so two
+        # inputs sharing a basename would silently overwrite one docs/
+        # partials shard while lineage counts both
+        raise ValueError(
+            "extend inputs must have unique basenames; duplicates: "
+            f"{sorted({x for x in stems if stems.count(x) > 1})}"
+        )
     extensions = manifest.get("extensions", [])
     if extensions and extensions[-1] == new_sorted:
         # idempotent re-run of the last extension (its outputs exist)
@@ -528,6 +537,12 @@ def compact_index(
 
     ``cfg`` defaults to the source index's own config (same grid); pass
     a different one to re-shard/re-salt during compaction."""
+    if os.path.realpath(index_dir) == os.path.realpath(out_dir):
+        raise ValueError(
+            "compact_index needs a fresh out_dir — in-place compaction "
+            "would interleave new shards with the source's and orphan "
+            "its generation files"
+        )
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     cfg = cfg or config_from_manifest(manifest)
@@ -538,7 +553,20 @@ def compact_index(
             [r["output"] for r in manifest["lineage"]],
         )
     ]
-    return build_index(docs_paths, out_dir, cfg)
+    # docs shards across GENERATIONS may share basenames (gen dirs keep
+    # them apart in the source); build_index names its shards by stem,
+    # so compact feeds position-uniquified symlinks instead
+    link_dir = os.path.join(out_dir, "compact-inputs")
+    os.makedirs(link_dir, exist_ok=True)
+    inputs = []
+    for i, src in enumerate(docs_paths):
+        link = os.path.join(
+            link_dir, f"c{i:05d}-{os.path.basename(src)}"
+        )
+        if not os.path.islink(link):
+            os.symlink(os.path.abspath(src), link)
+        inputs.append(link)
+    return build_index(inputs, out_dir, cfg)
 
 
 def build_index_from_dataset(

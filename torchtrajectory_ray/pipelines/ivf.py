@@ -385,10 +385,10 @@ class _PairTask:
 
         _pin_arrow_single_thread()
         out_a, out_b, out_s = [], [], []
-        n_emitted = 0
         for b1, b2 in zip(
             batch["b1"].to_pylist(), batch["b2"].to_pylist()
         ):
+            n_emitted = 0  # guard is per bucket pair, as the message says
             ia, ea = self._load(int(b1))
             ib, eb = self._load(int(b2))
             na = _norm_rows(ea)
