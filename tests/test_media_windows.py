@@ -250,3 +250,33 @@ def test_write_clean_corpus_with_near_dups(ray_session, tmp_path):
     assert out["counts"] == {"kept": 2, "exact_dup": 1, "near_dup": 1}
     kept = pq.read_table(str(tmp_path / "clean"))
     assert sorted(kept["doc_id"].to_pylist()) == [0, 2]
+
+
+def test_clean_corpus_extreme_skew_all_identical(ray_session, tmp_path):
+    """Adversarial skew: thousands of copies of ONE document — a single
+    sha partition holds the whole corpus and every LSH bucket is
+    degenerate (star-capped).  The verdict chain must stay exact: one
+    keeper, everyone else exact_dup, nothing near_dup (identical docs
+    are exact dups, not near dups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import clean
+
+    text = " ".join(f"tok{i}" for i in range(50))
+    n = 3000
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array([text] * n, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    v = clean.clean_corpus(str(d))
+    counts = v["reason"].value_counts().to_dict()
+    assert counts == {"kept": 1, "exact_dup": n - 1}
+    assert v.loc[v["reason"] == "kept", "doc_id"].tolist() == [0]
