@@ -377,3 +377,63 @@ def test_neardup_quadratic_output_guard(ray_session, tmp_path):
     # a permissive cap returns the full (intended) quadratic answer
     out, _ = ivf.neardup_pairs(d, 0.5, max_pairs_per_task=10_000_000)
     assert len(out) == 500 * 499 // 2
+
+
+def test_neardup_pruning_boundary_exactness(ray_session, tmp_path):
+    """Clusters at controlled angular separations so SOME bucket pairs
+    prune and others survive near the threshold boundary — the sharpest
+    empirical check that triangle-inequality pruning never drops a
+    qualifying pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import ivf
+
+    rng = np.random.default_rng(9)
+    # orthonormal-ish anchor directions, then clusters at graded angles
+    # from anchor 0: 20°, 35°, 50°, 80° — with threshold cos(40°)≈0.766
+    # cross-cluster pairs between the 20° and 35° clusters can qualify
+    # (min angle 15°) while the 80° cluster's pairs with anchor-0 cannot
+    base = np.eye(24)[:2]
+    def ring(angle_deg, n, seed_vec, other):
+        a = np.radians(angle_deg)
+        v = np.cos(a) * seed_vec + np.sin(a) * other
+        pts = v + 0.02 * rng.normal(size=(n, 24))
+        return pts
+    clusters = [
+        ring(0, 30, base[0], base[1]),
+        ring(20, 30, base[0], base[1]),
+        ring(35, 30, base[0], base[1]),
+        ring(50, 30, base[0], base[1]),
+        ring(80, 30, base[0], base[1]),
+    ]
+    vecs = np.concatenate(clusters)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    src = str(tmp_path / "e.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        src,
+    )
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=5)
+    thr = float(np.cos(np.radians(40)))
+    got, stats = ivf.neardup_pairs(d, thr)
+    # partial pruning: some bucket pairs must survive AND some must prune
+    assert 0 < stats["n_pruned"] < stats["n_bucket_pairs"], stats
+    # exact vs brute force on the float32-stored vectors
+    e32 = np.stack([np.asarray(v, np.float32) for v in vecs]).astype(np.float64)
+    e32 /= np.linalg.norm(e32, axis=1, keepdims=True)
+    sims = e32 @ e32.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    m = sims[iu, ju] >= thr
+    exp = sorted((int(a), int(b)) for a, b in zip(iu[m], ju[m]))
+    assert sorted(map(tuple, got[["vec_a", "vec_b"]].to_numpy())) == exp
+    assert len(exp) > 1000  # the boundary case is actually exercised
