@@ -33,7 +33,7 @@ def _ivf_probe_stats(sf_dir: str) -> Any:
 
     from torchtrajectory_ray.pipelines import knn
 
-    s = knn.knn_ivf_stats(sf_dir, nlist=16, nprobe=4)
+    s = knn.knn_ivf_stats(sf_dir, nprobe=4)
     return pd.DataFrame(
         [
             {
@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
+        "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
@@ -240,6 +241,19 @@ FROM events GROUP BY event_type, window_start_us""",
             "FROM scores JOIN documents d USING (doc_id) QUALIFY rank <= 10",
         ),
         "bool_or_lang": _bool_sql("OR", lang="en"),
+        # full-probe IVF reads every bucket, so it is exact — the SAME
+        # oracle as brute force gates the scale path's exactness claim
+        "knn_ivf_fullprobe": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({', '.join(map(str, range(8)))})),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]), 6) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+       neighbor_id, sim
+FROM s QUALIFY rank <= 10""",
         "knn_bruteforce": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id IN ({', '.join(map(str, range(8)))})),

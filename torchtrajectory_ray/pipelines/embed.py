@@ -130,7 +130,7 @@ def doc_embedding_neardup(
     from torchtrajectory_ray.pipelines import ivf
 
     paths = _staged_doc_embeddings(sf_dir, dim)
-    d = ivf.cached_ivf_dir(paths, id_col="doc_id", nlist=16, label="docvec")
-    ivf.build_ivf(paths, d, id_col="doc_id", nlist=16)
+    d = ivf.cached_ivf_dir(paths, id_col="doc_id", nlist=None, label="docvec")
+    ivf.build_ivf(paths, d, id_col="doc_id", nlist=None)
     out, _stats = ivf.neardup_pairs(d, threshold, names=("doc_a", "doc_b"))
     return out

@@ -9,13 +9,24 @@ candidates), re-expressed for the cosine sphere:
 - **build**: centroids trained on a DISTRIBUTED deterministic sample
   (hash-mod inside ``map_batches`` — the driver only ever holds the
   small sample and the nlist×dim centroid matrix), then one assign pass
-  writes vectors into ``bucket-NNNN/`` parquet directories (one file per
+  writes vectors into ``bucket-NNNNN/`` parquet directories (one file per
   input block, content-addressed + atomic ⇒ resumable).  Per-bucket
   metadata records the bucket's angular RADIUS (max angle member↔
   centroid) — the exactness lever below.
-- **probe** (``probe_topk``): queries read ONLY their ``nprobe``
-  buckets' files — real IO pruning (directory selection), not a
-  scan-and-mask.  Bytes touched vs total are reported for audit.
+- **scale-adaptive sizing**: ``nlist`` defaults to
+  ``clamp(ceil(n_rows / target_bucket_rows), 16, 65536)`` so bucket size
+  tracks a fixed target as the corpus grows (the reference's analog is
+  the grid's per-tile population bound, VertexGridIndex.java:24 — scaled
+  with the data, never pinned).  Any bucket that still exceeds
+  ``max_bucket_rows`` (a mega-cluster of near-identical vectors k-means
+  cannot separate) is SPLIT by id-hash into sub-buckets sharing the
+  parent centroid, so per-task memory in the probe and the bucket-pair
+  near-dup is bounded by ``2 × max_bucket_rows`` rows no matter how
+  skewed the corpus.
+- **probe** (``probe_topk``): queries rank CENTROIDS and read ONLY the
+  buckets of their ``nprobe`` best centroids — real IO pruning
+  (directory selection), not a scan-and-mask.  Bytes touched vs total
+  are reported for audit.
 - **near-dup** (``neardup_pairs``): exact all-pairs ≥ threshold without
   any full-matrix broadcast.  Buckets partition the vectors, tasks work
   on bucket PAIRS, and the triangle inequality on the sphere prunes
@@ -24,16 +35,26 @@ candidates), re-expressed for the cosine sphere:
       θ(a,b) ≤ α  ⇒  θ(c_a,c_b) ≤ R_a + α + R_b
 
   so a bucket pair with θ(c_i,c_j) − R_i − R_j > α is skipped with NO
-  false negatives.  High thresholds (real near-dup territory) prune most
-  of the grid; at a permissive threshold it degrades gracefully into a
+  false negatives (sub-buckets of one centroid have θ = 0 and always
+  survive each other — correct, and their tasks are bounded by the
+  split).  High thresholds (real near-dup territory) prune most of the
+  grid; at a permissive threshold it degrades gracefully into a
   distributed block-pair join — still exact, still O(bucket) memory per
   task, never O(n) driver state.
+- **extend** (``extend_ivf``): generation-append new vectors into the
+  existing layout under the FROZEN centroids (assign-only pass, atomic
+  meta swap, oversize splits re-checked) — the same append discipline as
+  the text index's ``extend_index``.  Exact consumers (near-dup,
+  full-probe knn) return identical answers over an extended layout and a
+  fresh rebuild of the union; partial probes may differ because a
+  rebuild retrains centroids.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import shutil
 
@@ -44,6 +65,14 @@ import pyarrow.parquet as pq
 import ray.data
 
 CACHE_ROOT = "/tmp/ttray_cache"
+
+# auto-sizing defaults: average bucket tracks TARGET rows; a bucket past
+# MAX (skew, mega-clusters) is split by id-hash until it fits
+TARGET_BUCKET_ROWS = 8192
+MIN_NLIST = 16
+MAX_NLIST = 65536
+# deterministic id mixer for sub-bucket assignment (splitmix64 constant)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -60,81 +89,230 @@ def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     return flat.reshape(len(c), -1)
 
 
+def auto_nlist(n_rows: int, target_bucket_rows: int = TARGET_BUCKET_ROWS) -> int:
+    """Centroid count derived from corpus size so the AVERAGE bucket
+    holds ~target rows at any scale (floor keeps pruning meaningful on
+    tiny corpora; cap bounds the broadcast centroid matrix)."""
+    return min(MAX_NLIST, max(MIN_NLIST, math.ceil(n_rows / target_bucket_rows)))
+
+
+def _assign_vectors(C: np.ndarray, e: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(argmax centroid id, best cos) per row — row-chunked so the
+    nlist × chunk similarity block stays small even at nlist = 65536."""
+    ch = max(16, 4_000_000 // max(1, len(C)))
+    assign = np.empty(len(e), np.int64)
+    best = np.empty(len(e), np.float64)
+    for lo in range(0, len(e), ch):
+        hi = min(lo + ch, len(e))
+        sims = C @ e[lo:hi].T  # nlist × ch
+        a = np.argmax(sims, axis=0)
+        assign[lo:hi] = a
+        best[lo:hi] = sims[a, np.arange(hi - lo)]
+    return assign, best
+
+
 def _lloyd(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Seeded spherical k-means on the (small) sample matrix; returns
-    unit-norm centroids.  Empty clusters keep their previous centroid."""
+    unit-norm centroids.  Centroid updates are one add.at pass per
+    iteration (no per-cluster Python loop), so nlist in the tens of
+    thousands stays cheap; empty clusters keep their previous centroid."""
     s = _norm_rows(sample)
     nlist = min(nlist, len(s))
     rng = np.random.default_rng(seed)
     c = s[rng.choice(len(s), size=nlist, replace=False)]
     for _ in range(iters):
-        assign = np.argmax(c @ s.T, axis=0)
-        for j in range(nlist):
-            m = assign == j
-            if m.any():
-                c[j] = s[m].mean(axis=0)
+        assign, _ = _assign_vectors(c, s)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, s)
+        cnt = np.bincount(assign, minlength=nlist)
+        nz = cnt > 0
+        c[nz] = sums[nz] / cnt[nz, None]
         c = _norm_rows(c)
     return c
 
 
+def _content_tag(ids: np.ndarray) -> str:
+    return hashlib.blake2b(ids.tobytes(), digest_size=6).hexdigest()
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("n", pa.int64()),
+        ("min_cos", pa.float64()),
+        ("path", pa.string()),
+        ("bytes", pa.int64()),
+    ]
+)
+
+
+def _write_bucket_part(
+    out_dir: str, bucket: int, sub: pa.Table, ids: np.ndarray
+) -> dict:
+    """Content-addressed atomic parquet append under bucket-NNNNN/;
+    idempotent across task retries and reruns."""
+    bdir = os.path.join(out_dir, f"bucket-{bucket:05d}")
+    os.makedirs(bdir, exist_ok=True)
+    path = os.path.join(bdir, f"part-{_content_tag(ids)}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(sub, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return {"path": os.path.relpath(path, out_dir), "bytes": os.path.getsize(path)}
+
+
 class _AssignWrite:
-    """map_batches task: batch → per-bucket parquet appends under
-    ``out_dir/bucket-NNNN/``; returns one partial row per touched bucket
-    (n, min_cos member↔centroid, file path, bytes).  File names are
-    content-addressed (hash of the batch's ids) and written atomically,
-    so task retries and reruns are idempotent."""
+    """map_batches task: batch → per-bucket parquet appends; returns one
+    partial row per touched bucket (n, min_cos member↔centroid, file
+    path, bytes).  Writes are content-addressed + atomic ⇒ idempotent."""
 
     def __init__(self, out_dir: str, centroids: np.ndarray, id_col: str):
         self.out_dir = out_dir
         self.c = centroids
         self.id_col = id_col
 
-    _PARTIAL_SCHEMA = pa.schema(
-        [
-            ("bucket", pa.int64()),
-            ("n", pa.int64()),
-            ("min_cos", pa.float64()),
-            ("path", pa.string()),
-            ("bytes", pa.int64()),
-        ]
-    )
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
 
         _pin_arrow_single_thread()
         if batch.num_rows == 0:  # 0-row input shards are legal
-            return self._PARTIAL_SCHEMA.empty_table()
+            return _PARTIAL_SCHEMA.empty_table()
         e = _norm_rows(_batch_matrix(batch))
         ids = batch[self.id_col].to_numpy().astype(np.int64)
-        sims = self.c @ e.T  # nlist × B
-        assign = np.argmax(sims, axis=0).astype(np.int32)
-        best = sims[assign, np.arange(len(ids))]
+        assign, best = _assign_vectors(self.c, e)
         rows = []
         for b in np.unique(assign):
             m = assign == b
-            bdir = os.path.join(self.out_dir, f"bucket-{b:05d}")
-            os.makedirs(bdir, exist_ok=True)
-            tag = hashlib.blake2b(
-                ids[m].tobytes(), digest_size=6
-            ).hexdigest()
-            path = os.path.join(bdir, f"part-{tag}.parquet")
-            if not os.path.exists(path):
-                sub = batch.filter(pa.array(m)).append_column(
-                    "bucket", pa.array(np.full(int(m.sum()), b, np.int32))
-                )
-                pq.write_table(sub, path + ".tmp")
-                os.replace(path + ".tmp", path)
+            sub = batch.filter(pa.array(m)).append_column(
+                "bucket", pa.array(np.full(int(m.sum()), b, np.int32))
+            )
+            part = _write_bucket_part(self.out_dir, int(b), sub, ids[m])
             rows.append(
                 {
                     "bucket": int(b),
                     "n": int(m.sum()),
                     "min_cos": float(best[m].min()),
-                    "path": os.path.relpath(path, self.out_dir),
-                    "bytes": os.path.getsize(path),
+                    **part,
                 }
             )
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
+
+
+class _SplitWrite:
+    """map_batches task for the oversize-bucket split: rows of ONE parent
+    bucket → id-hash-assigned sub-buckets (deterministic: depends only on
+    the id, never on batch boundaries), each inheriting the parent
+    centroid.  min_cos is recomputed per sub-bucket from its members, so
+    sub radii can only tighten."""
+
+    def __init__(
+        self, out_dir: str, sub_ids: list[int], centroid: np.ndarray, id_col: str
+    ):
+        self.out_dir = out_dir
+        self.sub_ids = np.asarray(sub_ids, np.int64)
+        self.centroid = centroid
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
+
+        _pin_arrow_single_thread()
+        if batch.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        ids = batch[self.id_col].to_numpy().astype(np.int64)
+        mixed = (ids.astype(np.uint64) * _MIX) >> np.uint64(32)
+        sub = self.sub_ids[(mixed % np.uint64(len(self.sub_ids))).astype(np.int64)]
+        cos = _norm_rows(_batch_matrix(batch)) @ self.centroid
+        batch = batch.drop_columns(["bucket"])
+        rows = []
+        for b in np.unique(sub):
+            m = sub == b
+            t = batch.filter(pa.array(m)).append_column(
+                "bucket", pa.array(np.full(int(m.sum()), b, np.int32))
+            )
+            part = _write_bucket_part(self.out_dir, int(b), t, ids[m])
+            rows.append(
+                {
+                    "bucket": int(b),
+                    "n": int(m.sum()),
+                    "min_cos": float(cos[m].min()),
+                    **part,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_PARTIAL_SCHEMA)
+
+
+def _merge_partials(
+    out_dir: str, buckets: dict[str, dict], partials: pd.DataFrame, cent_of: dict
+) -> None:
+    """Fold assign/split partial rows into the meta bucket table (n +=,
+    min_cos = min, path union, bytes from the filesystem)."""
+    for b, g in (partials.groupby("bucket") if len(partials) else ()):
+        key = str(int(b))
+        prev = buckets.get(key)
+        paths = sorted(set(g["path"]) | set(prev["paths"] if prev else ()))
+        buckets[key] = {
+            "n": int(g["n"].sum()) + (prev["n"] if prev else 0),
+            "min_cos": min(
+                float(g["min_cos"].min()),
+                prev["min_cos"] if prev else 1.0,
+            ),
+            "paths": paths,
+            "bytes": int(
+                sum(os.path.getsize(os.path.join(out_dir, p)) for p in paths)
+            ),
+            "centroid": int(cent_of[int(b)]),
+        }
+
+
+def _split_oversized(
+    out_dir: str,
+    centroids: np.ndarray,
+    buckets: dict[str, dict],
+    next_bucket_id: int,
+    id_col: str,
+    target_bucket_rows: int,
+    max_bucket_rows: int,
+) -> tuple[int, list[str]]:
+    """Split every bucket over ``max_bucket_rows`` into ~target-row
+    sub-buckets (id-hash assignment, deterministic).  Parent directories
+    are only REMOVED by the caller after the new meta is durably written;
+    returns (next_bucket_id, parent dirs now superseded)."""
+    to_remove: list[str] = []
+    for _ in range(5):  # recursion guard; one round almost always suffices
+        over = sorted(
+            (k for k, v in buckets.items() if v["n"] > max_bucket_rows), key=int
+        )
+        if not over:
+            break
+        for key in over:
+            info = buckets.pop(key)
+            n_sub = math.ceil(info["n"] / target_bucket_rows)
+            sub_ids = list(range(next_bucket_id, next_bucket_id + n_sub))
+            next_bucket_id += n_sub
+            cvec = centroids[info["centroid"]]
+            partials = (
+                ray.data.read_parquet(
+                    [os.path.join(out_dir, p) for p in info["paths"]]
+                )
+                .map_batches(
+                    _SplitWrite(out_dir, sub_ids, cvec, id_col),
+                    batch_format="pyarrow",
+                    batch_size=4096,
+                )
+                .to_pandas()
+            )
+            _merge_partials(
+                out_dir, buckets, partials, {b: info["centroid"] for b in sub_ids}
+            )
+            to_remove.append(os.path.join(out_dir, f"bucket-{int(key):05d}"))
+    return next_bucket_id, to_remove
+
+
+def _write_meta(out_dir: str, meta: dict) -> None:
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
 
 
 def build_ivf(
@@ -142,13 +320,17 @@ def build_ivf(
     out_dir: str,
     *,
     id_col: str = "vec_id",
-    nlist: int = 16,
+    nlist: int | None = None,
     sample_mod: int | None = None,
     iters: int = 10,
     seed: int = 42,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
+    max_bucket_rows: int | None = None,
 ) -> dict:
     """Build (or reuse) the bucket-partitioned layout; returns the meta
-    dict.  ``sample_mod``: train centroids on ids with id % mod == 0
+    dict.  ``nlist=None`` derives the centroid count from the corpus size
+    (:func:`auto_nlist`) — the scale-safe default; pass an int to pin it.
+    ``sample_mod``: train centroids on ids with id % mod == 0
     (deterministic distributed sample); default caps the driver-side
     sample at ~100k vectors regardless of corpus size."""
     from torchtrajectory_ray.pipelines.build import inputs_fingerprint
@@ -156,23 +338,42 @@ def build_ivf(
     meta_path = os.path.join(out_dir, "meta.json")
     fp = inputs_fingerprint(sorted(input_paths))
     n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
+    if nlist is None:
+        nlist = auto_nlist(n_rows, target_bucket_rows)
+    if max_bucket_rows is None:
+        max_bucket_rows = 4 * target_bucket_rows
     if sample_mod is None:
         sample_mod = max(1, n_rows // 100_000)
-    # sample_mod is part of the layout identity: a different sampling
-    # trains different centroids, so it must invalidate the cache
+    # every sizing knob is part of the layout identity: different
+    # sampling/limits produce different centroids or splits, so any
+    # change must invalidate the cache
     params = {
         "id_col": id_col,
         "nlist": nlist,
         "iters": iters,
         "seed": seed,
         "sample_mod": sample_mod,
+        "target_bucket_rows": target_bucket_rows,
+        "max_bucket_rows": max_bucket_rows,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        if meta.get("inputs_fingerprint") == fp and meta.get("params") == params:
+        if (
+            meta.get("inputs_fingerprint") == fp
+            and meta.get("params") == params
+            and len(meta.get("generations", [fp])) == 1
+        ):
             return meta
         shutil.rmtree(out_dir, ignore_errors=True)  # stale layout: rebuild
+    elif os.path.isdir(out_dir) and any(
+        p.startswith("bucket-") for p in os.listdir(out_dir)
+    ):
+        # no meta but bucket files exist = a run crashed before its meta
+        # write; clear the orphans or they pollute disk/audit stats for
+        # every later successful build (correctness was safe — meta lists
+        # only its own paths — but the dir would grow without bound)
+        shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     ds = ray.data.read_parquet(input_paths, columns=[id_col, "embedding"])
@@ -204,17 +405,17 @@ def build_ivf(
         meta = {
             "params": params,
             "inputs_fingerprint": fp,
+            "generations": [fp],
             "n_vectors": 0,
             "nlist": 0,
             "dim": 0,
             "sample_mod": sample_mod,
             "centroids": [],
             "buckets": {},
+            "next_bucket_id": 0,
             "total_bytes": 0,
         }
-        with open(meta_path + ".tmp", "w") as f:
-            json.dump(meta, f)
-        os.replace(meta_path + ".tmp", meta_path)
+        _write_meta(out_dir, meta)
         return meta
     order = np.argsort(sample_tbl[id_col].to_numpy().astype(np.int64), kind="stable")
     sample = _batch_matrix(sample_tbl.take(pa.array(order)))
@@ -229,32 +430,117 @@ def build_ivf(
         .to_pandas()
     )
     buckets: dict[str, dict] = {}
-    for b, g in (partials.groupby("bucket") if len(partials) else ()):
-        buckets[str(int(b))] = {
-            "n": int(g["n"].sum()),
-            "min_cos": float(g["min_cos"].min()),
-            "paths": sorted(set(g["path"])),
-            "bytes": int(
-                sum(
-                    os.path.getsize(os.path.join(out_dir, p))
-                    for p in set(g["path"])
-                )
-            ),
-        }
+    _merge_partials(
+        out_dir, buckets, partials, {b: b for b in range(len(centroids))}
+    )
+    next_id, to_remove = _split_oversized(
+        out_dir,
+        centroids,
+        buckets,
+        len(centroids),
+        id_col,
+        target_bucket_rows,
+        max_bucket_rows,
+    )
     meta = {
         "params": params,
         "inputs_fingerprint": fp,
-        "n_vectors": int(partials["n"].sum()),
+        "generations": [fp],
+        "n_vectors": int(sum(v["n"] for v in buckets.values())),
         "nlist": int(len(centroids)),
         "dim": int(centroids.shape[1]),
         "sample_mod": sample_mod,
         "centroids": [[float(x) for x in row] for row in centroids],
         "buckets": buckets,
+        "next_bucket_id": next_id,
         "total_bytes": int(sum(v["bytes"] for v in buckets.values())),
     }
-    with open(meta_path + ".tmp", "w") as f:
-        json.dump(meta, f)
-    os.replace(meta_path + ".tmp", meta_path)
+    _write_meta(out_dir, meta)
+    # superseded parent dirs go only AFTER the meta that stopped
+    # referencing them is durable (a crash in between leaves a readable
+    # layout either way)
+    for d in to_remove:
+        shutil.rmtree(d, ignore_errors=True)
+    return meta
+
+
+def extend_ivf(input_paths: list[str], out_dir: str) -> dict:
+    """Generation-append new vectors into an existing layout under the
+    FROZEN centroids: one assign pass over only the new inputs, merged
+    bucket stats (n, min_cos, paths), oversize splits re-checked, atomic
+    meta swap — mirroring ``build.extend_index``'s manifest discipline
+    (reference analog: the grid index is rebuild-only, so this exceeds
+    parity).  Idempotent per input fingerprint: re-extending with the
+    same files is a no-op.  Exact consumers (``neardup_pairs``,
+    full-probe ``probe_topk``) give identical answers over extend vs a
+    fresh rebuild of the union; partial probes may differ because a
+    rebuild retrains centroids on the union's sample."""
+    from torchtrajectory_ray.pipelines.build import inputs_fingerprint
+
+    meta_path = os.path.join(out_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    fp_new = inputs_fingerprint(sorted(input_paths))
+    gens = meta.get("generations", [meta["inputs_fingerprint"]])
+    if fp_new in gens:
+        return meta
+    if not meta["centroids"]:
+        # gen0 was empty: nothing to freeze — build fresh over the new
+        # inputs, then record both generations
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        p = dict(meta["params"])
+        built = build_ivf(
+            input_paths,
+            out_dir,
+            id_col=p["id_col"],
+            nlist=p["nlist"] or None,
+            iters=p["iters"],
+            seed=p["seed"],
+            target_bucket_rows=p["target_bucket_rows"],
+            max_bucket_rows=p["max_bucket_rows"],
+        )
+        built["generations"] = gens + [fp_new]
+        _write_meta(out_dir, built)
+        return built
+    centroids = np.asarray(meta["centroids"], np.float64)
+    id_col = meta["params"]["id_col"]
+    partials = (
+        ray.data.read_parquet(input_paths, columns=[id_col, "embedding"])
+        .map_batches(
+            _AssignWrite(out_dir, centroids, id_col),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+        .to_pandas()
+    )
+    buckets = meta["buckets"]
+    # assign writes into bucket id == centroid id; those ids are only
+    # ever owned by that centroid (sub-buckets allocate past nlist), so
+    # merging by id is unambiguous even after earlier splits
+    _merge_partials(
+        out_dir, buckets, partials, {b: b for b in range(len(centroids))}
+    )
+    next_id, to_remove = _split_oversized(
+        out_dir,
+        centroids,
+        buckets,
+        max(meta["next_bucket_id"], len(centroids)),
+        id_col,
+        meta["params"]["target_bucket_rows"],
+        meta["params"]["max_bucket_rows"],
+    )
+    meta.update(
+        generations=gens + [fp_new],
+        inputs_fingerprint=meta["inputs_fingerprint"],
+        n_vectors=int(sum(v["n"] for v in buckets.values())),
+        buckets=buckets,
+        next_bucket_id=next_id,
+        total_bytes=int(sum(v["bytes"] for v in buckets.values())),
+    )
+    _write_meta(out_dir, meta)
+    for d in to_remove:
+        shutil.rmtree(d, ignore_errors=True)
     return meta
 
 
@@ -267,6 +553,15 @@ def _bucket_files(out_dir: str, meta: dict, buckets: list[int]) -> list[str]:
     return sorted(files)
 
 
+def _centroid_of(meta: dict) -> dict[int, int]:
+    """bucket id → centroid id (pre-split metas map each bucket to
+    itself)."""
+    return {
+        int(b): int(info.get("centroid", int(b)))
+        for b, info in meta["buckets"].items()
+    }
+
+
 def probe_topk(
     out_dir: str,
     query_ids: list[int],
@@ -275,8 +570,10 @@ def probe_topk(
     k: int = 10,
     nprobe: int = 4,
 ) -> tuple[pd.DataFrame, dict]:
-    """(query_id, rank, neighbor_id, sim) + IO stats.  Reads ONLY the
-    probed buckets' files; each batch restricts each query to its own
+    """(query_id, rank, neighbor_id, sim) + IO stats.  Each query ranks
+    the CENTROIDS and reads only the buckets belonging to its ``nprobe``
+    best (sub-buckets of a probed centroid are all read — they partition
+    that centroid's members); each batch restricts each query to its own
     probe set, takes a rank-safe partial top-k (rounded-sim ordering),
     and the driver merges Q × k × n_batches rows."""
     with open(os.path.join(out_dir, "meta.json")) as f:
@@ -292,27 +589,35 @@ def probe_topk(
     C = np.asarray(meta["centroids"], dtype=np.float64)
     qn = _norm_rows(np.asarray(q, dtype=np.float64))
     nprobe = min(nprobe, len(C))
-    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # Q × nprobe
-    files = _bucket_files(out_dir, meta, sorted({int(b) for b in probe.ravel()}))
+    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # Q × nprobe (centroids)
+    cent_of = _centroid_of(meta)
+    probed_cents = {int(c) for c in probe.ravel()}
+    probed_buckets = sorted(b for b, c in cent_of.items() if c in probed_cents)
+    files = _bucket_files(out_dir, meta, probed_buckets)
     stats = {
         "bytes_read": int(sum(os.path.getsize(p) for p in files)),
         "total_bytes": int(meta["total_bytes"]),
-        "n_buckets_probed": len({int(b) for b in probe.ravel()}),
+        "n_buckets_probed": len(probed_buckets),
         "nlist": int(meta["nlist"]),
     }
     if not files:
         return pd.DataFrame(columns=cols), stats
     id_col = meta["params"]["id_col"]
+    # vectorized bucket → centroid lookup for the per-batch probe mask
+    max_bid = max(cent_of) + 1
+    cent_lut = np.full(max_bid, -1, np.int64)
+    for b, c in cent_of.items():
+        cent_lut[b] = c
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         e = _batch_matrix(batch)
         en = _norm_rows(e)
         ids = batch[id_col].to_numpy().astype(np.int64)
-        bks = batch["bucket"].to_numpy().astype(np.int64)
+        cents = cent_lut[batch["bucket"].to_numpy().astype(np.int64)]
         sims = qn @ en.T
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qn)):
-            m = np.isin(bks, probe[qi])
+            m = np.isin(cents, probe[qi])
             if not m.any():
                 continue
             s, nid = sims[qi][m], ids[m]
@@ -346,14 +651,17 @@ def probe_topk(
 
 class _PairTask:
     """map_batches task over bucket-pair work items: reads the two
-    buckets' files (two-bucket memory bound — never the corpus), computes
-    the cross cosine block in chunks, emits (a, b, sim) pairs ≥ threshold
-    with a < b.  Buckets partition the vectors, so every qualifying pair
-    is computed in exactly ONE surviving bucket-pair task.
+    buckets' files (two-bucket memory bound — the oversize split keeps a
+    bucket ≤ max_bucket_rows, so this never approaches corpus size),
+    computes the cross cosine block in chunks, emits (a, b, sim) pairs ≥
+    threshold with a < b.  Buckets partition the vectors, so every
+    qualifying pair is computed in exactly ONE surviving bucket-pair
+    task.
 
-    ``max_pairs``: loud guard against ill-posed queries — a threshold at
-    which a meaningful fraction of ALL pairs qualifies makes the ANSWER
-    itself quadratic (e.g. near-identical short docs under a coarse
+    ``max_pairs`` bounds the pairs emitted by THE WHOLE TASK (the counter
+    spans all its bucket pairs) — a loud guard against ill-posed queries
+    where a meaningful fraction of ALL pairs qualifies and the ANSWER
+    itself is quadratic (e.g. near-identical short docs under a coarse
     hashing embedding); such a run fails fast with guidance instead of
     grinding through an output nobody can hold."""
 
@@ -385,10 +693,10 @@ class _PairTask:
 
         _pin_arrow_single_thread()
         out_a, out_b, out_s = [], [], []
+        n_emitted = 0  # bounds the TASK: spans every bucket pair below
         for b1, b2 in zip(
             batch["b1"].to_pylist(), batch["b2"].to_pylist()
         ):
-            n_emitted = 0  # guard is per bucket pair, as the message says
             ia, ea = self._load(int(b1))
             ib, eb = self._load(int(b2))
             na = _norm_rows(ea)
@@ -448,7 +756,10 @@ def neardup_pairs(
     stats.  Bucket-pair (i, j) survives iff the minimum possible angle
     between members, θ(c_i,c_j) − R_i − R_j, is ≤ arccos(threshold)
     (triangle inequality on the sphere ⇒ no false negatives; a small
-    radian slack guards float32 storage noise)."""
+    radian slack guards float32 storage noise).  Sub-buckets carry their
+    parent centroid and their OWN (tighter) radius.
+    ``max_pairs_per_task`` bounds the emitted pairs of each task (all its
+    bucket pairs combined)."""
     with open(os.path.join(out_dir, "meta.json")) as f:
         meta = json.load(f)
     if not meta["centroids"]:  # empty layout
@@ -457,26 +768,33 @@ def neardup_pairs(
             {"n_bucket_pairs": 0, "n_pruned": 0, "nlist": 0},
         )
     C = np.asarray(meta["centroids"], dtype=np.float64)
-    live = sorted(int(b) for b in meta["buckets"])
-    R = {
-        b: float(
-            np.arccos(np.clip(meta["buckets"][str(b)]["min_cos"], -1.0, 1.0))
-        )
-        for b in live
-    }
+    cent_of = _centroid_of(meta)
+    live = sorted(cent_of)
+    Bc = C[[cent_of[b] for b in live]]  # per-bucket centroid rows
+    R = np.array(
+        [
+            float(
+                np.arccos(
+                    np.clip(meta["buckets"][str(b)]["min_cos"], -1.0, 1.0)
+                )
+            )
+            for b in live
+        ]
+    )
     alpha = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
-    theta = np.arccos(np.clip(C @ C.T, -1.0, 1.0))
+    theta = np.arccos(np.clip(Bc @ Bc.T, -1.0, 1.0))
     items, pruned = [], 0
-    for x, b1 in enumerate(live):
-        for b2 in live[x:]:
-            if theta[b1, b2] - R[b1] - R[b2] > alpha + 1e-6:
+    for x in range(len(live)):
+        for y in range(x, len(live)):
+            if theta[x, y] - R[x] - R[y] > alpha + 1e-6:
                 pruned += 1
             else:
-                items.append({"b1": b1, "b2": b2})
+                items.append({"b1": live[x], "b2": live[y]})
     stats = {
         "n_bucket_pairs": len(items) + pruned,
         "n_pruned": pruned,
         "nlist": int(meta["nlist"]),
+        "n_buckets": len(live),
     }
     cols = [names[0], names[1], "sim"]
     if not items:
@@ -504,17 +822,26 @@ def neardup_pairs(
 
 
 def cached_ivf_dir(
-    input_paths: list[str], *, id_col: str, nlist: int, label: str
+    input_paths: list[str],
+    *,
+    id_col: str,
+    nlist: int | None,
+    label: str,
+    target_bucket_rows: int = TARGET_BUCKET_ROWS,
 ) -> str:
     """Deterministic /tmp cache location for an IVF layout over the given
-    inputs (same identity discipline as corpus.documents_index)."""
+    inputs (same identity discipline as corpus.documents_index).
+    ``nlist=None`` (auto-sizing) is part of the identity, as is the
+    bucket-size target it derives from."""
     sig = []
     for p in sorted(input_paths):
         st = os.stat(p)
         sig.append([os.path.abspath(p), st.st_size, st.st_mtime_ns])
     tag = hashlib.md5(
-        json.dumps([sig, id_col, nlist], sort_keys=True).encode()
+        json.dumps(
+            [sig, id_col, nlist, target_bucket_rows], sort_keys=True
+        ).encode()
     ).hexdigest()[:10]
-    d = os.path.join(CACHE_ROOT, f"ivf-{label}-{nlist}-{tag}")
+    d = os.path.join(CACHE_ROOT, f"ivf-{label}-{nlist or 'auto'}-{tag}")
     os.makedirs(d, exist_ok=True)
     return d

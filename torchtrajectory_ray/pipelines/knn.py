@@ -104,8 +104,10 @@ def knn_bruteforce(sf_dir: str, k: int = 10) -> pd.DataFrame:
 # --- IVF (bucket-partitioned layout, see pipelines/ivf.py) -------------------
 
 
-def _sf_ivf_dir(sf_dir: str, nlist: int) -> str:
-    """Build (or reuse) the bucketed IVF layout for the sf embeddings."""
+def _sf_ivf_dir(sf_dir: str, nlist: int | None = None) -> str:
+    """Build (or reuse) the bucketed IVF layout for the sf embeddings.
+    ``nlist=None`` (default) auto-derives the centroid count from the
+    corpus size (ivf.auto_nlist) — the scale-safe sizing."""
     from torchtrajectory_ray.pipelines import ivf
 
     src = f"{sf_dir}/embeddings.parquet"
@@ -115,7 +117,7 @@ def _sf_ivf_dir(sf_dir: str, nlist: int) -> str:
 
 
 def knn_ivf(
-    sf_dir: str, k: int = 10, nlist: int = 16, nprobe: int = 4
+    sf_dir: str, k: int = 10, nlist: int | None = None, nprobe: int = 4
 ) -> pd.DataFrame:
     """Approximate cosine top-k through the bucket-partitioned IVF index:
     centroids trained on a distributed sample, vectors stored under
@@ -131,8 +133,23 @@ def knn_ivf(
     return out
 
 
+def knn_ivf_fullprobe(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF probe at nprobe = #centroids: every bucket is read, so the
+    result is EXACT — identical to :func:`knn_bruteforce` by
+    construction (the oracle-gated form of the IVF exactness claim;
+    approximate probes share all the same code, only the probe set
+    shrinks)."""
+    from torchtrajectory_ray.pipelines import ivf
+
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    out, _stats = ivf.probe_topk(
+        _sf_ivf_dir(sf_dir), QUERY_VEC_IDS, q, k=k, nprobe=10**9
+    )
+    return out
+
+
 def knn_ivf_stats(
-    sf_dir: str, k: int = 10, nlist: int = 16, nprobe: int = 4
+    sf_dir: str, k: int = 10, nlist: int | None = None, nprobe: int = 4
 ) -> dict:
     """IO-pruning audit of the probe: bytes actually read vs the layout
     total (the lineage/stats check for the scale path)."""
@@ -157,6 +174,6 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
     from torchtrajectory_ray.pipelines import ivf
 
     out, _stats = ivf.neardup_pairs(
-        _sf_ivf_dir(sf_dir, nlist=16), threshold, names=("vec_a", "vec_b")
+        _sf_ivf_dir(sf_dir), threshold, names=("vec_a", "vec_b")
     )
     return out
