@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
         "bool_or_lang": corpus.bool_or_lang,      # U3/M7: predicate filter
         "range_scan": corpus.range_scan,          # U3: terms-free findInRange
+        "phrase_match": corpus.phrase_match,      # exact phrase verification
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
         # --- corpus / text analysis (training-data ops) ---
         "doc_stats": textstats.doc_stats,         # A7: global aggregates
@@ -187,10 +188,25 @@ SELECT query_id::BIGINT AS query_id,
        doc_id, score
 FROM scores QUALIFY rank <= 10
 """
+    from torchtrajectory_ray.pipelines.corpus import PHRASE_QUERIES
+
+    phrase_parts = []
+    for q in PHRASE_QUERIES:
+        p = q["phrase"]
+        conds = " AND ".join(
+            f"ts[i + {j}] = '{t}'" for j, t in enumerate(p)
+        )
+        phrase_parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
+            f"FROM (SELECT doc_id, {_TOKS} AS ts FROM documents) "
+            f"WHERE len(ts) >= {len(p)} AND len(list_filter("
+            f"generate_series(1, len(ts) - {len(p) - 1}), i -> {conds})) > 0"
+        )
     return {
         "range_scan": f"""
 SELECT doc_id FROM documents
 WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
+        "phrase_match": " UNION ALL ".join(phrase_parts),
         "tfidf_topk": tfidf,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df

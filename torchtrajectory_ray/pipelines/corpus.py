@@ -39,6 +39,16 @@ WEB_QUERIES: list[dict] = [
     {"query_id": 11, "terms": ["query", "batch", "small", "big", "line"]},
 ]
 
+# Fixed phrase workload (ORDER matters — phrase 12 is a repeated-term
+# phrase, phrase 13 a trigram; both exercise the forward-index
+# verification beyond what a first-position chain could answer)
+PHRASE_QUERIES: list[dict] = [
+    {"query_id": 0, "phrase": ["table", "hash"]},
+    {"query_id": 1, "phrase": ["the", "data"]},
+    {"query_id": 2, "phrase": ["a", "a"]},
+    {"query_id": 3, "phrase": ["table", "hash", "scan"]},
+]
+
 _INDEX_CFG = IndexConfig(
     num_term_shards=4, num_salts=4, tokenize_batch_size=1024, tokenize_concurrency=4
 )
@@ -184,13 +194,35 @@ def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def range_scan(
     sf_dir: str, doclen_lo: int = 40, doclen_hi: int = 90, lang: str = "en"
 ) -> pd.DataFrame:
-    """doc_id — terms-free metadata range query through the engine
-    (find_in_range: predicate-pushdown scan of the forward-index shards,
-    no posting probe — the reference's pure range search,
-    LEVI.java:73-92 / WindowQuery.java:21-31)."""
+    """doc_id — terms-free metadata range query through the engine's
+    DISTRIBUTED bulk form (find_in_range_ds: the same predicate pushed
+    into ``ray.data.read_parquet`` over the forward-index shards, no
+    posting probe — the reference's pure range search, LEVI.java:73-92 /
+    WindowQuery.java:21-31; the driver-side serving variant
+    ``find_in_range`` shares the filter expression)."""
     eng = _engine(documents_index(sf_dir))
-    ids = eng.find_in_range(lang=lang, doclen_lo=doclen_lo, doclen_hi=doclen_hi)
-    return pd.DataFrame({"doc_id": ids})
+    out = (
+        eng.find_in_range_ds(lang=lang, doclen_lo=doclen_lo, doclen_hi=doclen_hi)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out[["doc_id"]]
+
+
+def phrase_match(sf_dir: str, distribute_over: int | None = None) -> pd.DataFrame:
+    """query_id, doc_id — EXACT consecutive-phrase matches for the fixed
+    phrase workload (AND candidates from the index, verified against the
+    forward index; ``QueryEngine.phrase_and``).  ``distribute_over=0``
+    forces every verification through the distributed chunked-task path
+    (the bulk form); default auto-selects by candidate count."""
+    eng = _engine(documents_index(sf_dir))
+    kw = {} if distribute_over is None else {"distribute_over": distribute_over}
+    rows = []
+    for q in PHRASE_QUERIES:
+        for d in eng.phrase_and(q["phrase"], **kw):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
 
 def topk_resolved(sf_dir: str, k: int = 10) -> pd.DataFrame:

@@ -26,6 +26,62 @@ from torchtrajectory_ray.functions.text import get_tokenizer, term_hash
 from torchtrajectory_ray.state.segment import SaltSearcher
 
 
+def _phrase_doc_hits(doc_ids, texts, terms: list[str], tokenize) -> list[int]:
+    """Docs whose token stream contains ``terms`` consecutively —
+    sliding-window equality vectorized per doc; shared by the driver and
+    the distributed verification paths so they cannot diverge."""
+    n = len(terms)
+    hits: list[int] = []
+    for d, text in zip(doc_ids, texts):
+        toks = tokenize(text)
+        if len(toks) < n:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        m = np.ones(len(toks) - n + 1, dtype=bool)
+        for j, term in enumerate(terms):
+            m &= arr[j : len(toks) - n + 1 + j] == term
+            if not m.any():
+                break
+        if m.any():
+            hits.append(int(d))
+    return hits
+
+
+class _PhraseVerifyTask:
+    """map_batches task for bulk phrase verification: one chunk of
+    candidate doc ids in, the verified subset out.  Each task does its
+    own predicate-pushdown read of ONLY its chunk's docs (the
+    ``dedup._VerifyPairsTask`` shape) — candidate texts never touch the
+    driver, task memory is bounded by the chunk."""
+
+    def __init__(self, docs_paths: list[str], terms: list[str], tokenizer: str):
+        self.docs_paths = docs_paths
+        self.terms = terms
+        self.tokenizer = tokenizer
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
+
+        _pin_arrow_single_thread()
+        wanted = pa.array(
+            sorted(int(d) for d in g["doc_id"].to_numpy()), pa.int64()
+        )
+        t = pads.dataset(self.docs_paths, format="parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(wanted),
+        )
+        hits = _phrase_doc_hits(
+            t["doc_id"].to_pylist(),
+            t["text"].to_pylist(),
+            self.terms,
+            get_tokenizer(self.tokenizer),
+        )
+        return pd.DataFrame({"doc_id": pd.array(sorted(hits), dtype="int64")})
+
+
 class QueryEngine:
     def __init__(
         self,
@@ -49,7 +105,8 @@ class QueryEngine:
         # pluggable measure + the BUILD's tokenizer (query prep must match
         # the index's mapper — the map-matching-the-query rule)
         self.scorer = make_scorer(scorer, k1=self.k1, b=self.b)
-        self._tokenize = get_tokenizer(cfg.get("tokenizer", "default"))
+        self._tokenizer_name = cfg.get("tokenizer", "default")
+        self._tokenize = get_tokenizer(self._tokenizer_name)
 
         # term dictionary: term_id -> (df, max_tf, min_dl).  At 10^12-doc scale
         # this table is itself term-sharded and probed with parquet
@@ -250,12 +307,25 @@ class QueryEngine:
         queryEngine/query/WindowQuery.java:21-31).
 
         Predicate-pushdown scan of the manifest's forward-index shards:
-        parquet row-group statistics prune doc ranges before any IO.  For
-        BULK range scans over 10^12 docs use the distributed form (the
-        same filter inside ``ray.data.read_parquet`` over the shards);
-        this serving-path variant answers interactively on the driver.
+        parquet row-group statistics prune doc ranges before any IO.
+        This serving-path variant answers interactively on the driver;
+        :meth:`find_in_range_ds` is the distributed bulk form for
+        10^12-doc scans (same filter, streamed as a Dataset).
         Timestamps are int64 microseconds (same unit as ``topk``'s
         ts filters)."""
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(self.docs_paths, format="parquet").to_table(
+            columns=["doc_id"],
+            filter=self._range_filter(ts_lo, ts_hi, lang, doclen_lo, doclen_hi),
+        )
+        return np.sort(t["doc_id"].to_numpy().astype(np.int64))
+
+    @staticmethod
+    def _range_filter(ts_lo, ts_hi, lang, doclen_lo, doclen_hi):
+        """One pyarrow dataset filter expression shared by the serving
+        and the distributed range scans so their semantics cannot
+        diverge (None for no predicate)."""
         import pyarrow as pa
         import pyarrow.dataset as pads
 
@@ -276,12 +346,40 @@ class QueryEngine:
             f = conj(f, pads.field("doclen") >= int(doclen_lo))
         if doclen_hi is not None:
             f = conj(f, pads.field("doclen") <= int(doclen_hi))
-        t = pads.dataset(self.docs_paths, format="parquet").to_table(
-            columns=["doc_id"], filter=f
-        )
-        return np.sort(t["doc_id"].to_numpy().astype(np.int64))
+        return f
 
-    def phrase_and(self, terms: list[str], **filt) -> np.ndarray:
+    def find_in_range_ds(
+        self,
+        ts_lo: int | None = None,
+        ts_hi: int | None = None,
+        lang: str | None = None,
+        doclen_lo: int | None = None,
+        doclen_hi: int | None = None,
+        columns: list[str] | None = None,
+    ):
+        """Distributed BULK form of :meth:`find_in_range`: the same
+        predicate pushed into ``ray.data.read_parquet`` over the
+        manifest's forward-index shards, returned as a streaming
+        ``Dataset`` (never materialized on the driver) — consume with
+        ``write_parquet`` / ``iter_batches`` / an aggregate.  Row-group
+        statistics prune IO inside each read task exactly as in the
+        serving path."""
+        import ray.data
+
+        return ray.data.read_parquet(
+            self.docs_paths,
+            columns=columns or ["doc_id"],
+            filter=self._range_filter(ts_lo, ts_hi, lang, doclen_lo, doclen_hi),
+        )
+
+    def phrase_and(
+        self,
+        terms: list[str],
+        *,
+        distribute_over: int = 4096,
+        max_candidates: int = 5_000_000,
+        **filt,
+    ) -> np.ndarray:
         """EXACT phrase matching on any index, repeated terms included.
 
         Candidates come from the boolean AND of the phrase's unique
@@ -295,6 +393,14 @@ class QueryEngine:
         cost is bounded by the AND candidate set — the same
         candidate-then-hydrate shape as ``resolve``.
 
+        Candidate sets up to ``distribute_over`` verify on the driver
+        (interactive serving latency); larger sets fan out as chunked
+        ``map_batches`` tasks, each doing its OWN pushdown read of only
+        its chunk's docs — the driver never materializes candidate texts
+        (the ``dedup._VerifyPairsTask`` shape).  A degenerate phrase of
+        stopwords whose AND exceeds ``max_candidates`` fails loud
+        instead of grinding a corpus-sized verification.
+
         The searcher-level first-position chain (``SaltSearcher.
         phrase_and``) remains available as a cheap index-only prefilter
         for indexes built with ``store_positions=True``."""
@@ -305,7 +411,17 @@ class QueryEngine:
         cand = self.bool_and(uniq, **filt)
         if cand.size == 0:
             return cand
-        return self._verify_phrase(cand, terms)
+        if cand.size > max_candidates:
+            raise ValueError(
+                f"phrase candidate set ({cand.size} docs) exceeds "
+                f"max_candidates={max_candidates}: the phrase's unique terms "
+                "are so common the AND is a large fraction of the corpus "
+                "(stopword phrase). Add a rarer term, filter first, or raise "
+                "max_candidates if a corpus-scale verification is intended."
+            )
+        if cand.size <= distribute_over:
+            return self._verify_phrase(cand, terms)
+        return self._verify_phrase_distributed(cand, terms)
 
     def _verify_phrase(self, cand: np.ndarray, terms: list[str]) -> np.ndarray:
         import pyarrow as pa
@@ -316,21 +432,34 @@ class QueryEngine:
             columns=["doc_id", "text"],
             filter=pads.field("doc_id").isin(wanted),
         )
-        n = len(terms)
-        hits = []
-        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = self._tokenize(text)
-            if len(toks) < n:
-                continue
-            arr = np.asarray(toks, dtype=object)
-            m = np.ones(len(toks) - n + 1, dtype=bool)
-            for j, term in enumerate(terms):
-                m &= arr[j : len(toks) - n + 1 + j] == term
-                if not m.any():
-                    break
-            if m.any():
-                hits.append(int(d))
+        hits = _phrase_doc_hits(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), terms, self._tokenize
+        )
         return np.asarray(sorted(hits), dtype=np.int64)
+
+    def _verify_phrase_distributed(
+        self, cand: np.ndarray, terms: list[str]
+    ) -> np.ndarray:
+        """Chunk the candidate ids driver-side (they're just int64s — the
+        TEXTS never reach the driver), fan the chunks out, concatenate
+        the verified ids."""
+        import ray.data
+
+        ids = pd.DataFrame({"doc_id": np.sort(cand.astype(np.int64))})
+        n_parts = int(max(1, min(64, -(-len(ids) // 1024))))
+        step = -(-len(ids) // n_parts)
+        chunks = [ids.iloc[i : i + step] for i in range(0, len(ids), step)]
+        task = _PhraseVerifyTask(self.docs_paths, terms, self._tokenizer_name)
+
+        def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
+            return task(g)
+
+        out = (
+            ray.data.from_pandas(chunks)
+            .map_batches(verify_chunk, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+        return np.sort(out["doc_id"].to_numpy().astype(np.int64))
 
     def prefix_terms(self, prefix: str) -> list[str]:
         """Dictionary scan: all terms starting with ``prefix`` (the
