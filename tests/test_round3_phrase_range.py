@@ -94,3 +94,20 @@ def test_find_in_range_ds_timestamp_predicate(ray_session, tmp_path):
     )
     assert 0 < serving.size < all_ids.size
     assert serving.tolist() == bulk.tolist()
+
+
+def test_write_clean_corpus_threshold_agrees_with_clean_corpus(
+    ray_session, tmp_path
+):
+    """Both cleaning entry points must apply the SAME near-dup threshold
+    (r2 advice: write_clean_corpus had it hard-coded at 0.7)."""
+    from torchtrajectory_ray.pipelines import clean
+
+    thr = 0.2  # permissive → some near-dups fire at sf0.001
+    v = clean.clean_corpus(SF, near_dup_threshold=thr)
+    n_near = int((v["reason"] == "near_dup").sum())
+    res = clean.write_clean_corpus(
+        SF, str(tmp_path / "out"), near_dup_threshold=thr
+    )
+    assert res["counts"].get("near_dup", 0) == n_near
+    assert res["counts"].get("kept", 0) == int((v["reason"] == "kept").sum())

@@ -11,8 +11,10 @@ driver):
 2. exact dedup is ONE shuffle keyed by a coarse hash of the sha
    (bounded partition count — the high-cardinality-groupby trap), each
    partition resolving keep-min per sha vectorized;
-3. near-dup: the kept docs are selected with a distributed HASH JOIN
-   (``Dataset.join`` on doc_id), sketched by MinHash-LSH, candidates
+3. near-dup: the kept docs are selected with a distributed semi-join
+   spelled as tag + union + coarse-hash groupby (``_semi_join_kept``;
+   ``Dataset.join`` rejects the schema-less empty blocks sparse
+   ``map_groups`` stages emit), sketched by MinHash-LSH, candidates
    verified by the pair-partitioned ``dedup.verify_pairs`` — only the
    (small, LSH-bounded) confirmed pair list ever reaches the driver and
    is broadcast back into the final verdict ``map_batches``.
@@ -492,17 +494,23 @@ def clean_corpus_summary(sf_dir: str) -> pd.DataFrame:
     return out[["reason", "n"]]
 
 
-def write_clean_corpus(sf_dir: str, out_dir: str) -> dict:
+def write_clean_corpus(
+    sf_dir: str, out_dir: str, near_dup_threshold: float = 0.7
+) -> dict:
     """Write the kept documents as partitioned parquet (resumable output
     layout — many files via Ray's block-parallel writer, never one giant
     file) and return audit counts.  Fully distributed: verdicts are
-    joined to the docs via the hash semi-join, never collected."""
+    joined to the docs via the hash semi-join, never collected.
+    ``near_dup_threshold`` matches ``clean_corpus``'s parameter so the
+    two entry points can never silently disagree on verdicts."""
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)  # rerun = replace, not append
     mixed = _mixed_outputs(sf_dir)
     verdicts = _verdicts_of(mixed).materialize()
-    near = _restrict_to_kept(verdicts, _near_dup_ids(sf_dir, mixed, 0.7))
+    near = _restrict_to_kept(
+        verdicts, _near_dup_ids(sf_dir, mixed, near_dup_threshold)
+    )
     counts = {
         str(r["reason"]): int(r["count()"])
         for r in verdicts.groupby("reason").count().take_all()

@@ -166,29 +166,77 @@ _LANG_TRIGRAMS = {
 }
 
 
+def _tri_code(tri: str) -> int:
+    """3 codepoints → one int64 (21 bits each; unicode max is 2^21)."""
+    a, b, c = (ord(ch) for ch in tri)
+    return (a << 42) | (b << 21) | c
+
+
 class LangId:
     """Actor-pool stage: n-gram-profile language ID.  Profiles are built
-    once per actor in __init__ (the load-once pattern); per doc the score
-    is vectorized trigram-membership counting.  Docs matching no profile
-    (e.g. the synthetic token corpus) get 'und'."""
+    once per actor in __init__ (the load-once pattern) as sorted int64
+    trigram-code arrays; the batch is classified in ONE numpy pass — all
+    padded texts are concatenated to a codepoint array, every trigram
+    window becomes an int64 code, and per-(doc, lang) hit counts fall out
+    of isin + bincount.  No per-doc Python loop (r2 verdict item 7).
+    Docs matching no profile (e.g. the synthetic token corpus) get
+    'und'."""
+
+    MIN_HITS = 2
 
     def __init__(self):
-        self.profiles = {
-            lang: set(tris) for lang, tris in _LANG_TRIGRAMS.items()
-        }
+        self.langs = list(_LANG_TRIGRAMS)
+        self.codes = [
+            np.sort(np.array([_tri_code(t) for t in _LANG_TRIGRAMS[lang]], np.int64))
+            for lang in self.langs
+        ]
 
     def classify(self, text: str) -> str:
+        """Scalar reference implementation (golden-tested against the
+        vectorized batch path; kept for single-doc callers)."""
         t = f" {text.lower()} "
         tris = [t[i : i + 3] for i in range(len(t) - 2)]
         best, best_hits = "und", 0
-        for lang, prof in self.profiles.items():
+        for lang, prof in _LANG_TRIGRAMS.items():
             hits = sum(1 for tr in tris if tr in prof)
             if hits > best_hits:
                 best, best_hits = lang, hits
-        return best if best_hits >= 2 else "und"
+        return best if best_hits >= self.MIN_HITS else "und"
+
+    def classify_batch(self, texts: list[str]) -> list[str]:
+        n_docs = len(texts)
+        if n_docs == 0:
+            return []
+        padded = [f" {t.lower()} " for t in texts]
+        lens = np.fromiter((len(t) for t in padded), np.int64, n_docs)
+        big = np.frombuffer(
+            "".join(padded).encode("utf-32-le"), np.uint32
+        ).astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        n_tri = np.maximum(lens - 2, 0)
+        total = int(n_tri.sum())
+        if total == 0:
+            return ["und"] * n_docs
+        # window start positions, never crossing doc boundaries
+        cum = np.cumsum(n_tri) - n_tri
+        ar = np.arange(total) - np.repeat(cum, n_tri)
+        pos = np.repeat(starts, n_tri) + ar
+        tri = (big[pos] << 42) | (big[pos + 1] << 21) | big[pos + 2]
+        doc_of = np.repeat(np.arange(n_docs), n_tri)
+        hits = np.empty((n_docs, len(self.langs)), np.int64)
+        for li, codes in enumerate(self.codes):
+            member = np.isin(tri, codes)
+            hits[:, li] = np.bincount(doc_of, weights=member, minlength=n_docs)
+        # first-max-in-profile-order wins — the scalar loop's tie rule
+        best = np.argmax(hits, axis=1)
+        best_hits = hits[np.arange(n_docs), best]
+        return [
+            self.langs[b] if h >= self.MIN_HITS else "und"
+            for b, h in zip(best, best_hits)
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        preds = self.classify_batch(batch["text"].to_pylist())
         return pa.table(
             {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
         )

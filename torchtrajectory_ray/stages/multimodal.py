@@ -2,16 +2,23 @@
 payloads with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The real decode libraries (PIL / torchaudio / av) are NOT in this
-container, so the codec layer is split:
+The heavyweight decode libraries (PIL / torchaudio / av) are NOT in
+this container, so the codec layer is split three ways:
 
-- ``decode_payload`` first tries the real libraries (import-gated); for
-  the deterministic fake format produced by :func:`fixtures_media_table`
-  it decodes for real; for genuine JPEG/WAV/MP4 bytes without the
-  library it raises ``NotImplementedError`` — clearly marked STUB.
-- Everything Ray-side is real and tested: the schema contract, the
-  actor-pool stage shape (decode state built once per actor), bounded
-  batch sizes for wide binary rows, and the typed feature output layout.
+- REAL stdlib decodes: WAV (``wave`` module) and binary PPM/PGM
+  (hand-parsed header — the formats ARE trivial) run end-to-end with no
+  dependency at all, so at least one genuine media path is exercised in
+  CI.
+- Import-gated real decodes: JPEG via PIL when present; otherwise a
+  clearly-marked ``NotImplementedError`` STUB (same for compressed WAV
+  variants the stdlib reader rejects).
+- The deterministic fake format produced by :func:`fixtures_media_table`
+  decodes for real and covers video (no stdlib container parser
+  exists).
+
+Everything Ray-side is real and tested: the schema contract, the
+actor-pool stage shape (decode state built once per actor), bounded
+batch sizes for wide binary rows, and the typed feature output layout.
 
 Fake payload format (deterministic, seeded by media_id):
 ``b"FAKE" + kind(1B: I/A/V) + h:uint16 + w:uint16 + c:uint8 [+ f:uint16]
@@ -51,8 +58,80 @@ def encode_fake_video(media_id: int, frames: int, h: int, w: int) -> bytes:
     )
 
 
+def encode_wav(media_id: int, n_samples: int, rate: int = 16000) -> bytes:
+    """REAL mono 16-bit PCM WAV bytes (stdlib ``wave``), deterministic
+    per media_id — the planted fixture for the genuine decode path."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(4000 + media_id)
+    samples = (rng.standard_normal(n_samples) * 1000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def encode_ppm(media_id: int, h: int, w: int) -> bytes:
+    """REAL binary PPM (P6) image bytes, deterministic per media_id."""
+    rng = np.random.default_rng(5000 + media_id)
+    pix = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + pix.tobytes()
+
+
+def _decode_wav(payload: bytes):
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as r:
+            nch, width, n = r.getnchannels(), r.getsampwidth(), r.getnframes()
+            raw = r.readframes(n)
+    except (wave.Error, EOFError) as e:  # compressed/non-PCM/truncated
+        raise NotImplementedError(
+            "non-PCM WAV decode requires an audio library (not in this "
+            "container); stdlib wave handles uncompressed PCM only"
+        ) from e
+    if width == 2:
+        arr = np.frombuffer(raw, "<i2")
+    elif width == 1:
+        arr = np.frombuffer(raw, np.uint8).astype(np.int16) - 128
+    else:
+        raise NotImplementedError(f"WAV sample width {width} unsupported")
+    if nch > 1:  # downmix to mono, deterministic
+        arr = arr.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return "audio", arr
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6, RGB) / PGM (P5, gray) — whitespace+comment-tolerant
+    header, then a raw pixel block."""
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM/PGM unsupported")
+    c = 3 if payload[:2] == b"P6" else 1
+    pix = np.frombuffer(payload, np.uint8, count=h * w * c, offset=pos)
+    return "image", pix.reshape(h, w, c)
+
+
 def decode_payload(payload: bytes):
-    """payload → (kind, ndarray).  Real formats STUB behind import-try."""
+    """payload → (kind, ndarray).  Stdlib formats (WAV, PPM/PGM) decode
+    for REAL; heavyweight formats STUB behind import-try."""
     if payload[:4] == MAGIC:
         kind = payload[4:5].decode()
         h, w, c = struct.unpack("<HHB", payload[5:10])
@@ -75,10 +154,10 @@ def decode_payload(payload: bytes):
                 "real JPEG decode requires PIL (not in this container)"
             ) from e
         return "image", np.asarray(PIL.Image.open(io.BytesIO(payload)))
-    if payload[:4] == b"RIFF":  # WAV
-        raise NotImplementedError(
-            "real WAV decode requires an audio library (not in this container)"
-        )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":  # real WAV
+        return _decode_wav(payload)
+    if payload[:2] in (b"P6", b"P5"):  # real binary PPM/PGM
+        return _decode_ppm(payload)
     raise ValueError("unrecognized payload format")
 
 
