@@ -136,6 +136,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "range_scan",
         lambda: eng.find_in_range(lang="en", doclen_lo=40, doclen_hi=90),
     )
+    from torchtrajectory_ray.pipelines.corpus import PHRASE_QUERIES
+
+    timed(
+        "phrase_match",
+        lambda: [eng.phrase_and(q["phrase"]) for q in PHRASE_QUERIES],
+    )
 
     from torchtrajectory_ray.pipelines import analytics, knn, media
     from torchtrajectory_ray.pipelines.query_batch import batch_topk_df
@@ -148,6 +154,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         ),
     )
     timed("token_quality", lambda: textstats.quality_score(sf_dir).to_pandas())
+    timed("lang_id", lambda: textstats.lang_id(sf_dir).to_pandas())
     timed("exact_dedup", lambda: textstats.exact_dedup(sf_dir).to_pandas())
     timed("minhash_dedup", lambda: dedup.minhash_dedup_pairs(sf_dir))
     timed("simhash_dedup", lambda: dedup.simhash_dedup_pairs(sf_dir))
@@ -160,6 +167,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         shutil.rmtree(d, ignore_errors=True)
     timed("knn_ivf_cold", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf", lambda: knn.knn_ivf(sf_dir))
+    timed("knn_ivf_fullprobe", lambda: knn.knn_ivf_fullprobe(sf_dir))
     timed("embedding_neardup", lambda: knn.embedding_neardup(sf_dir))
     timed("pricing_summary", lambda: analytics.pricing_summary(sf_dir))
     timed("revenue_topk", lambda: analytics.revenue_topk(sf_dir))
@@ -182,42 +190,45 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         **extra,
     }
-    out["regressions_vs_r01"] = _regressions(timings)
+    out["regressions_vs_prev"] = _regressions(timings)
     return out
 
 
 def _regressions(timings: dict[str, float]) -> dict:
-    """Fail-loud comparison against the previous round's recorded bench
-    (BENCH_r01.json): any shared pipeline >1.4× slower AND >0.5 s absolute
-    is reported in the JSON line and on stderr, so a change can't
-    silently regress the suite.  (Single-run timings of ~1-3 s pipelines
-    swing ±20-30% with VM CPU steal; 1.3× flagged untouched pipelines.)"""
-    ref_path = os.path.join(REPO, "BENCH_r01.json")
-    if not os.path.exists(ref_path):
+    """Fail-loud comparison against the LATEST recorded round bench
+    (highest-numbered BENCH_r*.json): any shared pipeline >1.4× slower
+    AND >0.5 s absolute is reported in the JSON line and on stderr, so a
+    change can't silently regress the suite.  (Single-run timings of
+    ~1-3 s pipelines swing ±20-30% with VM CPU steal; 1.3× flagged
+    untouched pipelines.)"""
+    import glob
+
+    refs = sorted(glob.glob(os.path.join(REPO, "BENCH_r[0-9]*.json")))
+    if not refs:
         return {}
+    ref_path = refs[-1]
     try:
         with open(ref_path) as f:
             ref = json.load(f).get("parsed", {}).get("queries", {})
     except Exception:
         return {}
-    # intentional round-2 trades: pipelines that now build persistent
-    # scale-path state (bucketed IVF layout) or run fully distributed
-    # where r01 computed on the driver — slower at toy scale by design
-    known = {
-        "knn_ivf": "now builds the persistent bucket-partitioned layout "
-        "(IO-pruned probes); r01 scanned-and-masked in memory",
-        "clean_corpus": "verdicts now fully distributed (1 combined "
-        "shuffle + distributed pair verify); r01 verdicted on the driver",
-    }
+    ref_tag = os.path.basename(ref_path).replace("BENCH_", "").replace(
+        ".json", ""
+    )
     bad = {}
     for k, new in timings.items():
         old = ref.get(k)
         if old and new > 1.4 * old and new - old > 0.5:
-            bad[k] = {"now_s": new, "r01_s": old, "ratio": round(new / old, 2)}
-            if k in known:
-                bad[k]["note"] = known[k]
+            bad[k] = {
+                "now_s": new,
+                f"{ref_tag}_s": old,
+                "ratio": round(new / old, 2),
+            }
     if bad:
-        print(f"BENCH REGRESSION vs r01: {json.dumps(bad)}", file=sys.stderr)
+        print(
+            f"BENCH REGRESSION vs {ref_tag}: {json.dumps(bad)}",
+            file=sys.stderr,
+        )
     return bad
 
 

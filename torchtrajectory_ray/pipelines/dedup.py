@@ -345,12 +345,28 @@ class _VerifyPairsTask:
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
+def _expand_parquet(path: str) -> list[str]:
+    """A directory source (e.g. a sharded documents.parquet dir) becomes
+    its file list — pyarrow.dataset rejects directories inside a source
+    LIST, and the verification tasks always pass lists."""
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(root, f)
+            for root, _, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
 def _as_docs_paths(docs_source) -> tuple[list[str], str | None]:
     """(paths, staged_dir_to_cleanup_or_None)."""
     if isinstance(docs_source, (list, tuple)):
-        return list(docs_source), None
+        return [f for p in docs_source for f in _expand_parquet(p)], None
     if isinstance(docs_source, str):
-        return [docs_source], None
+        return _expand_parquet(docs_source), None
     # Dataset input (compat): stage once so verification tasks can do
     # per-partition predicate-pushdown reads; caller removes the staging
     import os

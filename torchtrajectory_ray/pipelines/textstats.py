@@ -242,10 +242,23 @@ class LangId:
         )
 
 
+_LANGID_SINGLETON: list = []
+
+
+def _lang_id_task(batch: pa.Table) -> pa.Table:
+    # module-level singleton: profile arrays build once per worker
+    # PROCESS (the load-once pattern) without paying actor-pool spin-up
+    # (~1 s/actor), which dominated this short pipeline as an actor stage
+    if not _LANGID_SINGLETON:
+        _LANGID_SINGLETON.append(LangId())
+    return _LANGID_SINGLETON[0](batch)
+
+
 def lang_id(sf_dir: str) -> ray.data.Dataset:
-    """doc_id, lang_pred — heuristic n-gram language ID (actor pool)."""
+    """doc_id, lang_pred — heuristic n-gram language ID (task pool,
+    one-numpy-pass batch classifier)."""
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        _lang_id_task, batch_format="pyarrow"
     )
 
 
