@@ -295,3 +295,37 @@ def test_build_cleans_orphan_bucket_files(ray_session, tmp_path):
     assert not os.path.exists(orphan)
     with open(os.path.join(d, "meta.json")) as f:
         assert json.load(f)["n_vectors"] == meta["n_vectors"] == 100
+
+
+def test_ivf_layout_is_relocatable(ray_session, tmp_path):
+    """meta.json stores RELATIVE bucket paths, so a moved layout (new
+    mount point, restored backup) keeps serving probes and near-dup."""
+    import shutil
+
+    src = _write_emb(str(tmp_path / "e.parquet"), _clustered(300))
+    d1 = str(tmp_path / "ivf-orig")
+    ivf.build_ivf([src], d1, id_col="vec_id", nlist=6)
+    thr = 0.9
+    p1, _ = ivf.neardup_pairs(d1, thr)
+    e = np.array(pq.read_table(src)["embedding"].to_pylist(), np.float64)
+    r1, _ = ivf.probe_topk(d1, [0, 5], e[[0, 5]], k=5, nprobe=3)
+    d2 = str(tmp_path / "moved" / "ivf")
+    os.makedirs(os.path.dirname(d2))
+    shutil.move(d1, d2)
+    p2, _ = ivf.neardup_pairs(d2, thr)
+    r2, _ = ivf.probe_topk(d2, [0, 5], e[[0, 5]], k=5, nprobe=3)
+    assert p1.values.tolist() == p2.values.tolist()
+    assert r1.values.tolist() == r2.values.tolist()
+
+
+def test_extend_ivf_rejects_dim_mismatch(ray_session, tmp_path):
+    src = _write_emb(str(tmp_path / "a.parquet"), _clustered(100, dim=16))
+    bad = _write_emb(
+        str(tmp_path / "b.parquet"),
+        _clustered(50, dim=8),
+        np.arange(100, 150, dtype=np.int64),
+    )
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    with pytest.raises(ValueError, match="dim"):
+        ivf.extend_ivf([bad], d)

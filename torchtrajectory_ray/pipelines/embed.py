@@ -116,7 +116,10 @@ def _staged_doc_embeddings(sf_dir: str, dim: int) -> list[str]:
 
 
 def doc_embedding_neardup(
-    sf_dir: str, threshold: float = 0.95, dim: int = DIM
+    sf_dir: str,
+    threshold: float = 0.95,
+    dim: int = DIM,
+    max_pairs_per_task: int = 5_000_000,
 ) -> pd.DataFrame:
     """doc_a, doc_b, sim — cosine near-dup pairs over the GENERATED doc
     vectors (embedding-cosine dedup applied to raw documents; exact and
@@ -132,5 +135,10 @@ def doc_embedding_neardup(
     paths = _staged_doc_embeddings(sf_dir, dim)
     d = ivf.cached_ivf_dir(paths, id_col="doc_id", nlist=None, label="docvec")
     ivf.build_ivf(paths, d, id_col="doc_id", nlist=None)
-    out, _stats = ivf.neardup_pairs(d, threshold, names=("doc_a", "doc_b"))
+    out, _stats = ivf.neardup_pairs(
+        d,
+        threshold,
+        names=("doc_a", "doc_b"),
+        max_pairs_per_task=max_pairs_per_task,
+    )
     return out

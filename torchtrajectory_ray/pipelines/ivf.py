@@ -505,6 +505,12 @@ def extend_ivf(input_paths: list[str], out_dir: str) -> dict:
         return built
     centroids = np.asarray(meta["centroids"], np.float64)
     id_col = meta["params"]["id_col"]
+    new_dim = _embedding_dim(input_paths[0], id_col)
+    if new_dim is not None and new_dim != meta["dim"]:
+        raise ValueError(
+            f"extend_ivf: new vectors have dim {new_dim} but the layout "
+            f"was built at dim {meta['dim']} — rebuild instead of extending"
+        )
     partials = (
         ray.data.read_parquet(input_paths, columns=[id_col, "embedding"])
         .map_batches(
@@ -542,6 +548,22 @@ def extend_ivf(input_paths: list[str], out_dir: str) -> dict:
     for d in to_remove:
         shutil.rmtree(d, ignore_errors=True)
     return meta
+
+
+def _embedding_dim(path: str, id_col: str) -> int | None:
+    """Dim of the first non-empty embedding row (None if the file is
+    empty or the column is not fixed-probe-able cheaply)."""
+    try:
+        f = pq.ParquetFile(path)
+        for batch in f.iter_batches(batch_size=64, columns=["embedding"]):
+            col = batch.column(0)
+            for i in range(len(col)):
+                v = col[i].as_py()
+                if v is not None:
+                    return len(v)
+    except Exception:
+        return None
+    return None
 
 
 def _bucket_files(out_dir: str, meta: dict, buckets: list[int]) -> list[str]:

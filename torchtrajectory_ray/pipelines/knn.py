@@ -165,7 +165,11 @@ def knn_ivf_stats(
 # --- embedding near-dup ------------------------------------------------------
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+def embedding_neardup(
+    sf_dir: str,
+    threshold: float = 0.45,
+    max_pairs_per_task: int = 5_000_000,
+) -> pd.DataFrame:
     """vec_a, vec_b, sim — ALL pairs (a < b) with cosine ≥ threshold,
     exact, via bucket-pair tasks over the IVF layout (ivf.neardup_pairs):
     no full-matrix broadcast, per-task memory = two buckets, and the
@@ -174,6 +178,9 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
     from torchtrajectory_ray.pipelines import ivf
 
     out, _stats = ivf.neardup_pairs(
-        _sf_ivf_dir(sf_dir), threshold, names=("vec_a", "vec_b")
+        _sf_ivf_dir(sf_dir),
+        threshold,
+        names=("vec_a", "vec_b"),
+        max_pairs_per_task=max_pairs_per_task,
     )
     return out
