@@ -36,13 +36,15 @@ SOAK_ROOT = "/tmp/ttray_soak"
 VOCAB = np.array([f"w{i:04d}" for i in range(2000)], dtype=object)
 
 
-def _gen_shard(shard: int, per_shard: int, path: str) -> None:
+def _gen_shard(shard: int, base: int, per_shard: int, path: str) -> None:
     """Deterministic shard: zipf-ish token draws, ~4% exact dups of an
     earlier doc in the shard, ~4% near dups (2 tokens swapped), ~2%
-    too-short docs so the length rule fires."""
+    too-short docs so the length rule fires.  ``base`` is the GLOBAL
+    first doc_id of this shard (the last shard is shorter when n_docs
+    doesn't divide evenly — deriving base from its own length would
+    overlap the previous shard's ids)."""
     rng = np.random.default_rng(7000 + shard)
     texts: list[str] = []
-    base = shard * per_shard
     for i in range(per_shard):
         r = rng.random()
         if i > 10 and r < 0.04:  # exact dup
@@ -96,6 +98,7 @@ def build_corpus(n_docs: int, n_shards: int = 64) -> str:
         [
             gen.remote(
                 s,
+                s * per_shard,
                 min(per_shard, n_docs - s * per_shard),
                 os.path.join(docs_dir, f"part-{s:04d}.parquet"),
             )

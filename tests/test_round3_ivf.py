@@ -329,3 +329,80 @@ def test_extend_ivf_rejects_dim_mismatch(ray_session, tmp_path):
     ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
     with pytest.raises(ValueError, match="dim"):
         ivf.extend_ivf([bad], d)
+
+
+def test_extend_ivf_rejects_overlapping_generation(ray_session, tmp_path):
+    """Passing the union (or any id-overlapping file set) instead of the
+    delta must fail loud — silent vector duplication corrupted probe
+    ranks before this guard (round-3 review finding)."""
+    all_vecs = _clustered(300, n_centers=4, seed=21)
+    a = _write_emb(
+        str(tmp_path / "a.parquet"), all_vecs[:200], np.arange(200, dtype=np.int64)
+    )
+    u = _write_emb(str(tmp_path / "u.parquet"), all_vecs)  # ids 0..299
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([a], d, id_col="vec_id", nlist=4)
+    with pytest.raises(ValueError, match="overlap"):
+        ivf.extend_ivf([u], d)
+    # the failed attempt wrote nothing: meta unchanged, still 200 rows
+    with open(os.path.join(d, "meta.json")) as f:
+        assert json.load(f)["n_vectors"] == 200
+    # the true delta extends fine and generations carry id ranges
+    b = _write_emb(
+        str(tmp_path / "b.parquet"),
+        all_vecs[200:],
+        np.arange(200, 300, dtype=np.int64),
+    )
+    m = ivf.extend_ivf([b], d)
+    assert m["n_vectors"] == 300
+    assert [g["id_min"] for g in m["generations"]] == [0, 200]
+    assert [g["id_max"] for g in m["generations"]] == [199, 299]
+
+
+def test_extend_ivf_rejects_legacy_meta_before_writing(ray_session, tmp_path):
+    """A pre-round-3 meta (no split/extend bookkeeping) must be rejected
+    BEFORE the assign pass — a later KeyError would leave orphan part
+    files in live bucket dirs (round-3 review finding)."""
+    src = _write_emb(str(tmp_path / "e.parquet"), _clustered(100))
+    d = str(tmp_path / "ivf")
+    meta = ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    # strip the layout back to the round-2 meta shape
+    legacy = dict(meta)
+    legacy.pop("next_bucket_id")
+    legacy.pop("generations")
+    legacy["params"] = {
+        k: v
+        for k, v in meta["params"].items()
+        if k not in ("target_bucket_rows", "max_bucket_rows", "auto")
+    }
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(legacy, f)
+    before = {
+        os.path.join(p, fn)
+        for p, _, fs in os.walk(d)
+        for fn in fs
+    }
+    b = _write_emb(
+        str(tmp_path / "b.parquet"),
+        _clustered(50),
+        np.arange(100, 150, dtype=np.int64),
+    )
+    with pytest.raises(ValueError, match="predates"):
+        ivf.extend_ivf([b], d)
+    after = {os.path.join(p, fn) for p, _, fs in os.walk(d) for fn in fs}
+    assert before == after  # nothing was written
+
+
+def test_auto_sized_layout_stays_auto_through_empty_gen0(ray_session, tmp_path):
+    """Empty gen0 + big extend must re-derive nlist from the NEW corpus
+    (params stores the resolved int; the auto flag carries intent)."""
+    empty = _write_emb(str(tmp_path / "empty.parquet"), np.empty((0, 16)))
+    d = str(tmp_path / "ivf")
+    m0 = ivf.build_ivf(
+        [empty], d, id_col="vec_id", nlist=None, target_bucket_rows=20
+    )
+    assert m0["n_vectors"] == 0 and m0["params"]["auto"]
+    big = _write_emb(str(tmp_path / "big.parquet"), _clustered(1200))
+    m1 = ivf.extend_ivf([big], d)
+    assert m1["nlist"] == ivf.auto_nlist(1200, 20)  # re-derived, not 16
+    assert len(m1["generations"]) == 2

@@ -111,3 +111,37 @@ def test_write_clean_corpus_threshold_agrees_with_clean_corpus(
     )
     assert res["counts"].get("near_dup", 0) == n_near
     assert res["counts"].get("kept", 0) == int((v["reason"] == "kept").sum())
+
+
+def test_soak_corpus_ids_unique_with_uneven_shards(ray_session, tmp_path):
+    """The soak generator's last shard is shorter when n_docs doesn't
+    divide evenly; its doc_id base must still be the GLOBAL offset
+    (round-3 review finding: base derived from the truncated count
+    overlapped the previous shard)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "soak_clean_job",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "jobs",
+            "soak_clean_job.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.SOAK_ROOT = str(tmp_path)  # keep scratch local to the test
+    soak_dir = mod.build_corpus(1000, n_shards=7)  # 1000 % ceil(1000/7) != 0
+    import pyarrow.dataset as pads
+
+    ids = (
+        pads.dataset(
+            os.path.join(soak_dir, "documents.parquet"), format="parquet"
+        )
+        .to_table(columns=["doc_id"])["doc_id"]
+        .to_numpy()
+    )
+    assert len(ids) == 1000
+    assert len(np.unique(ids)) == 1000
+    assert ids.min() == 0 and ids.max() == 999

@@ -315,6 +315,50 @@ def _write_meta(out_dir: str, meta: dict) -> None:
     os.replace(meta_path + ".tmp", meta_path)
 
 
+def _gen_fp(g) -> str:
+    """Fingerprint of a generation record (compat: early metas stored
+    bare fingerprint strings)."""
+    return g if isinstance(g, str) else g["fp"]
+
+
+def _id_range(input_paths: list[str], id_col: str) -> tuple[int, int] | None:
+    """[min, max] of the id column across the inputs, from parquet
+    row-group STATISTICS only (no data read); None if any file lacks
+    stats."""
+    lo = hi = None
+    for p in input_paths:
+        md = pq.ParquetFile(p).metadata
+        col_idx = None
+        if md.num_row_groups == 0:
+            continue
+        rg0 = md.row_group(0)
+        for i in range(rg0.num_columns):
+            if rg0.column(i).path_in_schema == id_col:
+                col_idx = i
+                break
+        if col_idx is None:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or st.min is None or st.max is None:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
+def _make_generation(input_paths: list[str], id_col: str, fp: str, n: int) -> dict:
+    rng = _id_range(input_paths, id_col)
+    return {
+        "fp": fp,
+        "id_min": rng[0] if rng else None,
+        "id_max": rng[1] if rng else None,
+        "n": int(n),
+    }
+
+
 def build_ivf(
     input_paths: list[str],
     out_dir: str,
@@ -338,7 +382,8 @@ def build_ivf(
     meta_path = os.path.join(out_dir, "meta.json")
     fp = inputs_fingerprint(sorted(input_paths))
     n_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
-    if nlist is None:
+    auto = nlist is None
+    if auto:
         nlist = auto_nlist(n_rows, target_bucket_rows)
     if max_bucket_rows is None:
         max_bucket_rows = 4 * target_bucket_rows
@@ -350,6 +395,7 @@ def build_ivf(
     params = {
         "id_col": id_col,
         "nlist": nlist,
+        "auto": auto,  # whether nlist was derived (rebuilds re-derive)
         "iters": iters,
         "seed": seed,
         "sample_mod": sample_mod,
@@ -405,7 +451,7 @@ def build_ivf(
         meta = {
             "params": params,
             "inputs_fingerprint": fp,
-            "generations": [fp],
+            "generations": [_make_generation(input_paths, id_col, fp, 0)],
             "n_vectors": 0,
             "nlist": 0,
             "dim": 0,
@@ -442,11 +488,12 @@ def build_ivf(
         target_bucket_rows,
         max_bucket_rows,
     )
+    n_vectors = int(sum(v["n"] for v in buckets.values()))
     meta = {
         "params": params,
         "inputs_fingerprint": fp,
-        "generations": [fp],
-        "n_vectors": int(sum(v["n"] for v in buckets.values())),
+        "generations": [_make_generation(input_paths, id_col, fp, n_vectors)],
+        "n_vectors": n_vectors,
         "nlist": int(len(centroids)),
         "dim": int(centroids.shape[1]),
         "sample_mod": sample_mod,
@@ -464,26 +511,66 @@ def build_ivf(
     return meta
 
 
-def extend_ivf(input_paths: list[str], out_dir: str) -> dict:
+def extend_ivf(
+    input_paths: list[str], out_dir: str, *, allow_id_overlap: bool = False
+) -> dict:
     """Generation-append new vectors into an existing layout under the
     FROZEN centroids: one assign pass over only the new inputs, merged
     bucket stats (n, min_cos, paths), oversize splits re-checked, atomic
     meta swap — mirroring ``build.extend_index``'s manifest discipline
     (reference analog: the grid index is rebuild-only, so this exceeds
     parity).  Idempotent per input fingerprint: re-extending with the
-    same files is a no-op.  Exact consumers (``neardup_pairs``,
-    full-probe ``probe_topk``) give identical answers over extend vs a
-    fresh rebuild of the union; partial probes may differ because a
-    rebuild retrains centroids on the union's sample."""
+    same files is a no-op.
+
+    ``input_paths`` must be the DELTA — only files not already in the
+    layout, with ids disjoint from every prior generation.  Passing the
+    union (or any id overlap) would silently duplicate vectors, so the
+    new ids' [min, max] range (from parquet statistics, no data read) is
+    checked against every recorded generation and overlap fails loud;
+    ``allow_id_overlap=True`` skips the conservative range check for
+    corpora whose disjoint id sets interleave.
+
+    Exact consumers (``neardup_pairs``, full-probe ``probe_topk``) give
+    identical answers over extend vs a fresh rebuild of the union;
+    partial probes may differ because a rebuild retrains centroids on
+    the union's sample."""
     from torchtrajectory_ray.pipelines.build import inputs_fingerprint
 
     meta_path = os.path.join(out_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    # validate BEFORE any write: a layout from before generation support
+    # lacks the split/extend bookkeeping — failing later would leave
+    # orphan part files inside live bucket dirs
+    if "next_bucket_id" not in meta or "target_bucket_rows" not in meta.get(
+        "params", {}
+    ):
+        raise ValueError(
+            "extend_ivf: this layout predates generation support "
+            "(meta.json lacks split/extend bookkeeping) — rebuild it "
+            "with build_ivf first"
+        )
     fp_new = inputs_fingerprint(sorted(input_paths))
     gens = meta.get("generations", [meta["inputs_fingerprint"]])
-    if fp_new in gens:
+    if fp_new in {_gen_fp(g) for g in gens}:
         return meta
+    id_col = meta["params"]["id_col"]
+    n_new = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
+    new_rng = _id_range(input_paths, id_col)
+    if not allow_id_overlap and new_rng is not None:
+        for g in gens:
+            if isinstance(g, str) or g.get("id_min") is None or g["n"] == 0:
+                continue
+            if new_rng[0] <= g["id_max"] and g["id_min"] <= new_rng[1]:
+                raise ValueError(
+                    f"extend_ivf: new ids [{new_rng[0]}, {new_rng[1]}] "
+                    f"overlap generation {g['fp'][:10]}'s range "
+                    f"[{g['id_min']}, {g['id_max']}] — pass only NEW files "
+                    "(the delta, not the union); duplicated ids would "
+                    "corrupt probe results. If the id sets are genuinely "
+                    "disjoint but interleaved, pass allow_id_overlap=True."
+                )
+    new_gen = _make_generation(input_paths, id_col, fp_new, n_new)
     if not meta["centroids"]:
         # gen0 was empty: nothing to freeze — build fresh over the new
         # inputs, then record both generations
@@ -494,17 +581,19 @@ def extend_ivf(input_paths: list[str], out_dir: str) -> dict:
             input_paths,
             out_dir,
             id_col=p["id_col"],
-            nlist=p["nlist"] or None,
+            # an auto-sized layout re-derives nlist for the new corpus;
+            # params["nlist"] stores the RESOLVED int, so it alone can't
+            # signal auto sizing
+            nlist=None if p.get("auto") else p["nlist"],
             iters=p["iters"],
             seed=p["seed"],
             target_bucket_rows=p["target_bucket_rows"],
             max_bucket_rows=p["max_bucket_rows"],
         )
-        built["generations"] = gens + [fp_new]
+        built["generations"] = gens + [new_gen]
         _write_meta(out_dir, built)
         return built
     centroids = np.asarray(meta["centroids"], np.float64)
-    id_col = meta["params"]["id_col"]
     new_dim = _embedding_dim(input_paths[0], id_col)
     if new_dim is not None and new_dim != meta["dim"]:
         raise ValueError(
@@ -537,7 +626,7 @@ def extend_ivf(input_paths: list[str], out_dir: str) -> dict:
         meta["params"]["max_bucket_rows"],
     )
     meta.update(
-        generations=gens + [fp_new],
+        generations=gens + [new_gen],
         inputs_fingerprint=meta["inputs_fingerprint"],
         n_vectors=int(sum(v["n"] for v in buckets.values())),
         buckets=buckets,
@@ -787,12 +876,12 @@ def neardup_pairs(
     if not meta["centroids"]:  # empty layout
         return (
             pd.DataFrame(columns=[names[0], names[1], "sim"]),
-            {"n_bucket_pairs": 0, "n_pruned": 0, "nlist": 0},
+            {"n_bucket_pairs": 0, "n_pruned": 0, "nlist": 0, "n_buckets": 0},
         )
     C = np.asarray(meta["centroids"], dtype=np.float64)
     cent_of = _centroid_of(meta)
-    live = sorted(cent_of)
-    Bc = C[[cent_of[b] for b in live]]  # per-bucket centroid rows
+    live = np.array(sorted(cent_of), np.int64)
+    Bc = C[[cent_of[int(b)] for b in live]]  # per-bucket centroid rows
     R = np.array(
         [
             float(
@@ -804,32 +893,44 @@ def neardup_pairs(
         ]
     )
     alpha = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
-    theta = np.arccos(np.clip(Bc @ Bc.T, -1.0, 1.0))
-    items, pruned = [], 0
-    for x in range(len(live)):
-        for y in range(x, len(live)):
-            if theta[x, y] - R[x] - R[y] > alpha + 1e-6:
-                pruned += 1
-            else:
-                items.append({"b1": live[x], "b2": live[y]})
+    # the prune grid is evaluated in ROW CHUNKS — the full nb × nb theta
+    # matrix is O(nlist²) driver memory (tens of GB at nlist=65536), but
+    # a chunk × nb strip is bounded; survivors stream into id arrays
+    nb = len(live)
+    ch = max(16, 8_000_000 // max(1, nb))
+    surv_a, surv_b = [], []
+    for c0 in range(0, nb, ch):
+        c1 = min(c0 + ch, nb)
+        theta = np.arccos(np.clip(Bc[c0:c1] @ Bc.T, -1.0, 1.0))
+        ok = theta - R[c0:c1, None] - R[None, :] <= alpha + 1e-6
+        # upper triangle only: global row index ≤ column index
+        ok &= np.arange(c0, c1)[:, None] <= np.arange(nb)[None, :]
+        r, c = np.nonzero(ok)
+        surv_a.append(live[r + c0])
+        surv_b.append(live[c])
+    b1 = np.concatenate(surv_a) if surv_a else np.empty(0, np.int64)
+    b2 = np.concatenate(surv_b) if surv_b else np.empty(0, np.int64)
+    n_total = nb * (nb + 1) // 2  # upper triangle incl. diagonal
     stats = {
-        "n_bucket_pairs": len(items) + pruned,
-        "n_pruned": pruned,
+        "n_bucket_pairs": n_total,
+        "n_pruned": n_total - len(b1),
         "nlist": int(meta["nlist"]),
-        "n_buckets": len(live),
+        "n_buckets": nb,
     }
     cols = [names[0], names[1], "sim"]
-    if not items:
+    if not len(b1):
         return pd.DataFrame(columns=cols), stats
     # a few bucket pairs per task: the per-task bucket cache makes
     # consecutive pairs sharing a bucket reuse its decoded matrix, and
     # ~64 tasks amortize Ray task overhead without hurting parallelism
     out = (
-        ray.data.from_items(items)
+        ray.data.from_arrow(
+            pa.table({"b1": pa.array(b1), "b2": pa.array(b2)})
+        )
         .map_batches(
             _PairTask(out_dir, meta, threshold, max_pairs_per_task),
             batch_format="pyarrow",
-            batch_size=max(1, -(-len(items) // 64)),
+            batch_size=max(1, -(-len(b1) // 64)),
         )
         .to_pandas()
     )

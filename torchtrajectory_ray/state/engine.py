@@ -449,14 +449,13 @@ class QueryEngine:
         n_parts = int(max(1, min(64, -(-len(ids) // 1024))))
         step = -(-len(ids) // n_parts)
         chunks = [ids.iloc[i : i + step] for i in range(0, len(ids), step)]
-        task = _PhraseVerifyTask(self.docs_paths, terms, self._tokenizer_name)
-
-        def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
-            return task(g)
-
         out = (
             ray.data.from_pandas(chunks)
-            .map_batches(verify_chunk, batch_format="pandas", batch_size=None)
+            .map_batches(
+                _PhraseVerifyTask(self.docs_paths, terms, self._tokenizer_name),
+                batch_format="pandas",
+                batch_size=None,
+            )
             .to_pandas()
         )
         return np.sort(out["doc_id"].to_numpy().astype(np.int64))
