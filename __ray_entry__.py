@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
+        "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)

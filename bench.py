@@ -168,6 +168,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("knn_ivf_cold", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf_fullprobe", lambda: knn.knn_ivf_fullprobe(sf_dir))
+    timed("knn_ivf_batch", lambda: knn.knn_ivf_batch(sf_dir))
     timed("embedding_neardup", lambda: knn.embedding_neardup(sf_dir))
     timed("pricing_summary", lambda: analytics.pricing_summary(sf_dir))
     timed("revenue_topk", lambda: analytics.revenue_topk(sf_dir))

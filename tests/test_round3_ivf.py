@@ -406,3 +406,60 @@ def test_auto_sized_layout_stays_auto_through_empty_gen0(ray_session, tmp_path):
     m1 = ivf.extend_ivf([big], d)
     assert m1["nlist"] == ivf.auto_nlist(1200, 20)  # re-derived, not 16
     assert len(m1["generations"]) == 2
+
+
+def test_probe_topk_ds_matches_driver_probe(ray_session, tmp_path):
+    """The Dataset-native batch probe must be rank-identical to the
+    driver-side probe at the same nprobe — partial probe AND full probe,
+    on a split layout (sub-buckets routed via their centroid)."""
+    import ray.data
+
+    vecs = _clustered(600, n_centers=4, spread=0.05, seed=9)
+    src = _write_emb(str(tmp_path / "e.parquet"), vecs)
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf(
+        [src],
+        d,
+        id_col="vec_id",
+        nlist=4,
+        target_bucket_rows=100,
+        max_bucket_rows=200,
+    )
+    qids = [0, 17, 99, 250, 599]
+    t = pq.read_table(src)
+    e = np.array(t["embedding"].to_pylist(), np.float64)
+    queries = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(e[q], np.float32).tolist() for q in qids],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    for nprobe in (2, 10**9):
+        drv, _ = ivf.probe_topk(d, qids, e[qids], k=7, nprobe=nprobe)
+        ds = (
+            ivf.probe_topk_ds(d, queries, k=7, nprobe=nprobe)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        drv = drv.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert drv[["query_id", "rank", "neighbor_id"]].equals(
+            ds[["query_id", "rank", "neighbor_id"]]
+        ), nprobe
+        assert np.allclose(drv["sim"], ds["sim"], atol=1e-6)
+
+
+def test_knn_ivf_batch_matches_knn_ivf(ray_session):
+    a = __import__(
+        "torchtrajectory_ray.pipelines.knn", fromlist=["knn"]
+    )
+    ivf_df = a.knn_ivf("/root/testdata/sf0.001", nprobe=4)
+    batch_df = a.knn_ivf_batch("/root/testdata/sf0.001", nprobe=4)
+    assert ivf_df[["query_id", "rank", "neighbor_id"]].equals(
+        batch_df[["query_id", "rank", "neighbor_id"]]
+    )

@@ -760,6 +760,144 @@ def probe_topk(
     return pd.DataFrame(rows, columns=cols), stats
 
 
+def probe_topk_ds(
+    out_dir: str,
+    queries,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "query_id",
+):
+    """Dataset-native BATCH form of :meth:`probe_topk` for large query
+    workloads (the driver-side form holds the whole Q × dim matrix and
+    every partial row; this one streams).  Returns a Dataset of
+    (query_id, rank, neighbor_id, sim) with the same rounding and
+    tie-break as ``probe_topk``, so results are rank-identical for the
+    same probe set (tested).
+
+    Shape: queries are routed TO their data —
+
+    1. one ``map_batches`` pass ranks centroids per query and emits
+       (centroid, query_id, embedding) rows, nprobe per query;
+    2. ``groupby(centroid).map_groups`` loads that centroid's bucket
+       files ONE FILE AT A TIME, keeping a running per-query top-k
+       (memory = group's queries × k + one file, never the centroid's
+       whole population);
+    3. ``groupby(query_id).map_groups`` merges the ≤ nprobe partial
+       top-k lists per query.
+
+    Two bounded shuffles, no driver materialization — the batch-serving
+    analog of the reference's QueryPool fan-out."""
+    import ray.data as _rd
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta["centroids"]:
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
+    C = np.asarray(meta["centroids"], np.float64)
+    nprobe = min(nprobe, len(C))
+    vec_col = meta["params"]["id_col"]
+    cent_files: dict[int, list[str]] = {}
+    for b, cid in _centroid_of(meta).items():
+        cent_files.setdefault(cid, []).extend(
+            os.path.join(out_dir, p)
+            for p in meta["buckets"][str(b)]["paths"]
+        )
+
+    def route(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "centroid": pa.array([], pa.int64()),
+                    "query_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], batch.schema.field("embedding").type)
+                    if "embedding" in batch.schema.names
+                    else pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        qn = _norm_rows(_batch_matrix(batch))
+        probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # B × nprobe
+        B = batch.num_rows
+        idx = np.repeat(np.arange(B), nprobe)
+        return pa.table(
+            {
+                "centroid": pa.array(probe.ravel().astype(np.int64)),
+                "query_id": batch[id_col].take(pa.array(idx)),
+                "embedding": batch["embedding"].take(pa.array(idx)),
+            }
+        )
+
+    def score_centroid_group(g: pd.DataFrame) -> pd.DataFrame:
+        from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
+
+        _pin_arrow_single_thread()
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "sim"]
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
+        cid = int(g["centroid"].iloc[0])
+        q = _norm_rows(
+            np.asarray([np.asarray(v, np.float64) for v in g["embedding"]])
+        )
+        qids = g["query_id"].to_numpy().astype(np.int64)
+        # running per-query top-k across this centroid's files — one
+        # file resident at a time
+        best_s = [np.empty(0, np.float64) for _ in qids]
+        best_n = [np.empty(0, np.int64) for _ in qids]
+        for path in cent_files.get(cid, ()):
+            t = pq.read_table(path, columns=[vec_col, "embedding"])
+            if t.num_rows == 0:
+                continue
+            e = _norm_rows(_batch_matrix(t))
+            ids = t[vec_col].to_numpy().astype(np.int64)
+            sims = q @ e.T
+            for qi in range(len(qids)):
+                s = np.concatenate([best_s[qi], sims[qi]])
+                n = np.concatenate([best_n[qi], ids])
+                sel = np.lexsort((n, -np.round(s, 6)))[: min(k, len(s))]
+                best_s[qi], best_n[qi] = s[sel], n[sel]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(qids)):
+            rows_q.extend([qids[qi]] * len(best_n[qi]))
+            rows_n.extend(best_n[qi].tolist())
+            rows_s.extend(best_s[qi].tolist())
+        return pd.DataFrame(
+            {"query_id": rows_q, "neighbor_id": rows_n, "sim": rows_s}
+        )
+
+    def merge_query_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "neighbor_id", "sim"]
+            )
+        g = g.copy()
+        g["sim"] = g["sim"].round(6)
+        # a neighbor can appear once per probed centroid only if bucket
+        # sets overlapped — they partition, so no dedup needed
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "neighbor_id", "sim"]].reset_index(
+            drop=True
+        )
+
+    return (
+        queries.map_batches(route, batch_format="pyarrow")
+        .groupby("centroid")
+        .map_groups(score_centroid_group, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge_query_group, batch_format="pandas")
+    )
+
+
 class _PairTask:
     """map_batches task over bucket-pair work items: reads the two
     buckets' files (two-bucket memory bound — the oversize split keeps a

@@ -148,6 +148,39 @@ def knn_ivf_fullprobe(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out
 
 
+def knn_ivf_batch(
+    sf_dir: str, k: int = 10, nprobe: int = 4
+) -> pd.DataFrame:
+    """The fixed query workload through the DATASET-NATIVE batch probe
+    (ivf.probe_topk_ds): queries shuffle to their probed centroids, each
+    centroid group scores its queries against one bucket file at a time,
+    partial top-k merge per query — the million-query serving shape (no
+    driver-side query matrix or partial-row materialization).
+    Rank-identical to :func:`knn_ivf` at the same nprobe (tested)."""
+    from torchtrajectory_ray.pipelines import ivf
+
+    want = pa.array(QUERY_VEC_IDS, pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.is_in(batch["vec_id"], value_set=want))
+        return t.rename_columns(["query_id", "embedding"])
+
+    queries = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(pick, batch_format="pyarrow")
+    out = (
+        ivf.probe_topk_ds(
+            _sf_ivf_dir(sf_dir), queries, k=k, nprobe=nprobe
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return out[["query_id", "rank", "neighbor_id", "sim"]]
+
+
 def knn_ivf_stats(
     sf_dir: str, k: int = 10, nlist: int | None = None, nprobe: int = 4
 ) -> dict:
