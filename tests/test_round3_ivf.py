@@ -463,3 +463,48 @@ def test_knn_ivf_batch_matches_knn_ivf(ray_session):
     assert ivf_df[["query_id", "rank", "neighbor_id"]].equals(
         batch_df[["query_id", "rank", "neighbor_id"]]
     )
+
+
+def test_bucket_files_are_compacted(ray_session, tmp_path):
+    """Many input shards writing into the same bucket must end as ONE
+    id-sorted file per bucket (the assign pass writes a part per
+    block x bucket; per-file open overhead dominated the bucket-pair
+    scan at 200k vectors before compaction)."""
+    vecs = _clustered(800, n_centers=2, spread=0.02, seed=3)
+    srcs = []
+    for s in range(8):  # 8 shards -> up to 8 parts per bucket pre-compact
+        srcs.append(
+            _write_emb(
+                str(tmp_path / f"e{s}.parquet"),
+                vecs[s * 100 : (s + 1) * 100],
+                np.arange(s * 100, (s + 1) * 100, dtype=np.int64),
+            )
+        )
+    d = str(tmp_path / "ivf")
+    meta = ivf.build_ivf([*srcs], d, id_col="vec_id", nlist=2)
+    for info in meta["buckets"].values():
+        assert len(info["paths"]) == 1, info["paths"]
+        ids = pq.read_table(os.path.join(d, info["paths"][0]))[
+            "vec_id"
+        ].to_numpy()
+        assert (np.diff(ids) > 0).all()  # id-sorted
+    # compacted layout still answers exactly
+    got, _ = ivf.neardup_pairs(d, 0.995, max_pairs_per_task=10**9)
+    u = _write_emb(str(tmp_path / "u.parquet"), vecs)
+    assert (
+        sorted(map(tuple, got[["vec_a", "vec_b"]].to_numpy()))
+        == _expected_pairs(u, 0.995)
+    )
+    # on-disk files == meta paths (pre-compaction parts removed)
+    on_disk = {
+        os.path.join(p, f)
+        for p, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    in_meta = {
+        os.path.join(d, pth)
+        for v in meta["buckets"].values()
+        for pth in v["paths"]
+    }
+    assert on_disk == in_meta

@@ -264,6 +264,79 @@ def _merge_partials(
         }
 
 
+def _compact_buckets(
+    out_dir: str, buckets: dict[str, dict], max_files: int = 4
+) -> list[str]:
+    """Rewrite any bucket holding more than ``max_files`` part files
+    into ONE id-sorted file (distributed, one task per bucket batch).
+
+    The assign pass writes a part per (input block × bucket), so a
+    bucket accumulates O(n_blocks) tiny files — at 200k vectors the
+    bucket-pair near-dup spent ~80% of its wall on per-file parquet
+    open/footer overhead re-reading them.  Compaction is content-
+    addressed and idempotent; the OLD files are returned for the caller
+    to delete only after the meta that stops referencing them is
+    durable (same discipline as the split pass; a crash in between
+    leaves a readable layout either way)."""
+    work = sorted(
+        (int(k) for k, v in buckets.items() if len(v["paths"]) > max_files)
+    )
+    if not work:
+        return []
+    paths_of = {
+        int(k): [os.path.join(out_dir, p) for p in v["paths"]]
+        for k, v in buckets.items()
+    }
+
+    def compact_batch(batch: pa.Table) -> pa.Table:
+        from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
+
+        _pin_arrow_single_thread()
+        rows = []
+        for b in batch["bucket"].to_pylist():
+            t = pq.read_table(paths_of[int(b)])
+            id_col = [c for c in t.column_names if c not in ("embedding", "bucket")][0]
+            ids = t[id_col].to_numpy().astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            t = t.take(pa.array(order))
+            part = _write_bucket_part(out_dir, int(b), t, ids[order])
+            rows.append({"bucket": int(b), **part})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("bucket", pa.int64()),
+                    ("path", pa.string()),
+                    ("bytes", pa.int64()),
+                ]
+            ),
+        )
+
+    n_tasks = min(64, len(work))
+    done = (
+        ray.data.from_arrow(
+            pa.table({"bucket": pa.array(work, pa.int64())})
+        )
+        .repartition(n_tasks)  # one block would serialize the rewrite
+        .map_batches(
+            compact_batch,
+            batch_format="pyarrow",
+            batch_size=max(1, -(-len(work) // n_tasks)),
+        )
+        .to_pandas()
+    )
+    to_remove: list[str] = []
+    for _, row in done.iterrows():
+        key = str(int(row["bucket"]))
+        old = buckets[key]["paths"]
+        to_remove.extend(
+            os.path.join(out_dir, p) for p in old if p != row["path"]
+        )
+        buckets[key]["paths"] = [row["path"]]
+        buckets[key]["bytes"] = int(row["bytes"])
+    return to_remove
+
+
 def _split_oversized(
     out_dir: str,
     centroids: np.ndarray,
@@ -488,6 +561,7 @@ def build_ivf(
         target_bucket_rows,
         max_bucket_rows,
     )
+    stale_files = _compact_buckets(out_dir, buckets)
     n_vectors = int(sum(v["n"] for v in buckets.values()))
     meta = {
         "params": params,
@@ -503,11 +577,16 @@ def build_ivf(
         "total_bytes": int(sum(v["bytes"] for v in buckets.values())),
     }
     _write_meta(out_dir, meta)
-    # superseded parent dirs go only AFTER the meta that stopped
-    # referencing them is durable (a crash in between leaves a readable
-    # layout either way)
+    # superseded parent dirs / pre-compaction parts go only AFTER the
+    # meta that stopped referencing them is durable (a crash in between
+    # leaves a readable layout either way)
     for d in to_remove:
         shutil.rmtree(d, ignore_errors=True)
+    for p in stale_files:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
     return meta
 
 
@@ -625,6 +704,7 @@ def extend_ivf(
         meta["params"]["target_bucket_rows"],
         meta["params"]["max_bucket_rows"],
     )
+    stale_files = _compact_buckets(out_dir, buckets)
     meta.update(
         generations=gens + [new_gen],
         inputs_fingerprint=meta["inputs_fingerprint"],
@@ -636,6 +716,11 @@ def extend_ivf(
     _write_meta(out_dir, meta)
     for d in to_remove:
         shutil.rmtree(d, ignore_errors=True)
+    for p in stale_files:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
     return meta
 
 
@@ -927,13 +1012,15 @@ class _PairTask:
     def _load(self, b: int) -> tuple[np.ndarray, np.ndarray]:
         hit = self._cache.get(b)
         if hit is not None:
+            self._cache[b] = self._cache.pop(b)  # refresh LRU position
             return hit
         files = _bucket_files(self.out_dir, self.meta, [b])
         t = pq.read_table(files, columns=[self.id_col, "embedding"])
         ids = t[self.id_col].to_numpy().astype(np.int64)
         e = _batch_matrix(t)
-        if len(self._cache) >= 3:
-            self._cache.clear()
+        while len(self._cache) >= 3:  # evict LRU only — clearing all
+            # would reload the batch's shared b1 on every other pair
+            self._cache.pop(next(iter(self._cache)))
         self._cache[b] = (ids, e)
         return ids, e
 
@@ -1060,15 +1147,19 @@ def neardup_pairs(
         return pd.DataFrame(columns=cols), stats
     # a few bucket pairs per task: the per-task bucket cache makes
     # consecutive pairs sharing a bucket reuse its decoded matrix, and
-    # ~64 tasks amortize Ray task overhead without hurting parallelism
+    # ~64 tasks amortize Ray task overhead without hurting parallelism.
+    # from_arrow yields ONE block — repartition, or every pair runs in
+    # a single serial task (parallelism comes from blocks, not batches)
+    n_tasks = min(64, len(b1))
     out = (
         ray.data.from_arrow(
             pa.table({"b1": pa.array(b1), "b2": pa.array(b2)})
         )
+        .repartition(n_tasks)
         .map_batches(
             _PairTask(out_dir, meta, threshold, max_pairs_per_task),
             batch_format="pyarrow",
-            batch_size=max(1, -(-len(b1) // 64)),
+            batch_size=max(1, -(-len(b1) // n_tasks)),
         )
         .to_pandas()
     )
