@@ -216,6 +216,13 @@ def _regressions(timings: dict[str, float]) -> dict:
     ref_tag = os.path.basename(ref_path).replace("BENCH_", "").replace(
         ".json", ""
     )
+    # intentional round-3 trades, slower at toy scale by design
+    known = {
+        "doc_embedding_neardup": "pair scan now repartitions its work "
+        "items for block parallelism over the compacted layout — fixed "
+        "shuffle overhead at 5k docs, 20x faster at 200k vectors "
+        "(BASELINE.md round-3 IVF soak)",
+    }
     bad = {}
     for k, new in timings.items():
         old = ref.get(k)
@@ -225,6 +232,8 @@ def _regressions(timings: dict[str, float]) -> dict:
                 f"{ref_tag}_s": old,
                 "ratio": round(new / old, 2),
             }
+            if k in known:
+                bad[k]["note"] = known[k]
     if bad:
         print(
             f"BENCH REGRESSION vs {ref_tag}: {json.dumps(bad)}",

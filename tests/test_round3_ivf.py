@@ -508,3 +508,31 @@ def test_bucket_files_are_compacted(ray_session, tmp_path):
         for pth in v["paths"]
     }
     assert on_disk == in_meta
+
+
+def test_neardup_pairs_ds_streams_same_answer(ray_session, tmp_path):
+    """The Dataset form must hold the same pairs as the collected form,
+    and consuming it via write_parquet works (the huge-answer path)."""
+    src = _write_emb(str(tmp_path / "e.parquet"), _clustered(300, spread=0.03))
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=6)
+    collected, _ = ivf.neardup_pairs(d, 0.9)
+    ds, stats = ivf.neardup_pairs_ds(d, 0.9)
+    out = str(tmp_path / "pairs")
+    ds.write_parquet(out)
+    got = (
+        pq.read_table(out)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert got[["vec_a", "vec_b"]].values.tolist() == collected[
+        ["vec_a", "vec_b"]
+    ].values.tolist()
+    assert np.allclose(got["sim"], collected["sim"])
+    # empty layout → None + zeroed stats with the full schema
+    empty = _write_emb(str(tmp_path / "none.parquet"), np.empty((0, 16)))
+    d2 = str(tmp_path / "ivf2")
+    ivf.build_ivf([empty], d2, id_col="vec_id", nlist=4)
+    ds2, st2 = ivf.neardup_pairs_ds(d2, 0.9)
+    assert ds2 is None and st2["n_buckets"] == 0

@@ -1081,15 +1081,18 @@ class _PairTask:
         )
 
 
-def neardup_pairs(
+def neardup_pairs_ds(
     out_dir: str,
     threshold: float,
     *,
     names: tuple[str, str] = ("vec_a", "vec_b"),
     max_pairs_per_task: int = 5_000_000,
-) -> tuple[pd.DataFrame, dict]:
-    """Exact cosine pairs ≥ threshold over the bucketed layout + prune
-    stats.  Bucket-pair (i, j) survives iff the minimum possible angle
+):
+    """Exact cosine pairs ≥ threshold over the bucketed layout as a
+    STREAMING Dataset (None when nothing survives pruning) + prune
+    stats.  Consume with ``write_parquet`` / ``iter_batches`` when the
+    answer itself is large — only :func:`neardup_pairs` collects to the
+    driver.  Bucket-pair (i, j) survives iff the minimum possible angle
     between members, θ(c_i,c_j) − R_i − R_j, is ≤ arccos(threshold)
     (triangle inequality on the sphere ⇒ no false negatives; a small
     radian slack guards float32 storage noise).  Sub-buckets carry their
@@ -1100,7 +1103,7 @@ def neardup_pairs(
         meta = json.load(f)
     if not meta["centroids"]:  # empty layout
         return (
-            pd.DataFrame(columns=[names[0], names[1], "sim"]),
+            None,
             {"n_bucket_pairs": 0, "n_pruned": 0, "nlist": 0, "n_buckets": 0},
         )
     C = np.asarray(meta["centroids"], dtype=np.float64)
@@ -1142,16 +1145,27 @@ def neardup_pairs(
         "nlist": int(meta["nlist"]),
         "n_buckets": nb,
     }
-    cols = [names[0], names[1], "sim"]
     if not len(b1):
-        return pd.DataFrame(columns=cols), stats
+        return None, stats
     # a few bucket pairs per task: the per-task bucket cache makes
     # consecutive pairs sharing a bucket reuse its decoded matrix, and
     # ~64 tasks amortize Ray task overhead without hurting parallelism.
     # from_arrow yields ONE block — repartition, or every pair runs in
     # a single serial task (parallelism comes from blocks, not batches)
     n_tasks = min(64, len(b1))
-    out = (
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                names[0]: batch["id_a"],
+                names[1]: batch["id_b"],
+                "sim": pc.round(batch["sim"], ndigits=6),
+            }
+        )
+
+    ds = (
         ray.data.from_arrow(
             pa.table({"b1": pa.array(b1), "b2": pa.array(b2)})
         )
@@ -1161,12 +1175,35 @@ def neardup_pairs(
             batch_format="pyarrow",
             batch_size=max(1, -(-len(b1) // n_tasks)),
         )
-        .to_pandas()
+        .map_batches(finish, batch_format="pyarrow")
     )
+    return ds, stats
+
+
+def neardup_pairs(
+    out_dir: str,
+    threshold: float,
+    *,
+    names: tuple[str, str] = ("vec_a", "vec_b"),
+    max_pairs_per_task: int = 5_000_000,
+) -> tuple[pd.DataFrame, dict]:
+    """Driver-collected form of :func:`neardup_pairs_ds`: the pair
+    Dataset gathered to a (sorted) DataFrame.  ``max_pairs_per_task``
+    bounds each task's output; answers too large for the driver should
+    consume :func:`neardup_pairs_ds` directly (write_parquet /
+    iter_batches) instead."""
+    ds, stats = neardup_pairs_ds(
+        out_dir,
+        threshold,
+        names=names,
+        max_pairs_per_task=max_pairs_per_task,
+    )
+    cols = [names[0], names[1], "sim"]
+    if ds is None:
+        return pd.DataFrame(columns=cols), stats
+    out = ds.to_pandas()
     if out.empty:
         return pd.DataFrame(columns=cols), stats
-    out["sim"] = out["sim"].round(6)
-    out = out.rename(columns={"id_a": names[0], "id_b": names[1]})
     return (
         out.sort_values([names[0], names[1]]).reset_index(drop=True)[cols],
         stats,
