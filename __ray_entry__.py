@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embed,
         events,
         knn,
+        semantic,
         textstats,
     )
 
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
+        "semantic_rerank": semantic.semantic_rerank,  # BM25→cosine hybrid
         "doc_embeddings": embed.doc_embeddings,       # feature hashing (rows-only)
         "doc_embedding_neardup": embed.doc_embedding_neardup,
         # --- generic analytics (partial agg / broadcast join / top-k) ---

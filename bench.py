@@ -169,6 +169,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("knn_ivf", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf_fullprobe", lambda: knn.knn_ivf_fullprobe(sf_dir))
     timed("knn_ivf_batch", lambda: knn.knn_ivf_batch(sf_dir))
+    from torchtrajectory_ray.pipelines import semantic
+
+    timed("semantic_rerank", lambda: semantic.semantic_rerank(sf_dir))
     timed("embedding_neardup", lambda: knn.embedding_neardup(sf_dir))
     timed("pricing_summary", lambda: analytics.pricing_summary(sf_dir))
     timed("revenue_topk", lambda: analytics.revenue_topk(sf_dir))

@@ -145,3 +145,32 @@ def test_soak_corpus_ids_unique_with_uneven_shards(ray_session, tmp_path):
     assert len(ids) == 1000
     assert len(np.unique(ids)) == 1000
     assert ids.min() == 0 and ids.max() == 999
+
+
+def test_semantic_rerank(ray_session):
+    """Hybrid BM25→embedding rerank: results are a subset of the BM25
+    candidate set, ordered by (sim desc, doc_id asc), deterministic."""
+    from torchtrajectory_ray.pipelines import semantic
+    from torchtrajectory_ray.pipelines.corpus import (
+        WEB_QUERIES,
+        _engine,
+        documents_index,
+    )
+
+    out = semantic.semantic_rerank(SF, k=5, candidates=30)
+    assert list(out.columns) == ["query_id", "rank", "doc_id", "sim", "bm25_score"]
+    assert len(out) > 0
+    eng = _engine(documents_index(SF))
+    for q in WEB_QUERIES:
+        g = out[out.query_id == q["query_id"]].sort_values("rank")
+        if len(g) == 0:
+            continue
+        cand = {d for d, _ in eng.topk(q["terms"], k=30)}
+        assert set(g["doc_id"]) <= cand
+        sims = g["sim"].to_numpy()
+        assert (np.diff(sims) <= 1e-12).all()  # sim non-increasing
+        # ties broken by doc_id asc
+        for i in range(len(g) - 1):
+            if sims[i] == sims[i + 1]:
+                assert g["doc_id"].iloc[i] < g["doc_id"].iloc[i + 1]
+    assert out.equals(semantic.semantic_rerank(SF, k=5, candidates=30))
