@@ -72,25 +72,30 @@ def build_vectors(n: int, tag: str, base: int = 0, n_shards: int = 32) -> list[s
 
     d = os.path.join(SOAK_ROOT, f"vecs-{tag}-{n}-{base}")
     marker = os.path.join(d, "_COMPLETE")
-    paths = [os.path.join(d, f"part-{s:04d}.parquet") for s in range(n_shards)]
+    per = -(-n // n_shards)
+    # only shards with s*per < n exist — the cached branch must apply
+    # the same filter or a rerun returns paths to never-written files
+    paths = [
+        os.path.join(d, f"part-{s:04d}.parquet")
+        for s in range(n_shards)
+        if s * per < n
+    ]
     if os.path.exists(marker):
         return paths
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
-    per = -(-n // n_shards)
     gen = ray.remote(num_cpus=1)(_gen_vec_shard)
     ray.get(
         [
-            gen.remote(s, base + s * per, min(per, n - s * per), paths[s], 77)
-            for s in range(n_shards)
-            if s * per < n
+            gen.remote(s, base + s * per, min(per, n - s * per), p, 77)
+            for s, p in enumerate(paths)
         ]
     )
     with open(marker, "w") as f:
         f.write("ok")
-    return [p for s, p in enumerate(paths) if s * per < n]
+    return paths
 
 
 def main() -> None:

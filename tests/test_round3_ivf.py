@@ -455,9 +455,8 @@ def test_probe_topk_ds_matches_driver_probe(ray_session, tmp_path):
 
 
 def test_knn_ivf_batch_matches_knn_ivf(ray_session):
-    a = __import__(
-        "torchtrajectory_ray.pipelines.knn", fromlist=["knn"]
-    )
+    from torchtrajectory_ray.pipelines import knn as a
+
     ivf_df = a.knn_ivf("/root/testdata/sf0.001", nprobe=4)
     batch_df = a.knn_ivf_batch("/root/testdata/sf0.001", nprobe=4)
     assert ivf_df[["query_id", "rank", "neighbor_id"]].equals(

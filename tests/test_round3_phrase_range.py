@@ -174,3 +174,36 @@ def test_semantic_rerank(ray_session):
             if sims[i] == sims[i + 1]:
                 assert g["doc_id"].iloc[i] < g["doc_id"].iloc[i + 1]
     assert out.equals(semantic.semantic_rerank(SF, k=5, candidates=30))
+
+
+def test_semantic_rerank_sims_are_token_hashed_cosines(ray_session):
+    """The reported sim must equal the cosine between the TOKEN-hashed
+    query vector and the candidate's staged doc vector (a joined-string
+    query would hash characters and score garbage — review finding)."""
+    from torchtrajectory_ray.pipelines import semantic
+    from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
+    from torchtrajectory_ray.pipelines.embed import (
+        DocEmbedder,
+        _staged_doc_embeddings,
+    )
+
+    out = semantic.semantic_rerank(SF, k=3, candidates=10)
+    emb = DocEmbedder()
+    paths = _staged_doc_embeddings(SF, emb.dim)
+    vecs = semantic._candidate_vectors(
+        paths, out["doc_id"].to_numpy().astype(np.int64)
+    )
+    by_qid = {q["query_id"]: q["terms"] for q in WEB_QUERIES}
+    checked = 0
+    for _, row in out.head(20).iterrows():
+        qv = emb.vectors([list(by_qid[row["query_id"]])])[0]
+        expect = round(float(vecs[int(row["doc_id"])] @ qv), 6)
+        assert abs(row["sim"] - expect) <= 1e-6, (row.to_dict(), expect)
+        checked += 1
+    assert checked > 0
+    # token-hashed query vectors are NOT the char-bag of the joined
+    # string (the exact defect this guards against)
+    terms = ["spark", "join"]
+    good = emb.vectors([terms])[0]
+    chars = emb.vectors([list(" ".join(terms))])[0]
+    assert float(good @ chars) < 0.9

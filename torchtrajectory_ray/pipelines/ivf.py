@@ -283,9 +283,11 @@ def _compact_buckets(
     )
     if not work:
         return []
+    # only the oversized buckets are compacted — don't ship every
+    # bucket's path list in the task closure
     paths_of = {
-        int(k): [os.path.join(out_dir, p) for p in v["paths"]]
-        for k, v in buckets.items()
+        b: [os.path.join(out_dir, p) for p in buckets[str(b)]["paths"]]
+        for b in work
     }
 
     def compact_batch(batch: pa.Table) -> pa.Table:

@@ -73,7 +73,9 @@ def semantic_rerank(
             columns=["query_id", "rank", "doc_id", "sim", "bm25_score"]
         )
     vecs = _candidate_vectors(paths, np.asarray(all_ids, np.int64))
-    qvecs = embedder.vectors([" ".join(q["terms"]) for q in WEB_QUERIES])
+    # vectors() takes TOKEN LISTS — a joined string would be iterated
+    # per character and hash a meaningless bag of chars
+    qvecs = embedder.vectors([list(q["terms"]) for q in WEB_QUERIES])
     rows = []
     for qi, q in enumerate(WEB_QUERIES):
         res = cand[q["query_id"]]
