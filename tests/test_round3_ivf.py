@@ -535,3 +535,23 @@ def test_neardup_pairs_ds_streams_same_answer(ray_session, tmp_path):
     ivf.build_ivf([empty], d2, id_col="vec_id", nlist=4)
     ds2, st2 = ivf.neardup_pairs_ds(d2, 0.9)
     assert ds2 is None and st2["n_buckets"] == 0
+
+
+def test_probe_topk_ds_empty_queries(ray_session, tmp_path):
+    """A zero-row query Dataset streams through to an empty result
+    (schema intact), not a groupby crash."""
+    import ray.data
+
+    src = _write_emb(str(tmp_path / "e.parquet"), _clustered(100))
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=4)
+    queries = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = ivf.probe_topk_ds(d, queries, k=5, nprobe=2).to_pandas()
+    assert len(out) == 0
