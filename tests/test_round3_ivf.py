@@ -555,3 +555,52 @@ def test_probe_topk_ds_empty_queries(ray_session, tmp_path):
     )
     out = ivf.probe_topk_ds(d, queries, k=5, nprobe=2).to_pandas()
     assert len(out) == 0
+
+
+def test_extend_ivf_three_generation_chain(ray_session, tmp_path):
+    """gen0 build → two extends (the second into ALREADY-compacted
+    buckets) stays exact for near-dup and full-probe vs a one-shot build
+    of the whole union, with disk == meta throughout."""
+    all_vecs = _clustered(600, n_centers=5, seed=31)
+    parts = []
+    for i, (lo, hi) in enumerate(((0, 200), (200, 400), (400, 600))):
+        parts.append(
+            _write_emb(
+                str(tmp_path / f"g{i}.parquet"),
+                all_vecs[lo:hi],
+                np.arange(lo, hi, dtype=np.int64),
+            )
+        )
+    u = _write_emb(str(tmp_path / "u.parquet"), all_vecs)
+    ext = str(tmp_path / "ivf-ext")
+    ivf.build_ivf([parts[0]], ext, id_col="vec_id", nlist=5)
+    ivf.extend_ivf([parts[1]], ext)
+    m = ivf.extend_ivf([parts[2]], ext)
+    assert m["n_vectors"] == 600 and len(m["generations"]) == 3
+    on_disk = {
+        os.path.join(p, f)
+        for p, _, fs in os.walk(ext)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    in_meta = {
+        os.path.join(ext, pth)
+        for v in m["buckets"].values()
+        for pth in v["paths"]
+    }
+    assert on_disk == in_meta
+    full = str(tmp_path / "ivf-full")
+    ivf.build_ivf([u], full, id_col="vec_id", nlist=5)
+    pe, _ = ivf.neardup_pairs(ext, 0.9)
+    pf, _ = ivf.neardup_pairs(full, 0.9)
+    assert pe[["vec_a", "vec_b"]].values.tolist() == pf[
+        ["vec_a", "vec_b"]
+    ].values.tolist()
+    e = np.array(pq.read_table(u)["embedding"].to_pylist(), np.float64)
+    qids = [0, 250, 555]
+    re_, se = ivf.probe_topk(ext, qids, e[qids], k=5, nprobe=10**9)
+    rf, _ = ivf.probe_topk(full, qids, e[qids], k=5, nprobe=10**9)
+    assert re_[["query_id", "rank", "neighbor_id"]].equals(
+        rf[["query_id", "rank", "neighbor_id"]]
+    )
+    assert se["bytes_read"] == se["total_bytes"]
