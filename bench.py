@@ -394,12 +394,31 @@ Scaling efficiency thr({out['cpus_hi']}) / ({out['cpus_hi']//out['cpus_lo']} × 
         f.write(txt)
 
 
+def run_stats(sf_dir: str, num_cpus: int) -> None:
+    """Print ``ds.stats()`` for representative Dataset pipelines — the
+    per-stage wall/CPU/row accounting used to check that wall time is
+    dominated by useful compute (udf time ≈ task time, no stage
+    starvation), not just end-to-end timers."""
+    _ray_init(num_cpus)
+    from torchtrajectory_ray.pipelines import corpus, textstats
+
+    for name, ds in (
+        ("quality_score", textstats.quality_score(sf_dir)),
+        ("postings_flat", corpus.postings_flat(sf_dir)),
+        ("lang_id", textstats.lang_id(sf_dir)),
+    ):
+        ds = ds.materialize()
+        print(f"===== {name} =====")
+        print(ds.stats())
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-child", type=int, default=None)
     ap.add_argument("--cpus-lo", type=int, default=2)
     ap.add_argument("--cpus-hi", type=int, default=8)
+    ap.add_argument("--stats", action="store_true")
     args = ap.parse_args()
 
     if args.scaling_child is not None:
@@ -409,6 +428,12 @@ def main() -> None:
     os.makedirs(WORK, exist_ok=True)
     if args.scaling:
         print(json.dumps(run_scaling(args.cpus_lo, args.cpus_hi)))
+        return
+    if args.stats:
+        run_stats(
+            os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        )
         return
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
