@@ -604,3 +604,42 @@ def test_extend_ivf_three_generation_chain(ray_session, tmp_path):
         rf[["query_id", "rank", "neighbor_id"]]
     )
     assert se["bytes_read"] == se["total_bytes"]
+
+
+def test_probe_topk_ds_query_salt_is_rank_identical(ray_session, tmp_path):
+    """query_salt splits hot-centroid query groups for bounded task
+    memory; results must not change."""
+    import ray.data
+
+    vecs = _clustered(400, n_centers=3, spread=0.05, seed=17)
+    src = _write_emb(str(tmp_path / "e.parquet"), vecs)
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=3)
+    qids = list(range(0, 60))  # many queries, few centroids = hot groups
+    e = np.array(pq.read_table(src)["embedding"].to_pylist(), np.float64)
+    queries = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(e[q], np.float32).tolist() for q in qids],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    base = (
+        ivf.probe_topk_ds(d, queries, k=5, nprobe=2, query_salt=1)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        ivf.probe_topk_ds(d, queries, k=5, nprobe=2, query_salt=7)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert base[["query_id", "rank", "neighbor_id"]].equals(
+        salted[["query_id", "rank", "neighbor_id"]]
+    )

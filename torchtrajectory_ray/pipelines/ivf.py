@@ -854,6 +854,7 @@ def probe_topk_ds(
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "query_id",
+    query_salt: int = 1,
 ):
     """Dataset-native BATCH form of :meth:`probe_topk` for large query
     workloads (the driver-side form holds the whole Q × dim matrix and
@@ -874,7 +875,14 @@ def probe_topk_ds(
        top-k lists per query.
 
     Two bounded shuffles, no driver materialization — the batch-serving
-    analog of the reference's QueryPool fan-out."""
+    analog of the reference's QueryPool fan-out.
+
+    Per-task memory in stage 2 is that group's queries × dim.  A query
+    workload concentrated on FEW centroids puts most queries in one
+    group; ``query_salt=S`` splits every centroid's queries across S
+    groups (group key becomes (centroid, id-hash % S)), bounding task
+    memory at the price of re-reading the centroid's files S times —
+    set S ≈ ceil(expected_queries_per_hot_centroid / memory_budget)."""
     import ray.data as _rd
 
     with open(os.path.join(out_dir, "meta.json")) as f:
@@ -905,6 +913,7 @@ def probe_topk_ds(
             return pa.table(
                 {
                     "centroid": pa.array([], pa.int64()),
+                    "group": pa.array([], pa.int64()),
                     "query_id": pa.array([], pa.int64()),
                     "embedding": pa.array([], batch.schema.field("embedding").type)
                     if "embedding" in batch.schema.names
@@ -915,9 +924,17 @@ def probe_topk_ds(
         probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # B × nprobe
         B = batch.num_rows
         idx = np.repeat(np.arange(B), nprobe)
+        qids = batch[id_col].to_numpy().astype(np.int64)
+        salt = (
+            (qids[idx].astype(np.uint64) * _MIX) >> np.uint64(32)
+        ) % np.uint64(max(1, query_salt))
+        group = probe.ravel().astype(np.int64) * max(1, query_salt) + salt.astype(
+            np.int64
+        )
         return pa.table(
             {
                 "centroid": pa.array(probe.ravel().astype(np.int64)),
+                "group": pa.array(group),
                 "query_id": batch[id_col].take(pa.array(idx)),
                 "embedding": batch["embedding"].take(pa.array(idx)),
             }
@@ -978,7 +995,7 @@ def probe_topk_ds(
 
     return (
         queries.map_batches(route, batch_format="pyarrow")
-        .groupby("centroid")
+        .groupby("group")
         .map_groups(score_centroid_group, batch_format="pandas")
         .groupby("query_id")
         .map_groups(merge_query_group, batch_format="pandas")
