@@ -643,3 +643,54 @@ def test_probe_topk_ds_query_salt_is_rank_identical(ray_session, tmp_path):
     assert base[["query_id", "rank", "neighbor_id"]].equals(
         salted[["query_id", "rank", "neighbor_id"]]
     )
+
+
+def test_split_layout_membership_is_sharding_independent(ray_session, tmp_path):
+    """Bucket membership (including id-hash sub-bucket assignment) is a
+    pure function of the vectors — the SAME corpus arriving as 1 file or
+    4 files must produce identical bucket→id-set maps (the
+    cross-parallelism determinism contract extended to the split path).
+    File counts inside a bucket may differ pre-compaction; membership
+    may not."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=16)
+    base /= np.linalg.norm(base)
+    vecs = base + 1e-4 * rng.normal(size=(600, 16))  # mega-cluster → splits
+
+    def membership(layout_dir, meta):
+        out = {}
+        for b, info in meta["buckets"].items():
+            ids = []
+            for p in info["paths"]:
+                ids.extend(
+                    pq.read_table(os.path.join(layout_dir, p))["vec_id"]
+                    .to_numpy()
+                    .tolist()
+                )
+            out[int(b)] = sorted(ids)
+        return out
+
+    metas = []
+    for tag, n_files in (("one", 1), ("four", 4)):
+        per = 600 // n_files
+        srcs = [
+            _write_emb(
+                str(tmp_path / f"{tag}{i}.parquet"),
+                vecs[i * per : (i + 1) * per],
+                np.arange(i * per, (i + 1) * per, dtype=np.int64),
+            )
+            for i in range(n_files)
+        ]
+        d = str(tmp_path / f"ivf-{tag}")
+        meta = ivf.build_ivf(
+            srcs,
+            d,
+            id_col="vec_id",
+            nlist=2,
+            target_bucket_rows=100,
+            max_bucket_rows=200,
+            sample_mod=1,
+        )
+        assert len(meta["buckets"]) > 2  # splits happened
+        metas.append(membership(d, meta))
+    assert metas[0] == metas[1]
