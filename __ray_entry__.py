@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_or_lang": corpus.bool_or_lang,      # U3/M7: predicate filter
         "range_scan": corpus.range_scan,          # U3: terms-free findInRange
         "phrase_match": corpus.phrase_match,      # exact phrase verification
+        "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
         # --- corpus / text analysis (training-data ops) ---
         "doc_stats": textstats.doc_stats,         # A7: global aggregates
@@ -126,6 +127,19 @@ def _query_values() -> str:
     return ", ".join(
         f"({q['query_id']}, '{t}')" for q in WEB_QUERIES for t in q["terms"]
     )
+
+
+def _prefix_sql() -> str:
+    from torchtrajectory_ray.pipelines.corpus import PREFIX_QUERIES
+
+    parts = []
+    for q in PREFIX_QUERIES:
+        parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
+            f"FROM (SELECT doc_id, {_TOKS} AS ts FROM documents) "
+            f"WHERE len(list_filter(ts, t -> t LIKE '{q['prefix']}%')) > 0"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _bool_sql(op: str, lang: str | None = None) -> str:
@@ -210,6 +224,7 @@ FROM scores QUALIFY rank <= 10
 SELECT doc_id FROM documents
 WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "phrase_match": " UNION ALL ".join(phrase_parts),
+        "prefix_match": _prefix_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df

@@ -39,6 +39,15 @@ WEB_QUERIES: list[dict] = [
     {"query_id": 11, "terms": ["query", "batch", "small", "big", "line"]},
 ]
 
+# Fixed prefix workload for the dictionary-scan OR (prefix 3 matches
+# nothing — the empty-dictionary-scan edge)
+PREFIX_QUERIES: list[dict] = [
+    {"query_id": 0, "prefix": "sp"},
+    {"query_id": 1, "prefix": "ta"},
+    {"query_id": 2, "prefix": "s"},
+    {"query_id": 3, "prefix": "zzz"},
+]
+
 # Fixed phrase workload (ORDER matters — phrase 12 is a repeated-term
 # phrase, phrase 13 a trigram; both exercise the forward-index
 # verification beyond what a first-position chain could answer)
@@ -221,6 +230,19 @@ def phrase_match(sf_dir: str, distribute_over: int | None = None) -> pd.DataFram
     rows = []
     for q in PHRASE_QUERIES:
         for d in eng.phrase_and(q["phrase"], **kw):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def prefix_match(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — boolean OR over every dictionary term with the
+    given prefix (the street-name→edge-ids lookup shape: J5/M12
+    dictionary scan feeding U1 union, NameEdgeIdLookup.java:17-27 +
+    PathQuery.java:74-87)."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in PREFIX_QUERIES:
+        for d in eng.prefix_or(q["prefix"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
