@@ -134,10 +134,15 @@ def _prefix_sql() -> str:
 
     parts = []
     for q in PREFIX_QUERIES:
+        # prefix_or is a LITERAL startswith — escape LIKE metachars so a
+        # prefix containing % or _ can't silently change oracle semantics
+        esc = (
+            q["prefix"].replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
         parts.append(
             f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
             f"FROM (SELECT doc_id, {_TOKS} AS ts FROM documents) "
-            f"WHERE len(list_filter(ts, t -> t LIKE '{q['prefix']}%')) > 0"
+            f"WHERE len(list_filter(ts, t -> t LIKE '{esc}%' ESCAPE '\\')) > 0"
         )
     return " UNION ALL ".join(parts)
 

@@ -50,9 +50,16 @@ def main() -> None:
     p = sub.add_parser("probe")
     p.add_argument("--layout", required=True)
     p.add_argument("--queries", required=True, help="glob of (query_id, embedding) parquet")
-    p.add_argument("--out", required=True, help="results parquet directory")
+    p.add_argument("--out", required=True, help="results parquet directory (replaced on rerun)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--nprobe", type=int, default=4)
+    p.add_argument(
+        "--query-salt",
+        type=int,
+        default=1,
+        help="split each centroid's queries across S groups (bounds task "
+        "memory for hot-centroid workloads at the cost of S re-reads)",
+    )
 
     args = ap.parse_args()
 
@@ -94,16 +101,22 @@ def main() -> None:
             "n_buckets": len(meta["buckets"]),
         }
     else:  # probe
+        import shutil
+
         import ray.data
 
         qpaths = sorted(glob.glob(args.queries))
         if not qpaths:
             raise SystemExit(f"no queries match {args.queries!r}")
+        # rerun = replace, not append: write_parquet into a dir with a
+        # previous attempt's files would duplicate every result row
+        shutil.rmtree(args.out, ignore_errors=True)
         res = ivf.probe_topk_ds(
             args.layout,
             ray.data.read_parquet(qpaths),
             k=args.k,
             nprobe=args.nprobe,
+            query_salt=args.query_salt,
         )
         res.write_parquet(args.out)
         out = {"cmd": "probe", "out": args.out}

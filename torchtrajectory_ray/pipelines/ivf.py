@@ -900,6 +900,7 @@ def probe_topk_ds(
         )
     C = np.asarray(meta["centroids"], np.float64)
     nprobe = min(nprobe, len(C))
+    S = max(1, int(query_salt))
     vec_col = meta["params"]["id_col"]
     cent_files: dict[int, list[str]] = {}
     for b, cid in _centroid_of(meta).items():
@@ -912,7 +913,6 @@ def probe_topk_ds(
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    "centroid": pa.array([], pa.int64()),
                     "group": pa.array([], pa.int64()),
                     "query_id": pa.array([], pa.int64()),
                     "embedding": pa.array([], batch.schema.field("embedding").type)
@@ -924,16 +924,17 @@ def probe_topk_ds(
         probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # B × nprobe
         B = batch.num_rows
         idx = np.repeat(np.arange(B), nprobe)
-        qids = batch[id_col].to_numpy().astype(np.int64)
-        salt = (
-            (qids[idx].astype(np.uint64) * _MIX) >> np.uint64(32)
-        ) % np.uint64(max(1, query_salt))
-        group = probe.ravel().astype(np.int64) * max(1, query_salt) + salt.astype(
-            np.int64
-        )
+        # group = centroid × S + id-hash salt; the centroid is recovered
+        # as group // S downstream — one key column through the shuffle
+        group = probe.ravel().astype(np.int64) * S
+        if S > 1:
+            qids = batch[id_col].to_numpy().astype(np.int64)
+            group += (
+                ((qids[idx].astype(np.uint64) * _MIX) >> np.uint64(32))
+                % np.uint64(S)
+            ).astype(np.int64)
         return pa.table(
             {
-                "centroid": pa.array(probe.ravel().astype(np.int64)),
                 "group": pa.array(group),
                 "query_id": batch[id_col].take(pa.array(idx)),
                 "embedding": batch["embedding"].take(pa.array(idx)),
@@ -948,7 +949,7 @@ def probe_topk_ds(
             return pd.DataFrame(
                 columns=["query_id", "neighbor_id", "sim"]
             ).astype({"query_id": "int64", "neighbor_id": "int64", "sim": "float64"})
-        cid = int(g["centroid"].iloc[0])
+        cid = int(g["group"].iloc[0]) // S
         q = _norm_rows(
             np.asarray([np.asarray(v, np.float64) for v in g["embedding"]])
         )
