@@ -207,3 +207,22 @@ def test_semantic_rerank_sims_are_token_hashed_cosines(ray_session):
     good = emb.vectors([terms])[0]
     chars = emb.vectors([list(" ".join(terms))])[0]
     assert float(good @ chars) < 0.9
+
+
+def test_semantic_rerank_ds_matches_driver_form(ray_session):
+    """The actor-pool + groupby distributed rerank must be
+    rank-identical to the driver form."""
+    from torchtrajectory_ray.pipelines import semantic
+
+    drv = semantic.semantic_rerank(SF, k=5, candidates=20)
+    ds = (
+        semantic.semantic_rerank_ds(SF, k=5, candidates=20)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    drv = drv.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert drv[["query_id", "rank", "doc_id"]].equals(
+        ds[["query_id", "rank", "doc_id"]]
+    )
+    assert np.allclose(drv["sim"], ds["sim"], atol=1e-6)

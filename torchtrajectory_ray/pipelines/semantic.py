@@ -49,6 +49,57 @@ def _candidate_vectors(paths: list[str], doc_ids: np.ndarray) -> dict[int, np.nd
     return out
 
 
+def semantic_rerank_ds(
+    sf_dir: str, k: int = 10, candidates: int = 50, dim: int = DIM
+):
+    """Distributed form of :func:`semantic_rerank`: candidate generation
+    runs on the ``BatchScorer`` actor pool (one open index per actor,
+    the QueryPool shape), then a ``groupby(query_id).map_groups`` stage
+    reranks each query's candidates — every group does its OWN pushdown
+    read of just its candidates' vectors and embeds its query in-task.
+    Returns a Dataset of (query_id, rank, doc_id, sim, bm25_score);
+    rank-identical to the driver form (tested)."""
+    import ray.data  # noqa: F401  (pipeline construction below)
+
+    from torchtrajectory_ray.pipelines.embed import _staged_doc_embeddings
+    from torchtrajectory_ray.pipelines.query_batch import batch_topk_pipeline
+
+    idx = documents_index(sf_dir)
+    paths = _staged_doc_embeddings(sf_dir, dim)
+    terms_by_qid = {q["query_id"]: list(q["terms"]) for q in WEB_QUERIES}
+    cand = batch_topk_pipeline(idx, WEB_QUERIES, k=candidates)
+
+    def rerank_group(g: pd.DataFrame) -> pd.DataFrame:
+        from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
+
+        _pin_arrow_single_thread()
+        if len(g) == 0:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "doc_id", "sim", "bm25_score"]
+            )
+        qid = int(g["query_id"].iloc[0])
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        bm = g["score"].to_numpy().astype(np.float64)
+        vecs = _candidate_vectors(paths, ids)
+        qv = DocEmbedder(dim).vectors([terms_by_qid[qid]])[0]
+        m = np.stack([vecs[int(d)] for d in ids])
+        sims = np.round(m @ qv, 6)
+        order = np.lexsort((ids, -sims))[: min(k, len(ids))]
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                "doc_id": ids[order],
+                "sim": sims[order],
+                "bm25_score": np.round(bm[order], 6),
+            }
+        )
+
+    return cand.groupby("query_id").map_groups(
+        rerank_group, batch_format="pandas"
+    )
+
+
 def semantic_rerank(
     sf_dir: str, k: int = 10, candidates: int = 50, dim: int = DIM
 ) -> pd.DataFrame:
