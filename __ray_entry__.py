@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
+        "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
@@ -224,7 +225,7 @@ FROM scores QUALIFY rank <= 10
             f"WHERE len(ts) >= {len(p)} AND len(list_filter("
             f"generate_series(1, len(ts) - {len(p) - 1}), i -> {conds})) > 0"
         )
-    return {
+    sql = {
         "range_scan": f"""
 SELECT doc_id FROM documents
 WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
@@ -427,3 +428,7 @@ SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY k_bucket""",
     }
+    # the Dataset-native batch probe at full probe is exact by the same
+    # argument as the driver probe — it shares the brute-force oracle
+    sql["knn_ivf_batch_fullprobe"] = sql["knn_ivf_fullprobe"]
+    return sql

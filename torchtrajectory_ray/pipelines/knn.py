@@ -181,6 +181,15 @@ def knn_ivf_batch(
     return out[["query_id", "rank", "neighbor_id", "sim"]]
 
 
+def knn_ivf_batch_fullprobe(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The Dataset-native batch probe at nprobe = #centroids: every query
+    routes to every bucket, so the distributed serving path is EXACT and
+    shares :func:`knn_bruteforce`'s SQL oracle — the driver-gated form of
+    ``test_probe_topk_ds_matches_driver_probe`` (approximate batch probes
+    run the same code with a smaller probe set)."""
+    return knn_ivf_batch(sf_dir, k=k, nprobe=10**9)
+
+
 def knn_ivf_stats(
     sf_dir: str, k: int = 10, nlist: int | None = None, nprobe: int = 4
 ) -> dict:
