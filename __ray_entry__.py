@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embed,
         events,
         knn,
+        pack,
+        sampling,
         semantic,
         textstats,
     )
@@ -85,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
         "top_bigrams": textstats.top_bigrams,
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
+        # --- training-set assembly (scan / selection operators) ---
+        "pack_sequences": pack.pack_sequences,    # distributed prefix scan
+        "stratified_sample": sampling.stratified_sample,
+        "top_per_lang": sampling.top_per_lang,    # group-wise top-k
         "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
         "clean_summary": clean.clean_corpus_summary,
         # LSH near-dup pipelines (rows-only: the candidate set is
@@ -257,6 +263,29 @@ SELECT doc_id,
   round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 6)
         AS avg_token_len
 FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)""",
+        # packing offsets = exclusive prefix sum over token counts in
+        # doc_id order (the distributed-scan operator's window oracle)
+        "pack_sequences": f"""
+WITH t AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+p AS (SELECT doc_id, n_tokens,
+        coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      FROM t)
+SELECT doc_id, n_tokens, (s // 512)::BIGINT AS bin_id,
+       (s % 512)::BIGINT AS offset_in_bin
+FROM p""",
+        "stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 1000003) % 1000000007 % 1000 <
+      CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END""",
+        "top_per_lang": f"""
+WITH t AS (SELECT doc_id, lang,
+  round(len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 6) AS diversity
+  FROM documents)
+SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+       ORDER BY diversity DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, diversity
+FROM t QUALIFY rank <= 5""",
         "lang_count": "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
         "source_doc_count": f"""
 SELECT source, count(*)::BIGINT AS n_docs,

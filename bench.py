@@ -182,6 +182,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from torchtrajectory_ray.pipelines import clean, embed
 
     timed("clean_corpus", lambda: clean.clean_corpus(sf_dir))
+    from torchtrajectory_ray.pipelines import pack, sampling
+
+    timed("pack_sequences", lambda: pack.pack_sequences(sf_dir).materialize())
+    timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).materialize())
     timed("doc_embeddings", lambda: embed.doc_embeddings(sf_dir).materialize())
     timed("doc_embedding_neardup", lambda: embed.doc_embedding_neardup(sf_dir))
 

@@ -1,0 +1,92 @@
+"""Sequence packing (distributed prefix scan) + deterministic sampling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _packed(budget=512, n_ranges=None) -> pd.DataFrame:
+    from torchtrajectory_ray.pipelines import pack
+
+    return (
+        pack.pack_sequences(SF, budget=budget, n_ranges=n_ranges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_pack_is_range_count_independent(ray_session):
+    """The scan's answer is a pure function of the data — K is only a
+    parallelism knob (3 forces multi-doc ranges, 1000 forces empties)."""
+    a = _packed(n_ranges=3)
+    b = _packed(n_ranges=1000)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+
+def test_pack_offsets_are_the_sequential_fold(ray_session):
+    got = _packed(budget=100)
+    seq = got.sort_values("doc_id").reset_index(drop=True)
+    start = np.concatenate(([0], np.cumsum(seq["n_tokens"].to_numpy())[:-1]))
+    assert (seq["bin_id"].to_numpy() == start // 100).all()
+    assert (seq["offset_in_bin"].to_numpy() == start % 100).all()
+
+
+def test_pack_bin_fill_invariant(ray_session):
+    """Every bin except the last receives exactly `budget` tokens of
+    stream — i.e. consecutive docs' (bin_id, offset) are consistent with
+    a gapless token stream (what a packed dataloader relies on)."""
+    budget = 64
+    seq = _packed(budget=budget)
+    stream_pos = seq["bin_id"].to_numpy() * budget + seq["offset_in_bin"].to_numpy()
+    expected_next = stream_pos + seq["n_tokens"].to_numpy()
+    assert (stream_pos[1:] == expected_next[:-1]).all()
+    assert stream_pos[0] == 0
+
+
+def test_pack_summary_counts(ray_session):
+    from torchtrajectory_ray.pipelines import pack
+
+    s = pack.bin_fill_stats(SF, budget=512).iloc[0]
+    seq = _packed(budget=512)
+    assert s["n_docs"] == len(seq)
+    assert s["total_tokens"] == int(seq["n_tokens"].sum())
+    assert s["n_bins"] == -(-s["total_tokens"] // 512)
+
+
+def test_sample_key_overflow_guard():
+    from torchtrajectory_ray.pipelines.sampling import sample_key
+
+    with pytest.raises(ValueError, match="too large"):
+        sample_key(np.array([2**62], dtype=np.int64))
+
+
+def test_top_per_lang_matches_single_partition(ray_session):
+    """Partial-top-k-per-block merge == a single global sort (the merge
+    ordering is the final ordering, so truncation is lossless)."""
+    import duckdb
+
+    from torchtrajectory_ray.pipelines import sampling
+
+    got = sampling.top_per_lang(SF, k=3)
+    exp = duckdb.sql(
+        f"""
+        WITH t AS (SELECT doc_id, lang,
+          round(len(list_distinct(string_split(text,' ')))::DOUBLE
+                / len(string_split(text,' ')), 6) AS diversity
+          FROM read_parquet('{SF}/documents.parquet'))
+        SELECT lang, CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY diversity DESC, doc_id ASC) AS BIGINT) AS rank,
+               doc_id, diversity
+        FROM t QUALIFY rank <= 3
+        ORDER BY lang, rank
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), atol=2e-6, rtol=0
+    )

@@ -1,0 +1,103 @@
+"""Deterministic subset selection for training corpora.
+
+Two operators a 100-TB pipeline needs between cleaning and packing:
+
+- :func:`stratified_sample` — per-stratum downsampling with an
+  id-derived pseudo-random key, so the sample is reproducible, join-free
+  (no sampling state to ship), and resumable: every task decides keep /
+  drop locally from (doc_id, lang) alone.  The decorrelation hash is
+  ``(doc_id * P1) % P2 % 1000`` over int64 — exactly expressible in SQL,
+  which keeps the operator oracle-gated (a production variant would use
+  splitmix64; the plumbing is identical).  Valid for doc_id < 2^63/P1
+  (~9.2e12); guarded.
+- :func:`top_per_lang` — group-wise top-k by lexical diversity
+  (n_uniq / n_tokens): per-batch PARTIAL top-k per language first, so
+  the all-to-all stage only ever moves k × n_langs × n_blocks candidate
+  rows, never the corpus (the same partial-then-merge discipline as the
+  BM25 top-k, reference EdgeInvertedIndex.java:172-175).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_P1 = 1_000_003
+_P2 = 1_000_000_007
+
+# permille keep-rates per stratum; _DEFAULT_RATE for unlisted langs
+SAMPLE_RATES = {"en": 500, "de": 250}
+_DEFAULT_RATE = 100
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def sample_key(ids: np.ndarray) -> np.ndarray:
+    """Permille pseudo-random key of a doc id (int64, overflow-guarded)."""
+    ids = ids.astype(np.int64)
+    if ids.size and int(ids.max()) > (2**63 - 1) // _P1:
+        raise ValueError("doc_id too large for the SQL-exact sample hash")
+    return (ids * _P1) % _P2 % 1000
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Kept (doc_id, lang) under per-language permille rates — a pure
+    per-batch filter: no shuffle, no driver state."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        langs = batch["lang"].to_pylist()
+        key = sample_key(ids)
+        rates = np.fromiter(
+            (SAMPLE_RATES.get(l, _DEFAULT_RATE) for l in langs), np.int64, len(langs)
+        )
+        return batch.filter(pa.array(key < rates))
+
+    return _read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def top_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Top-``k`` docs per language by rounded lexical diversity
+    (ties broken by doc_id asc): ``lang, rank, doc_id, diversity``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_tok = np.fromiter((t.count(" ") + 1 for t in texts), np.int64, len(texts))
+        n_uniq = np.fromiter(
+            (len(set(t.split(" "))) for t in texts), np.int64, len(texts)
+        )
+        div = np.round(n_uniq / n_tok, 6)
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pylist(),
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "diversity": div,
+            }
+        )
+        # partial top-k per lang under the FINAL ordering (rounded
+        # diversity desc, doc_id asc) — truncation can never drop a
+        # global winner, whatever the tie structure
+        df = df.sort_values(
+            ["lang", "diversity", "doc_id"], ascending=[True, False, True]
+        )
+        out = df.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = (
+        _read_docs(sf_dir, ["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # k × n_langs × n_blocks candidate rows only
+    )
+    cand = cand.sort_values(
+        ["lang", "diversity", "doc_id"], ascending=[True, False, True]
+    )
+    top = cand.groupby("lang", sort=True).head(k).copy()
+    top["rank"] = top.groupby("lang").cumcount() + 1
+    return top[["lang", "rank", "doc_id", "diversity"]].reset_index(drop=True)
