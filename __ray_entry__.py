@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from torchtrajectory_ray.pipelines import (
         analytics,
         clean,
+        decontaminate,
         dedup,
         clustering,
         corpus,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack.pack_sequences,    # distributed prefix scan
         "stratified_sample": sampling.stratified_sample,
         "top_per_lang": sampling.top_per_lang,    # group-wise top-k
+        "decontaminate": decontaminate.decontaminate,  # broadcast n-gram overlap
         "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
         "clean_summary": clean.clean_corpus_summary,
         # LSH near-dup pipelines (rows-only: the candidate set is
@@ -274,6 +276,17 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, (s // 512)::BIGINT AS bin_id,
        (s % 512)::BIGINT AS offset_in_bin
 FROM p""",
+        "decontaminate": f"""
+WITH docs AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+grams AS (SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, greatest(len(ts) - 2, 0)),
+                  i -> array_to_string(ts[i:i+2], ' '))) AS gs
+  FROM docs),
+bg AS (SELECT DISTINCT g FROM (SELECT unnest(gs) AS g FROM grams
+                               WHERE doc_id % 97 = 0)),
+flat AS (SELECT doc_id, unnest(gs) AS g FROM grams)
+SELECT f.doc_id, count(*)::BIGINT AS n_shared
+FROM flat f JOIN bg USING (g) GROUP BY f.doc_id""",
         "stratified_sample": """
 SELECT doc_id, lang FROM documents
 WHERE (doc_id * 1000003) % 1000000007 % 1000 <

@@ -186,6 +186,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     timed("pack_sequences", lambda: pack.pack_sequences(sf_dir).materialize())
     timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).materialize())
+    from torchtrajectory_ray.pipelines import decontaminate
+
+    timed("decontaminate", lambda: decontaminate.decontaminate(sf_dir).materialize())
     timed("doc_embeddings", lambda: embed.doc_embeddings(sf_dir).materialize())
     timed("doc_embedding_neardup", lambda: embed.doc_embedding_neardup(sf_dir))
 

@@ -90,3 +90,32 @@ def test_top_per_lang_matches_single_partition(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp.reset_index(drop=True), atol=2e-6, rtol=0
     )
+
+
+def test_decontaminate_self_and_cross(ray_session):
+    """Every benchmark doc with a full window flags itself with exactly
+    its own distinct-gram count; flags are >= min_shared."""
+    import duckdb
+
+    from torchtrajectory_ray.pipelines import decontaminate
+
+    out = (
+        decontaminate.decontaminate(SF, n=3)
+        .to_pandas()
+        .set_index("doc_id")["n_shared"]
+    )
+    bench = duckdb.sql(
+        f"""
+        SELECT doc_id,
+               len(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ts) - 2, 0)),
+                   i -> array_to_string(ts[i:i+2], ' ')))) AS n_own
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM read_parquet('{SF}/documents.parquet'))
+        WHERE doc_id % 97 = 0 AND len(ts) >= 3
+        """
+    ).df()
+    assert len(bench) > 0
+    for _, r in bench.iterrows():
+        assert out.loc[int(r.doc_id)] == int(r.n_own)
+    assert (out >= 1).all()
