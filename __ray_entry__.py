@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": textstats.bpe_token_count,
         "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
         "top_bigrams": textstats.top_bigrams,
+        "repetition_stats": textstats.repetition_stats,  # Gopher-rule signals
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
         # --- training-set assembly (scan / selection operators) ---
         "pack_sequences": pack.pack_sequences,    # distributed prefix scan
@@ -276,6 +277,17 @@ p AS (SELECT doc_id, n_tokens,
 SELECT doc_id, n_tokens, (s // 512)::BIGINT AS bin_id,
        (s % 512)::BIGINT AS offset_in_bin
 FROM p""",
+        "repetition_stats": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+b AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 1),
+             i -> array_to_string(ts[i:i+1], ' ')) AS bs
+      FROM d WHERE len(ts) >= 2),
+f AS (SELECT doc_id, g, count(*)::BIGINT AS c
+      FROM (SELECT doc_id, unnest(bs) AS g FROM b) GROUP BY doc_id, g)
+SELECT doc_id,
+       round(max(c)::DOUBLE / sum(c), 6) AS top_bigram_frac,
+       round(1 - count(*)::DOUBLE / sum(c), 6) AS dup_bigram_frac
+FROM f GROUP BY doc_id""",
         "decontaminate": f"""
 WITH docs AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
 grams AS (SELECT doc_id,

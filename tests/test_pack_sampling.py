@@ -119,3 +119,33 @@ def test_decontaminate_self_and_cross(ray_session):
     for _, r in bench.iterrows():
         assert out.loc[int(r.doc_id)] == int(r.n_own)
     assert (out >= 1).all()
+
+
+def test_repetition_stats_degenerate_doc(ray_session, tmp_path):
+    """An all-identical-token doc maxes both signals; a no-repeat doc
+    zeroes dup_bigram_frac."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import textstats
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["x x x x x", "a b c d", "y"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = (
+        textstats.repetition_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2]  # single-token doc 3 has no bigrams
+    assert out.loc[1, "top_bigram_frac"] == 1.0
+    assert out.loc[1, "dup_bigram_frac"] == 0.75  # 4 occurrences, 1 distinct
+    assert out.loc[2, "top_bigram_frac"] == round(1 / 3, 6)
+    assert out.loc[2, "dup_bigram_frac"] == 0.0

@@ -103,6 +103,65 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc within-document repetition signals (the Gopher-rule
+    family): ``top_bigram_frac`` (most frequent bigram's share of all
+    bigram occurrences) and ``dup_bigram_frac`` (share of occurrences
+    that are repeats of an earlier bigram).  Docs need ≥ 2 tokens.
+
+    One flatten-factorize pass per batch, no Python per-doc loop: the
+    bigram strings come from one vectorized object-array concat, and all
+    per-doc reductions are bincount/unique over composite keys (the
+    quality_score pattern)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import itertools
+
+        texts = batch["text"].to_pylist()
+        tok_lists = [t.split(" ") for t in texts]
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+        total = int(counts.sum())
+        flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+        doc_idx = np.repeat(np.arange(len(tok_lists)), counts)
+        # adjacent-position bigrams, masked where the doc changes
+        ok = doc_idx[:-1] == doc_idx[1:]
+        bigrams = flat[:-1][ok] + " " + flat[1:][ok]
+        bdoc = doc_idx[:-1][ok]
+        keep = counts >= 2
+        if bigrams.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "top_bigram_frac": pa.array([], pa.float64()),
+                    "dup_bigram_frac": pa.array([], pa.float64()),
+                }
+            )
+        codes, uniq = pd.factorize(bigrams, sort=False)
+        key = bdoc * len(uniq) + codes
+        uk, freq = np.unique(key, return_counts=True)
+        udoc = (uk // len(uniq)).astype(np.int64)
+        n_docs = len(tok_lists)
+        top = np.zeros(n_docs, np.int64)
+        np.maximum.at(top, udoc, freq)
+        distinct = np.bincount(udoc, minlength=n_docs)
+        tot_bi = np.bincount(bdoc, minlength=n_docs).astype(np.float64)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            topf = np.round(top / tot_bi, 6)
+            dupf = np.round(1.0 - distinct / tot_bi, 6)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "top_bigram_frac": pa.array(topf[keep], pa.float64()),
+                "dup_bigram_frac": pa.array(dupf[keep], pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def text_sha1(batch: pa.Table) -> pa.Table:
     sha = [
         hashlib.sha1(t.encode("utf-8")).hexdigest()
