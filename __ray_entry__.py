@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         clean,
         decontaminate,
         dedup,
+        lines,
+        scrub,
         clustering,
         corpus,
         embed,
@@ -94,6 +96,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": sampling.stratified_sample,
         "top_per_lang": sampling.top_per_lang,    # group-wise top-k
         "decontaminate": decontaminate.decontaminate,  # broadcast n-gram overlap
+        "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
+        "pii_scrub": scrub.pii_scrub,             # regex PII redaction
+        "chunk_documents": pack.chunk_documents,  # sliding-window chunking
+        "source_mix_sample": sampling.source_mix_sample,  # mixture re-weighting
         "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
         "clean_summary": clean.clean_corpus_summary,
         # LSH near-dup pipelines (rows-only: the candidate set is
@@ -129,6 +135,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _TOKS = "string_split(text, ' ')"
 _STOP_SQL = "('the','a','of','to','and','in','is')"
+
+# RE2-safe pattern strings shared verbatim with pipelines/scrub.py
+from torchtrajectory_ray.pipelines.scrub import (  # noqa: E402
+    EMAIL_PAT as _EMAIL_PAT,
+    IPV4_PAT as _IPV4_PAT,
+    PHONE_PAT as _PHONE_PAT,
+)
 
 
 def _query_values() -> str:
@@ -303,6 +316,65 @@ FROM flat f JOIN bg USING (g) GROUP BY f.doc_id""",
 SELECT doc_id, lang FROM documents
 WHERE (doc_id * 1000003) % 1000000007 % 1000 <
       CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END""",
+        # line-level boilerplate removal: df counts DISTINCT docs per
+        # exact line; occurrences of df>=2 lines are dropped, order kept
+        "line_dedup": """
+WITH aug AS (SELECT doc_id,
+  text || chr(10) || 'copyright footer ' || (doc_id % 7)::VARCHAR ||
+  chr(10) || 'nav menu home' AS text
+  FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+e AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM l),
+e2 AS (SELECT doc_id, i, ls[i] AS line, len(ls) AS n_lines FROM e),
+df AS (SELECT line, count(DISTINCT doc_id) AS df FROM e2 GROUP BY line)
+SELECT e2.doc_id,
+  max(e2.n_lines)::BIGINT AS n_lines,
+  sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+  coalesce(string_agg(CASE WHEN df.df < 2 THEN e2.line END,
+                      chr(10) ORDER BY e2.i), '') AS text_clean
+FROM e2 JOIN df USING (line)
+GROUP BY e2.doc_id""",
+        # staged exactly like scrub_batch: count on the pre-stage text,
+        # then replace, in EMAIL -> IPV4 -> PHONE order
+        "pii_scrub": f"""
+WITH raw AS (SELECT doc_id,
+  text || ' reach user' || doc_id || '@mail.example or +1-555-' ||
+  lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' at 10.' ||
+  (doc_id % 256)::VARCHAR || '.' || ((doc_id // 7) % 256)::VARCHAR || '.' ||
+  (doc_id % 200 + 1)::VARCHAR AS s0
+  FROM documents),
+s1 AS (SELECT doc_id,
+  len(regexp_extract_all(s0, '{_EMAIL_PAT}'))::BIGINT AS n_emails,
+  regexp_replace(s0, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t FROM raw),
+s2 AS (SELECT doc_id, n_emails,
+  len(regexp_extract_all(t, '{_IPV4_PAT}'))::BIGINT AS n_ips,
+  regexp_replace(t, '{_IPV4_PAT}', '<IP>', 'g') AS t FROM s1)
+SELECT doc_id, n_emails, n_ips,
+  len(regexp_extract_all(t, '{_PHONE_PAT}'))::BIGINT AS n_phones,
+  regexp_replace(t, '{_PHONE_PAT}', '<PHONE>', 'g') AS text_scrubbed
+FROM s2""",
+        # sliding windows: starts at multiples of 12, width 16, short tail
+        "chunk_documents": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+c AS (SELECT doc_id, ts, len(ts) AS n,
+      unnest(generate_series(0, CASE WHEN len(ts) <= 16 THEN 0
+             ELSE (len(ts) - 16 + 12 - 1) // 12 END)) AS k
+      FROM d)
+SELECT doc_id, k::BIGINT AS chunk_id, (k * 12)::BIGINT AS start_tok,
+       least(16, n - k * 12)::BIGINT AS n_tokens,
+       array_to_string(ts[k * 12 + 1 : k * 12 + 16], ' ') AS chunk_text
+FROM c""",
+        # uniform-across-sources token budget of total//2; keep permille
+        # derived with exact int64 arithmetic, clamped at 1000
+        "source_mix_sample": f"""
+WITH t AS (SELECT doc_id, source, len({_TOKS})::BIGINT AS n FROM documents),
+s AS (SELECT source, sum(n)::BIGINT AS toks FROM t GROUP BY source),
+g AS (SELECT sum(toks)::BIGINT AS total, count(*)::BIGINT AS ns FROM s),
+r AS (SELECT s.source,
+      least(1000, (1000 * (g.total // 2)) // (g.ns * s.toks)) AS permille
+      FROM s, g)
+SELECT t.doc_id, t.source FROM t JOIN r ON t.source = r.source
+WHERE (t.doc_id * 1000003) % 1000000007 % 1000 < r.permille""",
         "top_per_lang": f"""
 WITH t AS (SELECT doc_id, lang,
   round(len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}), 6) AS diversity

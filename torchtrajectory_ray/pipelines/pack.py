@@ -220,3 +220,52 @@ def bin_fill_stats(sf_dir: str, budget: int = 512) -> pd.DataFrame:
             }
         ]
     )
+
+
+def chunk_documents(
+    sf_dir: str, size: int = 16, stride: int = 12
+) -> ray.data.Dataset:
+    """Sliding-window document chunking (the long-context preprocessing
+    pass): each doc emits windows of ``size`` tokens starting at
+    multiples of ``stride`` — ``doc_id, chunk_id, start_tok, n_tokens,
+    chunk_text`` (the final window may be shorter; a doc with ≤ size
+    tokens emits exactly one window).
+
+    Pure per-batch flat emission — no shuffle, no driver state; output
+    rows stream.  Window starts and lengths are computed vectorized
+    (counts → repeat/cumsum); only the final chunk-string slice is per
+    OUTPUT row (O(output chars), the same cost class as tokenize).
+    Mirrors the reference's sliding-window shape (W1) applied to token
+    streams instead of time."""
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        tok_lists = [t.split(" ") for t in texts]
+        n = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+        n_chunks = np.where(n <= size, 1, (n - size + stride - 1) // stride + 1)
+        doc_idx = np.repeat(np.arange(len(ids)), n_chunks)
+        # chunk_id = position within each doc's run
+        starts_of_doc = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_id = np.arange(len(doc_idx)) - starts_of_doc[doc_idx]
+        start_tok = chunk_id * stride
+        n_tok = np.minimum(size, n[doc_idx] - start_tok)
+        chunk_text = [
+            " ".join(tok_lists[d][s : s + size])
+            for d, s in zip(doc_idx, start_tok)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_idx], pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "start_tok": pa.array(start_tok, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "chunk_text": pa.array(chunk_text, pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(f, batch_format="pyarrow")

@@ -101,3 +101,65 @@ def top_per_lang(sf_dir: str, k: int = 5) -> pd.DataFrame:
     top = cand.groupby("lang", sort=True).head(k).copy()
     top["rank"] = top.groupby("lang").cumcount() + 1
     return top[["lang", "rank", "doc_id", "diversity"]].reset_index(drop=True)
+
+
+def source_mix_sample(sf_dir: str, budget_den: int = 2) -> ray.data.Dataset:
+    """Source-mixture resampling (the Pile-style mixing pass): pick a
+    token budget of ``total_tokens // budget_den`` and allocate it
+    UNIFORMLY across sources, so over-represented sources are
+    downsampled toward the target share and small sources keep
+    everything (rate clamps at 1).
+
+    Two stages, both scale-safe: a per-source token-total ``groupby``
+    whose output is #sources rows (tiny — the driver computes the
+    per-source keep permille from it with exact int64 arithmetic,
+    ``min(1000, 1000 * budget // (n_sources * T_s))``), then one
+    streaming per-batch filter on the same id-derived sample key as
+    :func:`stratified_sample` — deterministic, join-free, resumable.
+    Returns kept ``doc_id, source`` rows."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (t.count(" ") + 1 for t in batch["text"].to_pylist()),
+            np.int64,
+            len(batch),
+        )
+        return (
+            pa.table({"source": batch["source"], "n": pa.array(n, pa.int64())})
+            .group_by("source")
+            .aggregate([("n", "sum")])
+            .rename_columns(["source", "n"])
+        )
+
+    totals = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        .map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="toks"))
+        .to_pandas()
+    )
+    total = int(totals["toks"].sum())
+    ns = len(totals)
+    budget = total // budget_den
+    permille = {
+        str(s): min(1000, (1000 * budget) // (ns * int(t)))
+        for s, t in zip(totals["source"], totals["toks"])
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        key = sample_key(ids)
+        rates = np.fromiter(
+            (permille[s] for s in batch["source"].to_pylist()),
+            np.int64,
+            len(batch),
+        )
+        return batch.filter(pa.array(key < rates))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(keep, batch_format="pyarrow")
