@@ -191,6 +191,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("decontaminate", lambda: decontaminate.decontaminate(sf_dir).materialize())
     timed("doc_embeddings", lambda: embed.doc_embeddings(sf_dir).materialize())
     timed("doc_embedding_neardup", lambda: embed.doc_embedding_neardup(sf_dir))
+    from torchtrajectory_ray.pipelines import lines, scrub
+
+    timed("line_dedup", lambda: lines.line_dedup(sf_dir).materialize())
+    timed("pii_scrub", lambda: scrub.pii_scrub(sf_dir).materialize())
+    timed("chunk_documents", lambda: pack.chunk_documents(sf_dir).materialize())
+    timed(
+        "source_mix_sample",
+        lambda: sampling.source_mix_sample(sf_dir).materialize(),
+    )
 
     out = {
         "metric": "e2e_suite_seconds",
