@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embed,
         events,
         knn,
+        lm,
         pack,
         sampling,
         semantic,
@@ -91,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": textstats.top_bigrams,
         "repetition_stats": textstats.repetition_stats,  # Gopher-rule signals
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
+        "lm_quality": lm.lm_quality,              # unigram-LM NLL filter signal
+        "doc_keywords": lm.doc_keywords,          # per-doc TF-IDF keywords
         # --- training-set assembly (scan / selection operators) ---
         "pack_sequences": pack.pack_sequences,    # distributed prefix scan
         "stratified_sample": sampling.stratified_sample,
@@ -316,6 +319,33 @@ FROM flat f JOIN bg USING (g) GROUP BY f.doc_id""",
 SELECT doc_id, lang FROM documents
 WHERE (doc_id * 1000003) % 1000000007 % 1000 <
       CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END""",
+        # unigram-LM NLL: every token in-vocab at min_count=1, so the
+        # corpus model reproduces exactly; nll rounded to 6 dp
+        "lm_quality": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+e AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+f AS (SELECT tok, count(*)::BIGINT AS c FROM e GROUP BY tok),
+g AS (SELECT sum(c)::BIGINT AS total FROM f)
+SELECT e.doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(-ln(f.c / g.total)), 6) AS nll
+FROM e JOIN f USING (tok), g
+GROUP BY e.doc_id""",
+        # per-doc TF-IDF top-3: score = tf * ln(N/df), ranked score
+        # DESC with term-ASC tie-break (identical doubles both sides:
+        # same libm, same int inputs)
+        "doc_keywords": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+e AS (SELECT doc_id, unnest(ts) AS tok FROM d),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM e GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df FROM e GROUP BY tok),
+n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+s AS (SELECT tf.doc_id, tf.tok AS term, tf.tf * ln(nd / df.df) AS score
+      FROM tf JOIN df USING (tok), n),
+r AS (SELECT doc_id, term, score,
+      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM s)
+SELECT doc_id, rnk::BIGINT AS rank, term, round(score, 6) AS score
+FROM r WHERE rnk <= 3""",
         # line-level boilerplate removal: df counts DISTINCT docs per
         # exact line; occurrences of df>=2 lines are dropped, order kept
         "line_dedup": """

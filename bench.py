@@ -200,6 +200,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "source_mix_sample",
         lambda: sampling.source_mix_sample(sf_dir).materialize(),
     )
+    from torchtrajectory_ray.pipelines import lm
+
+    timed("lm_quality", lambda: lm.lm_quality(sf_dir).materialize())
+    timed("doc_keywords", lambda: lm.doc_keywords(sf_dir).materialize())
 
     out = {
         "metric": "e2e_suite_seconds",

@@ -1,0 +1,249 @@
+"""Corpus-statistics language-model passes: unigram-LM quality scoring
+(the CCNet "LM filter" analog) and per-document TF-IDF keyword
+extraction (the labeling pass that tags each doc with its most
+distinctive terms).
+
+Both share one shape — a corpus-wide statistics aggregate whose result
+is broadcast once (``ray.put``) and consumed by a streaming per-batch
+scorer — the same two-pass discipline as ``lines.line_dedup_ds``:
+
+1. **stats pass** — per-batch pre-aggregated token (or per-doc distinct
+   token) counts, ONE ``groupby(token)`` shuffle that moves at most one
+   row per distinct token per block, result collected to the driver.
+   At web scale the vocabulary is the knob: ``min_count`` /``min_df``
+   folds the long tail into an OOV bucket so the broadcast stays
+   bounded (Zipf: the tail is huge in types, tiny in tokens).  The sf
+   gates run at ``min_count=1`` (no OOV) so DuckDB reproduces the
+   result exactly.
+2. **score pass** — the sorted vocabulary + statistics array ships via
+   ``ray.put``; each batch resolves its tokens with ONE vectorized
+   ``np.searchsorted`` and reduces per doc with ``add.reduceat`` /
+   a single pandas sort — no shuffle, output streams.
+
+Reference analog: the corpus-statistics pass of the index build
+(SURVEY.md A7/A8 — global stats + frequency histograms,
+``/root/reference/src/main/java/au/edu/rmit/bdm/Torch/base/invertedIndex/InvertedIndex.java``
+term-frequency accounting) re-targeted at model-quality signals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _token_count_partial(batch: pa.Table) -> pa.Table:
+    """(token, n) occurrence counts of one batch, pre-aggregated."""
+    flat: list[str] = []
+    for t in batch["text"].to_pylist():
+        flat.extend(t.split(" "))
+    if not flat:
+        return pa.table(
+            {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    return pa.table(
+        {
+            "tok": pa.array(uniq, pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def unigram_counts(
+    docs: ray.data.Dataset, min_count: int = 1
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Corpus unigram table of a ``(doc_id, text)`` dataset: sorted
+    token array, aligned counts, total token count, and the folded OOV
+    mass (total occurrences of tokens below ``min_count`` — 0 when
+    ``min_count=1``)."""
+    freqs = (
+        docs.map_batches(_token_count_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if freqs.empty:
+        return np.asarray([], dtype=object), np.zeros(0, np.int64), 0, 0
+    total = int(freqs["n"].sum())
+    kept = freqs[freqs["n"] >= min_count]
+    oov_mass = total - int(kept["n"].sum())
+    order = np.argsort(kept["tok"].to_numpy())
+    return (
+        kept["tok"].to_numpy()[order],
+        kept["n"].to_numpy().astype(np.int64)[order],
+        total,
+        oov_mass,
+    )
+
+
+def lm_quality_ds(
+    docs_factory, min_count: int = 1
+) -> ray.data.Dataset:
+    """Unigram-LM quality score over any ``(doc_id, text)`` dataset:
+    ``doc_id, n_tokens, nll`` where ``nll`` is the mean negative log
+    probability of the doc's tokens under the corpus unigram model
+    (lower = more typical text; the CCNet filter keeps the middle of
+    the distribution).  Tokens rarer than ``min_count`` score as one
+    shared OOV bucket holding the folded tail mass (with ``min_count=1``
+    every token is in-vocab and the score is exact).
+
+    ``docs_factory`` is a zero-arg callable returning the dataset (two
+    streaming reads: stats pass + score pass)."""
+    toks, counts, total, oov_mass = unigram_counts(docs_factory(), min_count)
+    # log-prob per vocab entry; OOV floor uses the folded tail mass
+    # (or the rarest kept count as a proxy for an empty tail)
+    with np.errstate(divide="ignore"):
+        logp = np.log(counts / total) if total else np.zeros(0)
+        oov_logp = float(
+            np.log((oov_mass or (counts.min() if counts.size else 1)) / total)
+            if total
+            else 0.0
+        )
+    ref = ray.put((toks, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, lp = ray.get(ref)
+        texts = batch["text"].to_pylist()
+        tok_lists = [t.split(" ") for t in texts]
+        n = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+        flat = np.asarray(
+            [tok for ts in tok_lists for tok in ts], dtype=object
+        )
+        if vocab.size and flat.size:
+            pos = np.searchsorted(vocab, flat)
+            pos_c = np.minimum(pos, len(vocab) - 1)
+            hit = vocab[pos_c] == flat
+            tok_lp = np.where(hit, lp[pos_c], oov_logp)
+        else:
+            tok_lp = np.full(len(flat), oov_logp)
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        sums = np.add.reduceat(tok_lp, starts) if flat.size else np.zeros(0)
+        # reduceat quirk: a zero-length segment copies the next element
+        sums = np.where(n > 0, sums, 0.0)
+        nll = -sums / np.maximum(n, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "nll": pa.array(np.round(nll, 6), pa.float64()),
+            }
+        )
+
+    return docs_factory().map_batches(score, batch_format="pyarrow")
+
+
+def lm_quality(sf_dir: str) -> ray.data.Dataset:
+    """Gate entry: exact (``min_count=1``) unigram NLL per document."""
+    return lm_quality_ds(lambda: _docs(sf_dir))
+
+
+def _doc_df_partial(batch: pa.Table) -> pa.Table:
+    """(token, n_docs) partial document frequencies of one batch."""
+    per_doc = [set(t.split(" ")) for t in batch["text"].to_pylist()]
+    flat = [tok for s in per_doc for tok in s]
+    if not flat:
+        return pa.table(
+            {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    return pa.table(
+        {
+            "tok": pa.array(uniq, pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def doc_keywords_ds(
+    docs_factory, n_docs: int, k: int = 3, min_df: int = 1
+) -> ray.data.Dataset:
+    """Top-``k`` TF-IDF keywords per document over any ``(doc_id,
+    text)`` dataset: ``doc_id, rank, term, score`` with ``score =
+    tf * ln(n_docs / df)`` (raw ln-IDF; a term in every doc scores 0),
+    ranked score-descending with ties broken term-ascending.  Terms in
+    fewer than ``min_df`` docs are skipped (the scale knob — rare-term
+    types dominate the vocabulary; the gate runs ``min_df=1``)."""
+    df_tbl = (
+        docs_factory()
+        .map_batches(_doc_df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="df"))
+        .to_pandas()
+    )
+    df_tbl = df_tbl[df_tbl["df"] >= min_df]
+    order = np.argsort(df_tbl["tok"].to_numpy())
+    vocab = df_tbl["tok"].to_numpy()[order]
+    idf = np.log(n_docs / df_tbl["df"].to_numpy().astype(np.float64))[order]
+    ref = ray.put((vocab, idf))
+
+    def extract(batch: pa.Table) -> pa.Table:
+        voc, idf_ = ray.get(ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        tok_lists = [t.split(" ") for t in batch["text"].to_pylist()]
+        n = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+        flat = np.asarray(
+            [tok for ts in tok_lists for tok in ts], dtype=object
+        )
+        d = pd.DataFrame({"doc_id": [], "term": [], "score": []})
+        if flat.size and len(voc):
+            # one factorize per batch; (doc, term) tf via a composite key
+            doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), n)
+            codes, uniq = pd.factorize(flat, sort=False)
+            key = doc_idx * len(uniq) + codes
+            ukey, tf = np.unique(key, return_counts=True)
+            u_doc = (ukey // len(uniq)).astype(np.int64)
+            u_code = (ukey % len(uniq)).astype(np.int64)
+            pos = np.searchsorted(voc, uniq)
+            pos_c = np.minimum(pos, len(voc) - 1)
+            hit_term = voc[pos_c] == uniq  # in-vocab per batch-local term
+            keep = hit_term[u_code]
+            d = pd.DataFrame(
+                {
+                    "doc_id": ids[u_doc[keep]],
+                    "term": uniq[u_code[keep]],
+                    "score": tf[keep] * idf_[pos_c[u_code[keep]]],
+                }
+            )
+        if d.empty:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        d = d.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        d["rank"] = d.groupby("doc_id").cumcount() + 1
+        d = d[d["rank"] <= k]
+        return pa.table(
+            {
+                "doc_id": pa.array(d["doc_id"].to_numpy(), pa.int64()),
+                "rank": pa.array(d["rank"].to_numpy(), pa.int64()),
+                "term": pa.array(d["term"].to_numpy(), pa.string()),
+                "score": pa.array(np.round(d["score"].to_numpy(), 6)),
+            }
+        )
+
+    return docs_factory().map_batches(extract, batch_format="pyarrow")
+
+
+def doc_keywords(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Gate entry: exact (``min_df=1``) top-``k`` keywords per doc."""
+    n_docs = _docs(sf_dir).count()
+    return doc_keywords_ds(lambda: _docs(sf_dir), n_docs=n_docs, k=k)
