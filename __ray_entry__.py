@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_scan": corpus.range_scan,          # U3: terms-free findInRange
         "phrase_match": corpus.phrase_match,      # exact phrase verification
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
+        "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
+        "facet_lang": corpus.facet_lang,          # faceted-search counts
+        "snippets_topk": corpus.snippets_topk,    # top-k result highlighting
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
         # --- corpus / text analysis (training-data ops) ---
         "doc_stats": textstats.doc_stats,         # A7: global aggregates
@@ -145,6 +148,14 @@ from torchtrajectory_ray.pipelines.scrub import (  # noqa: E402
     IPV4_PAT as _IPV4_PAT,
     PHONE_PAT as _PHONE_PAT,
 )
+
+
+def _fuzzy_values() -> str:
+    from torchtrajectory_ray.pipelines.corpus import FUZZY_QUERIES
+
+    return ", ".join(
+        f"({q['query_id']}, '{q['term']}')" for q in FUZZY_QUERIES
+    )
 
 
 def _query_values() -> str:
@@ -268,6 +279,22 @@ GROUP BY term, doc_id""",
         "topk_bm25": topk,
         "bool_or": _bool_sql("OR"),
         "bool_and": _bool_sql("AND"),
+        # did-you-mean: DuckDB levenshtein vs the vectorized
+        # length-grouped edit-distance-1 kernel (functions/fuzzy.py);
+        # df comes from the built dictionary = distinct-doc counts
+        "fuzzy_match": f"""
+WITH v AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+           FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+           GROUP BY tok),
+q(query_id, qt) AS (VALUES {_fuzzy_values()})
+SELECT q.query_id::BIGINT AS query_id, v.term, v.df
+FROM q JOIN v ON levenshtein(q.qt, v.term) <= 1""",
+        # faceted search: lang histogram of each query's OR result
+        "facet_lang": f"""
+WITH m AS ({_bool_sql('OR')})
+SELECT m.query_id, d.lang, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.lang""",
         "doc_stats": f"""
 SELECT count(*)::BIGINT AS n_docs,
        round(avg(len({_TOKS})), 6) AS avgdl FROM documents""",
@@ -319,6 +346,42 @@ FROM flat f JOIN bg USING (g) GROUP BY f.doc_id""",
 SELECT doc_id, lang FROM documents
 WHERE (doc_id * 1000003) % 1000000007 % 1000 <
       CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END""",
+        # result highlighting: top-5 BM25 (same scoring chain as
+        # topk_bm25), snippet = ±3 tokens around the FIRST occurrence
+        # of any query term (1-based inclusive list slice)
+        "snippets_topk": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_query_values()}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+sel AS (SELECT query_id, doc_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scores QUALIFY rank <= 5),
+qt AS (SELECT query_id, list(term) AS terms FROM q GROUP BY query_id),
+docs AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+pos AS (SELECT s.query_id, s.rank, s.doc_id, docs.ts,
+        list_filter(generate_series(1, len(docs.ts)),
+                    i -> list_contains(qt.terms, docs.ts[i]))[1] AS p
+        FROM sel s JOIN docs USING (doc_id) JOIN qt USING (query_id))
+SELECT query_id::BIGINT AS query_id, rank, doc_id,
+  coalesce(array_to_string(ts[greatest(1, p - 3):least(len(ts), p + 3)],
+                           ' '), '') AS snippet
+FROM pos""",
         # unigram-LM NLL: every token in-vocab at min_count=1, so the
         # corpus model reproduces exactly; nll rounded to 6 dp
         "lm_quality": f"""

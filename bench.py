@@ -142,6 +142,20 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "phrase_match",
         lambda: [eng.phrase_and(q["phrase"]) for q in PHRASE_QUERIES],
     )
+    from torchtrajectory_ray.pipelines.corpus import FUZZY_QUERIES
+
+    timed(
+        "fuzzy_match",
+        lambda: [eng.fuzzy_terms(q["term"]) for q in FUZZY_QUERIES],
+    )
+    timed(
+        "facet_lang",
+        lambda: [eng.facet_counts(q["terms"]) for q in WEB_QUERIES],
+    )
+    timed(
+        "snippets_topk",
+        lambda: eng.search_with_snippets(WEB_QUERIES, k=5),
+    )
 
     from torchtrajectory_ray.pipelines import analytics, knn, media
     from torchtrajectory_ray.pipelines.query_batch import batch_topk_df

@@ -208,3 +208,67 @@ def test_runtime_scoring_param_swap(built):
     # swap back
     eng.update(k1=1.2, b=0.75)
     assert eng.topk(["w0000"], k=5) == QueryEngine(built).topk(["w0000"], k=5)
+
+
+# --- round-3 serving features: fuzzy, facets, snippets ---------------------
+
+
+def test_fuzzy_terms_matches_bruteforce_levenshtein(built):
+    from torchtrajectory_ray.functions.fuzzy import levenshtein_ref
+    from torchtrajectory_ray.functions.text import term_hash
+
+    eng = QueryEngine(built)
+    vocab = eng._terms
+    probes = [vocab[0], vocab[7] + "x", vocab[11][:-1], "zz_nothing_zz"]
+    for p in probes:
+        got = eng.fuzzy_terms(p)
+        exp = sorted(t for t in vocab if levenshtein_ref(p, t) <= 1)
+        assert got["term"].tolist() == exp, p
+        for t, df in zip(got["term"], got["df"]):
+            assert df == eng._df[term_hash(t)]
+
+
+def test_fuzzy_or_unions_variant_postings(built):
+    eng = QueryEngine(built)
+    probe = eng._terms[3]
+    variants = eng.fuzzy_terms(probe)["term"].tolist()
+    assert probe in variants  # distance 0 included
+    got = eng.fuzzy_or(probe)
+    expect = eng.bool_or(variants)
+    assert got.tolist() == expect.tolist()
+
+
+def test_facet_counts_pushdown_equals_distributed(built):
+    eng = QueryEngine(built)
+    terms = _queries()[0]["terms"]
+    small = eng.facet_counts(terms, facet_col="lang")
+    # max_candidates=0 forces the broadcast-membership distributed scan
+    dist = eng.facet_counts(terms, facet_col="lang", max_candidates=0)
+    assert small.equals(dist)
+    assert int(small["n_docs"].sum()) == len(eng.bool_or(terms))
+
+
+def test_facet_counts_and_mode_and_empty(built):
+    import pandas as pd
+
+    eng = QueryEngine(built)
+    terms = _queries()[1]["terms"]
+    f = eng.facet_counts(terms, mode="and")
+    assert int(f["n_docs"].sum()) == len(eng.bool_and(terms))
+    empty = eng.facet_counts(["zzz_not_a_term"])
+    assert len(empty) == 0 and list(empty.columns) == ["lang", "n_docs"]
+
+
+def test_search_with_snippets_window_and_rank(built):
+    eng = QueryEngine(built)
+    qs = _queries()[:4]
+    out = eng.search_with_snippets(qs, k=5, window=3)
+    top = eng.batch_topk(qs, k=5)
+    assert out[["query_id", "rank", "doc_id"]].equals(
+        top[["query_id", "rank", "doc_id"]]
+    )
+    terms_by_qid = {q["query_id"]: set(q["terms"]) for q in qs}
+    for row in out.itertuples():
+        toks = row.snippet.split(" ")
+        assert 1 <= len(toks) <= 7  # window=3 -> at most 2w+1 tokens
+        assert terms_by_qid[row.query_id] & set(toks)  # contains a hit

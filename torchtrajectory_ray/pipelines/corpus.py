@@ -48,6 +48,17 @@ PREFIX_QUERIES: list[dict] = [
     {"query_id": 3, "prefix": "zzz"},
 ]
 
+# Fixed fuzzy workload (edit-distance-1 dictionary probes: deletion,
+# insertion, substitution, exact, and a no-match term)
+FUZZY_QUERIES: list[dict] = [
+    {"query_id": 0, "term": "spak"},        # deletion from 'spark'
+    {"query_id": 1, "term": "tble"},        # deletion from 'table'
+    {"query_id": 2, "term": "scana"},       # insertion on 'scan'
+    {"query_id": 3, "term": "windoq"},      # substitution on 'window'
+    {"query_id": 4, "term": "spark"},       # exact (distance 0)
+    {"query_id": 5, "term": "zzznothing"},  # empty result edge
+]
+
 # Fixed phrase workload (ORDER matters — phrase 12 is a repeated-term
 # phrase, phrase 13 a trigram; both exercise the forward-index
 # verification beyond what a first-position chain could answer)
@@ -245,6 +256,39 @@ def prefix_match(sf_dir: str) -> pd.DataFrame:
         for d in eng.prefix_or(q["prefix"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def fuzzy_match(sf_dir: str) -> pd.DataFrame:
+    """query_id, term, df — every dictionary term within Levenshtein
+    distance 1 of each probe (did-you-mean; vectorized length-grouped
+    scan, ``QueryEngine.fuzzy_terms``)."""
+    eng = _engine(documents_index(sf_dir))
+    out = []
+    for q in FUZZY_QUERIES:
+        hits = eng.fuzzy_terms(q["term"])
+        hits.insert(0, "query_id", np.int64(q["query_id"]))
+        out.append(hits)
+    return pd.concat(out, ignore_index=True)
+
+
+def facet_lang(sf_dir: str) -> pd.DataFrame:
+    """query_id, lang, n_docs — faceted-search counts over the boolean
+    OR result of each fixed query (``QueryEngine.facet_counts``)."""
+    eng = _engine(documents_index(sf_dir))
+    out = []
+    for q in WEB_QUERIES:
+        f = eng.facet_counts(q["terms"], facet_col="lang", mode="or")
+        f.insert(0, "query_id", np.int64(q["query_id"]))
+        out.append(f)
+    return pd.concat(out, ignore_index=True)
+
+
+def snippets_topk(sf_dir: str, k: int = 5, window: int = 3) -> pd.DataFrame:
+    """query_id, rank, doc_id, snippet — top-k with the window-token
+    context around the first query-term occurrence
+    (``QueryEngine.search_with_snippets``)."""
+    eng = _engine(documents_index(sf_dir))
+    return eng.search_with_snippets(WEB_QUERIES, k=k, window=window)
 
 
 def topk_resolved(sf_dir: str, k: int = 10) -> pd.DataFrame:

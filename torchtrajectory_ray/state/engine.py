@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from torchtrajectory_ray.functions.scoring import make_scorer
@@ -144,6 +145,7 @@ class QueryEngine:
                 if p.endswith(".parquet")
             )
         self._terms = d["term"].tolist()  # dictionary scan support (J5)
+        self._terms_arr = None  # lazy numpy view for fuzzy scans
         self._df = dict(zip(d["term_id"], d["df"]))
         self._max_tf = dict(zip(d["term_id"], d["max_tf"]))
         self._min_dl = dict(zip(d["term_id"], d["min_dl"]))
@@ -472,6 +474,149 @@ class QueryEngine:
         if not terms:
             return np.empty(0, dtype=np.int64)
         return self.bool_or(terms, **filt)
+
+    def fuzzy_terms(self, term: str, max_edits: int = 1) -> pd.DataFrame:
+        """Did-you-mean dictionary probe: ``(term, df)`` rows for every
+        dictionary term within Levenshtein distance ``max_edits`` of
+        ``term`` (only 1 supported), term-ascending.  Vectorized
+        length-grouped scan (`functions/fuzzy.py`) over the same
+        dictionary ``prefix_terms`` scans — the NameEdgeIdLookup shape
+        with an approximate comparator."""
+        if max_edits != 1:
+            raise NotImplementedError("only max_edits=1 is supported")
+        from torchtrajectory_ray.functions.fuzzy import edit1_mask
+
+        if self._terms_arr is None:
+            self._terms_arr = np.asarray(self._terms, dtype=object)
+        hits = sorted(self._terms_arr[edit1_mask(term, self._terms_arr)])
+        return pd.DataFrame(
+            {
+                "term": pd.array(hits, dtype=object),
+                "df": np.asarray(
+                    [int(self._df[term_hash(t)]) for t in hits], np.int64
+                ),
+            }
+        )
+
+    def fuzzy_or(self, term: str, **filt) -> np.ndarray:
+        """OR query over every dictionary term within edit distance 1."""
+        terms = self.fuzzy_terms(term)["term"].tolist()
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        return self.bool_or(terms, **filt)
+
+    def facet_counts(
+        self,
+        query: str | list[str],
+        facet_col: str = "lang",
+        mode: str = "or",
+        max_candidates: int = 65536,
+        **filt,
+    ) -> pd.DataFrame:
+        """Faceted-search counts: docs matching ``query`` (OR/AND)
+        grouped by a forward-index column — ``(facet_col, n_docs)``,
+        facet-ascending, nulls excluded.
+
+        Candidate sets up to ``max_candidates`` use one predicate-
+        pushdown read (the ``resolve`` shape); larger sets (stopword
+        queries: a corpus-scale fraction) switch to a distributed
+        membership scan — the sorted id set ships once via ``ray.put``
+        and every batch reduces to per-facet partial counts, so only
+        O(#facet values) rows per block reach the driver."""
+        if facet_col not in ("lang", "doclen"):
+            raise ValueError("facet_col must be a forward-index metadata column")
+        ids = (
+            self.bool_or(query, **filt)
+            if mode == "or"
+            else self.bool_and(query, **filt)
+        )
+        if len(ids) == 0:
+            return pd.DataFrame({facet_col: [], "n_docs": []})
+        if len(ids) <= max_candidates:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(self.docs_paths, format="parquet").to_table(
+                columns=[facet_col],
+                filter=pads.field("doc_id").isin(pa.array(ids, pa.int64())),
+            )
+            vc = t.column(facet_col).to_pandas().value_counts(dropna=True)
+        else:
+            import ray
+            import ray.data
+
+            ref = ray.put(np.sort(np.asarray(ids, np.int64)))
+
+            def part(batch: pa.Table) -> pa.Table:
+                wanted = ray.get(ref)
+                d = batch["doc_id"].to_numpy().astype(np.int64)
+                pos = np.searchsorted(wanted, d)
+                pos[pos == len(wanted)] = 0
+                v = (
+                    batch[facet_col]
+                    .to_pandas()[wanted[pos] == d]
+                    .value_counts(dropna=True)
+                )
+                return pa.table(
+                    {
+                        facet_col: pa.array(v.index.to_numpy()),
+                        "n": pa.array(v.to_numpy().astype(np.int64)),
+                    }
+                )
+
+            parts = (
+                ray.data.read_parquet(
+                    self.docs_paths, columns=["doc_id", facet_col]
+                )
+                .map_batches(part, batch_format="pyarrow")
+                .to_pandas()  # tiny: #facets × #blocks rows
+            )
+            vc = parts.groupby(facet_col)["n"].sum()
+        return (
+            pd.DataFrame({facet_col: vc.index, "n_docs": vc.to_numpy()})
+            .astype({"n_docs": np.int64})
+            .sort_values(facet_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    def search_with_snippets(
+        self,
+        queries: list[dict],
+        k: int = 10,
+        window: int = 3,
+        method: str = "wand",
+    ) -> pd.DataFrame:
+        """Top-k with result highlighting: ``(query_id, rank, doc_id,
+        snippet)`` where the snippet is the ``window``-token context
+        around the FIRST occurrence of any query term (tokenized with
+        the index's own tokenizer).  Hydration is one pushdown read of
+        the unique hit ids — cost bounded by k × len(queries), never
+        corpus size."""
+        top = self.batch_topk(queries, k=k, method=method)
+        cols = ["query_id", "rank", "doc_id", "snippet"]
+        if top.empty:
+            return pd.DataFrame(columns=cols)
+        import pyarrow.dataset as pads
+
+        wanted = pa.array(sorted(set(top["doc_id"].tolist())), pa.int64())
+        t = pads.dataset(self.docs_paths, format="parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(wanted),
+        )
+        texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        terms_by_qid = {q["query_id"]: set(q["terms"]) for q in queries}
+        snips = []
+        for qid, did in zip(top["query_id"], top["doc_id"]):
+            toks = self._tokenize(texts[int(did)])
+            qt = terms_by_qid[qid]
+            p = next((i for i, tok in enumerate(toks) if tok in qt), None)
+            snips.append(
+                ""
+                if p is None
+                else " ".join(toks[max(0, p - window) : p + window + 1])
+            )
+        out = top[["query_id", "rank", "doc_id"]].copy()
+        out["snippet"] = snips
+        return out
 
     def batch_topk(
         self, queries: list[dict], k: int = 10, method: str = "wand"
