@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": textstats.top_bigrams,
         "repetition_stats": textstats.repetition_stats,  # Gopher-rule signals
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
+        "length_deciles": textstats.length_deciles,  # exact histogram quantiles
         "lm_quality": lm.lm_quality,              # unigram-LM NLL filter signal
         "doc_keywords": lm.doc_keywords,          # per-doc TF-IDF keywords
         # --- training-set assembly (scan / selection operators) ---
@@ -382,6 +383,16 @@ SELECT query_id::BIGINT AS query_id, rank, doc_id,
   coalesce(array_to_string(ts[greatest(1, p - 3):least(len(ts), p + 3)],
                            ' '), '') AS snippet
 FROM pos""",
+        # exact distributed quantiles: decile thresholds via
+        # quantile_disc (same ceil(p*n)-1 convention as the histogram
+        # reduction), bucket = #{thresholds < n_tokens}
+        "length_deciles": f"""
+WITH l AS (SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents),
+t AS (SELECT unnest(quantile_disc(n_tokens,
+      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS thr FROM l)
+SELECT l.doc_id, l.n_tokens,
+  (SELECT count(*) FROM t WHERE t.thr < l.n_tokens)::BIGINT AS decile
+FROM l""",
         # unigram-LM NLL: every token in-vocab at min_count=1, so the
         # corpus model reproduces exactly; nll rounded to 6 dp
         "lm_quality": f"""

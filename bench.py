@@ -217,6 +217,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from torchtrajectory_ray.pipelines import lm
 
     timed("lm_quality", lambda: lm.lm_quality(sf_dir).materialize())
+    timed("length_deciles", lambda: textstats.length_deciles(sf_dir).materialize())
     timed("doc_keywords", lambda: lm.doc_keywords(sf_dir).materialize())
 
     out = {

@@ -405,3 +405,76 @@ def source_doc_count(sf_dir: str) -> ray.data.Dataset:
             Sum("n_tokens", alias_name="n_tokens"),
         )
     )
+
+
+def length_quantile_thresholds(
+    ds: ray.data.Dataset, probs: list[float]
+) -> np.ndarray:
+    """EXACT discrete quantiles of a ``(n_tokens,)`` dataset computed
+    from its value histogram — the distributed form of
+    ``quantile_disc`` (same index convention: the sorted element at
+    ``ceil(p·n) − 1``, float ``p``).  One tiny ``groupby(n_tokens)``
+    shuffle (distinct lengths, not rows) replaces a global sort: the
+    histogram is exact because token counts are small integers, so the
+    driver reduction is O(distinct lengths) regardless of corpus size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch["n_tokens"].to_numpy(), return_counts=True)
+        return pa.table(
+            {
+                "n_tokens": pa.array(v.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("n_tokens")
+    )
+    lens = hist["n_tokens"].to_numpy()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return np.zeros(0, np.int64)
+    # DuckDB-compatible double arithmetic for the rank, then the first
+    # length whose cumulative count reaches it
+    ranks = np.ceil(np.asarray(probs, np.float64) * n).astype(np.int64)
+    return lens[np.searchsorted(cum, ranks, side="left")].astype(np.int64)
+
+
+def length_deciles(sf_dir: str) -> ray.data.Dataset:
+    """doc_id, n_tokens, decile — each doc's token-length decile bucket
+    (``decile = #{decile thresholds < n_tokens}``, 0..9), the
+    length-balanced-sampling primitive.  Two streaming passes: the
+    exact histogram quantiles above, then a broadcast-thresholds
+    ``searchsorted`` assignment — no sort, no row shuffle."""
+    import ray as _ray
+
+    def to_len(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": n.cast(pa.int64())}
+        )
+
+    def lens_ds() -> ray.data.Dataset:
+        return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            to_len, batch_format="pyarrow"
+        )
+
+    thr = length_quantile_thresholds(
+        lens_ds(), [k / 10 for k in range(1, 10)]
+    )
+    ref = _ray.put(np.sort(thr))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = _ray.get(ref)
+        n = batch["n_tokens"].to_numpy()
+        dec = np.searchsorted(t, n, side="left")  # == #{thr < n}
+        return batch.append_column(
+            "decile", pa.array(dec.astype(np.int64), pa.int64())
+        )
+
+    return lens_ds().map_batches(assign, batch_format="pyarrow")
