@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""1M-doc soak of the serving features (fuzzy / facets / snippets).
+
+Opens (or builds) the 1M-doc index used by the phrase soak and
+measures:
+
+- ``fuzzy_terms`` — the vectorized edit-distance-1 dictionary scan at
+  full corpus vocabulary size (the dictionary is the scan target, so
+  this is the operator's true scale axis)
+- ``facet_counts`` on a stopword-grade OR query — candidate set is a
+  corpus-scale fraction, forcing the broadcast-membership DISTRIBUTED
+  branch; also timed on the pushdown branch cap for contrast
+- ``search_with_snippets`` — k×queries-bounded hydration (scale-flat
+  by design; measured to prove the bound holds at 1M docs)
+
+Usage:  python jobs/soak_serving_job.py [--n-docs 1000000] [--cpus 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SOAK_ROOT = "/tmp/ttray_soak"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=1_000_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+    from jobs.soak_clean_job import build_corpus
+    from torchtrajectory_ray.config import IndexConfig
+    from torchtrajectory_ray.pipelines.build import build_index
+    from torchtrajectory_ray.state.engine import QueryEngine
+
+    out: dict = {"n_docs": args.n_docs, "cpus": args.cpus}
+    soak_dir = build_corpus(args.n_docs)
+    idx_dir = os.path.join(SOAK_ROOT, f"idx-serving-{args.n_docs}")
+    t0 = time.monotonic()
+    build_index(  # resumable: a finished build returns immediately
+        sorted(
+            os.path.join(soak_dir, "documents.parquet", p)
+            for p in os.listdir(os.path.join(soak_dir, "documents.parquet"))
+        ),
+        idx_dir,
+        IndexConfig(num_term_shards=16, num_salts=16),
+    )
+    out["index_build_or_resume_s"] = round(time.monotonic() - t0, 1)
+
+    def timed(name, fn):
+        t = time.monotonic()
+        r = fn()
+        out[f"{name}_s"] = round(time.monotonic() - t, 3)
+        return r
+
+    eng = timed("engine_open", lambda: QueryEngine(idx_dir))
+    out["n_dict_terms"] = len(eng._terms)
+
+    probes = [eng._terms[0], eng._terms[9] + "x", eng._terms[20][:-1], "qqqq"]
+    hits = timed(
+        "fuzzy_10probes",
+        lambda: [eng.fuzzy_terms(p) for p in probes + probes[:2] * 3],
+    )
+    out["fuzzy_hit_terms"] = int(sum(len(h) for h in hits))
+
+    # stopword-grade OR: the most frequent dictionary terms
+    import numpy as np
+
+    from torchtrajectory_ray.functions.text import term_hash
+
+    dfs = np.asarray([eng._df[term_hash(t)] for t in eng._terms])
+    hot = [eng._terms[i] for i in np.argsort(dfs)[-2:]]
+    ids = eng.bool_or(hot)
+    out["facet_candidates"] = int(len(ids))
+    f = timed(
+        "facet_distributed",
+        lambda: eng.facet_counts(hot, facet_col="lang", max_candidates=0),
+    )
+    f2 = timed(
+        "facet_pushdown",
+        lambda: eng.facet_counts(
+            hot, facet_col="lang", max_candidates=1 << 62
+        ),
+    )
+    assert f.equals(f2), "facet branches disagree"
+    out["facet_docs"] = int(f["n_docs"].sum())
+
+    queries = [{"query_id": i, "terms": [t]} for i, t in enumerate(hot)] + [
+        {"query_id": 10 + i, "terms": [p]} for i, p in enumerate(probes[:2])
+    ]
+    s = timed(
+        "snippets_k10",
+        lambda: eng.search_with_snippets(queries, k=10, window=3),
+    )
+    out["snippet_rows"] = int(len(s))
+
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,32 @@ def test_codec_extreme_values():
     assert np.array_equal(delta_decode(delta_encode(sorted_big)), sorted_big)
     with pytest.raises(ValueError):
         varint_encode(np.array([-1]))
+
+
+def test_duplicate_doc_ids_fail_loud(ray_session, tmp_path):
+    """Two input docs sharing a doc_id must abort the build (silent
+    forward-index corruption otherwise: resolve/facets count rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from torchtrajectory_ray.config import IndexConfig
+    from torchtrajectory_ray.pipelines.build import build_index
+
+    p = str(tmp_path / "dup.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 2], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta", "beta gamma", "delta beta"], pa.string()
+                ),
+                "lang": pa.array(["en"] * 3, pa.string()),
+            }
+        ),
+        p,
+    )
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        build_index(
+            [p], str(tmp_path / "idx"), IndexConfig(num_term_shards=1, num_salts=1)
+        )

@@ -551,6 +551,17 @@ class SegmentWriter:
 
         # (term_id, salt) group boundaries over the merged postings
         change = (post_tid[1:] != post_tid[:-1]) | (post_salt[1:] != post_salt[:-1])
+        # postings are one row per (term, doc) by construction, so an
+        # equal adjacent doc id INSIDE a group means two input docs
+        # share a doc_id — silent forward-index corruption (resolve,
+        # facets, and filters would count rows, not docs).  Fail loud.
+        dup = (~change) & (ids[1:] == ids[:-1])
+        if dup.any():
+            raise ValueError(
+                "duplicate doc_id across input docs detected in postings "
+                f"(e.g. doc_id={int(ids[1:][dup][0])}); input shards must "
+                "carry globally unique doc ids"
+            )
         heads = np.concatenate(([0], np.flatnonzero(change) + 1))
         glen = np.diff(np.concatenate((heads, [total])))
         g_tid = post_tid[heads]
