@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": corpus.term_df,                # A8/J5: dictionary df
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
+        "topk_and": corpus.topk_and,              # ranked conjunctive (AND) top-k
         "topk_resolved": corpus.topk_resolved,    # M6: result hydration
         "bool_or": corpus.bool_or,                # U1: findByPath
         "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
@@ -248,6 +249,38 @@ SELECT query_id::BIGINT AS query_id,
        doc_id, score
 FROM scores QUALIFY rank <= 10
 """
+    # ranked-AND: same BM25 chain, contrib carries the matched term so a
+    # HAVING count(DISTINCT term) = n_query_terms restricts scoring to
+    # the conjunctive doc set; nt counts terms BEFORE the df join, so a
+    # query with an unindexed term (query 10) correctly yields no rows
+    topk_and = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_query_values()}),
+qn AS (SELECT query_id, count(DISTINCT term)::BIGINT AS nt FROM q GROUP BY query_id),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, q.term,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT c.query_id, c.doc_id, round(sum(c.c), 6) AS score
+           FROM contrib c JOIN qn USING (query_id)
+           GROUP BY c.query_id, c.doc_id, qn.nt
+           HAVING count(DISTINCT c.term) = qn.nt)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= 10
+"""
     from torchtrajectory_ray.pipelines.corpus import PHRASE_QUERIES
 
     phrase_parts = []
@@ -278,6 +311,7 @@ SELECT term, doc_id, count(*)::BIGINT AS tf
 FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
 GROUP BY term, doc_id""",
         "topk_bm25": topk,
+        "topk_and": topk_and,
         "bool_or": _bool_sql("OR"),
         "bool_and": _bool_sql("AND"),
         # did-you-mean: DuckDB levenshtein vs the vectorized

@@ -272,3 +272,46 @@ def test_search_with_snippets_window_and_rank(built):
         toks = row.snippet.split(" ")
         assert 1 <= len(toks) <= 7  # window=3 -> at most 2w+1 tokens
         assert terms_by_qid[row.query_id] & set(toks)  # contains a hit
+
+
+def test_topk_and_equals_and_filtered_topk(built):
+    """Ranked-AND == plain top-k restricted to the bool_and doc set
+    (same accumulation order -> bit-identical floats, exact equality)."""
+    eng = QueryEngine(built)
+    nonempty = 0
+    for q in _queries():
+        and_ids = {int(d) for d in eng.bool_and(q["terms"])}
+        full = eng.topk(q["terms"], k=N_DOCS + 10, method="exhaustive")
+        expect = sorted(
+            ((d, s) for d, s in full if d in and_ids),
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        got = eng.topk_and(q["terms"], k=10, method="exhaustive")
+        assert got == expect
+        nonempty += bool(expect)
+    assert nonempty >= 3  # the workload actually exercises nonempty ANDs
+
+
+def test_topk_and_wand_equals_exhaustive(built):
+    eng = QueryEngine(built)
+    for q in _queries():
+        assert eng.topk_and(q["terms"], k=10, method="wand") == eng.topk_and(
+            q["terms"], k=10, method="exhaustive"
+        )
+
+
+def test_topk_and_edge_cases(built):
+    eng = QueryEngine(built)
+    # a query term with no postings anywhere -> empty AND, even though
+    # the other term matches plenty
+    assert eng.topk_and(["needle_phrase_a", "zzz_not_a_term"], k=10) == []
+    # single-term AND degenerates to plain top-k
+    t = _queries()[0]["terms"][:1]
+    assert eng.topk_and(t, k=10) == eng.topk(t, k=10)
+
+
+def test_topk_and_distributed_matches_inprocess(built):
+    local = QueryEngine(built)
+    dist = QueryEngine(built, distributed=True)
+    for q in _queries()[:6]:
+        assert local.topk_and(q["terms"], k=10) == dist.topk_and(q["terms"], k=10)

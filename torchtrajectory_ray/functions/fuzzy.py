@@ -79,13 +79,19 @@ def _query_del_mask(shorter: np.ndarray, query: str) -> np.ndarray:
     return i_min <= i_max
 
 
-def edit1_mask(query: str, candidates: np.ndarray) -> np.ndarray:
+def edit1_mask(
+    query: str, candidates: np.ndarray, lens: np.ndarray | None = None
+) -> np.ndarray:
     """Boolean mask over ``candidates`` (1-D str array) marking terms
-    with Levenshtein distance ≤ 1 from ``query``."""
+    with Levenshtein distance ≤ 1 from ``query``.  ``lens`` may carry
+    precomputed candidate lengths — the length scan is half of a cold
+    probe's cost, so repeat callers (an engine serving many fuzzy
+    queries) should cache it."""
     cands = np.asarray(candidates)
     if cands.size == 0:
         return np.zeros(0, bool)
-    lens = np.fromiter((len(c) for c in cands), np.int64, len(cands))
+    if lens is None:
+        lens = np.fromiter((len(c) for c in cands), np.int64, len(cands))
     lq = len(query)
     out = np.zeros(len(cands), bool)
 

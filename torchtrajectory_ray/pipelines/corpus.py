@@ -192,6 +192,26 @@ def topk_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+def topk_and(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — ranked CONJUNCTIVE retrieval:
+    BM25 top-k over only the docs containing every query term (the
+    reference's findOnStrictPath candidate semantics with findTopK
+    ranking, Engine.java; the intersection happens bucket-locally
+    before any scoring).  Same rounding/re-rank protocol as
+    :func:`topk_bm25`; query 10's unmatched term makes its AND empty."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in WEB_QUERIES:
+        res = eng.topk_and(q["terms"], k=2 * k, method="wand")
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.head(k).reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
 def tfidf_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """query_id, rank, doc_id, score — top-k under the ALTERNATE scorer
     (log-tf·idf) on the SAME index, via the pluggable-measure point

@@ -240,13 +240,16 @@ class QueryEngine:
         lang: str | None = None,
         ts_lo: int | None = None,
         ts_hi: int | None = None,
+        require_all: bool = False,
     ) -> list[tuple[int, float]]:
         terms = self._tokenize(query) if isinstance(query, str) else list(query)
         tids, idfs = self.resolve_terms(terms)
         if not tids:
             return []
+        if require_all and len(tids) < len(set(terms)):
+            return []  # a query term with no postings anywhere ⇒ empty AND
         parts = self._fanout(
-            "topk", tids, idfs, k, method, lang, ts_lo, ts_hi
+            "topk", tids, idfs, k, method, lang, ts_lo, ts_hi, require_all
         )
         # heap-merge of bucket-local top-k (K5: heap drain,
         # EdgeInvertedIndex.java:172-175) — buckets are disjoint doc ranges
@@ -259,6 +262,15 @@ class QueryEngine:
             ),
         )
         return [(-nd, s) for s, nd in merged]
+
+    def topk_and(
+        self, query: str | list[str], k: int = 10, **kw
+    ) -> list[tuple[int, float]]:
+        """Ranked conjunctive retrieval: BM25 top-k over ONLY the docs
+        containing every query term (bool_and semantics + topk ranking
+        in one pass — the candidate intersection happens inside each
+        bucket before any scoring)."""
+        return self.topk(query, k=k, require_all=True, **kw)
 
     def bool_or(self, query: str | list[str], **filt) -> np.ndarray:
         terms = self._tokenize(query) if isinstance(query, str) else list(query)
@@ -488,7 +500,14 @@ class QueryEngine:
 
         if self._terms_arr is None:
             self._terms_arr = np.asarray(self._terms, dtype=object)
-        hits = sorted(self._terms_arr[edit1_mask(term, self._terms_arr)])
+            self._terms_lens = np.fromiter(
+                (len(t) for t in self._terms), np.int64, len(self._terms)
+            )
+        hits = sorted(
+            self._terms_arr[
+                edit1_mask(term, self._terms_arr, self._terms_lens)
+            ]
+        )
         return pd.DataFrame(
             {
                 "term": pd.array(hits, dtype=object),

@@ -300,12 +300,17 @@ class SaltSearcher:
         lang=None,
         ts_lo=None,
         ts_hi=None,
+        require_all: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Bucket-local BM25 top-k → (doc_ids, scores), unsorted length ≤ k.
 
         Deterministic float accumulation: contributions are added in
         ascending term_id order in both methods, so ``wand`` and
         ``exhaustive`` produce bit-identical scores.
+
+        ``require_all`` scores ONLY docs containing every query term
+        (ranked conjunctive retrieval) — valid bucket-locally because a
+        doc's postings for all terms live in its one salt bucket.
         """
         order = np.argsort(np.asarray(term_ids, dtype=np.int64), kind="stable")
         tids = [term_ids[i] for i in order]
@@ -315,19 +320,40 @@ class SaltSearcher:
             ids, tfs, dls = self.postings(tid)
             if len(ids):
                 posts.append((tid, w, ids, tfs, dls))
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         if not posts:
-            e = np.empty(0, dtype=np.int64)
-            return e, np.empty(0, dtype=np.float64)
+            return empty
+        if require_all and len(posts) < len(set(tids)):
+            return empty  # a term with no postings in this bucket
         if method == "exhaustive":
-            return self._topk_exhaustive(posts, k, lang, ts_lo, ts_hi)
-        return self._topk_wand(posts, k, lang, ts_lo, ts_hi)
+            return self._topk_exhaustive(
+                posts, k, lang, ts_lo, ts_hi, require_all
+            )
+        return self._topk_wand(posts, k, lang, ts_lo, ts_hi, require_all)
 
-    def _topk_exhaustive(self, posts, k, lang, ts_lo, ts_hi):
-        allc = np.concatenate([p[2] for p in posts])
-        uniq = np.unique(allc)
+    @staticmethod
+    def _conjunctive(posts) -> np.ndarray:
+        """Docs present in EVERY posting list (the bool_and count
+        intersection, reused by ranked-AND)."""
+        ids, counts = np.unique(
+            np.concatenate([p[2] for p in posts]), return_counts=True
+        )
+        return ids[counts == len(posts)]
+
+    def _topk_exhaustive(self, posts, k, lang, ts_lo, ts_hi, require_all=False):
+        if require_all:
+            uniq = self._conjunctive(posts)
+            if not len(uniq):
+                return uniq, np.empty(0, dtype=np.float64)
+        else:
+            uniq = np.unique(np.concatenate([p[2] for p in posts]))
         scores = np.zeros(len(uniq), dtype=np.float64)
         for _, w, ids, tfs, dls in posts:
             idx = np.searchsorted(uniq, ids)
+            if require_all:  # uniq is a subset: drop non-members
+                idx = np.clip(idx, 0, len(uniq) - 1)
+                hit = uniq[idx] == ids
+                idx, tfs, dls = idx[hit], tfs[hit], dls[hit]
             np.add.at(scores, idx, w * self.scorer.tf_norm(tfs, dls, self.avgdl))
         ok = self._allowed_mask(uniq, lang, ts_lo, ts_hi)
         uniq, scores = uniq[ok], scores[ok]
@@ -337,13 +363,18 @@ class SaltSearcher:
             return uniq[sel], scores[sel]
         return uniq, scores
 
-    def _topk_wand(self, posts, k, lang, ts_lo, ts_hi):
+    def _topk_wand(self, posts, k, lang, ts_lo, ts_hi, require_all=False):
         """LORS-shaped upper-bound pruning (EdgeInvertedIndex.java:102-177)
         with block-max bounds: accumulate per-candidate upper bounds from
         per-block maxima, visit candidates in bound-descending order,
         exact-score each, stop when bestKth ≥ next upper bound."""
-        allc = np.concatenate([p[2] for p in posts])
-        cand = np.unique(allc)
+        cand = (
+            self._conjunctive(posts)
+            if require_all
+            else np.unique(np.concatenate([p[2] for p in posts]))
+        )
+        if not len(cand):
+            return cand, np.empty(0, dtype=np.float64)
         ub = np.zeros(len(cand), dtype=np.float64)
         for tid, w, ids, tfs, dls in posts:
             rows = self._rows(tid)
@@ -360,7 +391,12 @@ class SaltSearcher:
                 seg_ids = ids[off : off + n]
                 blk_of = np.searchsorted(blk_last, seg_ids)
                 idx = np.searchsorted(cand, seg_ids)
-                ub[idx] += w * blk_max[np.minimum(blk_of, len(blk_max) - 1)]
+                bm = blk_max[np.minimum(blk_of, len(blk_max) - 1)]
+                if require_all:  # cand is a subset: drop non-members
+                    idx = np.clip(idx, 0, len(cand) - 1)
+                    hit = cand[idx] == seg_ids
+                    idx, bm = idx[hit], bm[hit]
+                ub[idx] += w * bm
                 off += n
         ok = self._allowed_mask(cand, lang, ts_lo, ts_hi)
         cand, ub = cand[ok], ub[ok]
