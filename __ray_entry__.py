@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-gated in test_dedup.py)
         "minhash_neardup": dedup.minhash_dedup_pairs,
         "simhash_neardup": dedup.simhash_dedup_pairs,
+        # EXACT all-pairs Jaccard (prefix filter) — oracle-gated against
+        # the quadratic SQL self-join
+        "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
@@ -529,6 +532,31 @@ FROM documents GROUP BY source""",
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text""",
+        # exact all-pairs n-gram Jaccard: distinct 3-token shingles
+        # (whole text if < 3 tokens), pairs sharing >= 1 shingle,
+        # J = |inter| / |union| >= 0.7 — the quadratic self-join the
+        # prefix-filter pipeline must reproduce exactly
+        "ngram_jaccard_neardup": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+           ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS shingle
+    FROM tok,
+      LATERAL (SELECT unnest(generate_series(1, greatest(len(ts)-2, 1))) AS i))),
+sz AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE i / (sa.n + sb.n - i) >= 0.7
+ORDER BY doc_a, doc_b""",
         "events_tumbling_hour": """
 SELECT event_type,
        CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

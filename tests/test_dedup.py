@@ -137,3 +137,111 @@ def test_verify_pairs_accepts_dataset_source(ray_session):
     got = dedup.verify_pairs(ray.data.from_arrow(tbl), cand, 0.5)
     assert (0, 100) in set(map(tuple, got[["doc_a", "doc_b"]].to_numpy()))
     assert (1, 200) in set(map(tuple, got[["doc_a", "doc_b"]].to_numpy()))
+
+
+# --- exact all-pairs n-gram Jaccard (prefix filter) --------------------------
+
+
+def _string_jaccard(ta: str, tb: str, k: int = 3) -> float:
+    sa = set(dedup._shingle_strings(ta.split(" "), k))
+    sb = set(dedup._shingle_strings(tb.split(" "), k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_ngram_jaccard_equals_bruteforce(ray_session, tmp_path):
+    """Prefix-filter AllPairs == the quadratic brute force, pairs AND
+    values, at two thresholds (no LSH recall loss by construction)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    tbl = _planted_corpus()
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    ids = tbl["doc_id"].to_pylist()
+    texts = dict(zip(ids, tbl["text"].to_pylist()))
+    for thr in (0.5, 0.9):
+        got = dedup.ngram_jaccard_pairs(str(tmp_path), threshold=thr)
+        exp = sorted(
+            (a, b)
+            for a, b in itertools.combinations(sorted(ids), 2)
+            if _string_jaccard(texts[a], texts[b]) >= thr
+        )
+        assert sorted(map(tuple, got[["doc_a", "doc_b"]].to_numpy())) == exp
+        for a, b, j in got.itertuples(index=False):
+            assert abs(j - _string_jaccard(texts[a], texts[b])) < 1e-6
+    assert len(exp) >= 1  # the planted corpus exercises nonempty output
+
+
+def test_ngram_prefix_rows_prune(ray_session):
+    """Prefix emission drops ~t of each doc's shingle rows, and shingles
+    ranked frequent sort to the suffix (never emitted when the prefix is
+    shorter than the rare count)."""
+    tbl = _planted_corpus()
+    full = dedup._prefix_rows_task(
+        tbl, threshold=0.0, k=3, freq_rank={}
+    )  # t=0 -> prefix = whole set
+    pruned = dedup._prefix_rows_task(tbl, threshold=0.8, k=3, freq_rank={})
+    assert 0 < pruned.num_rows < 0.4 * full.num_rows
+    # mark one shingle of doc 0 frequent: it must leave doc 0's prefix
+    s0 = [
+        s
+        for s, d in zip(
+            pruned["shingle"].to_pylist(), pruned["doc_id"].to_pylist()
+        )
+        if d == 0
+    ]
+    again = dedup._prefix_rows_task(
+        tbl, threshold=0.8, k=3, freq_rank={s0[0]: 0}
+    )
+    s0b = {
+        s
+        for s, d in zip(
+            again["shingle"].to_pylist(), again["doc_id"].to_pylist()
+        )
+        if d == 0
+    }
+    assert s0[0] not in s0b
+
+
+def test_ngram_jaccard_fails_loud_on_degenerate_group(ray_session, tmp_path):
+    """50 identical docs: every prefix shingle groups all of them — the
+    exact answer is quadratic, and a small max_group must fail LOUD, not
+    silently truncate."""
+    import pyarrow.parquet as pq
+
+    n = 50
+    text = " ".join(f"w{i}" for i in range(30))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([text] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    with pytest.raises(Exception, match="max_group"):
+        dedup.ngram_jaccard_pairs(str(tmp_path), threshold=0.9, max_group=8)
+
+
+def test_ngram_jaccard_sharding_independent(ray_session, tmp_path):
+    """Same corpus as ONE file vs FOUR shards -> identical pairs (the
+    global shingle order must not depend on batch/shard boundaries)."""
+    import pyarrow.parquet as pq
+
+    tbl = _planted_corpus()
+    one = tmp_path / "one"
+    four = tmp_path / "four"
+    (one / "documents.parquet").parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, str(one / "documents.parquet"))
+    d = four / "documents.parquet"
+    d.mkdir(parents=True)
+    n = tbl.num_rows
+    for i in range(4):
+        pq.write_table(
+            tbl.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4),
+            str(d / f"part-{i}.parquet"),
+        )
+    a = dedup.ngram_jaccard_pairs(str(one), threshold=0.5)
+    b = dedup.ngram_jaccard_pairs(str(four), threshold=0.5)
+    assert a.to_dict("records") == b.to_dict("records")

@@ -52,12 +52,17 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+def _shingle_strings(tokens: list[str], k: int) -> list[str]:
+    """The k-token shingles of a doc (space-joined, order preserved);
+    a doc shorter than k yields its whole text as the one shingle."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     """crc32 of each k-token shingle — stable across processes."""
-    if len(tokens) < k:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    joined = _shingle_strings(tokens, k)
     return np.fromiter(
         (zlib.crc32(s.encode("utf-8")) for s in joined), np.uint64, len(joined)
     )
@@ -309,10 +314,21 @@ class _VerifyPairsTask:
     bounded by the partition's docs, never the corpus; the driver only
     ever holds the pair lists (LSH-bounded)."""
 
-    def __init__(self, docs_paths: list[str], threshold: float, k: int):
+    def __init__(
+        self,
+        docs_paths: list[str],
+        threshold: float,
+        k: int,
+        exact_strings: bool = False,
+    ):
         self.docs_paths = docs_paths
         self.threshold = threshold
         self.k = k
+        # exact_strings: shingle sets are the STRINGS themselves, not
+        # crc32 hashes — collision-free, so the Jaccard values are exact
+        # (the all-pairs pipeline is oracle-gated against SQL on the raw
+        # text; a 32-bit hash collision would shift the 6th decimal)
+        self.exact_strings = exact_strings
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.dataset as pads
@@ -327,10 +343,22 @@ class _VerifyPairsTask:
             columns=["doc_id", "text"],
             filter=pads.field("doc_id").isin(involved),
         )
-        shingles = {
-            int(d): np.unique(_shingle_hashes(t.split(" "), self.k))
-            for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
-        }
+        if self.exact_strings:
+            shingles = {
+                int(d): np.unique(
+                    np.asarray(_shingle_strings(t.split(" "), self.k), object)
+                )
+                for d, t in zip(
+                    tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+                )
+            }
+        else:
+            shingles = {
+                int(d): np.unique(_shingle_hashes(t.split(" "), self.k))
+                for d, t in zip(
+                    tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+                )
+            }
         rows = []
         for x, y in zip(a, b):
             sa, sb = shingles[int(x)], shingles[int(y)]
@@ -385,6 +413,7 @@ def verify_pairs(
     cand: pd.DataFrame,
     threshold: float,
     shingle_k: int = 3,
+    exact_strings: bool = False,
 ) -> pd.DataFrame:
     """Exact n-gram-Jaccard verification of candidate pairs, DISTRIBUTED:
     pairs are hash-partitioned, each partition's task reads only its own
@@ -407,7 +436,7 @@ def verify_pairs(
         work.iloc[i : i + -(-len(work) // n_parts)]
         for i in range(0, len(work), -(-len(work) // n_parts))
     ]
-    task = _VerifyPairsTask(paths, threshold, shingle_k)
+    task = _VerifyPairsTask(paths, threshold, shingle_k, exact_strings)
 
     def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
         return task(g)
@@ -447,6 +476,225 @@ def minhash_dedup_pairs(
         docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
     return verify_pairs([src], cand, threshold, shingle_k)
+
+
+# --- Exact n-gram-Jaccard all-pairs (prefix filter) --------------------------
+#
+# EXACT near-dup discovery — every pair with Jaccard ≥ t, no LSH recall
+# loss — via the AllPairs/PPJoin prefix filter (Bayardo, Ma & Srikant,
+# "Scaling Up All Pairs Similarity Search", WWW'07; Chaudhuri et al.
+# SSJoin): under ANY globally consistent total order on shingles, two
+# sets with J ≥ t must share an element within their first
+# |S| - ceil(t·|S|) + 1 shingles (proof: J ≥ t ⇒ overlap ≥ ceil(t·|S|)
+# for BOTH sets, so the smallest common shingle cannot hide in either
+# suffix).  Ordering shingles rarest-first makes the prefix groups tiny:
+# frequent (stopword) shingles land in the suffixes and never generate
+# candidates.
+#
+# Scale shape (the reference's visited-set dedup, TorSaver.saveEdges,
+# generalized): pass 1 is a pre-aggregated shingle-df groupby whose
+# top-K frequent shingles are broadcast (K entries, not the df table);
+# pass 2 emits only prefix rows (~(1-t) of the shingle rows); the one
+# wide exchange groups prefix rows by a bounded coarse partition key and
+# expands pairs vectorized with the |min| ≥ t·|max| length filter;
+# verification re-reads only involved docs (predicate pushdown).  Groups
+# past ``max_group`` docs fail LOUD (an exact answer there is inherently
+# quadratic — dedupe exact copies first or raise ``freq_topk``).
+
+
+def _frequent_shingle_ranks(
+    docs: ray.data.Dataset, k: int, top: int
+) -> dict[str, int]:
+    """Top-``top`` most document-frequent shingles → rank ascending by
+    df (rank 0 = least frequent of the top set).  Partial counts inside
+    ``map_batches``, small groupby, per-block top-K then driver merge —
+    the full df table never reaches the driver."""
+
+    empty = pa.table(
+        {"shingle": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        allsh = [
+            np.unique(np.asarray(_shingle_strings(t.split(" "), k), object))
+            for t in batch["text"].to_pylist()
+        ]
+        if not allsh:
+            return empty
+        vc = pd.Series(np.concatenate(allsh)).value_counts()
+        if vc.empty:
+            return empty
+        return pa.table(
+            {
+                "shingle": pa.array(vc.index, pa.string()),
+                "n": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nlargest(top, "sum(n)")
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .sum("n")
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if agg.empty:
+        return {}
+    head = agg.nlargest(top, "sum(n)").sort_values(
+        ["sum(n)", "shingle"]
+    )  # ascending df; ties broken by string for determinism
+    return {s: i for i, s in enumerate(head["shingle"])}
+
+
+def _prefix_rows_task(
+    batch: pa.Table, *, threshold: float, k: int, freq_rank: dict[str, int]
+) -> pa.Table:
+    """Docs batch → (shingle, doc_id, size) PREFIX rows only.
+
+    Global shingle order: non-frequent shingles first (by crc32 then
+    string — arbitrary but fixed), then the broadcast top-K frequents by
+    ascending df.  One flattened lexsort ranks every doc's shingles in a
+    single pass; position-within-doc < prefix length selects the rows.
+    ``freq_rank`` is tiny (top-K entries) — at cluster scale it ships
+    once per task via ``ray.put`` semantics, not per batch."""
+    doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
+    sh_lists = [
+        np.unique(np.asarray(_shingle_strings(t.split(" "), k), object))
+        for t in batch["text"].to_pylist()
+    ]
+    sizes = np.fromiter((len(s) for s in sh_lists), np.int64, len(sh_lists))
+    total = int(sizes.sum())
+    empty = pa.table(
+        {
+            "shingle": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "size": pa.array([], pa.int64()),
+        }
+    )
+    if total == 0:
+        return empty
+    flat = np.concatenate([s for s in sh_lists if len(s)])
+    doc_idx = np.repeat(np.arange(len(sh_lists), dtype=np.int64), sizes)
+    codes, uniq = pd.factorize(flat, sort=True)  # code = lexicographic tiebreak
+    u_rank = np.fromiter((freq_rank.get(s, -1) for s in uniq), np.int64, len(uniq))
+    u_crc = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in uniq), np.int64, len(uniq)
+    )
+    key1 = (u_rank >= 0).astype(np.int64)[codes]  # frequents last
+    key2 = np.where(u_rank >= 0, u_rank, u_crc)[codes]
+    order = np.lexsort((codes, key2, key1, doc_idx))
+    # prefix length p = |S| - ceil(t|S|) + 1 (0 for empty docs)
+    p = np.minimum(
+        sizes - np.ceil(threshold * sizes).astype(np.int64) + 1, sizes
+    )
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+    keep = pos < np.repeat(p, sizes)  # order keeps doc_idx runs intact
+    return pa.table(
+        {
+            "shingle": pa.array(flat[order][keep], pa.string()),
+            "doc_id": pa.array(doc_ids[doc_idx][keep], pa.int64()),
+            "size": pa.array(sizes[doc_idx][keep], pa.int64()),
+        }
+    )
+
+
+def _prefix_pair_part(batch: pa.Table) -> pa.Table:
+    """Coarse bounded partition key over the prefix-shingle space (same
+    rationale as ``_add_bucket_part``: millions of tiny per-shingle
+    groups → per-group overhead dominates)."""
+    codes, uniq = pd.factorize(batch["shingle"].to_numpy(zero_copy_only=False))
+    u_crc = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in uniq), np.int64, len(uniq)
+    )
+    part = (u_crc[codes] % N_BUCKET_PARTS).astype(np.int32)
+    return batch.append_column("part", pa.array(part, pa.int32()))
+
+
+class _PrefixGroupPairs:
+    """One partition's candidate pairs: lexsort, run-length shingle
+    boundaries, vectorized pair expansion gated by the length filter
+    min(|Sa|,|Sb|) ≥ t·max (a J ≥ t pair always passes: the overlap is
+    ≤ min and ≥ t·max of the union ≥ t·max of the sizes)."""
+
+    def __init__(self, threshold: float, max_group: int):
+        self.threshold = threshold
+        self.max_group = max_group
+
+    def __call__(self, tbl: pa.Table) -> pd.DataFrame:
+        ids = tbl["doc_id"].to_numpy().astype(np.int64)
+        sz = tbl["size"].to_numpy().astype(np.int64)
+        codes, _ = pd.factorize(tbl["shingle"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, codes))
+        ids, sz, codes = ids[order], sz[order], codes[order]
+        heads = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        ends = np.concatenate((heads[1:], [len(ids)]))
+        out_a, out_b = [], []
+        for h, e in zip(heads, ends):
+            n = e - h
+            if n < 2:
+                continue
+            if n > self.max_group:
+                raise ValueError(
+                    f"prefix group of {n} docs exceeds max_group="
+                    f"{self.max_group}: an exact all-pairs answer here is "
+                    "quadratic — run exact dedup first or raise freq_topk "
+                    "so the hot shingle is suffix-filtered"
+                )
+            ia, ib = np.triu_indices(n, k=1)
+            ga, gb = ids[h:e][ia], ids[h:e][ib]
+            sa, sb = sz[h:e][ia], sz[h:e][ib]
+            ok = np.minimum(sa, sb) >= self.threshold * np.maximum(sa, sb)
+            ok &= ga != gb  # a doc pairs with itself never
+            out_a.append(ga[ok])
+            out_b.append(gb[ok])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi})
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    freq_topk: int = 256,
+    max_group: int = 4096,
+) -> pd.DataFrame:
+    """EXACT all-pairs n-gram-Jaccard near-dup: every (doc_a, doc_b,
+    jaccard) with doc_a < doc_b sharing ≥ 1 shingle and J ≥ threshold —
+    equal to the quadratic SQL self-join, computed with prefix-filter
+    pruning + exact string-shingle verification (collision-free)."""
+    src = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    rank = _frequent_shingle_ranks(docs, shingle_k, freq_topk)
+    rows = docs.map_batches(
+        _prefix_rows_task,
+        fn_kwargs=dict(threshold=threshold, k=shingle_k, freq_rank=rank),
+        batch_format="pyarrow",
+    )
+    expand = _PrefixGroupPairs(threshold, max_group)
+
+    def expand_part(tbl: pa.Table) -> pd.DataFrame:
+        return expand(tbl)
+
+    cand = (
+        rows.map_batches(_prefix_pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(expand_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
+    cand = cand.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    return verify_pairs([src], cand, threshold, shingle_k, exact_strings=True)
 
 
 # --- SimHash -----------------------------------------------------------------
