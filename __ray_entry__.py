@@ -118,6 +118,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXACT all-pairs Jaccard (prefix filter) — oracle-gated against
         # the quadratic SQL self-join
         "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
+        # near-dup GROUPS: exact pairs -> hash-to-min connected
+        # components -> canonical-keeper assignment (oracle: recursive
+        # CTE transitive closure)
+        "neardup_components": dedup.neardup_components,
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
@@ -145,6 +149,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _TOKS = "string_split(text, ' ')"
+
+# shared CTE chain for the n-gram-Jaccard oracles: distinct 3-token
+# shingles per doc, per-doc set size, per-pair intersection count
+_JACC_CTES = f"""WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+      CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+           ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS shingle
+    FROM tok,
+      LATERAL (SELECT unnest(generate_series(1, greatest(len(ts)-2, 1))) AS i))),
+sz AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)"""
 _STOP_SQL = "('the','a','of','to','and','in','is')"
 
 # RE2-safe pattern strings shared verbatim with pipelines/scrub.py
@@ -537,19 +557,7 @@ FROM documents GROUP BY text""",
         # J = |inter| / |union| >= 0.7 — the quadratic self-join the
         # prefix-filter pipeline must reproduce exactly
         "ngram_jaccard_neardup": f"""
-WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-      CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
-           ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS shingle
-    FROM tok,
-      LATERAL (SELECT unnest(generate_series(1, greatest(len(ts)-2, 1))) AS i))),
-sz AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
+{_JACC_CTES}
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
        round(i / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter
@@ -557,6 +565,23 @@ JOIN sz sa ON sa.doc_id = doc_a
 JOIN sz sb ON sb.doc_id = doc_b
 WHERE i / (sa.n + sb.n - i) >= 0.7
 ORDER BY doc_a, doc_b""",
+        # connected components of the jaccard pair graph: recursive-CTE
+        # transitive closure, rep = min reachable doc (matches the
+        # hash-to-min propagation exactly)
+        "neardup_components": f"""
+WITH RECURSIVE {_JACC_CTES.removeprefix("WITH ")},
+pairs AS (
+  SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE i / (sa.n + sb.n - i) >= 0.7),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u::BIGINT AS doc_id, least(u, min(v))::BIGINT AS rep_id
+FROM reach GROUP BY u ORDER BY doc_id""",
         "events_tumbling_hour": """
 SELECT event_type,
        CAST(epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)

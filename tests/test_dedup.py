@@ -245,3 +245,61 @@ def test_ngram_jaccard_sharding_independent(ray_session, tmp_path):
     a = dedup.ngram_jaccard_pairs(str(one), threshold=0.5)
     b = dedup.ngram_jaccard_pairs(str(four), threshold=0.5)
     assert a.to_dict("records") == b.to_dict("records")
+
+
+# --- connected components (hash-to-min) --------------------------------------
+
+
+def _brute_components(pairs):
+    import itertools
+
+    lab = {}
+    for a, b in pairs:
+        lab.setdefault(a, a)
+        lab.setdefault(b, b)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            m = min(lab[a], lab[b])
+            if lab[a] != m or lab[b] != m:
+                lab[a] = lab[b] = m
+                changed = True
+    return sorted(lab.items())
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2), (2, 3), (10, 11)],                      # two comps
+        [(5, 1), (5, 2), (5, 3), (5, 4)],                # star, rep=1
+        [(i, i + 1) for i in range(64)],                 # 65-node path
+        [(2, 1), (4, 3), (1, 4), (100, 7)],              # merge order
+    ],
+)
+def test_connected_components_matches_bruteforce(ray_session, pairs):
+    import pandas as pd
+
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    got = dedup.connected_components(df)
+    assert list(map(tuple, got.to_numpy())) == _brute_components(pairs)
+
+
+def test_connected_components_empty(ray_session):
+    import pandas as pd
+
+    got = dedup.connected_components(pd.DataFrame(columns=["doc_a", "doc_b"]))
+    assert got.empty and list(got.columns) == ["doc_id", "rep_id"]
+
+
+def test_neardup_components_groups_planted(ray_session, tmp_path):
+    """Planted corpus: docs {0,100,101} are one component (0/100 and
+    0/101 are near-dups; 100/101 connect THROUGH 0 even though their
+    direct J may sit under threshold) and {1,200} another."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(_planted_corpus(), str(tmp_path / "documents.parquet"))
+    got = dedup.neardup_components(str(tmp_path), threshold=0.9)
+    rep = dict(map(tuple, got.to_numpy()))
+    assert rep[0] == rep[100] == rep[101] == 0
+    assert rep[1] == rep[200] == 1

@@ -697,6 +697,100 @@ def ngram_jaccard_pairs(
     return verify_pairs([src], cand, threshold, shingle_k, exact_strings=True)
 
 
+# --- Near-dup connected components (hash-to-min) -----------------------------
+
+
+def connected_components(
+    pairs: pd.DataFrame, max_iters: int = 64
+) -> pd.DataFrame:
+    """(doc_a, doc_b) near-dup pairs → (doc_id, rep_id): every doc that
+    appears in a pair, labeled with the MINIMUM doc_id of its connected
+    component (the canonical keeper — ``rep_id != doc_id`` marks drops).
+
+    Hash-to-min label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds", ICDE'13): state is
+    (node, member) rows; each round every node broadcasts its current
+    minimum to its member set and its member set to the minimum, so
+    cluster ids collapse onto component minima in O(log n) groupby
+    rounds — no joins, no driver-side union-find.  Convergence is
+    detected by a (count, checksum) signature computed as a streaming
+    aggregate; ``max_iters`` fails loud (the proven bound is ~log₂ of
+    the largest component, far under 64)."""
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": np.array([], np.int64), "rep_id": np.array([], np.int64)}
+        )
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate((a, b)))
+    init = pd.DataFrame(
+        {
+            "node": np.concatenate((a, b, nodes)),
+            "member": np.concatenate((b, a, nodes)),
+        }
+    )
+    n_parts = int(max(2, min(32, len(init) // 4096 + 2)))
+    rows = ray.data.from_pandas(init).repartition(n_parts)
+
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        node = int(g["node"].iloc[0])
+        members = np.unique(
+            np.concatenate((g["member"].to_numpy(), [node]))
+        ).astype(np.int64)
+        m = int(members[0])
+        out_node = np.concatenate((members, np.full(len(members), m)))
+        out_member = np.concatenate((np.full(len(members), m), members))
+        return pd.DataFrame({"node": out_node, "member": out_member})
+
+    def signature(ds: ray.data.Dataset) -> tuple[int, int]:
+        def partial(t: pa.Table) -> pd.DataFrame:
+            n = t["node"].to_numpy().astype(np.int64)
+            m = t["member"].to_numpy().astype(np.int64)
+            chk = int((n * np.int64(1_000_003) ^ m).sum(dtype=np.int64))
+            return pd.DataFrame({"n": [len(n)], "chk": [chk]})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return int(agg["n"].sum()), int(agg["chk"].sum())
+
+    prev = None
+    for _ in range(max_iters):
+        rows = (
+            rows.groupby("node")
+            .map_groups(step, batch_format="pandas")
+            .materialize()
+        )
+        sig = signature(rows)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"hash-to-min did not converge in {max_iters} rounds "
+            "(checksum still moving) — pathological component or "
+            "signature collision loop"
+        )
+
+    out = rows.groupby("node").min("member").to_pandas()
+    out = out.rename(columns={"node": "doc_id", "min(member)": "rep_id"})
+    return (
+        out.sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "rep_id"]]
+        .astype(np.int64)
+    )
+
+
+def neardup_components(
+    sf_dir: str, threshold: float = 0.7, shingle_k: int = 3
+) -> pd.DataFrame:
+    """Exact near-dup GROUPS over the documents table: prefix-filter
+    all-pairs Jaccard ≥ threshold → connected components → (doc_id,
+    rep_id) canonical-keeper assignment.  Deterministic end to end, so
+    SQL-oracle-gated (recursive-CTE transitive closure)."""
+    return connected_components(
+        ngram_jaccard_pairs(sf_dir, threshold=threshold, shingle_k=shingle_k)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 
