@@ -121,6 +121,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     )
     timed("bool_or", lambda: [eng.bool_or(q["terms"]) for q in WEB_QUERIES])
     timed("bool_and", lambda: [eng.bool_and(q["terms"]) for q in WEB_QUERIES])
+    timed(
+        "topk_and",
+        lambda: [eng.topk_and(q["terms"], k=10) for q in WEB_QUERIES],
+    )
 
     def tfidf_round():
         eng.update(scorer="tfidf")
@@ -172,6 +176,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("exact_dedup", lambda: textstats.exact_dedup(sf_dir).to_pandas())
     timed("minhash_dedup", lambda: dedup.minhash_dedup_pairs(sf_dir))
     timed("simhash_dedup", lambda: dedup.simhash_dedup_pairs(sf_dir))
+    # exact all-pairs Jaccard (prefix filter) + component assignment;
+    # components reuse the timed pair output so each stage is costed once
+    jacc = timed("ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(sf_dir))
+    timed("neardup_components", lambda: dedup.connected_components(jacc))
     timed("knn_bruteforce", lambda: knn.knn_bruteforce(sf_dir))
     # cold = build the persistent bucket layout + probe; warm = probe-only
     # against the existing layout (the serving regime of an index)
