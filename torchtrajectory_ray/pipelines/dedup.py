@@ -522,6 +522,12 @@ def _frequent_shingle_ranks(
         if not allsh:
             return empty
         vc = pd.Series(np.concatenate(allsh)).value_counts()
+        # shuffle-row economy: shingles unique WITHIN this batch are
+        # overwhelmingly df≈1 globally and can never be top-K hot — drop
+        # them before the exchange (makes the df ranks approximate for
+        # borderline shingles, which only shifts the prefix ORDER, never
+        # the result: any consistent global order is correct)
+        vc = vc[vc >= 2]
         if vc.empty:
             return empty
         return pa.table(
@@ -535,7 +541,7 @@ def _frequent_shingle_ranks(
         return df.nlargest(top, "sum(n)")
 
     agg = (
-        docs.map_batches(partial, batch_format="pyarrow")
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=4096)
         .groupby("shingle")
         .sum("n")
         .map_batches(block_topk, batch_format="pandas")
@@ -729,18 +735,40 @@ def connected_components(
             "member": np.concatenate((b, a, nodes)),
         }
     )
-    n_parts = int(max(2, min(32, len(init) // 4096 + 2)))
+    n_parts = int(max(2, min(64, len(init) // 4096 + 2)))
     rows = ray.data.from_pandas(init).repartition(n_parts)
 
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (t["node"].to_numpy().astype(np.int64) % n_parts).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
     def step(g: pd.DataFrame) -> pd.DataFrame:
-        node = int(g["node"].iloc[0])
-        members = np.unique(
-            np.concatenate((g["member"].to_numpy(), [node]))
-        ).astype(np.int64)
-        m = int(members[0])
-        out_node = np.concatenate((members, np.full(len(members), m)))
-        out_member = np.concatenate((np.full(len(members), m), members))
-        return pd.DataFrame({"node": out_node, "member": out_member})
+        """One hash-to-min round over a whole node-partition, vectorized:
+        self-augment, dedupe, per-node min via reduceat, emit both
+        broadcast directions — no per-node Python."""
+        node = g["node"].to_numpy().astype(np.int64)
+        member = g["member"].to_numpy().astype(np.int64)
+        uniq_nodes = np.unique(node)
+        node = np.concatenate((node, uniq_nodes))
+        member = np.concatenate((member, uniq_nodes))  # v ∈ C(v)
+        order = np.lexsort((member, node))
+        node, member = node[order], member[order]
+        keep = np.concatenate(
+            ([True], (node[1:] != node[:-1]) | (member[1:] != member[:-1]))
+        )
+        node, member = node[keep], member[keep]
+        heads = np.concatenate(
+            ([0], np.flatnonzero(node[1:] != node[:-1]) + 1)
+        )
+        mins = member[heads]  # member sorted within node → first = min
+        counts = np.diff(np.concatenate((heads, [len(node)])))
+        m_rep = np.repeat(mins, counts)
+        return pd.DataFrame(
+            {
+                "node": np.concatenate((member, m_rep)),
+                "member": np.concatenate((m_rep, member)),
+            }
+        )
 
     def signature(ds: ray.data.Dataset) -> tuple[int, int]:
         def partial(t: pa.Table) -> pd.DataFrame:
@@ -755,7 +783,8 @@ def connected_components(
     prev = None
     for _ in range(max_iters):
         rows = (
-            rows.groupby("node")
+            rows.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
             .map_groups(step, batch_format="pandas")
             .materialize()
         )
