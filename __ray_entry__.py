@@ -34,6 +34,7 @@ def _ivf_probe_stats(sf_dir: str) -> Any:
     from torchtrajectory_ray.pipelines import knn
 
     s = knn.knn_ivf_stats(sf_dir, nprobe=4)
+    q8 = knn.knn_ivf_sq8_stats(sf_dir, nprobe=4)
     return pd.DataFrame(
         [
             {
@@ -42,6 +43,14 @@ def _ivf_probe_stats(sf_dir: str) -> Any:
                 "bytes_read": s["bytes_read"],
                 "total_bytes": s["total_bytes"],
                 "pruned": bool(s["bytes_read"] < s["total_bytes"]),
+                # quantized-scan audit: compressed bytes the int8 scan
+                # pays vs what the float column costs over the SAME
+                # probed buckets (parquet column-chunk metadata)
+                "sq8_bytes_read": q8["sq8_bytes_read"],
+                "float_bytes_probed": q8["float_bytes_probed"],
+                "sq8_pruned": bool(
+                    q8["sq8_bytes_read"] < q8["float_bytes_probed"]
+                ),
             }
         ]
     )
@@ -128,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
         "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
+        "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe (rows-only)
+        "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
@@ -748,4 +759,7 @@ FROM events GROUP BY k_bucket""",
     # the Dataset-native batch probe at full probe is exact by the same
     # argument as the driver probe — it shares the brute-force oracle
     sql["knn_ivf_batch_fullprobe"] = sql["knn_ivf_fullprobe"]
+    # int8-scan + exact-rescore at full probe is exact by the margin
+    # bound, so it shares the brute-force oracle too
+    sql["knn_ivf_sq8_fullprobe"] = sql["knn_ivf_fullprobe"]
     return sql

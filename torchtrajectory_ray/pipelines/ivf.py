@@ -74,6 +74,50 @@ MAX_NLIST = 65536
 # deterministic id mixer for sub-bucket assignment (splitmix64 constant)
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
+# scalar quantization: components of a UNIT vector live in [-1, 1], so a
+# fixed code scale of 127 needs no training and is frozen forever (no
+# per-layout calibration state to version).  Per-component error ≤
+# 0.5/127, so for a unit query q the dot-product error is bounded by
+# ||q||·||err||₂ ≤ sqrt(dim)/254 — the margin the exact rescore uses.
+_SQ8_SCALE = 127.0
+
+
+def _sq8_error_bound(dim: int) -> float:
+    return math.sqrt(dim) / (2.0 * _SQ8_SCALE)
+
+
+def _sq8_list_array(e_norm: np.ndarray) -> pa.ListArray:
+    """int8 codes of a row-normalized matrix as a list<int8> column."""
+    codes = np.rint(e_norm * _SQ8_SCALE).astype(np.int8)
+    n, dim = codes.shape
+    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(codes.ravel()))
+
+
+def _sq8_matrix(batch: pa.Table) -> np.ndarray:
+    """Dequantized (approx-unit) float matrix from the sq8 column."""
+    c = batch["embedding_sq8"]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    flat = c.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(c), -1) / _SQ8_SCALE
+
+
+def _column_bytes(files: list[str], top_level_names: set[str]) -> int:
+    """Compressed on-disk bytes of the given top-level columns across the
+    files, from parquet metadata (what a projected read actually pays —
+    file sizes overstate it once a file carries multiple columns)."""
+    tot = 0
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            r = md.row_group(rg)
+            for i in range(r.num_columns):
+                col = r.column(i)
+                if col.path_in_schema.split(".")[0] in top_level_names:
+                    tot += col.total_compressed_size
+    return tot
+
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -185,6 +229,8 @@ class _AssignWrite:
             sub = batch.filter(pa.array(m)).append_column(
                 "bucket", pa.array(np.full(int(m.sum()), b, np.int32))
             )
+            if "embedding_sq8" not in sub.column_names:
+                sub = sub.append_column("embedding_sq8", _sq8_list_array(e[m]))
             part = _write_bucket_part(self.out_dir, int(b), sub, ids[m])
             rows.append(
                 {
@@ -297,7 +343,11 @@ def _compact_buckets(
         rows = []
         for b in batch["bucket"].to_pylist():
             t = pq.read_table(paths_of[int(b)])
-            id_col = [c for c in t.column_names if c not in ("embedding", "bucket")][0]
+            id_col = [
+                c
+                for c in t.column_names
+                if c not in ("embedding", "embedding_sq8", "bucket")
+            ][0]
             ids = t[id_col].to_numpy().astype(np.int64)
             order = np.argsort(ids, kind="stable")
             t = t.take(pa.array(order))
@@ -476,6 +526,9 @@ def build_ivf(
         "sample_mod": sample_mod,
         "target_bucket_rows": target_bucket_rows,
         "max_bucket_rows": max_bucket_rows,
+        # layouts carry int8 codes next to the floats; part of the layout
+        # identity so pre-sq8 caches rebuild instead of mixing schemas
+        "sq8": True,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -630,6 +683,12 @@ def extend_ivf(
             "extend_ivf: this layout predates generation support "
             "(meta.json lacks split/extend bookkeeping) — rebuild it "
             "with build_ivf first"
+        )
+    if not meta["params"].get("sq8"):
+        raise ValueError(
+            "extend_ivf: this layout predates sq8 codes — appending "
+            "would mix part schemas (old parts lack embedding_sq8); "
+            "rebuild it with build_ivf first"
         )
     fp_new = inputs_fingerprint(sorted(input_paths))
     gens = meta.get("generations", [meta["inputs_fingerprint"]])
@@ -845,6 +904,159 @@ def probe_topk(
         for r, (_, row) in enumerate(g.iterrows(), 1):
             rows.append((int(qid), r, int(row["neighbor_id"]), row["sim"]))
     return pd.DataFrame(rows, columns=cols), stats
+
+
+def probe_topk_sq8(
+    out_dir: str,
+    query_ids: list[int],
+    q: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    max_candidates: int = 200_000,
+) -> tuple[pd.DataFrame, dict]:
+    """:func:`probe_topk` through the int8 codes — the bytes-per-probe
+    lever at scale: the scan pass reads ONLY the ``embedding_sq8`` column
+    of the probed buckets (~4× fewer bytes than the float column; the
+    audit stats report both from parquet column-chunk metadata), then an
+    EXACT float rescore reads just the candidates' vectors.
+
+    Results are RANK-IDENTICAL to :func:`probe_topk` at the same probe
+    set, guaranteed, not heuristically: with per-component quantization
+    error ≤ 0.5/127 the approx dot of a unit query is within
+    eps = sqrt(dim)/254 of the true one, so every true top-k member has
+    approx score ≥ (k-th best approx) − 2·eps.  The scan emits everything
+    above that margin (per batch, against the batch-local k-th — a
+    superset of the global cut), the driver applies the global cut, and
+    the rescore re-scores those candidates with the float vectors under
+    the same rounding + tie-break.  ``max_candidates`` fails loud if the
+    margin qualifies an unexpectedly large candidate set (pathologically
+    flat similarity spectrum)."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cols = ["query_id", "rank", "neighbor_id", "sim"]
+    empty_stats = {
+        "sq8_bytes_read": 0,
+        "float_bytes_probed": 0,
+        "total_bytes": 0,
+        "n_buckets_probed": 0,
+        "nlist": 0,
+        "n_candidates": 0,
+        "margin": 0.0,
+    }
+    if not meta["centroids"]:
+        return pd.DataFrame(columns=cols), empty_stats
+    if not meta["params"].get("sq8"):
+        raise ValueError(
+            "probe_topk_sq8: layout has no embedding_sq8 codes — rebuild "
+            "with build_ivf (sq8 layouts are the default)"
+        )
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    qn = _norm_rows(np.asarray(q, dtype=np.float64))
+    nprobe = min(nprobe, len(C))
+    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    cent_of = _centroid_of(meta)
+    probed_cents = {int(c) for c in probe.ravel()}
+    probed_buckets = sorted(b for b, c in cent_of.items() if c in probed_cents)
+    files = _bucket_files(out_dir, meta, probed_buckets)
+    id_col = meta["params"]["id_col"]
+    margin = 2.0 * _sq8_error_bound(int(meta["dim"]))
+    stats = {
+        "sq8_bytes_read": _column_bytes(
+            files, {id_col, "bucket", "embedding_sq8"}
+        ),
+        "float_bytes_probed": _column_bytes(
+            files, {id_col, "bucket", "embedding"}
+        ),
+        "total_bytes": int(meta["total_bytes"]),
+        "n_buckets_probed": len(probed_buckets),
+        "nlist": int(meta["nlist"]),
+        "margin": margin,
+    }
+    if not files:
+        stats["n_candidates"] = 0
+        return pd.DataFrame(columns=cols), stats
+    max_bid = max(cent_of) + 1
+    cent_lut = np.full(max_bid, -1, np.int64)
+    for b, c in cent_of.items():
+        cent_lut[b] = c
+
+    def batch_candidates(batch: pa.Table) -> pa.Table:
+        e = _sq8_matrix(batch)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        cents = cent_lut[batch["bucket"].to_numpy().astype(np.int64)]
+        sims = qn @ e.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qn)):
+            m = np.isin(cents, probe[qi])
+            if not m.any():
+                continue
+            s, nid = sims[qi][m], ids[m]
+            kth = np.partition(s, -min(k, len(s)))[-min(k, len(s))]
+            keep = s >= kth - margin
+            out_q.extend([query_ids[qi]] * int(keep.sum()))
+            out_n.extend(nid[keep].tolist())
+            out_s.extend(s[keep].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "approx": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        ray.data.read_parquet(
+            files, columns=[id_col, "bucket", "embedding_sq8"]
+        )
+        .map_batches(batch_candidates, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    if partials.empty:
+        stats["n_candidates"] = 0
+        return pd.DataFrame(columns=cols), stats
+    # global margin cut per query (batch-local cuts were supersets)
+    cand: dict[int, np.ndarray] = {}
+    for qid, g in partials.groupby("query_id"):
+        a = g["approx"].to_numpy()
+        a_k = np.partition(a, -min(k, len(a)))[-min(k, len(a))]
+        cand[int(qid)] = g["neighbor_id"].to_numpy()[a >= a_k - margin]
+    n_cand = int(sum(len(v) for v in cand.values()))
+    stats["n_candidates"] = n_cand
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"probe_topk_sq8: margin rescore qualified {n_cand} candidates "
+            f"(> max_candidates={max_candidates}) — the similarity spectrum "
+            "is too flat for int8 codes at this k; raise max_candidates or "
+            "use probe_topk"
+        )
+    union = np.unique(np.concatenate(list(cand.values())))
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(files).to_table(
+        columns=[id_col, "embedding"],
+        filter=pc_field_isin(id_col, union),
+    )
+    e = _norm_rows(_batch_matrix(t))
+    ids = t[id_col].to_numpy().astype(np.int64)
+    sims = np.round(qn @ e.T, 6)
+    rows = []
+    for qi, qid_ in enumerate(query_ids):
+        want = cand.get(int(qid_))
+        if want is None:
+            continue
+        m = np.isin(ids, want)
+        s, nid = sims[qi][m], ids[m]
+        sel = np.lexsort((nid, -s))[: min(k, len(s))]
+        for r, j in enumerate(sel, 1):
+            rows.append((int(qid_), r, int(nid[j]), float(s[j])))
+    return pd.DataFrame(rows, columns=cols), stats
+
+
+def pc_field_isin(col: str, values: np.ndarray):
+    import pyarrow.dataset as pads
+
+    return pads.field(col).isin(pa.array(values, pa.int64()))
 
 
 def probe_topk_ds(

@@ -190,6 +190,52 @@ def knn_ivf_batch_fullprobe(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return knn_ivf_batch(sf_dir, k=k, nprobe=10**9)
 
 
+def knn_ivf_sq8(
+    sf_dir: str, k: int = 10, nprobe: int = 4
+) -> pd.DataFrame:
+    """IVF probe through the int8 codes (ivf.probe_topk_sq8): the scan
+    reads only the quantized column (~4× fewer bytes than the floats),
+    then an exact float rescore of the margin-qualified candidates makes
+    the result RANK-IDENTICAL to :func:`knn_ivf` at the same nprobe —
+    guaranteed by the quantization error bound, not tuned."""
+    from torchtrajectory_ray.pipelines import ivf
+
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    out, _stats = ivf.probe_topk_sq8(
+        _sf_ivf_dir(sf_dir), QUERY_VEC_IDS, q, k=k, nprobe=nprobe
+    )
+    return out
+
+
+def knn_ivf_sq8_fullprobe(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """The quantized probe at nprobe = #centroids: candidate generation
+    over int8 codes + exact rescore over every bucket ⇒ exactly
+    :func:`knn_bruteforce` (shares its SQL oracle — the driver-gated form
+    of the quantization-with-rescore exactness claim)."""
+    from torchtrajectory_ray.pipelines import ivf
+
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    out, _stats = ivf.probe_topk_sq8(
+        _sf_ivf_dir(sf_dir), QUERY_VEC_IDS, q, k=k, nprobe=10**9
+    )
+    return out
+
+
+def knn_ivf_sq8_stats(
+    sf_dir: str, k: int = 10, nprobe: int = 4
+) -> dict:
+    """Byte audit of the quantized probe: compressed bytes of the sq8
+    column actually scanned vs what the float column would have cost
+    over the same probed buckets (parquet column-chunk metadata)."""
+    from torchtrajectory_ray.pipelines import ivf
+
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    _, stats = ivf.probe_topk_sq8(
+        _sf_ivf_dir(sf_dir), QUERY_VEC_IDS, q, k=k, nprobe=nprobe
+    )
+    return stats
+
+
 def knn_ivf_stats(
     sf_dir: str, k: int = 10, nlist: int | None = None, nprobe: int = 4
 ) -> dict:
