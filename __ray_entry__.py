@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_or_lang": corpus.bool_or_lang,      # U3/M7: predicate filter
         "range_scan": corpus.range_scan,          # U3: terms-free findInRange
         "phrase_match": corpus.phrase_match,      # exact phrase verification
+        "near_match": corpus.near_match,          # unordered proximity (NEAR)
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
         "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
         "facet_lang": corpus.facet_lang,          # faceted-search counts
@@ -315,7 +316,25 @@ SELECT query_id::BIGINT AS query_id,
        doc_id, score
 FROM scores QUALIFY rank <= 10
 """
-    from torchtrajectory_ray.pipelines.corpus import PHRASE_QUERIES
+    from torchtrajectory_ray.pipelines.corpus import NEAR_QUERIES, PHRASE_QUERIES
+
+    # unordered proximity: a doc matches when some start i has every
+    # unique term inside the w-token slice ts[i : i+w-1] (1-based
+    # inclusive — span length w); trailing shorter slices can only
+    # under-match, and generate_series covers docs shorter than w
+    near_parts = []
+    for q in NEAR_QUERIES:
+        uniq = list(dict.fromkeys(q["terms"]))
+        w = q["window"]
+        conds = " AND ".join(
+            f"list_contains(ts[i : i + {w - 1}], '{t}')" for t in uniq
+        )
+        near_parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
+            f"FROM (SELECT doc_id, {_TOKS} AS ts FROM documents) "
+            f"WHERE len(list_filter(generate_series(1, len(ts)), "
+            f"i -> {conds})) > 0"
+        )
 
     phrase_parts = []
     for q in PHRASE_QUERIES:
@@ -334,6 +353,7 @@ FROM scores QUALIFY rank <= 10
 SELECT doc_id FROM documents
 WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "phrase_match": " UNION ALL ".join(phrase_parts),
+        "near_match": " UNION ALL ".join(near_parts),
         "prefix_match": _prefix_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""

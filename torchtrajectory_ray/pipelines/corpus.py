@@ -69,6 +69,16 @@ PHRASE_QUERIES: list[dict] = [
     {"query_id": 3, "phrase": ["table", "hash", "scan"]},
 ]
 
+# Fixed unordered-proximity workload (NEAR/WITHIN): query 2 repeats a
+# term (proximity collapses duplicates — co-occurrence semantics),
+# query 3 has an unindexed term (empty result edge)
+NEAR_QUERIES: list[dict] = [
+    {"query_id": 0, "terms": ["table", "hash"], "window": 3},
+    {"query_id": 1, "terms": ["the", "data", "scan"], "window": 8},
+    {"query_id": 2, "terms": ["window", "window", "scan"], "window": 5},
+    {"query_id": 3, "terms": ["table", "zzznothing"], "window": 4},
+]
+
 _INDEX_CFG = IndexConfig(
     num_term_shards=4, num_salts=4, tokenize_batch_size=1024, tokenize_concurrency=4
 )
@@ -261,6 +271,20 @@ def phrase_match(sf_dir: str, distribute_over: int | None = None) -> pd.DataFram
     rows = []
     for q in PHRASE_QUERIES:
         for d in eng.phrase_and(q["phrase"], **kw):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def near_match(sf_dir: str, distribute_over: int | None = None) -> pd.DataFrame:
+    """query_id, doc_id — unordered-proximity matches (every unique term
+    within a ``window``-token span, any order) for the fixed NEAR
+    workload; AND candidates from the index, minimal-cover verification
+    against the forward index (``QueryEngine.near_and``)."""
+    eng = _engine(documents_index(sf_dir))
+    kw = {} if distribute_over is None else {"distribute_over": distribute_over}
+    rows = []
+    for q in NEAR_QUERIES:
+        for d in eng.near_and(q["terms"], q["window"], **kw):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 

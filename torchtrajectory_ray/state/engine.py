@@ -48,17 +48,75 @@ def _phrase_doc_hits(doc_ids, texts, terms: list[str], tokenize) -> list[int]:
     return hits
 
 
+def _near_doc_hits(
+    doc_ids, texts, terms: list[str], window: int, tokenize
+) -> list[int]:
+    """Docs where every UNIQUE query term occurs inside some span of at
+    most ``window`` consecutive tokens, any order (unordered proximity —
+    the WITHIN/NEAR operator).  Per doc: positions of each term, then
+    the classic two-pointer minimal-cover sweep over the merged
+    position stream; shared by the driver and distributed paths."""
+    uniq = list(dict.fromkeys(terms))
+    k = len(uniq)
+    hits: list[int] = []
+    for d, text in zip(doc_ids, texts):
+        toks = tokenize(text)
+        if len(toks) < k:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        pos, lab = [], []
+        for j, term in enumerate(uniq):
+            p = np.flatnonzero(arr == term)
+            if p.size == 0:
+                pos = []
+                break
+            pos.append(p)
+            lab.append(np.full(p.size, j, np.int64))
+        if not pos:
+            continue
+        allpos = np.concatenate(pos)
+        labels = np.concatenate(lab)
+        order = np.argsort(allpos, kind="stable")
+        allpos, labels = allpos[order], labels[order]
+        count = np.zeros(k, np.int64)
+        covered = 0
+        left = 0
+        found = False
+        for right in range(len(allpos)):
+            c = labels[right]
+            count[c] += 1
+            if count[c] == 1:
+                covered += 1
+            while count[labels[left]] > 1:  # shrink to the minimal cover
+                count[labels[left]] -= 1
+                left += 1
+            if covered == k and allpos[right] - allpos[left] + 1 <= window:
+                found = True
+                break
+        if found:
+            hits.append(int(d))
+    return hits
+
+
 class _PhraseVerifyTask:
-    """map_batches task for bulk phrase verification: one chunk of
-    candidate doc ids in, the verified subset out.  Each task does its
+    """map_batches task for bulk phrase/proximity verification: one chunk
+    of candidate doc ids in, the verified subset out.  Each task does its
     own predicate-pushdown read of ONLY its chunk's docs (the
     ``dedup._VerifyPairsTask`` shape) — candidate texts never touch the
-    driver, task memory is bounded by the chunk."""
+    driver, task memory is bounded by the chunk.  ``window=None`` checks
+    the consecutive phrase; an int checks unordered proximity."""
 
-    def __init__(self, docs_paths: list[str], terms: list[str], tokenizer: str):
+    def __init__(
+        self,
+        docs_paths: list[str],
+        terms: list[str],
+        tokenizer: str,
+        window: int | None = None,
+    ):
         self.docs_paths = docs_paths
         self.terms = terms
         self.tokenizer = tokenizer
+        self.window = window
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -74,12 +132,16 @@ class _PhraseVerifyTask:
             columns=["doc_id", "text"],
             filter=pads.field("doc_id").isin(wanted),
         )
-        hits = _phrase_doc_hits(
+        args = (
             t["doc_id"].to_pylist(),
             t["text"].to_pylist(),
             self.terms,
-            get_tokenizer(self.tokenizer),
         )
+        tok = get_tokenizer(self.tokenizer)
+        if self.window is None:
+            hits = _phrase_doc_hits(*args, tok)
+        else:
+            hits = _near_doc_hits(*args, self.window, tok)
         return pd.DataFrame({"doc_id": pd.array(sorted(hits), dtype="int64")})
 
 
@@ -437,7 +499,49 @@ class QueryEngine:
             return self._verify_phrase(cand, terms)
         return self._verify_phrase_distributed(cand, terms)
 
-    def _verify_phrase(self, cand: np.ndarray, terms: list[str]) -> np.ndarray:
+    def near_and(
+        self,
+        terms: list[str],
+        window: int,
+        *,
+        distribute_over: int = 4096,
+        max_candidates: int = 5_000_000,
+        **filt,
+    ) -> np.ndarray:
+        """Unordered proximity (NEAR/WITHIN): docs where every unique
+        query term occurs inside some span of ≤ ``window`` consecutive
+        tokens, any order.  Same candidate-then-verify shape as
+        :meth:`phrase_and` — boolean AND of the unique terms from the
+        index, then a forward-index verification (two-pointer minimal
+        cover per doc) on the driver or fanned out as chunked pushdown
+        tasks.  ``phrase_and(t)`` ⊆ ``near_and(t, len(t))`` always;
+        equality when terms are distinct and order-free."""
+        uniq = list(dict.fromkeys(terms))
+        if window < len(uniq):
+            raise ValueError(
+                f"near_and: window={window} can never cover "
+                f"{len(uniq)} distinct terms (positions are distinct); "
+                f"use window >= {len(uniq)}"
+            )
+        for t in uniq:
+            if not self._df.get(term_hash(t)):
+                return np.empty(0, dtype=np.int64)
+        cand = self.bool_and(uniq, **filt)
+        if cand.size == 0:
+            return cand
+        if cand.size > max_candidates:
+            raise ValueError(
+                f"proximity candidate set ({cand.size} docs) exceeds "
+                f"max_candidates={max_candidates} (stopword query); add a "
+                "rarer term, filter first, or raise max_candidates"
+            )
+        if cand.size <= distribute_over:
+            return self._verify_phrase(cand, terms, window=window)
+        return self._verify_phrase_distributed(cand, terms, window=window)
+
+    def _verify_phrase(
+        self, cand: np.ndarray, terms: list[str], window: int | None = None
+    ) -> np.ndarray:
         import pyarrow as pa
         import pyarrow.dataset as pads
 
@@ -446,13 +550,15 @@ class QueryEngine:
             columns=["doc_id", "text"],
             filter=pads.field("doc_id").isin(wanted),
         )
-        hits = _phrase_doc_hits(
-            t["doc_id"].to_pylist(), t["text"].to_pylist(), terms, self._tokenize
-        )
+        args = (t["doc_id"].to_pylist(), t["text"].to_pylist(), terms)
+        if window is None:
+            hits = _phrase_doc_hits(*args, self._tokenize)
+        else:
+            hits = _near_doc_hits(*args, window, self._tokenize)
         return np.asarray(sorted(hits), dtype=np.int64)
 
     def _verify_phrase_distributed(
-        self, cand: np.ndarray, terms: list[str]
+        self, cand: np.ndarray, terms: list[str], window: int | None = None
     ) -> np.ndarray:
         """Chunk the candidate ids driver-side (they're just int64s — the
         TEXTS never reach the driver), fan the chunks out, concatenate
@@ -466,7 +572,9 @@ class QueryEngine:
         out = (
             ray.data.from_pandas(chunks)
             .map_batches(
-                _PhraseVerifyTask(self.docs_paths, terms, self._tokenizer_name),
+                _PhraseVerifyTask(
+                    self.docs_paths, terms, self._tokenizer_name, window
+                ),
                 batch_format="pandas",
                 batch_size=None,
             )
