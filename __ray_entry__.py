@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_scan": corpus.range_scan,          # U3: terms-free findInRange
         "phrase_match": corpus.phrase_match,      # exact phrase verification
         "near_match": corpus.near_match,          # unordered proximity (NEAR)
+        "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
         "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
         "facet_lang": corpus.facet_lang,          # faceted-search counts
@@ -100,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "lang_count": textstats.lang_count,
         "source_doc_count": textstats.source_doc_count,
+        "source_quality": textstats.source_quality,    # domain-level gate
+        "source_filtered": textstats.source_filtered,  # gate applied
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "bpe_token_count": textstats.bpe_token_count,
         "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
@@ -316,7 +319,24 @@ SELECT query_id::BIGINT AS query_id,
        doc_id, score
 FROM scores QUALIFY rank <= 10
 """
-    from torchtrajectory_ray.pipelines.corpus import NEAR_QUERIES, PHRASE_QUERIES
+    from torchtrajectory_ray.pipelines.corpus import (
+        ANDNOT_QUERIES,
+        NEAR_QUERIES,
+        PHRASE_QUERIES,
+    )
+
+    andnot_parts = []
+    for q in ANDNOT_QUERIES:
+        inc = " AND ".join(
+            f"list_contains({_TOKS}, '{t}')" for t in q["include"]
+        )
+        exc = " OR ".join(
+            f"list_contains({_TOKS}, '{t}')" for t in q["exclude"]
+        )
+        andnot_parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
+            f"FROM documents WHERE ({inc}) AND NOT ({exc})"
+        )
 
     # unordered proximity: a doc matches when some start i has every
     # unique term inside the w-token slice ts[i : i+w-1] (1-based
@@ -354,6 +374,7 @@ SELECT doc_id FROM documents
 WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "phrase_match": " UNION ALL ".join(phrase_parts),
         "near_match": " UNION ALL ".join(near_parts),
+        "bool_and_not": " UNION ALL ".join(andnot_parts),
         "prefix_match": _prefix_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""
@@ -580,6 +601,34 @@ FROM t QUALIFY rank <= 5""",
 SELECT source, count(*)::BIGINT AS n_docs,
        sum(len({_TOKS}))::BIGINT AS n_tokens
 FROM documents GROUP BY source""",
+        # domain-level quality gate: per-source mean stopword density +
+        # mean length vs the fixed thresholds (textstats.SOURCE_MIN_*)
+        "source_quality": f"""
+WITH s AS (
+  SELECT source, len({_TOKS})::DOUBLE AS n,
+    len(list_filter({_TOKS},
+        x -> x IN ('the','a','of','to','and','in','is')))::DOUBLE
+      / len({_TOKS}) AS sr
+  FROM documents),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         avg(sr) AS mean_stop, avg(n) AS mean_toks
+  FROM s GROUP BY source)
+SELECT source, n_docs, round(mean_stop, 6) AS mean_stop,
+       round(mean_toks, 6) AS mean_toks,
+       (mean_stop >= 0.055 AND mean_toks >= 30.0) AS kept
+FROM agg""",
+        "source_filtered": f"""
+WITH s AS (
+  SELECT source, len({_TOKS})::DOUBLE AS n,
+    len(list_filter({_TOKS},
+        x -> x IN ('the','a','of','to','and','in','is')))::DOUBLE
+      / len({_TOKS}) AS sr
+  FROM documents),
+keep AS (
+  SELECT source FROM s GROUP BY source
+  HAVING avg(sr) >= 0.055 AND avg(n) >= 30.0)
+SELECT doc_id FROM documents WHERE source IN (SELECT source FROM keep)""",
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text""",

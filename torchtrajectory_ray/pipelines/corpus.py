@@ -69,6 +69,15 @@ PHRASE_QUERIES: list[dict] = [
     {"query_id": 3, "phrase": ["table", "hash", "scan"]},
 ]
 
+# Fixed AND-NOT workload: query 2's exclude is unindexed (no-op
+# exclusion), query 3 self-excludes (provably empty result edge)
+ANDNOT_QUERIES: list[dict] = [
+    {"query_id": 0, "include": ["table", "hash"], "exclude": ["scan"]},
+    {"query_id": 1, "include": ["the", "data"], "exclude": ["window", "agg"]},
+    {"query_id": 2, "include": ["row"], "exclude": ["zzzmissing"]},
+    {"query_id": 3, "include": ["spark"], "exclude": ["spark"]},
+]
+
 # Fixed unordered-proximity workload (NEAR/WITHIN): query 2 repeats a
 # term (proximity collapses duplicates — co-occurrence semantics),
 # query 3 has an unindexed term (empty result edge)
@@ -370,5 +379,17 @@ def bool_and(sf_dir: str) -> pd.DataFrame:
     rows = []
     for q in WEB_QUERIES:
         for d in eng.bool_and(q["terms"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def bool_and_not(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — negated boolean retrieval for the fixed
+    AND-NOT workload (``QueryEngine.bool_and_not``: bucket-local
+    subtraction inside each salt searcher)."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in ANDNOT_QUERIES:
+        for d in eng.bool_and_not(q["include"], q["exclude"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])

@@ -407,6 +407,95 @@ def source_doc_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# Domain-level quality gate (the RefinedWeb-style whole-source drop):
+# a source is kept when its docs average enough stopword density (webby
+# prose) AND enough length.  Fixed constants — part of the operator's
+# contract, re-expressed verbatim in the SQL oracle.
+SOURCE_MIN_STOP = 0.055
+SOURCE_MIN_TOKENS = 30.0
+
+
+def _per_doc_stop_ratio(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(n_tokens, stop_ratio) per doc — flatten + is_in + bincount, no
+    Python per-doc loop."""
+    toks = pc.split_pattern(batch["text"], " ")
+    n = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))).to_numpy(
+        zero_copy_only=False
+    )
+    doc_idx = np.repeat(np.arange(len(n)), n)
+    n_stop = np.bincount(doc_idx, weights=is_stop, minlength=len(n))
+    return n, n_stop / n
+
+
+def source_quality(sf_dir: str) -> ray.data.Dataset:
+    """Per-source quality verdict: source, n_docs, mean_stop, mean_toks,
+    kept.  Partial sums per batch (the exchange carries one row per
+    source per batch, never per doc), one small groupby over sources,
+    then the threshold verdict — at 10^12 docs the shuffle is bounded by
+    #domains × #blocks."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n, sr = _per_doc_stop_ratio(batch)
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "n": n,
+                "sr": sr,
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n", "size"), sum_toks=("n", "sum"), sum_sr=("sr", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy().astype(np.float64)
+        mean_stop = batch["sum_sr"].to_numpy() / n
+        mean_toks = batch["sum_toks"].to_numpy() / n
+        kept = (mean_stop >= SOURCE_MIN_STOP) & (mean_toks >= SOURCE_MIN_TOKENS)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": batch["n_docs"],
+                "mean_stop": pa.array(np.round(mean_stop, 6), pa.float64()),
+                "mean_toks": pa.array(np.round(mean_toks, 6), pa.float64()),
+                "kept": pa.array(kept, pa.bool_()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_toks", alias_name="sum_toks"),
+            Sum("sum_sr", alias_name="sum_sr"),
+        )
+        .map_batches(verdict, batch_format="pyarrow")
+    )
+
+
+def source_filtered(sf_dir: str) -> ray.data.Dataset:
+    """doc_id of every doc in a kept source — the gate applied.  The
+    kept-source set is tiny (one row per domain), so it rides into the
+    filter task as a broadcast value set, not a shuffle join."""
+    verdicts = source_quality(sf_dir).to_pandas()
+    kept = pa.array(sorted(verdicts.loc[verdicts["kept"], "source"]))
+
+    def gate(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["source"], value_set=kept)
+        return batch.filter(m).select(["doc_id"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(gate, batch_format="pyarrow")
+
+
 def length_quantile_thresholds(
     ds: ray.data.Dataset, probs: list[float]
 ) -> np.ndarray:

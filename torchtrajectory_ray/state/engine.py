@@ -351,6 +351,28 @@ class QueryEngine:
         parts = self._fanout("bool_and", tids, **filt)
         return np.sort(np.concatenate(parts))
 
+    def bool_and_not(
+        self,
+        include: str | list[str],
+        exclude: str | list[str],
+        **filt,
+    ) -> np.ndarray:
+        """Negated boolean retrieval: docs containing every ``include``
+        term and NONE of the ``exclude`` terms.  Exclusion happens
+        bucket-locally inside each salt searcher (doc ids are
+        salt-partitioned, so the subtraction never leaves the bucket);
+        exclude terms with no postings are no-ops, an include term with
+        no postings empties the result (AND semantics)."""
+        inc = self._tokenize(include) if isinstance(include, str) else list(include)
+        exc = self._tokenize(exclude) if isinstance(exclude, str) else list(exclude)
+        uniq = sorted(set(inc))
+        tids, _ = self.resolve_terms(uniq)
+        if len(tids) < len(uniq):
+            return np.empty(0, dtype=np.int64)
+        exc_tids, _ = self.resolve_terms(sorted(set(exc)))
+        parts = self._fanout("bool_and_not", tids, exc_tids, **filt)
+        return np.sort(np.concatenate(parts))
+
     def resolve(self, doc_ids) -> pd.DataFrame:
         """Hydrate doc ids → (doc_id, url, lang, doclen) rows from the
         forward-index shards (result resolution, the analog of

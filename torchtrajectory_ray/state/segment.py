@@ -289,6 +289,26 @@ class SaltSearcher:
         ids = ids[counts == len(uniq)]
         return ids[self._allowed_mask(ids, lang, ts_lo, ts_hi)]
 
+    def bool_and_not(
+        self,
+        include_tids: list[int],
+        exclude_tids: list[int],
+        lang=None,
+        ts_lo=None,
+        ts_hi=None,
+    ) -> np.ndarray:
+        """AND of the includes minus the union of the excludes —
+        bucket-local subtraction is globally correct because a doc's
+        postings for every term live in its one salt bucket."""
+        keep = self.bool_and(include_tids, lang, ts_lo, ts_hi)
+        if keep.size == 0 or not exclude_tids:
+            return keep
+        parts = [self.postings(t)[0] for t in exclude_tids]
+        excl = np.unique(np.concatenate(parts)) if parts else None
+        if excl is None or excl.size == 0:
+            return keep
+        return keep[~np.isin(keep, excl)]
+
     # --- BM25 top-k ---
 
     def topk(
