@@ -146,6 +146,18 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "phrase_match",
         lambda: [eng.phrase_and(q["phrase"]) for q in PHRASE_QUERIES],
     )
+    from torchtrajectory_ray.pipelines.corpus import ANDNOT_QUERIES, NEAR_QUERIES
+
+    timed(
+        "near_match",
+        lambda: [eng.near_and(q["terms"], q["window"]) for q in NEAR_QUERIES],
+    )
+    timed(
+        "bool_and_not",
+        lambda: [
+            eng.bool_and_not(q["include"], q["exclude"]) for q in ANDNOT_QUERIES
+        ],
+    )
     from torchtrajectory_ray.pipelines.corpus import FUZZY_QUERIES
 
     timed(
@@ -190,6 +202,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("knn_ivf_cold", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf_fullprobe", lambda: knn.knn_ivf_fullprobe(sf_dir))
+    timed("knn_ivf_sq8", lambda: knn.knn_ivf_sq8(sf_dir))
     timed("knn_ivf_batch", lambda: knn.knn_ivf_batch(sf_dir))
     from torchtrajectory_ray.pipelines import semantic
 
@@ -225,6 +238,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from torchtrajectory_ray.pipelines import lm
 
     timed("lm_quality", lambda: lm.lm_quality(sf_dir).materialize())
+    timed("source_quality", lambda: textstats.source_quality(sf_dir).to_pandas())
+    timed(
+        "source_filtered",
+        lambda: textstats.source_filtered(sf_dir).materialize(),
+    )
     timed("length_deciles", lambda: textstats.length_deciles(sf_dir).materialize())
     timed("doc_keywords", lambda: lm.doc_keywords(sf_dir).materialize())
 

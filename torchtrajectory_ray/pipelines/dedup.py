@@ -540,9 +540,14 @@ def _frequent_shingle_ranks(
     def block_topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.nlargest(top, "sum(n)")
 
+    # batch_size=None = one batch per block: parallelism tracks the block
+    # count (a 2-block sf0.1 input isn't serialized onto 2 CPUs, and a
+    # 64-shard soak corpus still gets 64 lean per-shard prunes);
+    # num_partitions selects the hash shuffle for the high-cardinality
+    # shingle key (the sorted order is never used)
     agg = (
-        docs.map_batches(partial, batch_format="pyarrow", batch_size=4096)
-        .groupby("shingle")
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("shingle", num_partitions=32)
         .sum("n")
         .map_batches(block_topk, batch_format="pandas")
         .to_pandas()
@@ -693,7 +698,9 @@ def ngram_jaccard_pairs(
 
     cand = (
         rows.map_batches(_prefix_pair_part, batch_format="pyarrow")
-        .groupby("part")
+        # part values are 0..MAX_BUCKET-1, so MAX_BUCKET hash partitions
+        # give exactly one part per partition (2× over the sort shuffle)
+        .groupby("part", num_partitions=MAX_BUCKET)
         .map_groups(expand_part, batch_format="pyarrow")
         .to_pandas()
     )
@@ -784,7 +791,9 @@ def connected_components(
     for _ in range(max_iters):
         rows = (
             rows.map_batches(add_part, batch_format="pyarrow")
-            .groupby("part")
+            # part ∈ [0, n_parts): hash shuffle with one part per
+            # partition beats the per-round sort shuffle
+            .groupby("part", num_partitions=n_parts)
             .map_groups(step, batch_format="pandas")
             .materialize()
         )
@@ -799,7 +808,7 @@ def connected_components(
             "signature collision loop"
         )
 
-    out = rows.groupby("node").min("member").to_pandas()
+    out = rows.groupby("node", num_partitions=n_parts).min("member").to_pandas()
     out = out.rename(columns={"node": "doc_id", "min(member)": "rep_id"})
     return (
         out.sort_values("doc_id")
