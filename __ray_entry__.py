@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": corpus.phrase_match,      # exact phrase verification
         "near_match": corpus.near_match,          # unordered proximity (NEAR)
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
+        "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
+        "topk_purged": corpus.topk_purged,        # compaction purges deletes
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
         "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
         "facet_lang": corpus.facet_lang,          # faceted-search counts
@@ -222,6 +224,19 @@ def _prefix_sql() -> str:
             f"WHERE len(list_filter(ts, t -> t LIKE '{esc}%' ESCAPE '\\')) > 0"
         )
     return " UNION ALL ".join(parts)
+
+
+def _deleted_in_list() -> str:
+    from torchtrajectory_ray.pipelines.corpus import DELETED_DOC_IDS
+
+    return ", ".join(str(d) for d in DELETED_DOC_IDS)
+
+
+def _docs_live_cte() -> str:
+    return (
+        "docs_live AS (SELECT * FROM documents "
+        f"WHERE doc_id NOT IN ({_deleted_in_list()}))"
+    )
 
 
 def _bool_sql(op: str, lang: str | None = None) -> str:
@@ -375,6 +390,21 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "phrase_match": " UNION ALL ".join(phrase_parts),
         "near_match": " UNION ALL ".join(near_parts),
         "bool_and_not": " UNION ALL ".join(andnot_parts),
+        # tombstoned serving: the boolean-OR workload minus the fixed
+        # takedown set (exact immediately — no stats involved)
+        "bool_or_deleted": (
+            "SELECT query_id, doc_id FROM ("
+            + _bool_sql("OR")
+            + f") WHERE doc_id NOT IN ({_deleted_in_list()})"
+        ),
+        # post-purge BM25: the topk oracle evaluated over only the live
+        # docs (compaction recomputed N/avgdl/df, so scores match the
+        # filtered corpus exactly); docs_live shadows the documents view
+        "topk_purged": (
+            topk.replace("FROM documents", "FROM docs_live").replace(
+                "WITH ", f"WITH {_docs_live_cte()}, ", 1
+            )
+        ),
         "prefix_match": _prefix_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""

@@ -1,0 +1,162 @@
+"""Tombstone deletes (Lucene-style soft delete → compaction purge):
+every query path masks deleted docs immediately; compaction makes the
+delete physical and recomputes stats to match a fresh build on the
+filtered corpus.  The sf0.01 oracle gates (bool_or_deleted, topk_purged)
+run in test_driver_gate.py."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from torchtrajectory_ray import fixtures
+from torchtrajectory_ray.config import IndexConfig
+from torchtrajectory_ray.pipelines.build import (
+    build_index,
+    compact_index,
+    delete_docs,
+)
+from torchtrajectory_ray.state.engine import QueryEngine
+
+CFG = IndexConfig(num_term_shards=2, num_salts=4)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tomb")
+    paths = fixtures.write_webpages(str(tmp / "docs"), 240, num_files=3)
+    idx = str(tmp / "idx")
+    build_index(paths, idx, CFG)
+    return paths, idx, tmp
+
+
+def _some_live_ids(idx, n=10):
+    eng = QueryEngine(idx)
+    ids = eng.find_in_range()
+    # spread across salt buckets: take every (len/n)-th id
+    return [int(d) for d in ids[:: max(1, len(ids) // n)][:n]]
+
+
+def test_deleted_docs_vanish_from_every_path(built):
+    paths, idx, tmp = built
+    eng0 = QueryEngine(idx, load_doc_meta=True)
+    # pick victims that actually appear in results: top docs of a query
+    terms = None
+    for cand in (["the"], ["a"], ["w0001"]):
+        if eng0.bool_or(cand).size > 20:
+            terms = cand
+            break
+    assert terms is not None
+    victims = [int(d) for d, _ in eng0.topk(terms, k=3)]
+    res = delete_docs(idx, victims)
+    assert res["n_deleted_total"] == len(victims)
+
+    eng = QueryEngine(idx, load_doc_meta=True)
+    vic = set(victims)
+    assert not vic & set(eng.bool_or(terms).tolist())
+    assert not vic & set(eng.bool_and(terms).tolist())
+    assert not vic & {d for d, _ in eng.topk(terms, k=10**9)}
+    assert not vic & {d for d, _ in eng.topk(terms, k=5, method="exhaustive")}
+    assert not vic & set(eng.find_in_range().tolist())
+    assert not vic & set(
+        eng.find_in_range_ds().to_pandas()["doc_id"].astype(int)
+    )
+    assert not vic & set(eng.resolve(victims)["doc_id"].astype(int))
+    # phrase/near candidates flow through bool_and → also masked
+    assert not vic & set(eng.phrase_and(terms).tolist())
+    # undeleted docs still there
+    assert eng.bool_or(terms).size == eng0.bool_or(terms).size - len(
+        vic & set(eng0.bool_or(terms).tolist())
+    )
+
+
+def test_delete_unknown_id_fails_loud(built):
+    _, idx, _ = built
+    with pytest.raises(ValueError, match="not in this index"):
+        delete_docs(idx, [10**15])
+    with pytest.raises(ValueError, match="empty"):
+        delete_docs(idx, [])
+
+
+def test_delete_is_idempotent_and_unions(built):
+    _, idx, _ = built
+    ids = _some_live_ids(idx, 4)
+    r1 = delete_docs(idx, ids[:2])
+    r2 = delete_docs(idx, ids[:2])  # re-delete: no-op
+    assert r2["n_new"] == 0
+    r3 = delete_docs(idx, ids)  # superset: only the new ones count
+    assert r3["n_new"] == r3["n_deleted_total"] - r1["n_deleted_total"]
+
+
+def test_purge_equals_fresh_build_on_filtered_corpus(ray_session, tmp_path):
+    """compact_index over a tombstoned index must be rank-identical
+    (ids AND scores) to building from scratch on the corpus minus the
+    deleted docs — the full takedown lifecycle claim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = fixtures.write_webpages(str(tmp_path / "docs"), 200, num_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(paths, idx, CFG)
+    victims = _some_live_ids(idx, 6)
+    delete_docs(idx, victims)
+    purged = str(tmp_path / "purged")
+    compact_index(idx, purged)
+
+    # fresh build over the filtered corpus (same shard stems → same ids)
+    filt_dir = tmp_path / "docs_filtered"
+    filt_dir.mkdir()
+    filt_paths = []
+    eng_tmp = QueryEngine(idx)
+    for p in paths:
+        t = pq.read_table(p)
+        # recompute the engine doc ids this shard got ((ord << 34) + row)
+        base = paths.index(p) << 34
+        ids = np.arange(len(t), dtype=np.int64) + base
+        keep = ~np.isin(ids, np.asarray(victims, dtype=np.int64))
+        q = t.filter(pa.array(keep))
+        fp = str(filt_dir / os.path.basename(p))
+        pq.write_table(q, fp)
+        filt_paths.append(fp)
+    fresh = str(tmp_path / "fresh")
+    build_index(filt_paths, fresh, CFG)
+
+    ep, ef = QueryEngine(purged), QueryEngine(fresh)
+    assert ep.n_docs == ef.n_docs
+    assert abs(ep.avgdl - ef.avgdl) < 1e-9
+    terms_pool = sorted(ep._terms)[:8]
+    for t_ in terms_pool:
+        got = [(int(d), round(float(s), 9)) for d, s in ep.topk([t_], k=20)]
+        # fresh build re-assigns dense ids over the FILTERED shards, so
+        # compare via resolve->url (stable identity), scores exactly
+        want = [(u, round(float(s), 9)) for u, s in _topk_urls(ef, [t_], 20)]
+        assert _as_urls(ep, got) == want, t_
+
+
+def _topk_urls(eng, terms, k):
+    res = eng.topk(terms, k=k)
+    if not res:
+        return []
+    meta = eng.resolve([d for d, _ in res]).set_index("doc_id")["url"]
+    return [(meta[d], s) for d, s in res]
+
+
+def _as_urls(eng, pairs):
+    if not pairs:
+        return []
+    meta = eng.resolve([d for d, _ in pairs]).set_index("doc_id")["url"]
+    return [(meta[d], s) for d, s in pairs]
+
+
+def test_tombstones_survive_engine_reopen_and_are_crash_safe(built):
+    _, idx, _ = built
+    import json
+
+    with open(os.path.join(idx, "tombstones.json")) as f:
+        tomb = json.load(f)
+    assert tomb["n_deleted"] == len(tomb["doc_ids"])
+    assert tomb["doc_ids"] == sorted(tomb["doc_ids"])
+    # no stray tmp file (atomic write)
+    assert not os.path.exists(os.path.join(idx, "tombstones.json.tmp"))

@@ -520,6 +520,66 @@ def config_from_manifest(manifest: dict) -> IndexConfig:
     return IndexConfig(bm25=bm25, **d)
 
 
+def delete_docs(index_dir: str, doc_ids) -> dict:
+    """Tombstone the given doc ids (Lucene-style soft delete): segments
+    and forward-index shards stay immutable; ``tombstones.json`` carries
+    the sorted union of every delete, and the engine masks them out of
+    all query paths at open.  Scoring keeps the pre-delete statistics
+    (N/avgdl/df), exactly like Lucene until a merge — boolean/phrase/
+    range results are exact immediately; :func:`compact_index` purges
+    physically and recomputes stats.
+
+    Unknown ids fail loud (a takedown that silently no-ops is worse than
+    an error); re-deleting an already-tombstoned id is idempotent.
+    Writes are atomic (tmp + rename), so a crashed delete never leaves a
+    half-written tombstone set."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if ids.size == 0:
+        raise ValueError("delete_docs: empty doc_ids")
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    docs_paths = [
+        manifest_abspath(p, index_dir)
+        for p in manifest.get(
+            "docs_paths", [r["output"] for r in manifest["lineage"]]
+        )
+    ]
+    found = (
+        pads.dataset(docs_paths, format="parquet")
+        .to_table(
+            columns=["doc_id"],
+            filter=pads.field("doc_id").isin(pa.array(ids, pa.int64())),
+        )["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    missing = np.setdiff1d(ids, found)
+    if missing.size:
+        raise ValueError(
+            f"delete_docs: {missing.size} ids not in this index "
+            f"(e.g. {missing[:5].tolist()}) — deletes must name live docs"
+        )
+    tomb_path = os.path.join(index_dir, "tombstones.json")
+    existing = np.array([], dtype=np.int64)
+    if os.path.exists(tomb_path):
+        with open(tomb_path) as f:
+            existing = np.asarray(json.load(f)["doc_ids"], dtype=np.int64)
+    merged = np.union1d(existing, ids)
+    _write_json(
+        tomb_path,
+        {"doc_ids": [int(d) for d in merged], "n_deleted": int(merged.size)},
+    )
+    return {
+        "n_requested": int(ids.size),
+        "n_new": int(merged.size - existing.size),
+        "n_deleted_total": int(merged.size),
+    }
+
+
 def compact_index(
     index_dir: str,
     out_dir: str,
@@ -558,14 +618,62 @@ def compact_index(
     # so compact feeds position-uniquified symlinks instead
     link_dir = os.path.join(out_dir, "compact-inputs")
     os.makedirs(link_dir, exist_ok=True)
+    tomb_path = os.path.join(index_dir, "tombstones.json")
+    deleted = None
+    if os.path.exists(tomb_path):
+        import numpy as np
+
+        with open(tomb_path) as f:
+            deleted = np.asarray(
+                sorted(json.load(f)["doc_ids"]), dtype=np.int64
+            )
     inputs = []
-    for i, src in enumerate(docs_paths):
-        link = os.path.join(
-            link_dir, f"c{i:05d}-{os.path.basename(src)}"
+    if deleted is None or deleted.size == 0:
+        for i, src in enumerate(docs_paths):
+            link = os.path.join(
+                link_dir, f"c{i:05d}-{os.path.basename(src)}"
+            )
+            if not os.path.islink(link):
+                os.symlink(os.path.abspath(src), link)
+            inputs.append(link)
+    else:
+        # the purge: rewrite each docs shard without its tombstoned rows
+        # (one distributed task per shard — the merge that makes soft
+        # deletes physical and lets the rebuild recompute N/avgdl/df
+        # over only the live docs)
+        import pandas as pd
+        import ray.data
+
+        shards = [
+            {"i": i, "src": os.path.abspath(p)}
+            for i, p in enumerate(docs_paths)
+        ]
+
+        def purge_shard(batch: "pd.DataFrame") -> "pd.DataFrame":
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            rows = []
+            for i, src in zip(batch["i"], batch["src"]):
+                t = _pq.read_table(src)
+                keep = ~np.isin(
+                    t["doc_id"].to_numpy().astype(np.int64), deleted
+                )
+                dst = os.path.join(
+                    link_dir, f"c{int(i):05d}-{os.path.basename(src)}"
+                )
+                _pq.write_table(t.filter(_pa.array(keep)), dst)
+                rows.append({"dst": dst, "n_kept": int(keep.sum())})
+            return _pd.DataFrame(rows)
+
+        out = (
+            ray.data.from_pandas(pd.DataFrame(shards))
+            .repartition(max(1, min(len(shards), 32)))
+            .map_batches(purge_shard, batch_format="pandas")
+            .to_pandas()
         )
-        if not os.path.islink(link):
-            os.symlink(os.path.abspath(src), link)
-        inputs.append(link)
+        inputs = sorted(out["dst"].tolist())
     return build_index(inputs, out_dir, cfg)
 
 

@@ -69,6 +69,10 @@ PHRASE_QUERIES: list[dict] = [
     {"query_id": 3, "phrase": ["table", "hash", "scan"]},
 ]
 
+# Fixed takedown workload: 25 doc ids live at every sf (sf0.001 has 50
+# docs).  Tombstoned at serving time; purged physically by compaction.
+DELETED_DOC_IDS: list[int] = sorted(range(0, 50, 2))
+
 # Fixed AND-NOT workload: query 2's exclude is unindexed (no-op
 # exclusion), query 3 self-excludes (provably empty result edge)
 ANDNOT_QUERIES: list[dict] = [
@@ -381,6 +385,65 @@ def bool_and(sf_dir: str) -> pd.DataFrame:
         for d in eng.bool_and(q["terms"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def documents_index_deleted(sf_dir: str) -> str:
+    """A copy-on-write variant of :func:`documents_index` with the fixed
+    takedown workload tombstoned (build once per cache key, delete once —
+    idempotent)."""
+    import shutil as _shutil
+
+    from torchtrajectory_ray.pipelines.build import delete_docs
+
+    base = documents_index(sf_dir)
+    out_dir = base + "-del"
+    marker = os.path.join(out_dir, "_DELETES_APPLIED")
+    if not os.path.exists(marker):
+        _shutil.rmtree(out_dir, ignore_errors=True)
+        _shutil.copytree(base, out_dir, symlinks=True)
+        delete_docs(out_dir, DELETED_DOC_IDS)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def bool_or_deleted(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — the boolean-OR workload served from the
+    tombstoned index: deleted docs vanish from results with no segment
+    rewrite (``QueryEngine`` masks them in every query path)."""
+    eng = _engine(documents_index_deleted(sf_dir))
+    rows = []
+    for q in WEB_QUERIES:
+        for d in eng.bool_or(q["terms"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def topk_purged(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — BM25 top-k AFTER compaction
+    purges the tombstones: the rebuilt index recomputes N/avgdl/df over
+    only the live docs, so scores are rank-identical to a fresh build on
+    the filtered corpus (= the SQL oracle over documents minus the
+    takedown set)."""
+    from torchtrajectory_ray.pipelines.build import compact_index
+
+    src = documents_index_deleted(sf_dir)
+    out_dir = src + "-purged"
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    if not os.path.exists(manifest_path):
+        compact_index(src, out_dir)
+    eng = _engine(out_dir)
+    # same float-stable rounding + re-rank protocol as topk_bm25
+    rows = []
+    for q in WEB_QUERIES:
+        res = eng.topk(q["terms"], k=2 * k, method="wand")
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.head(k).reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
 def bool_and_not(sf_dir: str) -> pd.DataFrame:

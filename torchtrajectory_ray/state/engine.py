@@ -212,6 +212,23 @@ class QueryEngine:
         self._max_tf = dict(zip(d["term_id"], d["max_tf"]))
         self._min_dl = dict(zip(d["term_id"], d["min_dl"]))
 
+        # tombstones (Lucene-style soft deletes, pipelines.build.
+        # delete_docs): a sorted id array masked out of every query path.
+        # Partitioned per salt bucket with the build's own salt function,
+        # so each searcher ships only its share — at 10^12 docs the
+        # tombstone set is itself salt-sharded storage, not driver state.
+        # Scoring keeps the PRE-delete stats (N/avgdl/df), exactly like
+        # Lucene until a merge: compact_index purges physically and
+        # recomputes them.
+        self._deleted_all: np.ndarray | None = None
+        tomb_path = os.path.join(index_dir, "tombstones.json")
+        if os.path.exists(tomb_path):
+            with open(tomb_path) as f:
+                tomb = json.load(f)
+            self._deleted_all = np.asarray(
+                sorted(tomb["doc_ids"]), dtype=np.int64
+            )
+
         self.distributed = distributed
         # segment files come from the MANIFEST (not directory globs) so a
         # crashed extend's orphan generation is never served before its
@@ -234,17 +251,39 @@ class QueryEngine:
             docs_paths=self.docs_paths,
             scorer=scorer,
         )
+        del_by_salt: dict[int, np.ndarray | None] = {
+            s: None for s in range(self.num_salts)
+        }
+        if self._deleted_all is not None and self._deleted_all.size:
+            shift = int(self.stats["salt_shift"])
+            salts = np.minimum(
+                self._deleted_all >> shift, self.num_salts - 1
+            ).astype(np.int64)
+            for s in range(self.num_salts):
+                part = self._deleted_all[salts == s]
+                if part.size:
+                    del_by_salt[s] = part
         if distributed:
             import ray
 
             Remote = ray.remote(num_cpus=1)(SaltSearcher)
             self.searchers = [
-                Remote.remote(salt=s, seg_paths=seg_by_salt[s], **kwargs)
+                Remote.remote(
+                    salt=s,
+                    seg_paths=seg_by_salt[s],
+                    deleted=del_by_salt[s],
+                    **kwargs,
+                )
                 for s in range(self.num_salts)
             ]
         else:
             self.searchers = [
-                SaltSearcher(salt=s, seg_paths=seg_by_salt[s], **kwargs)
+                SaltSearcher(
+                    salt=s,
+                    seg_paths=seg_by_salt[s],
+                    deleted=del_by_salt[s],
+                    **kwargs,
+                )
                 for s in range(self.num_salts)
             ]
 
@@ -382,7 +421,10 @@ class QueryEngine:
         import pyarrow as pa
         import pyarrow.dataset as pads
 
-        wanted = pa.array(sorted({int(d) for d in doc_ids}), pa.int64())
+        ids = {int(d) for d in doc_ids}
+        if self._deleted_all is not None:
+            ids -= set(self._deleted_all.tolist())  # deleted docs don't resolve
+        wanted = pa.array(sorted(ids), pa.int64())
         dset = pads.dataset(self.docs_paths, format="parquet")
         t = dset.to_table(
             columns=["doc_id", "url", "lang", "doclen"],
@@ -419,11 +461,12 @@ class QueryEngine:
         )
         return np.sort(t["doc_id"].to_numpy().astype(np.int64))
 
-    @staticmethod
-    def _range_filter(ts_lo, ts_hi, lang, doclen_lo, doclen_hi):
+    def _range_filter(self, ts_lo, ts_hi, lang, doclen_lo, doclen_hi):
         """One pyarrow dataset filter expression shared by the serving
         and the distributed range scans so their semantics cannot
-        diverge (None for no predicate)."""
+        diverge (None for no predicate).  Tombstoned docs are excluded
+        here too, so the terms-free paths agree with the posting
+        paths."""
         import pyarrow as pa
         import pyarrow.dataset as pads
 
@@ -432,6 +475,13 @@ class QueryEngine:
         def conj(a, b):
             return b if a is None else a & b
 
+        if self._deleted_all is not None and self._deleted_all.size:
+            f = conj(
+                f,
+                ~pads.field("doc_id").isin(
+                    pa.array(self._deleted_all, pa.int64())
+                ),
+            )
         if ts_lo is not None:
             f = conj(f, pads.field("warc_ts") >= pa.scalar(
                 int(ts_lo), pa.timestamp("us")))

@@ -43,6 +43,7 @@ class SaltSearcher:
         seg_paths: list[str] | None = None,
         docs_paths: list[str] | None = None,
         scorer: str = "bm25",
+        deleted: np.ndarray | None = None,
     ):
         """``load_mode``:
 
@@ -59,6 +60,14 @@ class SaltSearcher:
         self.salt = salt
         self.avgdl = avgdl
         self.k1, self.b = k1, b
+        # this bucket's tombstoned doc ids (sorted int64; Lucene-style
+        # soft deletes): every query path masks them in _allowed_mask,
+        # segments stay immutable, compaction purges them physically
+        self.deleted = (
+            np.asarray(deleted, dtype=np.int64)
+            if deleted is not None and len(deleted)
+            else None
+        )
         # pluggable similarity measure (scoring.SCORERS); bounds are
         # (max_tf, min_dl) so any registered scorer works on any index
         self.scorer = make_scorer(scorer, k1=k1, b=b)
@@ -244,8 +253,14 @@ class SaltSearcher:
         return cand[self._allowed_mask(cand, lang, ts_lo, ts_hi)]
 
     def _allowed_mask(self, ids: np.ndarray, lang, ts_lo, ts_hi) -> np.ndarray:
+        ok = np.ones(len(ids), dtype=bool)
+        if self.deleted is not None:
+            pos = np.clip(
+                np.searchsorted(self.deleted, ids), 0, len(self.deleted) - 1
+            )
+            ok &= self.deleted[pos] != ids
         if lang is None and ts_lo is None and ts_hi is None:
-            return np.ones(len(ids), dtype=bool)
+            return ok
         if self.doc_meta is None:
             if self._doc_meta_requested:
                 raise ValueError(
@@ -259,7 +274,7 @@ class SaltSearcher:
         m = self.doc_meta
         pos = np.searchsorted(m["doc_id"], ids)
         pos = np.clip(pos, 0, len(m["doc_id"]) - 1)
-        ok = m["doc_id"][pos] == ids
+        ok &= m["doc_id"][pos] == ids
         if lang is not None:
             ok &= m["lang"][pos] == lang
         if ts_lo is not None:
