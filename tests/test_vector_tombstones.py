@@ -1,0 +1,123 @@
+"""Vector tombstones (delete_vectors / purge_deleted): every IVF probe
+path — driver, sq8, Dataset-batch, bucket-pair near-dup — must mask the
+set immediately, and the purge must equal a fresh build on the filtered
+vectors."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from torchtrajectory_ray.pipelines import ivf
+
+from test_round3_ivf import _clustered, _write_emb
+from test_sq8 import _build, _queries
+
+
+def _probe_all_paths(d, qids, q, k=8, nprobe=10**9):
+    """(driver, sq8, dataset-batch) results at full probe, canonical."""
+    import pyarrow as pa
+    import ray.data
+
+    drv, _ = ivf.probe_topk(d, qids, q, k=k, nprobe=nprobe)
+    sq8, _ = ivf.probe_topk_sq8(d, qids, q, k=k, nprobe=nprobe)
+    qds = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in q],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    ).repartition(2)
+    ds = (
+        ivf.probe_topk_ds(d, qds, k=k, nprobe=nprobe)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    return drv.reset_index(drop=True), sq8.reset_index(drop=True), ds
+
+
+def test_deleted_vectors_vanish_from_every_probe_path(ray_session, tmp_path):
+    src, d, _ = _build(tmp_path, n=400, name="vt")
+    qids = [0, 5]
+    q = _queries(src, qids)
+    before, _, _ = _probe_all_paths(d, qids, q)
+    victims = sorted(set(before["neighbor_id"].astype(int).tolist()))[:5]
+    res = ivf.delete_vectors(d, victims)
+    assert res["n_deleted_total"] == 5
+    drv, sq8, ds = _probe_all_paths(d, qids, q)
+    for out in (drv, sq8, ds):
+        assert not set(victims) & set(out["neighbor_id"].astype(int))
+        assert (out.groupby("query_id")["rank"].count() == 8).all()
+    # all three paths stay rank-identical to each other
+    pd.testing.assert_frame_equal(drv, sq8)
+    pd.testing.assert_frame_equal(drv, ds[drv.columns])
+    # near-dup pairs exclude tombstoned vectors too
+    pairs, _ = ivf.neardup_pairs(d, 0.0, max_pairs_per_task=10**9)
+    assert not set(victims) & (
+        set(pairs["vec_a"].astype(int)) | set(pairs["vec_b"].astype(int))
+    )
+
+
+def test_delete_vectors_edges(ray_session, tmp_path):
+    src, d, _ = _build(tmp_path, n=120, name="vte")
+    with pytest.raises(ValueError, match="not in this layout"):
+        ivf.delete_vectors(d, [10**12])
+    with pytest.raises(ValueError, match="empty"):
+        ivf.delete_vectors(d, [])
+    r1 = ivf.delete_vectors(d, [3, 5])
+    r2 = ivf.delete_vectors(d, [3, 5])
+    assert r2["n_new"] == 0 and r2["n_deleted_total"] == r1["n_deleted_total"]
+
+
+def test_purge_equals_fresh_build_on_filtered_vectors(ray_session, tmp_path):
+    vecs = _clustered(300)
+    src = _write_emb(str(tmp_path / "all.parquet"), vecs)
+    d = str(tmp_path / "ivf_all")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=None, target_bucket_rows=50)
+    victims = list(range(0, 60, 7))
+    ivf.delete_vectors(d, victims)
+    stats = ivf.purge_deleted(d)
+    assert stats["n_purged"] == len(victims)
+    assert not os.path.exists(os.path.join(d, "tombstones.json"))
+    # fresh layout over the filtered vectors, SAME centroids not needed:
+    # compare via full probe (exact k-NN regardless of bucketing)
+    keep = ~np.isin(np.arange(len(vecs)), victims)
+    src_f = _write_emb(
+        str(tmp_path / "filtered.parquet"),
+        vecs[keep],
+        ids=np.arange(len(vecs), dtype=np.int64)[keep],
+    )
+    df = str(tmp_path / "ivf_filtered")
+    ivf.build_ivf([src_f], df, id_col="vec_id", nlist=None, target_bucket_rows=50)
+    qids = [1, 2]
+    q = _queries(src, qids)
+    got, _ = ivf.probe_topk(d, qids, q, k=10, nprobe=10**9)
+    want, _ = ivf.probe_topk(df, qids, q, k=10, nprobe=10**9)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # meta bookkeeping reflects the purge
+    import json
+
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    assert sum(v["n"] for v in meta["buckets"].values()) == int(keep.sum())
+    total = sum(
+        os.path.getsize(os.path.join(d, p))
+        for v in meta["buckets"].values()
+        for p in v["paths"]
+    )
+    assert meta["total_bytes"] == total
+
+
+def test_purge_without_tombstones_is_noop(ray_session, tmp_path):
+    _, d, _ = _build(tmp_path, n=100, name="noop")
+    assert ivf.purge_deleted(d) == {"n_purged": 0, "n_buckets_rewritten": 0}

@@ -866,10 +866,16 @@ def probe_topk(
     for b, c in cent_of.items():
         cent_lut[b] = c
 
+    deleted = _load_deleted(out_dir)
+
     def batch_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        lm = _live_mask(ids, deleted)
+        if lm is not None and not lm.all():
+            batch = batch.filter(pa.array(lm))
+            ids = ids[lm]
         e = _batch_matrix(batch)
         en = _norm_rows(e)
-        ids = batch[id_col].to_numpy().astype(np.int64)
         cents = cent_lut[batch["bucket"].to_numpy().astype(np.int64)]
         sims = qn @ en.T
         out_q, out_n, out_s = [], [], []
@@ -981,9 +987,15 @@ def probe_topk_sq8(
     for b, c in cent_of.items():
         cent_lut[b] = c
 
+    deleted = _load_deleted(out_dir)
+
     def batch_candidates(batch: pa.Table) -> pa.Table:
-        e = _sq8_matrix(batch)
         ids = batch[id_col].to_numpy().astype(np.int64)
+        lm = _live_mask(ids, deleted)
+        if lm is not None and not lm.all():
+            batch = batch.filter(pa.array(lm))
+            ids = ids[lm]
+        e = _sq8_matrix(batch)
         cents = cent_lut[batch["bucket"].to_numpy().astype(np.int64)]
         sims = qn @ e.T
         out_q, out_n, out_s = [], [], []
@@ -1059,6 +1071,169 @@ def pc_field_isin(col: str, values: np.ndarray):
     return pads.field(col).isin(pa.array(values, pa.int64()))
 
 
+# --- vector tombstones (the text index's delete_docs, mirrored) ---------------
+
+
+def _tombstone_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "tombstones.json")
+
+
+def _load_deleted(out_dir: str) -> np.ndarray | None:
+    """Sorted tombstoned vector ids, or None.  Small enough to ride into
+    task closures at takedown scale; a corpus-fraction delete set should
+    be a purge instead (purge_deleted)."""
+    p = _tombstone_path(out_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        arr = np.asarray(json.load(f)["ids"], dtype=np.int64)
+    return arr if arr.size else None
+
+
+def _live_mask(ids: np.ndarray, deleted: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask against the sorted tombstone set (None = all
+    live — callers skip the indexing work entirely)."""
+    if deleted is None:
+        return None
+    pos = np.clip(np.searchsorted(deleted, ids), 0, len(deleted) - 1)
+    return deleted[pos] != ids
+
+
+def delete_vectors(out_dir: str, ids) -> dict:
+    """Tombstone vectors in an IVF layout (the text index's
+    ``delete_docs`` mirrored): bucket files stay immutable; every probe
+    path (driver, sq8, Dataset-batch, bucket-pair near-dup) masks the
+    set; ``purge_deleted`` rewrites buckets physically.  Unknown ids
+    fail loud; re-deletes are idempotent; writes are atomic."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    req = np.unique(np.asarray(list(ids), dtype=np.int64))
+    if req.size == 0:
+        raise ValueError("delete_vectors: empty ids")
+    id_col = meta["params"]["id_col"]
+    all_buckets = sorted(int(b) for b in meta["buckets"])
+    files = _bucket_files(out_dir, meta, all_buckets)
+    import pyarrow.dataset as pads
+
+    found = (
+        pads.dataset(files, format="parquet")
+        .to_table(columns=[id_col], filter=pc_field_isin(id_col, req))[id_col]
+        .to_numpy()
+        .astype(np.int64)
+        if files
+        else np.empty(0, np.int64)
+    )
+    missing = np.setdiff1d(req, found)
+    if missing.size:
+        raise ValueError(
+            f"delete_vectors: {missing.size} ids not in this layout "
+            f"(e.g. {missing[:5].tolist()})"
+        )
+    existing = _load_deleted(out_dir)
+    merged = (
+        np.union1d(existing, req) if existing is not None else req
+    )
+    tmp = _tombstone_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"ids": [int(d) for d in merged], "n_deleted": int(merged.size)}, f
+        )
+    os.replace(tmp, _tombstone_path(out_dir))
+    n_existing = int(existing.size) if existing is not None else 0
+    return {
+        "n_requested": int(req.size),
+        "n_new": int(merged.size) - n_existing,
+        "n_deleted_total": int(merged.size),
+    }
+
+
+def purge_deleted(out_dir: str) -> dict:
+    """Make the tombstones physical: rewrite every bucket that holds a
+    deleted vector into one id-sorted file without them (distributed,
+    one task per bucket batch — the same discipline as bucket
+    compaction: new files first, meta swap, old files deleted last, so a
+    crash at any point leaves a readable layout).  Bucket ``min_cos``
+    is kept (removing members can only tighten the spread, so the
+    triangle-inequality prune stays valid)."""
+    from torchtrajectory_ray.pipelines.build import inputs_fingerprint
+
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    deleted = _load_deleted(out_dir)
+    if deleted is None:
+        return {"n_purged": 0, "n_buckets_rewritten": 0}
+    id_col = meta["params"]["id_col"]
+    buckets = meta["buckets"]
+    paths_of = {
+        int(b): [os.path.join(out_dir, p) for p in v["paths"]]
+        for b, v in buckets.items()
+    }
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        rows = []
+        for b in batch["bucket"].to_pylist():
+            t = pq.read_table(paths_of[int(b)])
+            ids = t[id_col].to_numpy().astype(np.int64)
+            lm = _live_mask(ids, deleted)
+            if lm.all():
+                continue  # no victim in this bucket: untouched
+            t = t.filter(pa.array(lm))
+            ids = ids[lm]
+            order = np.argsort(ids, kind="stable")
+            t = t.take(pa.array(order))
+            name = f"bucket-{int(b):05d}/purged-{inputs_fingerprint(sorted(paths_of[int(b)]))[:12]}.parquet"
+            dst = os.path.join(out_dir, name)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            pq.write_table(t, dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            rows.append(
+                {"bucket": int(b), "path": name, "n": int(t.num_rows)}
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("bucket", pa.int64()), ("path", pa.string()), ("n", pa.int64())]
+            ),
+        )
+
+    work = pa.table(
+        {"bucket": pa.array(sorted(paths_of), pa.int64())}
+    )
+    res = (
+        ray.data.from_arrow(work)
+        .repartition(max(1, min(len(paths_of), 32)))
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=8)
+        .to_pandas()
+    )
+    n_purged = 0
+    old_files: list[str] = []
+    for _, row in res.iterrows():
+        key = str(int(row["bucket"]))
+        info = buckets[key]
+        n_purged += info["n"] - int(row["n"])
+        old_files.extend(os.path.join(out_dir, p) for p in info["paths"])
+        info["n"] = int(row["n"])
+        info["paths"] = [row["path"]]
+        info["bytes"] = int(
+            os.path.getsize(os.path.join(out_dir, row["path"]))
+        )
+    meta["total_bytes"] = int(sum(v["bytes"] for v in buckets.values()))
+    tmp = os.path.join(out_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    os.remove(_tombstone_path(out_dir))  # now physical
+    for p in old_files:  # safe: meta no longer references them
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return {
+        "n_purged": int(n_purged),
+        "n_buckets_rewritten": int(len(res)),
+    }
+
+
 def probe_topk_ds(
     out_dir: str,
     queries,
@@ -1114,6 +1289,7 @@ def probe_topk_ds(
     nprobe = min(nprobe, len(C))
     S = max(1, int(query_salt))
     vec_col = meta["params"]["id_col"]
+    deleted = _load_deleted(out_dir)
     cent_files: dict[int, list[str]] = {}
     for b, cid in _centroid_of(meta).items():
         cent_files.setdefault(cid, []).extend(
@@ -1174,8 +1350,14 @@ def probe_topk_ds(
             t = pq.read_table(path, columns=[vec_col, "embedding"])
             if t.num_rows == 0:
                 continue
-            e = _norm_rows(_batch_matrix(t))
             ids = t[vec_col].to_numpy().astype(np.int64)
+            lm = _live_mask(ids, deleted)
+            if lm is not None and not lm.all():
+                t = t.filter(pa.array(lm))
+                ids = ids[lm]
+                if t.num_rows == 0:
+                    continue
+            e = _norm_rows(_batch_matrix(t))
             sims = q @ e.T
             for qi in range(len(qids)):
                 s = np.concatenate([best_s[qi], sims[qi]])
@@ -1239,6 +1421,7 @@ class _PairTask:
         self.threshold = threshold
         self.max_pairs = max_pairs
         self.id_col = meta["params"]["id_col"]
+        self.deleted = _load_deleted(out_dir)  # tombstoned vectors
         self._cache: dict[int, tuple] = {}
 
     def _load(self, b: int) -> tuple[np.ndarray, np.ndarray]:
@@ -1249,6 +1432,10 @@ class _PairTask:
         files = _bucket_files(self.out_dir, self.meta, [b])
         t = pq.read_table(files, columns=[self.id_col, "embedding"])
         ids = t[self.id_col].to_numpy().astype(np.int64)
+        lm = _live_mask(ids, self.deleted)
+        if lm is not None and not lm.all():
+            t = t.filter(pa.array(lm))
+            ids = ids[lm]
         e = _batch_matrix(t)
         while len(self._cache) >= 3:  # evict LRU only — clearing all
             # would reload the batch's shared b1 on every other pair
