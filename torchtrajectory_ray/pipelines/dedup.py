@@ -278,7 +278,7 @@ def candidates_from_band_rows(rows: ray.data.Dataset) -> pd.DataFrame:
     list is the LSH-bounded small output)."""
     pairs = (
         rows.map_batches(_add_bucket_part, batch_format="pyarrow")
-        .groupby("part")
+        .groupby("part", num_partitions=MAX_BUCKET)  # one bounded part each
         .map_groups(_partition_pairs, batch_format="pyarrow")
         .to_pandas()
     )
@@ -966,7 +966,7 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     cand = (
         rows.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
+        .groupby("part", num_partitions=N_BUCKET_PARTS)
         .map_groups(pairs, batch_format="pyarrow")
         .to_pandas()
     )
