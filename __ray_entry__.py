@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
         "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe (rows-only)
         "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
+        "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
@@ -861,4 +862,13 @@ FROM events GROUP BY k_bucket""",
     # int8-scan + exact-rescore at full probe is exact by the margin
     # bound, so it shares the brute-force oracle too
     sql["knn_ivf_sq8_fullprobe"] = sql["knn_ivf_fullprobe"]
+    # vector takedowns: the brute-force oracle with the tombstoned ids
+    # excluded from the NEIGHBOR side (queries stay live by construction)
+    from torchtrajectory_ray.pipelines.knn import DELETED_VEC_IDS
+
+    sql["knn_deleted"] = sql["knn_bruteforce"].replace(
+        "FROM q CROSS JOIN embeddings e)",
+        "FROM q CROSS JOIN embeddings e "
+        f"WHERE e.vec_id NOT IN ({', '.join(map(str, DELETED_VEC_IDS))}))",
+    )
     return sql

@@ -190,6 +190,44 @@ def knn_ivf_batch_fullprobe(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return knn_ivf_batch(sf_dir, k=k, nprobe=10**9)
 
 
+# fixed vector-takedown workload: disjoint from QUERY_VEC_IDS so every
+# query still resolves, present at every sf (embeddings has 500 rows)
+DELETED_VEC_IDS: list[int] = sorted(range(100, 200, 4))
+
+
+def _sf_ivf_dir_deleted(sf_dir: str) -> str:
+    """Copy-on-write variant of the sf IVF layout with the fixed
+    takedown workload tombstoned (ivf.delete_vectors), built once."""
+    import os
+    import shutil
+
+    from torchtrajectory_ray.pipelines import ivf
+
+    base = _sf_ivf_dir(sf_dir)
+    out = base + "-del"
+    marker = os.path.join(out, "_DELETES_APPLIED")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.copytree(base, out)
+        ivf.delete_vectors(out, DELETED_VEC_IDS)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def knn_deleted(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Full probe over the TOMBSTONED layout: exact cosine top-k among
+    the live vectors only (the vector-takedown serving claim, driver-
+    gated against the brute-force SQL minus the deleted ids)."""
+    from torchtrajectory_ray.pipelines import ivf
+
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    out, _ = ivf.probe_topk(
+        _sf_ivf_dir_deleted(sf_dir), QUERY_VEC_IDS, q, k=k, nprobe=10**9
+    )
+    return out
+
+
 def knn_ivf_sq8(
     sf_dir: str, k: int = 10, nprobe: int = 4
 ) -> pd.DataFrame:
