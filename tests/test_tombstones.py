@@ -160,3 +160,29 @@ def test_tombstones_survive_engine_reopen_and_are_crash_safe(built):
     assert tomb["doc_ids"] == sorted(tomb["doc_ids"])
     # no stray tmp file (atomic write)
     assert not os.path.exists(os.path.join(idx, "tombstones.json.tmp"))
+
+
+def test_tombstones_compose_with_extend_and_compact(ray_session, tmp_path):
+    """delete → extend (new generation) → query must mask old victims AND
+    serve the appended docs; compaction then purges across generations."""
+    from torchtrajectory_ray.pipelines.build import extend_index
+
+    p0 = fixtures.write_webpages(str(tmp_path / "g0"), 160, num_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(p0, idx, CFG)
+    victims = _some_live_ids(idx, 4)
+    delete_docs(idx, victims)
+    p1 = fixtures.write_webpages(str(tmp_path / "g1"), 80, num_files=1)
+    extend_index(idx, p1, CFG)
+    eng = QueryEngine(idx)
+    allids = set(eng.find_in_range().tolist())
+    assert not set(victims) & allids
+    assert eng.n_docs == 240  # stats count soft-deleted docs (Lucene)
+    assert len(allids) == 240 - len(victims)
+    # gen-1 ids are reachable (they continue the file-ordinal space)
+    assert any(d >= (2 << 34) for d in allids)
+    purged = str(tmp_path / "purged")
+    compact_index(idx, purged)
+    ep = QueryEngine(purged)
+    assert ep.n_docs == 240 - len(victims)
+    assert not set(victims) & set(ep.find_in_range().tolist())
