@@ -186,3 +186,42 @@ def test_tombstones_compose_with_extend_and_compact(ray_session, tmp_path):
     ep = QueryEngine(purged)
     assert ep.n_docs == 240 - len(victims)
     assert not set(victims) & set(ep.find_in_range().tolist())
+
+
+def test_recompact_after_deletes_never_corrupts_source(ray_session, tmp_path):
+    """Review fix: a tombstone-free compact leaves SYMLINKS in
+    compact-inputs; a later tombstoned compact to the SAME out_dir must
+    not write the purged shards through them into the source index (and
+    the reverse order must not crash on the leftover regular files)."""
+    import hashlib
+
+    paths = fixtures.write_webpages(str(tmp_path / "docs"), 120, num_files=2)
+    idx = str(tmp_path / "idx")
+    build_index(paths, idx, CFG)
+
+    def _docs_digest():
+        import json
+
+        with open(os.path.join(idx, "manifest.json")) as f:
+            m = json.load(f)
+        h = hashlib.sha1()
+        for p in sorted(m["docs_paths"]):
+            with open(os.path.join(idx, p), "rb") as f:
+                h.update(f.read())
+        return h.hexdigest()
+
+    out = str(tmp_path / "compacted")
+    compact_index(idx, out)  # symlink branch
+    before = _docs_digest()
+    victims = _some_live_ids(idx, 3)
+    delete_docs(idx, victims)
+    compact_index(idx, out)  # purge branch over the SAME out_dir
+    assert _docs_digest() == before, "source index shards were mutated!"
+    ep = QueryEngine(out)
+    assert not set(victims) & set(ep.find_in_range().tolist())
+    # reverse order: drop tombstones, compact again (symlink over the
+    # leftover purged copies) — must not crash and must serve all docs
+    os.remove(os.path.join(idx, "tombstones.json"))
+    out2 = str(tmp_path / "compacted")
+    compact_index(idx, out2)
+    assert QueryEngine(out2).n_docs == 120

@@ -121,3 +121,66 @@ def test_purge_equals_fresh_build_on_filtered_vectors(ray_session, tmp_path):
 def test_purge_without_tombstones_is_noop(ray_session, tmp_path):
     _, d, _ = _build(tmp_path, n=100, name="noop")
     assert ivf.purge_deleted(d) == {"n_purged": 0, "n_buckets_rewritten": 0}
+
+
+def test_fully_tombstoned_bucket_probes_cleanly(ray_session, tmp_path):
+    """Review fix: deleting EVERY vector of some bucket must not crash
+    any probe path (0-row batches after the live-mask filter), and a
+    purge that empties a bucket leaves a layout later probes can read."""
+    import json
+
+    src, d, _ = _build(tmp_path, n=200, name="allgone")
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    # victims = every id of the largest bucket
+    import pyarrow.parquet as pq
+
+    b, info = max(meta["buckets"].items(), key=lambda kv: kv[1]["n"])
+    ids = pq.read_table(
+        [os.path.join(d, p) for p in info["paths"]], columns=["vec_id"]
+    )["vec_id"].to_numpy()
+    ivf.delete_vectors(d, ids)
+    qids = [0, 1]
+    q = _queries(src, qids)
+    drv, sq8, ds = _probe_all_paths(d, qids, q)
+    for out in (drv, sq8, ds):
+        assert not set(ids.tolist()) & set(out["neighbor_id"].astype(int))
+        assert len(out) > 0
+    pd.testing.assert_frame_equal(drv, sq8)
+    # near-dup over a layout with one dead bucket
+    pairs, _ = ivf.neardup_pairs(d, 0.99, max_pairs_per_task=10**9)
+    assert not set(ids.tolist()) & (
+        set(pairs["vec_a"].astype(int)) | set(pairs["vec_b"].astype(int))
+    )
+    # purge empties the bucket physically; probes still fine
+    ivf.purge_deleted(d)
+    drv2, _, _ = _probe_all_paths(d, qids, q)
+    pd.testing.assert_frame_equal(drv, drv2)
+    with open(os.path.join(d, "meta.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["buckets"][b]["n"] == 0
+    assert meta2["n_vectors"] == 200 - len(ids)  # review fix: kept fresh
+
+
+def test_extend_rejects_tombstoned_ids(ray_session, tmp_path):
+    """Review fix: re-ingesting a tombstoned id would leave the new
+    vector permanently masked — extend must fail loud."""
+    src, d, _ = _build(tmp_path, n=150, name="reingest")
+    ivf.delete_vectors(d, [7, 9])
+    clash = _write_emb(
+        str(tmp_path / "re.parquet"),
+        _clustered(10, seed=3),
+        ids=np.asarray([7, 500, 501, 502, 503, 504, 505, 506, 507, 508]),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tombstoned"):
+        ivf.extend_ivf([clash], d)
+    # disjoint ids still extend fine after a purge
+    ivf.purge_deleted(d)
+    fresh = _write_emb(
+        str(tmp_path / "ok.parquet"),
+        _clustered(10, seed=4),
+        ids=np.arange(600, 610, dtype=np.int64),
+    )
+    ivf.extend_ivf([fresh], d)

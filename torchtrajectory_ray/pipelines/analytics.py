@@ -138,11 +138,7 @@ def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.Data
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        # num_partitions selects the hash-shuffle aggregation — 2.5×
-        # faster than the default sort shuffle for this high-cardinality
-        # key at sf0.1 (order keys don't need to come back sorted; the
-        # final top-k sorts anyway).  Size ≈ cluster cores at real scale.
-        .groupby("l_orderkey", num_partitions=32)
+        .groupby("l_orderkey")
         .sum("revenue")
         .to_pandas()
     )

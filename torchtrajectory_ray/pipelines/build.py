@@ -633,6 +633,10 @@ def compact_index(
             link = os.path.join(
                 link_dir, f"c{i:05d}-{os.path.basename(src)}"
             )
+            if os.path.lexists(link) and not os.path.islink(link):
+                # a previous tombstoned compact left a purged COPY here;
+                # replace it with the symlink this run wants
+                os.remove(link)
             if not os.path.islink(link):
                 os.symlink(os.path.abspath(src), link)
             inputs.append(link)
@@ -663,7 +667,13 @@ def compact_index(
                 dst = os.path.join(
                     link_dir, f"c{int(i):05d}-{os.path.basename(src)}"
                 )
-                _pq.write_table(t.filter(_pa.array(keep)), dst)
+                # a prior tombstone-free compact left dst as a SYMLINK to
+                # the source shard — writing through it would corrupt the
+                # source index; unlink first, then write atomically
+                if os.path.lexists(dst):
+                    os.remove(dst)
+                _pq.write_table(t.filter(_pa.array(keep)), dst + ".tmp")
+                os.replace(dst + ".tmp", dst)
                 rows.append({"dst": dst, "n_kept": int(keep.sum())})
             return _pd.DataFrame(rows)
 

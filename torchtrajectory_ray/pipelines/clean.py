@@ -244,8 +244,7 @@ def _verdicts_from(rows: ray.data.Dataset) -> ray.data.Dataset:
 
     return (
         rows.map_batches(only_feats, batch_format="pyarrow")
-        # part < N_SHA_PARTS here: hash shuffle, one bounded part each
-        .groupby("part", num_partitions=N_SHA_PARTS)
+        .groupby("part")
         .map_groups(_verdict_partition, batch_format="pandas")
     )
 
@@ -318,7 +317,7 @@ def _semi_join_kept(
     return (
         docs.map_batches(docs_side, batch_format="pyarrow")
         .union(verdicts.map_batches(ids_side, batch_format="pyarrow"))
-        .groupby("part", num_partitions=JOIN_PARTS)
+        .groupby("part")
         .map_groups(pick, batch_format="pandas")
     )
 
@@ -340,8 +339,7 @@ def _mixed_outputs(sf_dir: str) -> ray.data.Dataset:
     )
     return (
         docs.map_batches(_feats_sketch, batch_format="pyarrow")
-        # sha parts + lsh-bucket parts share one exchange: 128 bounded keys
-        .groupby("part", num_partitions=128)
+        .groupby("part")
         .map_groups(_combined_partition, batch_format="pandas")
         .materialize()
     )

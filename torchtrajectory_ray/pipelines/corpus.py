@@ -202,7 +202,13 @@ def topk_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
     SQL oracle is float-stable; the engine is asked for 2k candidates so
     the rounded re-rank cannot change the top-k membership silently.
     """
-    eng = _engine(documents_index(sf_dir))
+    return _ranked_topk(_engine(documents_index(sf_dir)), k)
+
+
+def _ranked_topk(eng: QueryEngine, k: int) -> pd.DataFrame:
+    """The float-stable re-rank protocol shared by every BM25-vs-SQL
+    gate: fetch 2k wand candidates, round to 6 dp, re-rank on the
+    rounded value with (score desc, doc_id asc) tie-break, cut to k."""
     rows = []
     for q in WEB_QUERIES:
         res = eng.topk(q["terms"], k=2 * k, method="wand")
@@ -432,18 +438,7 @@ def topk_purged(sf_dir: str, k: int = 10) -> pd.DataFrame:
     manifest_path = os.path.join(out_dir, "manifest.json")
     if not os.path.exists(manifest_path):
         compact_index(src, out_dir)
-    eng = _engine(out_dir)
-    # same float-stable rounding + re-rank protocol as topk_bm25
-    rows = []
-    for q in WEB_QUERIES:
-        res = eng.topk(q["terms"], k=2 * k, method="wand")
-        df = pd.DataFrame(res, columns=["doc_id", "score"])
-        df["score"] = df["score"].round(6)
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
-        df = df.head(k).reset_index(drop=True)
-        for r, row in df.iterrows():
-            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    return _ranked_topk(_engine(out_dir), k)
 
 
 def bool_and_not(sf_dir: str) -> pd.DataFrame:

@@ -278,7 +278,7 @@ def candidates_from_band_rows(rows: ray.data.Dataset) -> pd.DataFrame:
     list is the LSH-bounded small output)."""
     pairs = (
         rows.map_batches(_add_bucket_part, batch_format="pyarrow")
-        .groupby("part", num_partitions=MAX_BUCKET)  # one bounded part each
+        .groupby("part")
         .map_groups(_partition_pairs, batch_format="pyarrow")
         .to_pandas()
     )
@@ -542,12 +542,10 @@ def _frequent_shingle_ranks(
 
     # batch_size=None = one batch per block: parallelism tracks the block
     # count (a 2-block sf0.1 input isn't serialized onto 2 CPUs, and a
-    # 64-shard soak corpus still gets 64 lean per-shard prunes);
-    # num_partitions selects the hash shuffle for the high-cardinality
-    # shingle key (the sorted order is never used)
+    # 64-shard soak corpus still gets 64 lean per-shard prunes)
     agg = (
         docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("shingle", num_partitions=32)
+        .groupby("shingle")
         .sum("n")
         .map_batches(block_topk, batch_format="pandas")
         .to_pandas()
@@ -698,9 +696,7 @@ def ngram_jaccard_pairs(
 
     cand = (
         rows.map_batches(_prefix_pair_part, batch_format="pyarrow")
-        # part values are 0..MAX_BUCKET-1, so MAX_BUCKET hash partitions
-        # give exactly one part per partition (2× over the sort shuffle)
-        .groupby("part", num_partitions=MAX_BUCKET)
+        .groupby("part")
         .map_groups(expand_part, batch_format="pyarrow")
         .to_pandas()
     )
@@ -791,9 +787,7 @@ def connected_components(
     for _ in range(max_iters):
         rows = (
             rows.map_batches(add_part, batch_format="pyarrow")
-            # part ∈ [0, n_parts): hash shuffle with one part per
-            # partition beats the per-round sort shuffle
-            .groupby("part", num_partitions=n_parts)
+            .groupby("part")
             .map_groups(step, batch_format="pandas")
             .materialize()
         )
@@ -808,7 +802,7 @@ def connected_components(
             "signature collision loop"
         )
 
-    out = rows.groupby("node", num_partitions=n_parts).min("member").to_pandas()
+    out = rows.groupby("node").min("member").to_pandas()
     out = out.rename(columns={"node": "doc_id", "min(member)": "rep_id"})
     return (
         out.sort_values("doc_id")
@@ -966,7 +960,7 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     cand = (
         rows.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part", num_partitions=N_BUCKET_PARTS)
+        .groupby("part")
         .map_groups(pairs, batch_format="pyarrow")
         .to_pandas()
     )

@@ -140,10 +140,9 @@ def session_windows(sf_dir: str) -> ray.data.Dataset:
     Streaming.java:25-46) keyed by user instead of car."""
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized over EVERY user present (the hash shuffle co-locates
-        # each user's rows, but one call may carry many users): session
-        # breaks at user boundaries or gaps > 30 min, one cumsum, one
-        # grouped reduce — no per-user Python loop
+        # vectorized over EVERY user present (one call may carry many
+        # users): session breaks at user boundaries or gaps > 30 min,
+        # one cumsum, one grouped reduce — no per-user Python loop
         g = g.sort_values(["user_id", "ts"])
         ts = g["ts"].astype("int64").to_numpy()
         uid = g["user_id"].to_numpy()
@@ -166,8 +165,6 @@ def session_windows(sf_dir: str) -> ray.data.Dataset:
 
     return (
         ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-        # hash-shuffle partitioning (3× faster than the sort shuffle
-        # here); size ≈ cluster cores at real scale
-        .groupby("user_id", num_partitions=32)
+        .groupby("user_id")
         .map_groups(sessionize, batch_format="pandas")
     )

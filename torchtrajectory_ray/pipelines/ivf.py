@@ -690,6 +690,29 @@ def extend_ivf(
             "would mix part schemas (old parts lack embedding_sq8); "
             "rebuild it with build_ivf first"
         )
+    deleted = _load_deleted(out_dir)
+    if deleted is not None:
+        # re-ingesting a tombstoned id would leave the NEW live vector
+        # permanently masked (tombstones are global external-id sets) —
+        # fail loud: purge first, then extend
+        import pyarrow.dataset as pads
+
+        id_col_ = meta["params"]["id_col"]
+        clash = (
+            pads.dataset(sorted(input_paths), format="parquet")
+            .to_table(
+                columns=[id_col_],
+                filter=pc_field_isin(id_col_, deleted),
+            )[id_col_]
+            .to_numpy()
+        )
+        if clash.size:
+            raise ValueError(
+                f"extend_ivf: {clash.size} new ids are tombstoned "
+                f"(e.g. {np.unique(clash)[:5].tolist()}) — the appended "
+                "vectors would be masked by the existing tombstones; run "
+                "purge_deleted first, then extend"
+            )
     fp_new = inputs_fingerprint(sorted(input_paths))
     gens = meta.get("generations", [meta["inputs_fingerprint"]])
     if fp_new in {_gen_fp(g) for g in gens}:
@@ -874,6 +897,14 @@ def probe_topk(
         if lm is not None and not lm.all():
             batch = batch.filter(pa.array(lm))
             ids = ids[lm]
+        if batch.num_rows == 0:  # fully-tombstoned batch / 0-row file
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         e = _batch_matrix(batch)
         en = _norm_rows(e)
         cents = cent_lut[batch["bucket"].to_numpy().astype(np.int64)]
@@ -995,6 +1026,14 @@ def probe_topk_sq8(
         if lm is not None and not lm.all():
             batch = batch.filter(pa.array(lm))
             ids = ids[lm]
+        if batch.num_rows == 0:  # fully-tombstoned batch / 0-row file
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "approx": pa.array([], pa.float64()),
+                }
+            )
         e = _sq8_matrix(batch)
         cents = cent_lut[batch["bucket"].to_numpy().astype(np.int64)]
         sims = qn @ e.T
@@ -1218,6 +1257,7 @@ def purge_deleted(out_dir: str) -> dict:
             os.path.getsize(os.path.join(out_dir, row["path"]))
         )
     meta["total_bytes"] = int(sum(v["bytes"] for v in buckets.values()))
+    meta["n_vectors"] = int(sum(v["n"] for v in buckets.values()))
     tmp = os.path.join(out_dir, "meta.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -1436,7 +1476,10 @@ class _PairTask:
         if lm is not None and not lm.all():
             t = t.filter(pa.array(lm))
             ids = ids[lm]
-        e = _batch_matrix(t)
+        if t.num_rows == 0:  # fully-tombstoned / purged-empty bucket
+            e = np.zeros((0, int(self.meta["dim"])), np.float64)
+        else:
+            e = _batch_matrix(t)
         while len(self._cache) >= 3:  # evict LRU only — clearing all
             # would reload the batch's shared b1 on every other pair
             self._cache.pop(next(iter(self._cache)))

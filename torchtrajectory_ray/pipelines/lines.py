@@ -73,7 +73,7 @@ def boilerplate_lines(
 
     boiler = (
         docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("line", num_partitions=32)
+        .groupby("line")
         .aggregate(Sum("n", alias_name="df"))
         .map_batches(
             lambda b: b.filter(pc.greater_equal(b["df"], min_df)),

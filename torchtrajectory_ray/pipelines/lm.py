@@ -69,7 +69,7 @@ def unigram_counts(
     ``min_count=1``)."""
     freqs = (
         docs.map_batches(_token_count_partial, batch_format="pyarrow")
-        .groupby("tok", num_partitions=32)
+        .groupby("tok")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
@@ -177,7 +177,7 @@ def doc_keywords_ds(
     df_tbl = (
         docs_factory()
         .map_batches(_doc_df_partial, batch_format="pyarrow")
-        .groupby("tok", num_partitions=32)
+        .groupby("tok")
         .aggregate(Sum("n", alias_name="df"))
         .to_pandas()
     )

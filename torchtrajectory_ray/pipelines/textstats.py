@@ -179,8 +179,7 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(text_sha1, batch_format="pyarrow")
         .select_columns(["doc_id", "text_sha"])
-        # high-cardinality content-hash key: hash shuffle (no sort needed)
-        .groupby("text_sha", num_partitions=32)
+        .groupby("text_sha")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
         .select_columns(["doc_id", "n_dups"])
     )
@@ -365,7 +364,7 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     agg = (
         _read_docs(sf_dir, ["text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram", num_partitions=32)
+        .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )

@@ -255,6 +255,12 @@ class QueryEngine:
             s: None for s in range(self.num_salts)
         }
         if self._deleted_all is not None and self._deleted_all.size:
+            if self.stats.get("salt_shift") is None:
+                raise ValueError(
+                    "this index predates salt_shift bookkeeping, so its "
+                    "tombstones cannot be routed to salt buckets — rebuild "
+                    "the index (build_index) before applying deletes"
+                )
             shift = int(self.stats["salt_shift"])
             salts = np.minimum(
                 self._deleted_all >> shift, self.num_salts - 1
@@ -421,10 +427,17 @@ class QueryEngine:
         import pyarrow as pa
         import pyarrow.dataset as pads
 
-        ids = {int(d) for d in doc_ids}
-        if self._deleted_all is not None:
-            ids -= set(self._deleted_all.tolist())  # deleted docs don't resolve
-        wanted = pa.array(sorted(ids), pa.int64())
+        arr = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if self._deleted_all is not None and self._deleted_all.size:
+            # deleted docs don't resolve: searchsorted against the sorted
+            # tombstone array, no per-call Python set
+            pos = np.clip(
+                np.searchsorted(self._deleted_all, arr),
+                0,
+                len(self._deleted_all) - 1,
+            )
+            arr = arr[self._deleted_all[pos] != arr]
+        wanted = pa.array(arr, pa.int64())
         dset = pads.dataset(self.docs_paths, format="parquet")
         t = dset.to_table(
             columns=["doc_id", "url", "lang", "doclen"],
