@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": corpus.phrase_match,      # exact phrase verification
         "near_match": corpus.near_match,          # unordered proximity (NEAR)
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
+        "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
+        "regex_match": corpus.regex_match,        # regex dictionary scan
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
@@ -238,6 +240,20 @@ def _docs_live_cte() -> str:
         "docs_live AS (SELECT * FROM documents "
         f"WHERE doc_id NOT IN ({_deleted_in_list()}))"
     )
+
+
+def _regex_sql() -> str:
+    from torchtrajectory_ray.pipelines.corpus import REGEX_QUERIES
+
+    parts = []
+    for q in REGEX_QUERIES:
+        parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({_TOKS}) "
+            f"AS term FROM documents) WHERE regexp_full_match(term, "
+            f"'{q['pattern']}'))"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _bool_sql(op: str, lang: str | None = None) -> str:
@@ -406,6 +422,11 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
                 "WITH ", f"WITH {_docs_live_cte()}, ", 1
             )
         ),
+        # page 2 of the BM25 ranking: same scoring chain, QUALIFY window
+        "topk_paged": topk.replace(
+            "QUALIFY rank <= 10", "QUALIFY rank BETWEEN 11 AND 20"
+        ),
+        "regex_match": _regex_sql(),
         "prefix_match": _prefix_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""

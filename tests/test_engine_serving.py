@@ -315,3 +315,31 @@ def test_topk_and_distributed_matches_inprocess(built):
     dist = QueryEngine(built, distributed=True)
     for q in _queries()[:6]:
         assert local.topk_and(q["terms"], k=10) == dist.topk_and(q["terms"], k=10)
+
+
+def test_topk_pagination_partitions_the_ranking(ray_session):
+    """Pages tile the full ranking: no overlap, no gaps, stable order."""
+    from torchtrajectory_ray.pipelines.corpus import _engine, documents_index
+
+    eng = _engine(documents_index("/root/testdata/sf0.001"))
+    full = eng.topk(["the", "data"], k=30)
+    pages = [eng.topk_page(["the", "data"], k=10, page=p) for p in range(3)]
+    assert [x for pg in pages for x in pg] == full
+    import pytest
+
+    with pytest.raises(ValueError, match="page"):
+        eng.topk_page(["the"], k=5, page=-1)
+
+
+def test_regex_terms_generalizes_prefix(ray_session):
+    """regex 'sp.*' == prefix_terms('sp'); empty pattern edge; regex_or
+    equals the bool_or over the matched dictionary subset."""
+    from torchtrajectory_ray.pipelines.corpus import _engine, documents_index
+
+    eng = _engine(documents_index("/root/testdata/sf0.001"))
+    assert eng.regex_terms("sp.*") == eng.prefix_terms("sp")
+    assert eng.regex_terms("zzz.+") == []
+    assert eng.regex_or("zzz.+").size == 0
+    terms = eng.regex_terms("[st]..")
+    assert terms and all(len(t) == 3 and t[0] in "st" for t in terms)
+    assert eng.regex_or("[st]..").tolist() == eng.bool_or(terms).tolist()

@@ -69,6 +69,16 @@ PHRASE_QUERIES: list[dict] = [
     {"query_id": 3, "phrase": ["table", "hash", "scan"]},
 ]
 
+# Fixed regex dictionary-scan workload (patterns valid and equivalent in
+# both Python re.fullmatch and DuckDB regexp_full_match: literals,
+# classes, ., *, + only).  Pattern 3 matches nothing (empty-scan edge).
+REGEX_QUERIES: list[dict] = [
+    {"query_id": 0, "pattern": "sp.*"},
+    {"query_id": 1, "pattern": ".*ble"},
+    {"query_id": 2, "pattern": "[st].."},
+    {"query_id": 3, "pattern": "zzz.+"},
+]
+
 # Fixed takedown workload: 25 doc ids live at every sf (sf0.001 has 50
 # docs).  Tombstoned at serving time; purged physically by compaction.
 DELETED_DOC_IDS: list[int] = sorted(range(0, 50, 2))
@@ -389,6 +399,39 @@ def bool_and(sf_dir: str) -> pd.DataFrame:
     rows = []
     for q in WEB_QUERIES:
         for d in eng.bool_and(q["terms"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def topk_paged(sf_dir: str, k: int = 10, page: int = 1) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — the SECOND page (ranks k+1..2k by
+    default) of the BM25 workload; exact offset pagination
+    (``QueryEngine.topk_page``), same float-stable protocol so the SQL
+    oracle's QUALIFY window matches row for row."""
+    eng = _engine(documents_index(sf_dir))
+    lo, hi = page * k, (page + 1) * k
+    rows = []
+    for q in WEB_QUERIES:
+        res = eng.topk(q["terms"], k=2 * hi, method="wand")
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.iloc[lo:hi].reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append(
+                (q["query_id"], lo + r + 1, int(row["doc_id"]), row["score"])
+            )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def regex_match(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — boolean OR over every dictionary term fully
+    matching each fixed regex (``QueryEngine.regex_or``; the J5
+    dictionary scan with a compiled-pattern comparator)."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in REGEX_QUERIES:
+        for d in eng.regex_or(q["pattern"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 

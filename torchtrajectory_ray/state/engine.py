@@ -667,6 +667,36 @@ class QueryEngine:
         )
         return np.sort(out["doc_id"].to_numpy().astype(np.int64))
 
+    def topk_page(
+        self, query: str | list[str], k: int = 10, page: int = 0, **kw
+    ) -> list[tuple[int, float]]:
+        """Offset pagination: page ``page`` (0-based) of the (score desc,
+        doc_id asc) ranking, ``k`` results per page.  Computed as the
+        global top-(page+1)·k then sliced — exact at any depth, with the
+        standard deep-paging cost of O((page+1)·k) per bucket (the same
+        trade Lucene/ES make for offset windows; results are
+        deterministic, so consecutive pages never overlap or skip)."""
+        if page < 0:
+            raise ValueError("topk_page: page must be >= 0")
+        full = self.topk(query, k=(page + 1) * k, **kw)
+        return full[page * k :]
+
+    def regex_terms(self, pattern: str) -> list[str]:
+        """Dictionary scan by regular expression (FULL match), term-
+        ascending — the generalization of ``prefix_terms`` (same
+        NameEdgeIdLookup shape with a compiled-pattern comparator)."""
+        import re
+
+        rx = re.compile(pattern)
+        return sorted(t for t in self._terms if rx.fullmatch(t))
+
+    def regex_or(self, pattern: str, **filt) -> np.ndarray:
+        """OR query over every dictionary term fully matching ``pattern``."""
+        terms = self.regex_terms(pattern)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        return self.bool_or(terms, **filt)
+
     def prefix_terms(self, prefix: str) -> list[str]:
         """Dictionary scan: all terms starting with ``prefix`` (the
         street-name→edge-ids dictionary lookup shape, Torch/base/db/
