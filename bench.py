@@ -152,6 +152,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "near_match",
         lambda: [eng.near_and(q["terms"], q["window"]) for q in NEAR_QUERIES],
     )
+    from torchtrajectory_ray.pipelines.corpus import REGEX_QUERIES
+
+    timed(
+        "regex_match",
+        lambda: [eng.regex_or(q["pattern"]) for q in REGEX_QUERIES],
+    )
+    timed(
+        "topk_paged",
+        lambda: [eng.topk_page(q["terms"], k=10, page=1) for q in WEB_QUERIES],
+    )
     timed(
         "bool_and_not",
         lambda: [
