@@ -13,6 +13,10 @@ writes, one JSON line of metrics on success::
     python jobs/ivf_job.py extend --input '/mnt/vecs/new-*.parquet' \
         --out /mnt/ivf-v1
 
+    # takedowns: tombstone ids, then make them physical
+    python jobs/ivf_job.py delete --layout /mnt/ivf-v1 --ids 7,9,11
+    python jobs/ivf_job.py purge --layout /mnt/ivf-v1
+
     # batch probe: queries parquet (query_id, embedding) -> results parquet
     python jobs/ivf_job.py probe --layout /mnt/ivf-v1 \
         --queries '/mnt/queries/*.parquet' --out /mnt/results \
@@ -61,6 +65,16 @@ def main() -> None:
         "memory for hot-centroid workloads at the cost of S re-reads)",
     )
 
+    d = sub.add_parser("delete", help="tombstone vector ids (takedowns)")
+    d.add_argument("--layout", required=True)
+    d.add_argument(
+        "--ids", required=True,
+        help="comma-separated ids, or @file with one id per line",
+    )
+
+    g = sub.add_parser("purge", help="rewrite buckets without tombstoned rows")
+    g.add_argument("--layout", required=True)
+
     args = ap.parse_args()
 
     import ray
@@ -100,6 +114,17 @@ def main() -> None:
             "n_generations": len(meta["generations"]),
             "n_buckets": len(meta["buckets"]),
         }
+    elif args.cmd == "delete":
+        if args.ids.startswith("@"):
+            with open(args.ids[1:]) as f:
+                ids = [int(x) for x in f.read().split()]
+        else:
+            ids = [int(x) for x in args.ids.split(",")]
+        res = ivf.delete_vectors(args.layout, ids)
+        out = {"cmd": "delete", **res}
+    elif args.cmd == "purge":
+        res = ivf.purge_deleted(args.layout)
+        out = {"cmd": "purge", **res}
     else:  # probe
         import shutil
 
