@@ -61,11 +61,20 @@ def main() -> None:
         metavar="INDEX_DIR",
         help="ignore --input and rebuild the index at INDEX_DIR into "
         "--out from its own forward shards (generation merge + salt "
-        "rebalance; doc ids and query answers preserved)",
+        "rebalance; doc ids and query answers preserved; tombstoned "
+        "docs are purged physically and stats recomputed)",
+    )
+    ap.add_argument(
+        "--delete-ids",
+        default=None,
+        metavar="IDS",
+        help="ignore --input and tombstone these doc ids in the index at "
+        "--out (comma-separated, or @file with one id per line); masked "
+        "from every query immediately, purged by the next --compact-from",
     )
     args = ap.parse_args()
-    if args.extend and args.compact_from:
-        ap.error("--extend and --compact-from are mutually exclusive")
+    if sum(map(bool, (args.extend, args.compact_from, args.delete_ids))) > 1:
+        ap.error("--extend / --compact-from / --delete-ids are mutually exclusive")
 
     import ray
 
@@ -78,6 +87,19 @@ def main() -> None:
         compact_index,
         extend_index,
     )
+
+    if args.delete_ids:
+        from torchtrajectory_ray.pipelines.build import delete_docs
+
+        if args.delete_ids.startswith("@"):
+            with open(args.delete_ids[1:]) as f:
+                ids = [int(x) for x in f.read().split()]
+        else:
+            ids = [int(x) for x in args.delete_ids.split(",")]
+        res = delete_docs(args.out, ids)
+        print(json.dumps({"out": args.out, "cmd": "delete", **res}))
+        ray.shutdown()
+        return
 
     paths = [] if args.compact_from else sorted(glob.glob(args.input))
     if not paths and not args.compact_from:
