@@ -225,3 +225,22 @@ def test_recompact_after_deletes_never_corrupts_source(ray_session, tmp_path):
     out2 = str(tmp_path / "compacted")
     compact_index(idx, out2)
     assert QueryEngine(out2).n_docs == 120
+
+
+def test_compact_same_outdir_from_different_source_serves_new_source(
+    ray_session, tmp_path
+):
+    """Review fix: a leftover compact-inputs symlink into a PREVIOUS
+    source index must never be served when a different index is
+    compacted into the same out_dir (links are re-created every run)."""
+    pa_ = fixtures.write_webpages(str(tmp_path / "a"), 100, num_files=1)
+    pb = fixtures.write_webpages(str(tmp_path / "b"), 60, num_files=1)
+    ia, ib = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(pa_, ia, CFG)
+    build_index(pb, ib, CFG)
+    out = str(tmp_path / "out")
+    assert QueryEngine(
+        (compact_index(ia, out), out)[1]
+    ).n_docs == 100
+    compact_index(ib, out)  # same out_dir, different source
+    assert QueryEngine(out).n_docs == 60  # serves B, not stale A

@@ -184,3 +184,19 @@ def test_extend_rejects_tombstoned_ids(ray_session, tmp_path):
         ids=np.arange(600, 610, dtype=np.int64),
     )
     ivf.extend_ivf([fresh], d)
+
+
+def test_extend_rerun_stays_noop_after_deleting_its_ids(ray_session, tmp_path):
+    """Review fix: re-submitting a COMPLETED extend must stay an
+    idempotent no-op even after some of its ids were tombstoned (the
+    clash check only applies to genuinely new generations)."""
+    src, d, _ = _build(tmp_path, n=150, name="rerun")
+    g1 = _write_emb(
+        str(tmp_path / "g1.parquet"),
+        _clustered(20, seed=6),
+        ids=np.arange(700, 720, dtype=np.int64),
+    )
+    ivf.extend_ivf([g1], d)
+    ivf.delete_vectors(d, [700, 701])
+    meta = ivf.extend_ivf([g1], d)  # re-run: no-op, NOT a clash error
+    assert len(meta["generations"]) == 2

@@ -542,6 +542,15 @@ def delete_docs(index_dir: str, doc_ids) -> dict:
         raise ValueError("delete_docs: empty doc_ids")
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
+    if manifest["stats"].get("salt_shift") is None:
+        # refuse HERE, not at the next engine open: writing tombstones a
+        # legacy index cannot route to salt buckets would brick every
+        # subsequent QueryEngine(index_dir)
+        raise ValueError(
+            "delete_docs: this index predates salt_shift bookkeeping, so "
+            "tombstones cannot be routed to salt buckets — rebuild it "
+            "with build_index first"
+        )
     docs_paths = [
         manifest_abspath(p, index_dir)
         for p in manifest.get(
@@ -633,12 +642,13 @@ def compact_index(
             link = os.path.join(
                 link_dir, f"c{i:05d}-{os.path.basename(src)}"
             )
-            if os.path.lexists(link) and not os.path.islink(link):
-                # a previous tombstoned compact left a purged COPY here;
-                # replace it with the symlink this run wants
+            if os.path.lexists(link):
+                # never trust a leftover entry: it may be a purged COPY
+                # from a tombstoned compact, or a symlink into a
+                # DIFFERENT source index compacted into this out_dir
+                # earlier — either would be served silently
                 os.remove(link)
-            if not os.path.islink(link):
-                os.symlink(os.path.abspath(src), link)
+            os.symlink(os.path.abspath(src), link)
             inputs.append(link)
     else:
         # the purge: rewrite each docs shard without its tombstoned rows

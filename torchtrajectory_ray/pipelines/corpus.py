@@ -215,19 +215,23 @@ def topk_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _ranked_topk(_engine(documents_index(sf_dir)), k)
 
 
-def _ranked_topk(eng: QueryEngine, k: int) -> pd.DataFrame:
+def _ranked_topk(eng: QueryEngine, k: int, page: int = 0) -> pd.DataFrame:
     """The float-stable re-rank protocol shared by every BM25-vs-SQL
-    gate: fetch 2k wand candidates, round to 6 dp, re-rank on the
-    rounded value with (score desc, doc_id asc) tie-break, cut to k."""
+    gate: fetch 2·(page+1)·k wand candidates, round to 6 dp, re-rank on
+    the rounded value with (score desc, doc_id asc) tie-break, emit the
+    requested k-wide page (page 0 = the plain top-k)."""
+    lo, hi = page * k, (page + 1) * k
     rows = []
     for q in WEB_QUERIES:
-        res = eng.topk(q["terms"], k=2 * k, method="wand")
+        res = eng.topk(q["terms"], k=2 * hi, method="wand")
         df = pd.DataFrame(res, columns=["doc_id", "score"])
         df["score"] = df["score"].round(6)
         df = df.sort_values(["score", "doc_id"], ascending=[False, True])
-        df = df.head(k).reset_index(drop=True)
+        df = df.iloc[lo:hi].reset_index(drop=True)
         for r, row in df.iterrows():
-            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
+            rows.append(
+                (q["query_id"], lo + r + 1, int(row["doc_id"]), row["score"])
+            )
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
@@ -405,23 +409,12 @@ def bool_and(sf_dir: str) -> pd.DataFrame:
 
 def topk_paged(sf_dir: str, k: int = 10, page: int = 1) -> pd.DataFrame:
     """query_id, rank, doc_id, score — the SECOND page (ranks k+1..2k by
-    default) of the BM25 workload; exact offset pagination
-    (``QueryEngine.topk_page``), same float-stable protocol so the SQL
-    oracle's QUALIFY window matches row for row."""
-    eng = _engine(documents_index(sf_dir))
-    lo, hi = page * k, (page + 1) * k
-    rows = []
-    for q in WEB_QUERIES:
-        res = eng.topk(q["terms"], k=2 * hi, method="wand")
-        df = pd.DataFrame(res, columns=["doc_id", "score"])
-        df["score"] = df["score"].round(6)
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
-        df = df.iloc[lo:hi].reset_index(drop=True)
-        for r, row in df.iterrows():
-            rows.append(
-                (q["query_id"], lo + r + 1, int(row["doc_id"]), row["score"])
-            )
-    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    default) of the BM25 workload under the shared float-stable protocol
+    (so the SQL oracle's QUALIFY window matches row for row).  The
+    serving-path ``QueryEngine.topk_page`` ranks on UNROUNDED scores and
+    is pytest-gated instead (pages tile the ranking,
+    test_topk_pagination_partitions_the_ranking)."""
+    return _ranked_topk(_engine(documents_index(sf_dir)), k, page=page)
 
 
 def regex_match(sf_dir: str) -> pd.DataFrame:

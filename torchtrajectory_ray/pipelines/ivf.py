@@ -690,11 +690,17 @@ def extend_ivf(
             "would mix part schemas (old parts lack embedding_sq8); "
             "rebuild it with build_ivf first"
         )
+    fp_new = inputs_fingerprint(sorted(input_paths))
+    gens = meta.get("generations", [meta["inputs_fingerprint"]])
+    if fp_new in {_gen_fp(g) for g in gens}:
+        return meta  # idempotent re-run of an applied extend: no-op
     deleted = _load_deleted(out_dir)
     if deleted is not None:
         # re-ingesting a tombstoned id would leave the NEW live vector
         # permanently masked (tombstones are global external-id sets) —
-        # fail loud: purge first, then extend
+        # fail loud: purge first, then extend.  Checked AFTER the
+        # fingerprint no-op above so re-submitting a completed extend
+        # stays a no-op even once some of its ids are deleted.
         import pyarrow.dataset as pads
 
         id_col_ = meta["params"]["id_col"]
@@ -713,10 +719,6 @@ def extend_ivf(
                 "vectors would be masked by the existing tombstones; run "
                 "purge_deleted first, then extend"
             )
-    fp_new = inputs_fingerprint(sorted(input_paths))
-    gens = meta.get("generations", [meta["inputs_fingerprint"]])
-    if fp_new in {_gen_fp(g) for g in gens}:
-        return meta
     id_col = meta["params"]["id_col"]
     n_new = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
     new_rng = _id_range(input_paths, id_col)
