@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_match": corpus.near_match,          # unordered proximity (NEAR)
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
+        "topk_bm25_lang": corpus.topk_bm25_lang,  # metadata-filtered ranked
         "regex_match": corpus.regex_match,        # regex dictionary scan
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
@@ -421,6 +422,16 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
             topk.replace("FROM documents", "FROM docs_live").replace(
                 "WITH ", f"WITH {_docs_live_cte()}, ", 1
             )
+        ),
+        # metadata-filtered ranked retrieval: candidates restricted to
+        # one language, but N/avgdl/df stay GLOBAL (Lucene filter-query
+        # semantics) — only the scores CTE's doc set changes
+        "topk_bm25_lang": topk.replace(
+            "scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score\n"
+            "           FROM contrib GROUP BY query_id, doc_id)",
+            "scores AS (SELECT query_id, c.doc_id, round(sum(c.c), 6) AS score\n"
+            "           FROM contrib c JOIN documents d ON d.doc_id = c.doc_id\n"
+            "           WHERE d.lang = 'en' GROUP BY query_id, c.doc_id)",
         ),
         # page 2 of the BM25 ranking: same scoring chain, QUALIFY window
         "topk_paged": topk.replace(

@@ -407,6 +407,25 @@ def bool_and(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
 
+def topk_bm25_lang(sf_dir: str, k: int = 10, lang: str = "en") -> pd.DataFrame:
+    """query_id, rank, doc_id, score — BM25 top-k restricted to one
+    language: the metadata-filtered RANKED path (wand prunes with the
+    lang mask applied before the heap; stats N/avgdl/df stay GLOBAL —
+    the filter narrows candidates, not the collection statistics, same
+    contract as Lucene filter queries)."""
+    eng = _engine(documents_index(sf_dir), load_doc_meta=True)
+    rows = []
+    for q in WEB_QUERIES:
+        res = eng.topk(q["terms"], k=2 * k, method="wand", lang=lang)
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.head(k).reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
 def topk_paged(sf_dir: str, k: int = 10, page: int = 1) -> pd.DataFrame:
     """query_id, rank, doc_id, score — the SECOND page (ranks k+1..2k by
     default) of the BM25 workload under the shared float-stable protocol
