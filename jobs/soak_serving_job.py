@@ -102,6 +102,13 @@ def main() -> None:
     assert f.equals(f2), "facet branches disagree"
     out["facet_docs"] = int(f["n_docs"].sum())
 
+    # unordered proximity on the two hottest terms: the AND candidate
+    # set is a corpus-scale fraction, forcing the distributed chunked
+    # verification path (the phrase soak's shape, minimal-cover check)
+    near_hits = timed("near_hot_w8", lambda: eng.near_and(hot, 8))
+    out["near_candidates"] = int(eng.bool_and(hot).size)
+    out["near_hits"] = int(near_hits.size)
+
     queries = [{"query_id": i, "terms": [t]} for i, t in enumerate(hot)] + [
         {"query_id": 10 + i, "terms": [p]} for i, p in enumerate(probes[:2])
     ]
