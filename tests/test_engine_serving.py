@@ -343,3 +343,44 @@ def test_regex_terms_generalizes_prefix(ray_session):
     terms = eng.regex_terms("[st]..")
     assert terms and all(len(t) == 3 and t[0] in "st" for t in terms)
     assert eng.regex_or("[st]..").tolist() == eng.bool_or(terms).tolist()
+
+
+def test_topk_ts_window_matches_filtered_oracle(ray_session, tmp_path):
+    """Ranked retrieval under a warc_ts window: scores stay GLOBAL
+    (filter narrows candidates, not stats), so the expected page is the
+    unfiltered oracle ranking restricted to in-window docs, cut to k.
+    Exercised on a fixture corpus — the sf documents table has an
+    all-null warc_ts."""
+    import pyarrow.dataset as pads
+
+    from torchtrajectory_ray import fixtures, oracle
+    from torchtrajectory_ray.config import IndexConfig
+    from torchtrajectory_ray.pipelines.build import build_index
+    from torchtrajectory_ray.state.engine import QueryEngine
+
+    paths = fixtures.write_webpages(str(tmp_path / "c"), 200, num_files=2)
+    idx = str(tmp_path / "i")
+    build_index(paths, idx, IndexConfig(num_term_shards=2, num_salts=4))
+    eng = QueryEngine(idx, load_doc_meta=True)
+    t = pads.dataset(eng.docs_paths, format="parquet").to_table(
+        columns=["doc_id", "warc_ts", "text"]
+    )
+    ts = t["warc_ts"].cast("int64").to_numpy(zero_copy_only=False)
+    lo, hi = int(np.quantile(ts, 0.25)), int(np.quantile(ts, 0.75))
+    in_win = {
+        int(d)
+        for d, v in zip(t["doc_id"].to_numpy(), ts)
+        if lo <= v <= hi
+    }
+    assert 0 < len(in_win) < t.num_rows
+    orc = oracle.build_oracle(
+        [int(d) for d in t["doc_id"].to_numpy()], t["text"].to_pylist()
+    )
+    for terms in (["w0000"], ["w0001", "w0004"]):
+        for method in ("wand", "exhaustive"):
+            got = eng.topk(terms, k=10, method=method, ts_lo=lo, ts_hi=hi)
+            full = orc.topk(terms, k=10**9)
+            want = [(d, s) for d, s in full if d in in_win][:10]
+            assert [(int(a), round(float(b), 9)) for a, b in got] == [
+                (int(a), round(float(b), 9)) for a, b in want
+            ], (terms, method)
