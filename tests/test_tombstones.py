@@ -244,3 +244,20 @@ def test_compact_same_outdir_from_different_source_serves_new_source(
     ).n_docs == 100
     compact_index(ib, out)  # same out_dir, different source
     assert QueryEngine(out).n_docs == 60  # serves B, not stale A
+
+
+def test_tombstones_apply_in_distributed_actor_mode(built):
+    """The per-salt tombstone arrays ship into the remote SaltSearcher
+    actors; distributed results equal in-process results post-delete."""
+    _, idx, _ = built  # module fixture: deletes already applied
+    local = QueryEngine(idx)
+    dist = QueryEngine(idx, distributed=True)
+    import json
+
+    with open(os.path.join(idx, "tombstones.json")) as f:
+        vic = set(json.load(f)["doc_ids"])
+    for terms in (["the"], ["a", "row"]):
+        lt, dt = local.topk(terms, k=10), dist.topk(terms, k=10)
+        assert lt == dt
+        assert not vic & {d for d, _ in dt}
+        assert local.bool_or(terms).tolist() == dist.bool_or(terms).tolist()
