@@ -17,6 +17,9 @@ writes, one JSON line of metrics on success::
     python jobs/ivf_job.py delete --layout /mnt/ivf-v1 --ids 7,9,11
     python jobs/ivf_job.py purge --layout /mnt/ivf-v1
 
+    # retrain + rebalance + purge into a fresh layout (generation merge)
+    python jobs/ivf_job.py compact --layout /mnt/ivf-v1 --out /mnt/ivf-v2
+
     # batch probe: queries parquet (query_id, embedding) -> results parquet
     python jobs/ivf_job.py probe --layout /mnt/ivf-v1 \
         --queries '/mnt/queries/*.parquet' --out /mnt/results \
@@ -75,6 +78,14 @@ def main() -> None:
     g = sub.add_parser("purge", help="rewrite buckets without tombstoned rows")
     g.add_argument("--layout", required=True)
 
+    c = sub.add_parser(
+        "compact",
+        help="retrain centroids + rebalance + purge into a fresh layout",
+    )
+    c.add_argument("--layout", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--nlist", type=int, default=None)
+
     args = ap.parse_args()
 
     import ray
@@ -125,6 +136,14 @@ def main() -> None:
     elif args.cmd == "purge":
         res = ivf.purge_deleted(args.layout)
         out = {"cmd": "purge", **res}
+    elif args.cmd == "compact":
+        meta = ivf.compact_ivf(args.layout, args.out, nlist=args.nlist)
+        out = {
+            "cmd": "compact",
+            "n_vectors": meta["n_vectors"],
+            "nlist": meta["nlist"],
+            "n_buckets": len(meta["buckets"]),
+        }
     else:  # probe
         import shutil
 

@@ -200,3 +200,40 @@ def test_extend_rerun_stays_noop_after_deleting_its_ids(ray_session, tmp_path):
     ivf.delete_vectors(d, [700, 701])
     meta = ivf.extend_ivf([g1], d)  # re-run: no-op, NOT a clash error
     assert len(meta["generations"]) == 2
+
+
+def test_compact_ivf_retrains_and_purges(ray_session, tmp_path):
+    """compact_ivf = retrain + rebalance + purge: after extends and
+    deletes, the compacted layout's FULL probe equals the source's (full
+    probe is exact regardless of centroids), tombstones are gone, and
+    the generation bookkeeping resets."""
+    import json
+
+    src0, d, _ = _build(tmp_path, n=300, name="cmp")
+    g1 = _write_emb(
+        str(tmp_path / "cg1.parquet"),
+        _clustered(120, seed=9),
+        ids=np.arange(2000, 2120, dtype=np.int64),
+    )
+    ivf.extend_ivf([g1], d)
+    ivf.delete_vectors(d, [3, 2001, 2005])
+    new = str(tmp_path / "cmp_new")
+    meta2 = ivf.compact_ivf(d, new)
+    assert len(meta2["generations"]) == 1  # one fresh generation
+    assert meta2["n_vectors"] == 300 + 120 - 3
+    assert not os.path.exists(os.path.join(new, "tombstones.json"))
+    qids = [0, 5]
+    q = _queries(src0, qids)
+    want, _ = ivf.probe_topk(d, qids, q, k=10, nprobe=10**9)
+    got, _ = ivf.probe_topk(new, qids, q, k=10, nprobe=10**9)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    # in-place compaction refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fresh new_dir"):
+        ivf.compact_ivf(d, d)
+    # idempotent: re-running returns the cached rebuild
+    meta3 = ivf.compact_ivf(d, new)
+    assert meta3["inputs_fingerprint"] == meta2["inputs_fingerprint"]

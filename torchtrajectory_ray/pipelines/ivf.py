@@ -1674,6 +1674,71 @@ def neardup_pairs(
     )
 
 
+def compact_ivf(
+    out_dir: str,
+    new_dir: str,
+    *,
+    nlist: int | None = None,
+    target_bucket_rows: int | None = None,
+) -> dict:
+    """Retraining compaction — the vector layout's analog of the text
+    index's :func:`build.compact_index`: rebuild ``out_dir`` into a
+    FRESH layout at ``new_dir`` from its own bucket files, retraining
+    centroids on the (live) corpus and re-deriving ``nlist``, which
+    removes the assignment drift that generation appends accumulate
+    under frozen centroids.  Tombstoned vectors are dropped during the
+    staging pass, so the purge is folded in.
+
+    Exact consumers (full-probe ``probe_topk``, ``neardup_pairs``) give
+    identical answers over the compacted layout; partial probes may
+    differ (better, typically) because the centroids are retrained.
+
+    The staging pass is a distributed projected read → parquet rewrite
+    (one stream, no driver materialization); the rebuild is the ordinary
+    resumable :func:`build_ivf`."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if os.path.realpath(out_dir) == os.path.realpath(new_dir):
+        raise ValueError(
+            "compact_ivf needs a fresh new_dir — in-place compaction "
+            "would interleave retrained buckets with the source's"
+        )
+    id_col = meta["params"]["id_col"]
+    all_buckets = sorted(int(b) for b in meta["buckets"])
+    files = _bucket_files(out_dir, meta, all_buckets)
+    deleted = _load_deleted(out_dir)
+    stage_dir = os.path.join(new_dir, "compact-input")
+    os.makedirs(stage_dir, exist_ok=True)
+    marker = os.path.join(stage_dir, "_STAGED")
+    if not os.path.exists(marker):
+
+        def live_rows(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            lm = _live_mask(ids, deleted)
+            if lm is not None and not lm.all():
+                batch = batch.filter(pa.array(lm))
+            return batch
+
+        (
+            ray.data.read_parquet(files, columns=[id_col, "embedding"])
+            .map_batches(live_rows, batch_format="pyarrow")
+            .write_parquet(stage_dir)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    staged = sorted(
+        os.path.join(stage_dir, p)
+        for p in os.listdir(stage_dir)
+        if p.endswith(".parquet")
+    )
+    kw = {}
+    if target_bucket_rows is not None:
+        kw["target_bucket_rows"] = target_bucket_rows
+    else:
+        kw["target_bucket_rows"] = meta["params"]["target_bucket_rows"]
+    return build_ivf(staged, new_dir, id_col=id_col, nlist=nlist, **kw)
+
+
 def cached_ivf_dir(
     input_paths: list[str],
     *,
