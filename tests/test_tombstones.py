@@ -248,8 +248,11 @@ def test_compact_same_outdir_from_different_source_serves_new_source(
 
 def test_tombstones_apply_in_distributed_actor_mode(built):
     """The per-salt tombstone arrays ship into the remote SaltSearcher
-    actors; distributed results equal in-process results post-delete."""
-    _, idx, _ = built  # module fixture: deletes already applied
+    actors; distributed results equal in-process results post-delete.
+    Self-contained: applies its own deletes (idempotent union), so it
+    passes standalone regardless of module test order."""
+    _, idx, _ = built
+    delete_docs(idx, _some_live_ids(idx, 3))
     local = QueryEngine(idx)
     dist = QueryEngine(idx, distributed=True)
     import json

@@ -237,3 +237,20 @@ def test_compact_ivf_retrains_and_purges(ray_session, tmp_path):
     # idempotent: re-running returns the cached rebuild
     meta3 = ivf.compact_ivf(d, new)
     assert meta3["inputs_fingerprint"] == meta2["inputs_fingerprint"]
+
+
+def test_compact_ivf_restages_after_further_deletes(ray_session, tmp_path):
+    """Review fix: re-compacting into the same new_dir after MORE
+    deletes on the source must restage (the staging cache is keyed by
+    source meta + tombstones), not serve the stale compaction."""
+    src, d, _ = _build(tmp_path, n=200, name="restage")
+    new = str(tmp_path / "restage_new")
+    ivf.delete_vectors(d, [1])
+    m1 = ivf.compact_ivf(d, new)
+    assert m1["n_vectors"] == 199
+    ivf.delete_vectors(d, [2, 4])
+    # same new_dir, NOT cleared: fresh staging (new source fingerprint)
+    # forces build_ivf's stale-layout rebuild — and because the staging
+    # lives OUTSIDE new_dir, that rmtree cannot destroy its own inputs
+    m2 = ivf.compact_ivf(d, new)
+    assert m2["n_vectors"] == 197  # stale staging would have said 199

@@ -215,15 +215,18 @@ def topk_bm25(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _ranked_topk(_engine(documents_index(sf_dir)), k)
 
 
-def _ranked_topk(eng: QueryEngine, k: int, page: int = 0) -> pd.DataFrame:
+def _ranked_topk(
+    eng: QueryEngine, k: int, page: int = 0, **topk_kw
+) -> pd.DataFrame:
     """The float-stable re-rank protocol shared by every BM25-vs-SQL
     gate: fetch 2·(page+1)·k wand candidates, round to 6 dp, re-rank on
     the rounded value with (score desc, doc_id asc) tie-break, emit the
-    requested k-wide page (page 0 = the plain top-k)."""
+    requested k-wide page (page 0 = the plain top-k).  Extra kwargs
+    (e.g. ``lang=``) pass through to ``eng.topk``."""
     lo, hi = page * k, (page + 1) * k
     rows = []
     for q in WEB_QUERIES:
-        res = eng.topk(q["terms"], k=2 * hi, method="wand")
+        res = eng.topk(q["terms"], k=2 * hi, method="wand", **topk_kw)
         df = pd.DataFrame(res, columns=["doc_id", "score"])
         df["score"] = df["score"].round(6)
         df = df.sort_values(["score", "doc_id"], ascending=[False, True])
@@ -413,17 +416,9 @@ def topk_bm25_lang(sf_dir: str, k: int = 10, lang: str = "en") -> pd.DataFrame:
     lang mask applied before the heap; stats N/avgdl/df stay GLOBAL —
     the filter narrows candidates, not the collection statistics, same
     contract as Lucene filter queries)."""
-    eng = _engine(documents_index(sf_dir), load_doc_meta=True)
-    rows = []
-    for q in WEB_QUERIES:
-        res = eng.topk(q["terms"], k=2 * k, method="wand", lang=lang)
-        df = pd.DataFrame(res, columns=["doc_id", "score"])
-        df["score"] = df["score"].round(6)
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
-        df = df.head(k).reset_index(drop=True)
-        for r, row in df.iterrows():
-            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    return _ranked_topk(
+        _engine(documents_index(sf_dir), load_doc_meta=True), k, lang=lang
+    )
 
 
 def topk_paged(sf_dir: str, k: int = 10, page: int = 1) -> pd.DataFrame:

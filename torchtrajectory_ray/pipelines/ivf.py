@@ -1706,11 +1706,28 @@ def compact_ivf(
     id_col = meta["params"]["id_col"]
     all_buckets = sorted(int(b) for b in meta["buckets"])
     files = _bucket_files(out_dir, meta, all_buckets)
+    if not files:
+        raise ValueError("compact_ivf: source layout has no bucket files")
     deleted = _load_deleted(out_dir)
-    stage_dir = os.path.join(new_dir, "compact-input")
-    os.makedirs(stage_dir, exist_ok=True)
+    # the staging dir lives OUTSIDE new_dir (build_ivf rmtree's new_dir
+    # on a stale-layout cache miss — staging inside it would destroy the
+    # rebuild's own inputs) and is keyed by the SOURCE STATE (meta +
+    # tombstones), so a re-compact after further deletes/extends
+    # restages instead of silently serving the stale compaction
+    with open(os.path.join(out_dir, "meta.json"), "rb") as f:
+        state = hashlib.sha1(f.read())
+    if deleted is not None:
+        state.update(deleted.tobytes())
+    fp = state.hexdigest()[:12]
+    new_abs = os.path.abspath(new_dir).rstrip(os.sep)
+    stage_dir = f"{new_abs}-compact-input-{fp}"
     marker = os.path.join(stage_dir, "_STAGED")
     if not os.path.exists(marker):
+        # a missing marker means no staging or a CRASHED one — clear
+        # partial leftovers or write_parquet would append a second
+        # UUID-named file set and silently duplicate vectors
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        os.makedirs(stage_dir, exist_ok=True)
 
         def live_rows(batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy().astype(np.int64)
@@ -1731,12 +1748,23 @@ def compact_ivf(
         for p in os.listdir(stage_dir)
         if p.endswith(".parquet")
     )
-    kw = {}
-    if target_bucket_rows is not None:
-        kw["target_bucket_rows"] = target_bucket_rows
-    else:
-        kw["target_bucket_rows"] = meta["params"]["target_bucket_rows"]
-    return build_ivf(staged, new_dir, id_col=id_col, nlist=nlist, **kw)
+    if not staged:
+        raise ValueError(
+            "compact_ivf: every vector of the source layout is "
+            "tombstoned — compacting to an empty layout is almost "
+            "certainly an error (delete the layout instead)"
+        )
+    return build_ivf(
+        staged,
+        new_dir,
+        id_col=id_col,
+        nlist=nlist,
+        target_bucket_rows=(
+            target_bucket_rows
+            if target_bucket_rows is not None
+            else meta["params"]["target_bucket_rows"]
+        ),
+    )
 
 
 def cached_ivf_dir(
