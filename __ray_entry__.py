@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_match": corpus.near_match,          # unordered proximity (NEAR)
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
+        "search_box": corpus.search_box,          # composed query language
         "topk_bm25_lang": corpus.topk_bm25_lang,  # metadata-filtered ranked
         "regex_match": corpus.regex_match,        # regex dictionary scan
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
@@ -255,6 +256,66 @@ def _regex_sql() -> str:
             f"'{q['pattern']}'))"
         )
     return " UNION ALL ".join(parts)
+
+
+def _search_sql() -> str:
+    """Composed oracle for the search front door: one BM25 scoring chain
+    (global stats) with per-query scoring-term VALUES, joined to a
+    per-query candidate predicate (AND/NOT/phrase/lang) — the SQL mirror
+    of QueryEngine.search's operator composition."""
+    # scoring terms per query (mirror of querylang parsing)
+    qterms = {
+        0: ["data", "the"],
+        1: ["data", "the"],
+        2: ["hash", "scan", "table"],
+        3: ["the"],
+    }
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid in sorted(qterms) for t in qterms[qid]
+    )
+    lc = "list_contains"
+    phrase = (
+        f"len(ts) >= 2 AND len(list_filter(generate_series(1, len(ts) - 1), "
+        f"i -> ts[i] = 'table' AND ts[i + 1] = 'hash')) > 0"
+    )
+    cand = f"""cand AS (
+  SELECT 0::BIGINT AS query_id, doc_id FROM documents
+  UNION ALL
+  SELECT 1::BIGINT, doc_id FROM documents
+  WHERE {lc}({_TOKS}, 'the') AND {lc}({_TOKS}, 'data')
+    AND NOT {lc}({_TOKS}, 'window')
+  UNION ALL
+  SELECT 2::BIGINT, doc_id
+  FROM (SELECT doc_id, {_TOKS} AS ts FROM documents) WHERE {phrase}
+  UNION ALL
+  SELECT 3::BIGINT, doc_id FROM documents WHERE lang = 'en')"""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+{cand},
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (
+  SELECT c.query_id, c.doc_id, round(sum(c.c), 6) AS score
+  FROM contrib c JOIN cand USING (query_id, doc_id)
+  GROUP BY c.query_id, c.doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= 10"""
 
 
 def _bool_sql(op: str, lang: str | None = None) -> str:
@@ -438,6 +499,7 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
             "QUALIFY rank <= 10", "QUALIFY rank BETWEEN 11 AND 20"
         ),
         "regex_match": _regex_sql(),
+        "search_box": _search_sql(),
         "prefix_match": _prefix_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""

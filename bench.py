@@ -162,6 +162,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "topk_paged",
         lambda: [eng.topk_page(q["terms"], k=10, page=1) for q in WEB_QUERIES],
     )
+    from torchtrajectory_ray.pipelines.corpus import SEARCH_QUERIES
+
+    eng_meta = QueryEngine(idx_dir, load_doc_meta=True)
+    timed(
+        "search_box",
+        lambda: [eng_meta.search(q["q"], k=10) for q in SEARCH_QUERIES],
+    )
     timed(
         "bool_and_not",
         lambda: [

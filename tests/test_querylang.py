@@ -1,0 +1,68 @@
+"""Search-box mini-language: parser determinism and compositional
+identities of QueryEngine.search against the verified base operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from torchtrajectory_ray.functions.querylang import parse_query
+from torchtrajectory_ray.pipelines.corpus import _engine, documents_index
+
+SF = "/root/testdata/sf0.001"
+
+_tok = str.split
+
+
+def test_parser_clauses():
+    p = parse_query('"table hash" +scan -window the data lang:en', _tok)
+    assert p.phrases == [["table", "hash"]]
+    assert p.must == ["scan"]
+    assert p.must_not == ["window"]
+    assert p.should == ["the", "data"]
+    assert p.filters == {"lang": "en"}
+
+
+def test_parser_fail_loud():
+    with pytest.raises(ValueError, match="empty"):
+        parse_query("   ", _tok)
+    with pytest.raises(ValueError, match="no positive clause"):
+        parse_query("-window lang:en", _tok)
+    with pytest.raises(ValueError, match="unknown query field"):
+        parse_query("the site:example.com", _tok)
+
+
+def test_search_bare_terms_equals_topk(ray_session):
+    eng = _engine(documents_index(SF))
+    assert eng.search("the data", k=10) == eng.topk(["the", "data"], k=10)
+
+
+def test_search_must_equals_conjunctive_ranking(ray_session):
+    eng = _engine(documents_index(SF))
+    got = eng.search("+the +data", k=10)
+    cand = set(eng.bool_and(["the", "data"]).tolist())
+    want = [(d, s) for d, s in eng.topk(["the", "data"], k=10**9) if d in cand][:10]
+    assert got == want
+    assert got  # non-trivial
+
+
+def test_search_exclusion_and_phrase(ray_session):
+    eng = _engine(documents_index(SF))
+    got = eng.search("the -data", k=10**9)
+    bad = set(eng.bool_or(["data"]).tolist())
+    assert got and not bad & {d for d, _ in got}
+    # quoted phrase restricts candidates to consecutive matches
+    ph = set(eng.phrase_and(["table", "hash"]).tolist())
+    got2 = eng.search('"table hash" scan', k=10**9)
+    assert got2 and {d for d, _ in got2} <= ph
+
+
+def test_search_lang_filter_equals_topk_lang(ray_session):
+    eng = _engine(documents_index(SF), load_doc_meta=True)
+    assert eng.search("the lang:en", k=10) == eng.topk(["the"], k=10, lang="en")
+
+
+def test_search_contradiction_is_empty(ray_session):
+    eng = _engine(documents_index(SF))
+    assert eng.search("+spark -spark", k=10) == []
+    assert eng.search('"zzz impossible phrase" the', k=10) == []

@@ -1,0 +1,78 @@
+"""Search-box query mini-language → structured clauses.
+
+The front-door grammar every engine's serving layer needs, kept
+deliberately small and deterministic:
+
+- ``"exact phrase"`` — quoted spans must match consecutively
+- ``+term`` — required (boolean AND side)
+- ``-term`` — excluded (AND-NOT side)
+- bare terms — scoring terms (BM25 "should"; they rank, and when no
+  ``+``/phrase clause exists they also define the candidate set)
+- ``field:value`` — metadata filter; supported fields: ``lang``
+
+Semantics composed from the engine's existing verified operators, so the
+parser adds surface, not new retrieval code paths.  Unknown fields and
+empty queries fail loud.  Tokens inside phrases/terms are run through
+the engine's own tokenizer downstream, so parsing never re-tokenizes.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_TOKEN_RE = re.compile(
+    r"""
+    "(?P<phrase>[^"]*)"          # quoted phrase
+    | (?P<plus>\+\S+)            # +required
+    | (?P<minus>-\S+)            # -excluded
+    | (?P<field>[A-Za-z_]+:\S+)  # field:value
+    | (?P<term>\S+)              # bare scoring term
+    """,
+    re.VERBOSE,
+)
+
+SUPPORTED_FIELDS = ("lang",)
+
+
+@dataclass
+class ParsedQuery:
+    phrases: list[list[str]] = field(default_factory=list)
+    must: list[str] = field(default_factory=list)
+    must_not: list[str] = field(default_factory=list)
+    should: list[str] = field(default_factory=list)
+    filters: dict = field(default_factory=dict)
+
+
+def parse_query(s: str, tokenize) -> ParsedQuery:
+    """Parse a search-box string; ``tokenize`` is the ENGINE's tokenizer
+    (the build's mapper), applied to every clause body so parsed terms
+    are exactly what the dictionary holds."""
+    if not s or not s.strip():
+        raise ValueError("empty query")
+    out = ParsedQuery()
+    for m in _TOKEN_RE.finditer(s):
+        if m.group("phrase") is not None:
+            toks = tokenize(m.group("phrase"))
+            if toks:
+                out.phrases.append(toks)
+        elif m.group("plus"):
+            out.must.extend(tokenize(m.group("plus")[1:]))
+        elif m.group("minus"):
+            out.must_not.extend(tokenize(m.group("minus")[1:]))
+        elif m.group("field"):
+            k, v = m.group("field").split(":", 1)
+            if k not in SUPPORTED_FIELDS:
+                raise ValueError(
+                    f"unknown query field {k!r} (supported: "
+                    f"{', '.join(SUPPORTED_FIELDS)})"
+                )
+            out.filters[k] = v
+        else:
+            out.should.extend(tokenize(m.group("term")))
+    if not (out.phrases or out.must or out.should):
+        raise ValueError(
+            "query has no positive clause (only exclusions/filters) — "
+            "add a term, +term, or \"phrase\""
+        )
+    return out

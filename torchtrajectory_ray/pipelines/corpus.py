@@ -102,6 +102,16 @@ NEAR_QUERIES: list[dict] = [
     {"query_id": 3, "terms": ["table", "zzznothing"], "window": 4},
 ]
 
+# Fixed search-box workload for the composed front door (phrases,
+# +must, -not, lang filter); gated end-to-end against a composed SQL
+# oracle (BM25 chain joined to a per-query candidate predicate)
+SEARCH_QUERIES: list[dict] = [
+    {"query_id": 0, "q": "the data"},
+    {"query_id": 1, "q": "+the +data -window"},
+    {"query_id": 2, "q": '"table hash" scan'},
+    {"query_id": 3, "q": "the lang:en"},
+]
+
 _INDEX_CFG = IndexConfig(
     num_term_shards=4, num_salts=4, tokenize_batch_size=1024, tokenize_concurrency=4
 )
@@ -419,6 +429,24 @@ def topk_bm25_lang(sf_dir: str, k: int = 10, lang: str = "en") -> pd.DataFrame:
     return _ranked_topk(
         _engine(documents_index(sf_dir), load_doc_meta=True), k, lang=lang
     )
+
+
+def search_box(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — the composed search front door
+    (``QueryEngine.search``) over the fixed mini-language workload,
+    re-ranked under the float-stable 6dp protocol so the SQL oracle's
+    window matches row for row."""
+    eng = _engine(documents_index(sf_dir), load_doc_meta=True)
+    rows = []
+    for q in SEARCH_QUERIES:
+        res = eng.search(q["q"], k=10**9)  # full masked ranking
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.head(k).reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
 def topk_paged(sf_dir: str, k: int = 10, page: int = 1) -> pd.DataFrame:

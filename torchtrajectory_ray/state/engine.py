@@ -879,6 +879,62 @@ class QueryEngine:
                 rows.append((q["query_id"], r, d, s))
         return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
+    def search(
+        self, query: str, k: int = 10, **extra_filt
+    ) -> list[tuple[int, float]]:
+        """Search-box front door: parse the mini-language (quoted
+        phrases, ``+must``, ``-not``, bare scoring terms, ``lang:xx``)
+        and compose the engine's verified operators —
+
+        - candidates = ∩ of every phrase match and the ``+term`` AND,
+          minus the ``-term`` OR;
+        - ranking = BM25 over ALL positive terms (phrase tokens + musts
+          + bare terms), cut to k after the candidate mask.
+
+        The mask applies post-scoring (exact; a serving-scale engine
+        would push the id set into WAND — the mask is bounded by the
+        scored candidate count, the same cost shape as ``topk_purged``'s
+        protocol).  Only-negative or empty queries fail loud."""
+        from torchtrajectory_ray.functions.querylang import parse_query
+
+        pq_ = parse_query(query, self._tokenize)
+        filt = dict(extra_filt)
+        if "lang" in pq_.filters:
+            filt["lang"] = pq_.filters["lang"]
+        restrict: np.ndarray | None = None
+
+        def inter(a, b):
+            return b if a is None else np.intersect1d(a, b)
+
+        for ph in pq_.phrases:
+            restrict = inter(restrict, self.phrase_and(ph, **filt))
+            if restrict.size == 0:
+                return []
+        if pq_.must:
+            restrict = inter(restrict, self.bool_and(pq_.must, **filt))
+            if restrict.size == 0:
+                return []
+        exclude = (
+            self.bool_or(pq_.must_not) if pq_.must_not else None
+        )
+        score_terms = list(
+            dict.fromkeys(
+                [t for ph in pq_.phrases for t in ph]
+                + pq_.must
+                + pq_.should
+            )
+        )
+        ranked = self.topk(score_terms, k=10**9, **filt)
+        out = []
+        rset = set(restrict.tolist()) if restrict is not None else None
+        eset = set(exclude.tolist()) if exclude is not None else ()
+        for d, s in ranked:
+            if (rset is None or d in rset) and d not in eset:
+                out.append((d, s))
+                if len(out) == k:
+                    break
+        return out
+
     def query_result(
         self, query: str | list[str], k: int = 10, resolve: bool = False
     ) -> dict:
