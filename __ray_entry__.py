@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
+        "suggest_terms": corpus.suggest_terms,    # autocomplete (df-ranked)
         "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
         "facet_lang": corpus.facet_lang,          # faceted-search counts
         "snippets_topk": corpus.snippets_topk,    # top-k result highlighting
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": textstats.bpe_token_count,
         "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
         "top_bigrams": textstats.top_bigrams,
+        "bigram_pmi": textstats.bigram_pmi,       # PMI association scores
         "repetition_stats": textstats.repetition_stats,  # Gopher-rule signals
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
         "length_deciles": textstats.length_deciles,  # exact histogram quantiles
@@ -229,6 +231,28 @@ def _prefix_sql() -> str:
             f"WHERE len(list_filter(ts, t -> t LIKE '{esc}%' ESCAPE '\\')) > 0"
         )
     return " UNION ALL ".join(parts)
+
+
+def _suggest_sql(n: int = 10) -> str:
+    """Autocomplete oracle: per-prefix top-n dictionary terms by
+    (df desc, term asc).  starts_with is DuckDB's literal prefix test —
+    no LIKE-metachar escaping needed."""
+    from torchtrajectory_ray.pipelines.corpus import PREFIX_QUERIES
+
+    vals = ", ".join(
+        f"({q['query_id']}, '{q['prefix']}')" for q in PREFIX_QUERIES
+    )
+    return f"""
+WITH v AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+           FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+           GROUP BY tok),
+q(query_id, prefix) AS (VALUES {vals})
+SELECT q.query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY q.query_id
+            ORDER BY v.df DESC, v.term ASC) AS BIGINT) AS rank,
+       v.term, v.df
+FROM q JOIN v ON starts_with(v.term, q.prefix)
+QUALIFY rank <= {n}"""
 
 
 def _deleted_in_list() -> str:
@@ -501,6 +525,7 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "regex_match": _regex_sql(),
         "search_box": _search_sql(),
         "prefix_match": _prefix_sql(),
+        "suggest_terms": _suggest_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df
@@ -872,6 +897,26 @@ cnt AS (SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram)
 SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank,
        bigram, n
 FROM cnt QUALIFY rank <= 20""",
+        # PMI over the bigram table: marginals from the table itself
+        # (left = occurrences as first token, right = as second), T =
+        # total bigram occurrences; min-count 5 drops PMI's rare-pair
+        # pathology; rank on the 6-dp-rounded score, bigram-asc ties
+        "bigram_pmi": f"""
+WITH tok AS (SELECT {_TOKS} AS ts FROM documents),
+bg AS (SELECT ts[i] AS x, ts[i + 1] AS y
+       FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+cnt AS (SELECT x, y, count(*)::BIGINT AS n FROM bg GROUP BY x, y),
+lm AS (SELECT x, sum(n)::DOUBLE AS lx FROM cnt GROUP BY x),
+rm AS (SELECT y, sum(n)::DOUBLE AS ry FROM cnt GROUP BY y),
+tot AS (SELECT sum(n)::DOUBLE AS t FROM cnt),
+scored AS (
+  SELECT cnt.x || ' ' || cnt.y AS bigram, cnt.n,
+         round(ln(cnt.n * tot.t / (lm.lx * rm.ry)), 6) AS pmi
+  FROM cnt JOIN lm USING (x) JOIN rm USING (y) CROSS JOIN tot
+  WHERE cnt.n >= 5)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bigram ASC) AS BIGINT)
+         AS rank, bigram, n, pmi
+FROM scored QUALIFY rank <= 20""",
         "events_sliding_hour": """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t, value FROM events),
 w AS (SELECT event_type, value,

@@ -146,6 +146,24 @@ def test_prefix_dictionary_lookup(built):
     ) <= set(ids.tolist())
 
 
+def test_suggest_ranks_by_df_then_term(built):
+    eng = QueryEngine(built)
+    s = eng.suggest("w", n=10)
+    # brute-force expectation from the dictionary scan itself
+    terms = eng.prefix_terms("w")
+    df = {t: eng._df[__import__(
+        "torchtrajectory_ray.functions.text", fromlist=["term_hash"]
+    ).term_hash(t)] for t in terms}
+    expect = sorted(terms, key=lambda t: (-df[t], t))[:10]
+    assert s["term"].tolist() == expect
+    assert s["df"].tolist() == [df[t] for t in expect]
+    # df-descending with term-ascending ties
+    pairs = list(zip(s["df"].tolist(), s["term"].tolist()))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    # empty edge
+    assert len(eng.suggest("zzz_nothing")) == 0
+
+
 def test_query_result_envelope(built):
     eng = QueryEngine(built)
     r = eng.query_result("w0000 w0003", k=5, resolve=True)

@@ -117,6 +117,44 @@ def test_top_bigrams_rank(ray_session):
     assert (df["n"].diff().dropna() <= 0).all()
 
 
+def test_bigram_pmi_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    got = textstats.bigram_pmi(SF, k=10, min_n=5)
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    cnt: dict[str, int] = {}
+    for t in texts:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cnt[f"{a} {b}"] = cnt.get(f"{a} {b}", 0) + 1
+    lx: dict[str, int] = {}
+    ry: dict[str, int] = {}
+    for bg, n in cnt.items():
+        x, y = bg.split(" ")
+        lx[x] = lx.get(x, 0) + n
+        ry[y] = ry.get(y, 0) + n
+    total = float(sum(cnt.values()))
+    rows = [
+        (bg, n, round(np.log(n * total / (lx[bg.split(" ")[0]] * ry[bg.split(" ")[1]])), 6))
+        for bg, n in cnt.items()
+        if n >= 5
+    ]
+    exp = (
+        pd.DataFrame(rows, columns=["bigram", "n", "pmi"])
+        .sort_values(["pmi", "bigram"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got["bigram"].tolist() == exp["bigram"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert np.allclose(got["pmi"], exp["pmi"], atol=2e-6)
+    assert (got["n"] >= 5).all()
+
+
 # --- corpus cleaning ----------------------------------------------------------
 
 

@@ -348,6 +348,24 @@ def prefix_match(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
 
+def suggest_terms(sf_dir: str, n: int = 10) -> pd.DataFrame:
+    """query_id, rank, term, df — autocomplete: the top-``n`` dictionary
+    completions of each fixed prefix ranked (df desc, term asc) —
+    ``QueryEngine.suggest``.  Prefix 3 matches nothing (empty edge)."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in PREFIX_QUERIES:
+        s = eng.suggest(q["prefix"], n=n)
+        for r in range(len(s)):
+            rows.append(
+                (q["query_id"], r + 1, s["term"].iloc[r], int(s["df"].iloc[r]))
+            )
+    out = pd.DataFrame(rows, columns=["query_id", "rank", "term", "df"])
+    return out.astype(
+        {"query_id": np.int64, "rank": np.int64, "df": np.int64}
+    )
+
+
 def fuzzy_match(sf_dir: str) -> pd.DataFrame:
     """query_id, term, df — every dictionary term within Levenshtein
     distance 1 of each probe (did-you-mean; vectorized length-grouped

@@ -321,49 +321,50 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial bigram counts — one factorize over all bigram
+    strings per batch (the same flatten + combine shape as the index
+    tokenizer), no per-token Python dict loop.  Shared by
+    ``top_bigrams`` and ``bigram_pmi``."""
+    import itertools
+
+    texts = batch["text"].to_pylist()
+    tok_lists = [t.split(" ") for t in texts]
+    counts = np.fromiter(
+        (max(len(t) - 1, 0) for t in tok_lists), np.int64, len(tok_lists)
+    )
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "bigram": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    flat = np.fromiter(
+        itertools.chain.from_iterable(
+            (f"{a} {b}" for a, b in zip(t, t[1:])) for t in tok_lists
+        ),
+        object,
+        total,
+    )
+    codes, uniq = pd.factorize(flat, sort=False)
+    n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    return pa.table(
+        {
+            "bigram": pa.array(uniq, pa.string()),
+            "n": pa.array(n, pa.int64()),
+        }
+    )
+
+
 def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """bigram, n — corpus-wide top-k token bigrams: vectorized bigram
     explode per batch + in-batch partial counts, small groupby, driver
     top-k on the reduced table."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        # one factorize over all bigram strings per batch (the same
-        # flatten + combine shape as the index tokenizer) — no per-token
-        # Python dict loop
-        import itertools
-
-        texts = batch["text"].to_pylist()
-        tok_lists = [t.split(" ") for t in texts]
-        counts = np.fromiter(
-            (max(len(t) - 1, 0) for t in tok_lists), np.int64, len(tok_lists)
-        )
-        total = int(counts.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    "bigram": pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        flat = np.fromiter(
-            itertools.chain.from_iterable(
-                (f"{a} {b}" for a, b in zip(t, t[1:])) for t in tok_lists
-            ),
-            object,
-            total,
-        )
-        codes, uniq = pd.factorize(flat, sort=False)
-        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
-        return pa.table(
-            {
-                "bigram": pa.array(uniq, pa.string()),
-                "n": pa.array(n, pa.int64()),
-            }
-        )
-
     agg = (
         _read_docs(sf_dir, ["text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_bigram_partial, batch_format="pyarrow")
         .groupby("bigram")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
@@ -371,6 +372,98 @@ def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     agg = agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
     agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
     return agg[["rank", "bigram", "n"]].reset_index(drop=True)
+
+
+def bigram_pmi(sf_dir: str, k: int = 20, min_n: int = 5) -> pd.DataFrame:
+    """rank, bigram, n, pmi — the top-``k`` token bigrams by pointwise
+    mutual information ``pmi = ln(n(x,y)·T / (n(x,·)·n(·,y)))`` with
+    marginals taken over the bigram table itself (T = total bigram
+    occurrences); bigrams rarer than ``min_n`` are dropped (PMI's
+    low-count pathology).  rank is (pmi desc, bigram asc) on the
+    6-dp-rounded score.
+
+    Distribution shape: the bigram table reuses ``top_bigrams``'
+    partial-counts shuffle and is materialized once in its REDUCED form
+    (one row per distinct bigram); both marginals come from ONE more
+    pre-aggregated groupby over it (x and y factorized together, one
+    exchange row per distinct token per block); the vocab-sized marginal
+    table broadcasts via ``ray.put`` and the final PMI scan is
+    embarrassingly parallel with per-block partial top-k — only ``k``
+    rows per block reach the driver."""
+    import ray as _ray
+
+    bg = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(_bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # the reduced table feeds two consumers below
+    )
+
+    def marg(batch: pa.Table) -> pa.Table:
+        b = batch["bigram"].to_pylist()
+        n = batch["n"].to_numpy().astype(np.int64)
+        xs = np.asarray([s.split(" ", 1)[0] for s in b], object)
+        ys = np.asarray([s.split(" ", 1)[1] for s in b], object)
+        codes, uniq = pd.factorize(np.concatenate([xs, ys]), sort=False)
+        m = len(b)
+        lx = np.zeros(len(uniq), np.int64)
+        ry = np.zeros(len(uniq), np.int64)
+        np.add.at(lx, codes[:m], n)
+        np.add.at(ry, codes[m:], n)
+        return pa.table(
+            {
+                "tok": pa.array(uniq, pa.string()),
+                "lx": pa.array(lx, pa.int64()),
+                "ry": pa.array(ry, pa.int64()),
+            }
+        )
+
+    m = (
+        bg.map_batches(marg, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("lx", alias_name="lx"), Sum("ry", alias_name="ry"))
+        .to_pandas()  # vocab-sized (same order as the term dictionary)
+    )
+    total = float(m["lx"].sum())  # == total bigram occurrences
+    left = dict(zip(m["tok"], m["lx"].astype(np.int64)))
+    right = dict(zip(m["tok"], m["ry"].astype(np.int64)))
+    ref = _ray.put((left, right, total))
+
+    empty = pa.table(
+        {
+            "bigram": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+
+    def pmi_part(batch: pa.Table) -> pa.Table:
+        L, R, T = _ray.get(ref)
+        b = np.asarray(batch["bigram"].to_pylist(), object)
+        n = batch["n"].to_numpy().astype(np.int64)
+        keep = n >= min_n
+        b, n = b[keep], n[keep]
+        if not len(b):
+            return empty
+        lx = np.asarray([L[s.split(" ", 1)[0]] for s in b], np.float64)
+        ry = np.asarray([R[s.split(" ", 1)[1]] for s in b], np.float64)
+        pmi = np.round(np.log(n * T / (lx * ry)), 6)
+        sel = np.lexsort((b, -pmi))[:k]  # per-block partial top-k
+        return pa.table(
+            {
+                "bigram": pa.array(b[sel], pa.string()),
+                "n": pa.array(n[sel], pa.int64()),
+                "pmi": pa.array(pmi[sel], pa.float64()),
+            }
+        )
+
+    parts = bg.map_batches(pmi_part, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["pmi", "bigram"], ascending=[False, True]
+    ).head(k)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return parts[["rank", "bigram", "n", "pmi"]].reset_index(drop=True)
 
 
 def fingerprints(sf_dir: str) -> ray.data.Dataset:

@@ -710,6 +710,26 @@ class QueryEngine:
             return np.empty(0, dtype=np.int64)
         return self.bool_or(terms, **filt)
 
+    def suggest(self, prefix: str, n: int = 10) -> pd.DataFrame:
+        """Autocomplete: the top-``n`` dictionary completions of
+        ``prefix`` ranked by document frequency — ``(term, df)`` rows in
+        (df desc, term asc) order.  The search-box type-ahead built on
+        the same dictionary scan as ``prefix_terms``
+        (NameEdgeIdLookup.java:17-27) plus the df payload the dictionary
+        already carries; no posting list is touched."""
+        terms = self.prefix_terms(prefix)  # term-ascending
+        df = np.asarray(
+            [int(self._df[term_hash(t)]) for t in terms], np.int64
+        )
+        # stable sort on -df keeps the term-ascending order within ties
+        order = np.argsort(-df, kind="stable")[:n]
+        return pd.DataFrame(
+            {
+                "term": pd.array([terms[i] for i in order], dtype=object),
+                "df": df[order],
+            }
+        )
+
     def fuzzy_terms(self, term: str, max_edits: int = 1) -> pd.DataFrame:
         """Did-you-mean dictionary probe: ``(term, df)`` rows for every
         dictionary term within Levenshtein distance ``max_edits`` of
