@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
         "suggest_terms": corpus.suggest_terms,    # autocomplete (df-ranked)
+        "more_like_this": corpus.more_like_this,  # doc-to-doc retrieval
+        "collapse_lang": corpus.collapse_lang,    # field collapsing
         "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
         "facet_lang": corpus.facet_lang,          # faceted-search counts
         "snippets_topk": corpus.snippets_topk,    # top-k result highlighting
@@ -231,6 +233,89 @@ def _prefix_sql() -> str:
             f"WHERE len(list_filter(ts, t -> t LIKE '{esc}%' ESCAPE '\\')) > 0"
         )
     return " UNION ALL ".join(parts)
+
+
+def _collapse_sql(k: int = 10) -> str:
+    """Field-collapsing oracle: the shared BM25 chain, best doc per
+    (query, lang) by (6-dp score desc, doc_id asc), groups ranked by
+    their representative's score; null-lang docs excluded."""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_query_values()}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+joined AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.score
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL),
+best AS (
+  SELECT query_id, lang, doc_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, lang
+                 ORDER BY score DESC, doc_id ASC) AS rg
+    FROM joined) WHERE rg = 1)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       lang, doc_id, score
+FROM best QUALIFY rank <= {k}"""
+
+
+def _mlt_sql(k: int = 10, n_terms: int = 5) -> str:
+    """MoreLikeThis oracle: per seed, the n_terms most distinctive terms
+    by tf·ln(1+N/df) (6-dp rounded, term-asc ties) feed the shared BM25
+    chain; the seed doc is excluded from the result."""
+    from torchtrajectory_ray.pipelines.corpus import MLT_SEEDS
+
+    vals = ", ".join(f"({i}, {s})" for i, s in enumerate(MLT_SEEDS))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+seeds(query_id, seed) AS (VALUES {vals}),
+sel AS (
+  SELECT s.query_id, s.seed, tf.term,
+         round(tf.tf * ln(1.0 + st.n / df.df), 6) AS w
+  FROM seeds s JOIN tf ON tf.doc_id = s.seed
+  JOIN df ON df.term = tf.term CROSS JOIN st),
+q AS (SELECT query_id, seed, term FROM (
+  SELECT query_id, seed, term,
+         row_number() OVER (PARTITION BY query_id
+              ORDER BY w DESC, term ASC) AS r
+  FROM sel) WHERE r <= {n_terms}),
+contrib AS (
+  SELECT q.query_id, q.seed, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib WHERE doc_id != seed
+           GROUP BY query_id, doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= {k}"""
 
 
 def _suggest_sql(n: int = 10) -> str:
@@ -526,6 +611,8 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "search_box": _search_sql(),
         "prefix_match": _prefix_sql(),
         "suggest_terms": _suggest_sql(),
+        "more_like_this": _mlt_sql(),
+        "collapse_lang": _collapse_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df

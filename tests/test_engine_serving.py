@@ -164,6 +164,32 @@ def test_suggest_ranks_by_df_then_term(built):
     assert len(eng.suggest("zzz_nothing")) == 0
 
 
+def test_collapse_topk_serving(built):
+    local = QueryEngine(built, load_doc_meta=True)
+    dist = QueryEngine(built, load_doc_meta=True, distributed=True)
+    for q in _queries()[:4]:
+        a = local.collapse_topk(q["terms"], k=5)
+        b = dist.collapse_topk(q["terms"], k=5)
+        assert a.equals(b)
+        assert a["lang"].is_unique  # one representative per group
+        assert (a["score"].diff().dropna() <= 1e-12).all()  # score-desc
+    # collapse needs doc metadata — fail loud without it
+    bare = QueryEngine(built)
+    with pytest.raises(ValueError):
+        bare.collapse_topk(["w0000"], k=3)
+
+
+def test_more_like_this_excludes_seed_and_matches_distributed(built):
+    local = QueryEngine(built)
+    dist = QueryEngine(built, distributed=True)
+    seed = int(local.bool_or(["w0000"])[0])
+    res = local.more_like_this(seed, k=5)
+    assert res and seed not in [d for d, _ in res]
+    assert res == dist.more_like_this(seed, k=5)
+    with pytest.raises(KeyError):
+        local.more_like_this(10**15)
+
+
 def test_query_result_envelope(built):
     eng = QueryEngine(built)
     r = eng.query_result("w0000 w0003", k=5, resolve=True)

@@ -69,6 +69,10 @@ PHRASE_QUERIES: list[dict] = [
     {"query_id": 3, "phrase": ["table", "hash", "scan"]},
 ]
 
+# Fixed more-like-this seed documents (doc ids present at every sf —
+# the sf tables assign dense ids from 0)
+MLT_SEEDS: list[int] = [0, 1, 2, 7]
+
 # Fixed regex dictionary-scan workload (patterns valid and equivalent in
 # both Python re.fullmatch and DuckDB regexp_full_match: literals,
 # classes, ., *, + only).  Pattern 3 matches nothing (empty-scan edge).
@@ -346,6 +350,49 @@ def prefix_match(sf_dir: str) -> pd.DataFrame:
         for d in eng.prefix_or(q["prefix"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def collapse_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, lang, doc_id, score — field collapsing: each
+    language group represented by its best-scoring doc, groups ranked by
+    that score (``QueryEngine.collapse_topk``).  Scores are 6-dp rounded
+    at every selection point on both sides of the gate."""
+    eng = _engine(documents_index(sf_dir), load_doc_meta=True)
+    rows = []
+    for q in WEB_QUERIES:
+        df = eng.collapse_topk(q["terms"], k=k)
+        for r in range(len(df)):
+            rows.append(
+                (
+                    q["query_id"],
+                    r + 1,
+                    df["lang"].iloc[r],
+                    int(df["doc_id"].iloc[r]),
+                    float(df["score"].iloc[r]),
+                )
+            )
+    out = pd.DataFrame(
+        rows, columns=["query_id", "rank", "lang", "doc_id", "score"]
+    )
+    return out.astype({"query_id": np.int64, "rank": np.int64})
+
+
+def more_like_this(sf_dir: str, k: int = 10, n_terms: int = 5) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — doc-to-doc retrieval: each fixed
+    seed doc's ``n_terms`` most distinctive terms (tf·ln(1+N/df)) run as
+    a BM25 query with the seed excluded (``QueryEngine.more_like_this``).
+    Same rounding/re-rank protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for qid, seed in enumerate(MLT_SEEDS):
+        res = eng.more_like_this(seed, k=2 * k, n_terms=n_terms)
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.head(k).reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append((qid, r + 1, int(row["doc_id"]), row["score"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
 def suggest_terms(sf_dir: str, n: int = 10) -> pd.DataFrame:

@@ -730,6 +730,73 @@ class QueryEngine:
             }
         )
 
+    def collapse_topk(
+        self, query: str | list[str], k: int = 10, **filt
+    ) -> pd.DataFrame:
+        """Field collapsing (the search-result diversity operator): the
+        top-``k`` (lang, doc_id, score) rows where each lang group is
+        represented by its single best-scoring doc, groups ranked by
+        that doc's score.  Each salt searcher collapses its own bucket
+        exhaustively and ships ONE row per group value — the driver
+        merge is O(#groups × #buckets), never candidate-sized.  Scores
+        are 6-dp rounded before every selection (the float-stable gate
+        protocol); requires ``load_doc_meta=True``."""
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        tids, idfs = self.resolve_terms(terms)
+        cols = ["lang", "doc_id", "score"]
+        if not tids:
+            return pd.DataFrame(columns=cols)
+        parts = self._fanout("collapse_topk", tids, idfs, **filt)
+        best: dict[str, tuple[float, int]] = {}
+        for gs, ids, scores in parts:
+            for g, d, s in zip(gs, ids, scores):
+                cand = (float(s), -int(d))
+                cur = best.get(g)
+                if cur is None or cand > cur:
+                    best[g] = cand
+        rows = [(g, -nd, s) for g, (s, nd) in best.items()]
+        rows.sort(key=lambda r: (-r[2], r[1]))
+        out = pd.DataFrame(rows[:k], columns=cols)
+        return out.astype({"doc_id": np.int64, "score": np.float64})
+
+    def more_like_this(
+        self, doc_id: int, k: int = 10, n_terms: int = 5, **filt
+    ) -> list[tuple[int, float]]:
+        """Doc-to-doc retrieval (the Lucene MoreLikeThis shape): one
+        predicate-pushdown read of the seed doc's text from the forward
+        index, select its ``n_terms`` most distinctive terms by
+        ``tf · ln(1 + N/df)`` (6-dp rounded, term-ascending ties), then
+        the ordinary BM25 top-k over those terms with the seed itself
+        excluded.  The query-by-example analog of the reference's
+        trajectory-similarity search (a result trajectory re-submitted
+        as the query, Engine.java findTopK over a mapped trajectory) —
+        here the 'mapping' is term selection from the seed document."""
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(self.docs_paths, format="parquet")
+        t = dset.to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id") == int(doc_id),
+        )
+        if t.num_rows == 0:
+            raise KeyError(f"more_like_this: doc {doc_id} not in the index")
+        toks = self._tokenize(t["text"][0].as_py())
+        if not toks:
+            return []
+        terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        weighted = []
+        for term, tf in zip(terms, counts):
+            df = self._df.get(term_hash(term))
+            if df:  # unindexed seed terms drop out, like resolve_terms
+                w = round(float(tf) * float(np.log(1.0 + self.n_docs / df)), 6)
+                weighted.append((w, term))
+        weighted.sort(key=lambda p: (-p[0], p[1]))
+        qterms = [term for _, term in weighted[:n_terms]]
+        if not qterms:
+            return []
+        res = self.topk(qterms, k=k + 1, **filt)
+        return [(d, s) for d, s in res if d != int(doc_id)][:k]
+
     def fuzzy_terms(self, term: str, max_edits: int = 1) -> pd.DataFrame:
         """Did-you-mean dictionary probe: ``(term, df)`` rows for every
         dictionary term within Levenshtein distance ``max_edits`` of

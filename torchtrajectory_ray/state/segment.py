@@ -366,6 +366,64 @@ class SaltSearcher:
             )
         return self._topk_wand(posts, k, lang, ts_lo, ts_hi, require_all)
 
+    def collapse_topk(
+        self,
+        term_ids: list[int],
+        idfs: list[float],
+        lang=None,
+        ts_lo=None,
+        ts_hi=None,
+    ) -> tuple[list, np.ndarray, np.ndarray]:
+        """Bucket-local field collapsing: exhaustively score every OR
+        candidate, then keep only the best-scoring doc per ``lang`` group
+        — (6-dp-rounded score desc, doc_id asc) within the group, the
+        same float-stable protocol as the topk gates.  Returns parallel
+        (group values, doc_ids, scores); docs with a null group drop out.
+
+        Exhaustive (not WAND) on purpose: a collapsed ranking needs each
+        group's true maximum, and per-group upper bounds aren't tracked
+        in the block metadata — the candidate set is bucket-local so the
+        scan stays bounded."""
+        if self.doc_meta is None:
+            raise ValueError(
+                "collapse_topk requires the engine to be opened with "
+                "load_doc_meta=True"
+            )
+        order = np.argsort(np.asarray(term_ids, dtype=np.int64), kind="stable")
+        posts = []
+        for i in order:
+            ids, tfs, dls = self.postings(term_ids[i])
+            if len(ids):
+                posts.append((idfs[i], ids, tfs, dls))
+        empty = ([], np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if not posts:
+            return empty
+        uniq = np.unique(np.concatenate([p[1] for p in posts]))
+        scores = np.zeros(len(uniq), dtype=np.float64)
+        for w, ids, tfs, dls in posts:
+            idx = np.searchsorted(uniq, ids)
+            np.add.at(scores, idx, w * self.scorer.tf_norm(tfs, dls, self.avgdl))
+        ok = self._allowed_mask(uniq, lang, ts_lo, ts_hi)
+        uniq, scores = uniq[ok], scores[ok]
+        if not len(uniq):
+            return empty
+        m = self.doc_meta
+        pos = np.searchsorted(m["doc_id"], uniq)  # all candidates are local
+        groups = m["lang"][pos]
+        valid = np.fromiter((g is not None for g in groups), bool, len(groups))
+        uniq, scores, groups = uniq[valid], scores[valid], groups[valid]
+        if not len(uniq):
+            return empty
+        scores = np.round(scores, 6)
+        # best per group: sort (group asc, score desc, doc_id asc), take
+        # the first row of each group run
+        sel = np.lexsort((uniq, -scores, groups))
+        g_sorted = groups[sel]
+        first = np.ones(len(sel), dtype=bool)
+        first[1:] = g_sorted[1:] != g_sorted[:-1]
+        keep = sel[first]
+        return groups[keep].tolist(), uniq[keep], scores[keep]
+
     @staticmethod
     def _conjunctive(posts) -> np.ndarray:
         """Docs present in EVERY posting list (the bool_and count
