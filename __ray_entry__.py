@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_scan": corpus.range_scan,          # U3: terms-free findInRange
         "phrase_match": corpus.phrase_match,      # exact phrase verification
         "near_match": corpus.near_match,          # unordered proximity (NEAR)
+        "span_match": corpus.span_match,          # ORDERED proximity (span)
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
         "search_box": corpus.search_box,          # composed query language
@@ -233,6 +234,33 @@ def _prefix_sql() -> str:
             f"WHERE len(list_filter(ts, t -> t LIKE '{esc}%' ESCAPE '\\')) > 0"
         )
     return " UNION ALL ".join(parts)
+
+
+def _span_sql() -> str:
+    """Ordered-proximity oracle: a positions relation (doc_id, pos, tok)
+    self-joined once per query term with strictly increasing positions
+    and the span bound — handles repeated terms (distinct positions) and
+    asymmetry under order reversal by construction."""
+    from torchtrajectory_ray.pipelines.corpus import SPAN_QUERIES
+
+    parts = []
+    for q in SPAN_QUERIES:
+        n, w = len(q["terms"]), q["window"]
+        tabs = ", ".join(f"p AS p{j}" for j in range(n))
+        conds = [f"p{j}.tok = '{t}'" for j, t in enumerate(q["terms"])]
+        conds += [f"p{j}.doc_id = p0.doc_id" for j in range(1, n)]
+        conds += [f"p{j - 1}.pos < p{j}.pos" for j in range(1, n)]
+        conds.append(f"p{n - 1}.pos - p0.pos <= {w - 1}")
+        parts.append(
+            f"SELECT DISTINCT {q['query_id']}::BIGINT AS query_id, "
+            f"p0.doc_id FROM {tabs} WHERE " + " AND ".join(conds)
+        )
+    return (
+        "WITH p AS (SELECT doc_id, i AS pos, ts[i] AS tok FROM "
+        f"(SELECT doc_id, {_TOKS} AS ts FROM documents), "
+        "unnest(generate_series(1, len(ts))) AS t(i)) "
+        + " UNION ALL ".join(parts)
+    )
 
 
 def _collapse_sql(k: int = 10) -> str:
@@ -577,6 +605,7 @@ SELECT doc_id FROM documents
 WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "phrase_match": " UNION ALL ".join(phrase_parts),
         "near_match": " UNION ALL ".join(near_parts),
+        "span_match": _span_sql(),
         "bool_and_not": " UNION ALL ".join(andnot_parts),
         # tombstoned serving: the boolean-OR workload minus the fixed
         # takedown set (exact immediately — no stats involved)

@@ -106,6 +106,18 @@ NEAR_QUERIES: list[dict] = [
     {"query_id": 3, "terms": ["table", "zzznothing"], "window": 4},
 ]
 
+# Fixed ORDERED-proximity workload (span-near in-order).  Queries 0/1
+# are the same term pair in both orders — order must change the result;
+# query 3 is a repeated term (two distinct occurrences required);
+# query 4 has an unindexed term (empty edge).
+SPAN_QUERIES: list[dict] = [
+    {"query_id": 0, "terms": ["table", "hash"], "window": 3},
+    {"query_id": 1, "terms": ["hash", "table"], "window": 3},
+    {"query_id": 2, "terms": ["the", "data", "scan"], "window": 8},
+    {"query_id": 3, "terms": ["a", "a"], "window": 6},
+    {"query_id": 4, "terms": ["table", "zzznothing"], "window": 4},
+]
+
 # Fixed search-box workload for the composed front door (phrases,
 # +must, -not, lang filter); gated end-to-end against a composed SQL
 # oracle (BM25 chain joined to a per-query candidate predicate)
@@ -335,6 +347,19 @@ def near_match(sf_dir: str, distribute_over: int | None = None) -> pd.DataFrame:
     rows = []
     for q in NEAR_QUERIES:
         for d in eng.near_and(q["terms"], q["window"], **kw):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def span_match(sf_dir: str, distribute_over: int | None = None) -> pd.DataFrame:
+    """query_id, doc_id — ORDERED-proximity matches (terms in the given
+    order at strictly increasing positions within a ``window``-token
+    span) for the fixed span workload (``QueryEngine.span_near``)."""
+    eng = _engine(documents_index(sf_dir))
+    kw = {} if distribute_over is None else {"distribute_over": distribute_over}
+    rows = []
+    for q in SPAN_QUERIES:
+        for d in eng.span_near(q["terms"], q["window"], **kw):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 

@@ -48,6 +48,40 @@ def _phrase_doc_hits(doc_ids, texts, terms: list[str], tokenize) -> list[int]:
     return hits
 
 
+def _span_doc_hits(
+    doc_ids, texts, terms: list[str], window: int, tokenize
+) -> list[int]:
+    """Docs containing ``terms`` IN ORDER (strictly increasing
+    positions — a repeated term needs distinct occurrences) inside a
+    span of at most ``window`` tokens (ordered proximity / span-near).
+    Per doc: the greedy earliest chain from every start position —
+    greedy is optimal for a fixed start (it minimizes the span end), and
+    scanning every start covers every window; vectorized as one
+    searchsorted per query term over all starts at once.  Shared by the
+    driver and distributed verification paths."""
+    n = len(terms)
+    hits: list[int] = []
+    for d, text in zip(doc_ids, texts):
+        toks = tokenize(text)
+        if len(toks) < n:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        pos = [np.flatnonzero(arr == t) for t in terms]
+        if any(p.size == 0 for p in pos):
+            continue
+        starts = pos[0].astype(np.int64)
+        f = starts
+        ok = np.ones(f.size, dtype=bool)
+        for j in range(1, n):
+            idx = np.searchsorted(pos[j], f, side="right")
+            ok &= idx < pos[j].size
+            idx = np.minimum(idx, pos[j].size - 1)  # masked rows: any value
+            f = pos[j][idx]
+        if np.any(ok & (f - starts + 1 <= window)):
+            hits.append(int(d))
+    return hits
+
+
 def _near_doc_hits(
     doc_ids, texts, terms: list[str], window: int, tokenize
 ) -> list[int]:
@@ -104,7 +138,8 @@ class _PhraseVerifyTask:
     own predicate-pushdown read of ONLY its chunk's docs (the
     ``dedup._VerifyPairsTask`` shape) — candidate texts never touch the
     driver, task memory is bounded by the chunk.  ``window=None`` checks
-    the consecutive phrase; an int checks unordered proximity."""
+    the consecutive phrase; an int checks proximity — unordered by
+    default, in-order when ``ordered=True``."""
 
     def __init__(
         self,
@@ -112,11 +147,13 @@ class _PhraseVerifyTask:
         terms: list[str],
         tokenizer: str,
         window: int | None = None,
+        ordered: bool = False,
     ):
         self.docs_paths = docs_paths
         self.terms = terms
         self.tokenizer = tokenizer
         self.window = window
+        self.ordered = ordered
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -140,6 +177,8 @@ class _PhraseVerifyTask:
         tok = get_tokenizer(self.tokenizer)
         if self.window is None:
             hits = _phrase_doc_hits(*args, tok)
+        elif self.ordered:
+            hits = _span_doc_hits(*args, self.window, tok)
         else:
             hits = _near_doc_hits(*args, self.window, tok)
         return pd.DataFrame({"doc_id": pd.array(sorted(hits), dtype="int64")})
@@ -624,8 +663,54 @@ class QueryEngine:
             return self._verify_phrase(cand, terms, window=window)
         return self._verify_phrase_distributed(cand, terms, window=window)
 
+    def span_near(
+        self,
+        terms: list[str],
+        window: int,
+        *,
+        distribute_over: int = 4096,
+        max_candidates: int = 5_000_000,
+        **filt,
+    ) -> np.ndarray:
+        """ORDERED proximity (span-near in-order, the Lucene SpanNear
+        inOrder=true shape): docs where the query terms appear in the
+        given order at strictly increasing positions inside a span of
+        ≤ ``window`` tokens.  A repeated query term needs distinct
+        occurrences.  Same candidate-then-verify shape as
+        :meth:`near_and`; ``phrase_and(t) == span_near(t, len(t))``
+        when every in-window ordered placement is consecutive, and
+        ``span_near(t, w)`` ⊆ ``near_and(t, w)`` always."""
+        if window < len(terms):
+            raise ValueError(
+                f"span_near: window={window} can never hold "
+                f"{len(terms)} in-order occurrences (positions are "
+                f"strictly increasing); use window >= {len(terms)}"
+            )
+        uniq = list(dict.fromkeys(terms))
+        for t in uniq:
+            if not self._df.get(term_hash(t)):
+                return np.empty(0, dtype=np.int64)
+        cand = self.bool_and(uniq, **filt)
+        if cand.size == 0:
+            return cand
+        if cand.size > max_candidates:
+            raise ValueError(
+                f"span candidate set ({cand.size} docs) exceeds "
+                f"max_candidates={max_candidates} (stopword query); add a "
+                "rarer term, filter first, or raise max_candidates"
+            )
+        if cand.size <= distribute_over:
+            return self._verify_phrase(cand, terms, window=window, ordered=True)
+        return self._verify_phrase_distributed(
+            cand, terms, window=window, ordered=True
+        )
+
     def _verify_phrase(
-        self, cand: np.ndarray, terms: list[str], window: int | None = None
+        self,
+        cand: np.ndarray,
+        terms: list[str],
+        window: int | None = None,
+        ordered: bool = False,
     ) -> np.ndarray:
         import pyarrow as pa
         import pyarrow.dataset as pads
@@ -638,12 +723,18 @@ class QueryEngine:
         args = (t["doc_id"].to_pylist(), t["text"].to_pylist(), terms)
         if window is None:
             hits = _phrase_doc_hits(*args, self._tokenize)
+        elif ordered:
+            hits = _span_doc_hits(*args, window, self._tokenize)
         else:
             hits = _near_doc_hits(*args, window, self._tokenize)
         return np.asarray(sorted(hits), dtype=np.int64)
 
     def _verify_phrase_distributed(
-        self, cand: np.ndarray, terms: list[str], window: int | None = None
+        self,
+        cand: np.ndarray,
+        terms: list[str],
+        window: int | None = None,
+        ordered: bool = False,
     ) -> np.ndarray:
         """Chunk the candidate ids driver-side (they're just int64s — the
         TEXTS never reach the driver), fan the chunks out, concatenate
@@ -658,7 +749,8 @@ class QueryEngine:
             ray.data.from_pandas(chunks)
             .map_batches(
                 _PhraseVerifyTask(
-                    self.docs_paths, terms, self._tokenizer_name, window
+                    self.docs_paths, terms, self._tokenizer_name, window,
+                    ordered,
                 ),
                 batch_format="pandas",
                 batch_size=None,
