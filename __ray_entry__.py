@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_match": corpus.regex_match,        # regex dictionary scan
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
+        "topk_merged": corpus.topk_merged,        # cross-index segment merge
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
         "suggest_terms": corpus.suggest_terms,    # autocomplete (df-ranked)
         "more_like_this": corpus.more_like_this,  # doc-to-doc retrieval
@@ -652,6 +653,9 @@ SELECT term, doc_id, count(*)::BIGINT AS tf
 FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
 GROUP BY term, doc_id""",
         "topk_bm25": topk,
+        # merged two half-corpus indexes == the plain full build, so the
+        # merge gate shares the topk oracle verbatim
+        "topk_merged": topk,
         "topk_and": topk_and,
         "bool_or": _bool_sql("OR"),
         "bool_and": _bool_sql("AND"),

@@ -65,6 +65,15 @@ def main() -> None:
         "docs are purged physically and stats recomputed)",
     )
     ap.add_argument(
+        "--merge-from",
+        default=None,
+        metavar="DIR1,DIR2,...",
+        help="ignore --input and merge these independently built indexes "
+        "into --out (cross-index segment merge; doc ids must be globally "
+        "disjoint — use --doc-id-mode url_hash at build time; each "
+        "source's tombstones are purged during staging)",
+    )
+    ap.add_argument(
         "--delete-ids",
         default=None,
         metavar="IDS",
@@ -73,8 +82,12 @@ def main() -> None:
         "from every query immediately, purged by the next --compact-from",
     )
     args = ap.parse_args()
-    if sum(map(bool, (args.extend, args.compact_from, args.delete_ids))) > 1:
-        ap.error("--extend / --compact-from / --delete-ids are mutually exclusive")
+    modes = (args.extend, args.compact_from, args.delete_ids, args.merge_from)
+    if sum(map(bool, modes)) > 1:
+        ap.error(
+            "--extend / --compact-from / --delete-ids / --merge-from "
+            "are mutually exclusive"
+        )
 
     import ray
 
@@ -101,8 +114,9 @@ def main() -> None:
         ray.shutdown()
         return
 
-    paths = [] if args.compact_from else sorted(glob.glob(args.input))
-    if not paths and not args.compact_from:
+    no_input = bool(args.compact_from or args.merge_from)
+    paths = [] if no_input else sorted(glob.glob(args.input))
+    if not paths and not no_input:
         raise SystemExit(f"no input files match {args.input!r}")
     os.makedirs(args.out, exist_ok=True)
     cfg = IndexConfig(
@@ -131,6 +145,22 @@ def main() -> None:
         )
         manifest = compact_index(
             args.compact_from, args.out, cfg if explicit else None
+        )
+    elif args.merge_from:
+        from torchtrajectory_ray.pipelines.build import merge_indexes
+
+        # same explicit-flag rule as --compact-from: default to the FIRST
+        # source's config unless the user set one
+        cfg_flags = (
+            "term_shards", "salts", "batch_size", "concurrency",
+            "shuffle_mode", "doc_id_mode", "bad_rows", "store_positions",
+            "tokenizer",
+        )
+        explicit = any(
+            getattr(args, k) != ap.get_default(k) for k in cfg_flags
+        )
+        manifest = merge_indexes(
+            args.merge_from.split(","), args.out, cfg if explicit else None
         )
     elif args.extend:
         manifest = extend_index(args.out, paths, cfg)

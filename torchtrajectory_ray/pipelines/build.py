@@ -589,6 +589,137 @@ def delete_docs(index_dir: str, doc_ids) -> dict:
     }
 
 
+def _stage_source_inputs(
+    index_dir: str, manifest: dict, link_dir: str, prefix: str
+) -> list[str]:
+    """Stage one source index's forward-index shards into ``link_dir``
+    as rebuild inputs named ``{prefix}{i:05d}-{basename}`` (docs shards
+    across generations/sources may share basenames, so names are
+    position-uniquified).  Tombstone-free sources stage as symlinks; a
+    tombstoned source gets its shards rewritten WITHOUT the deleted rows
+    (one distributed task per shard) so the rebuild recomputes
+    N/avgdl/df over only the live docs.  Shared by ``compact_index``
+    (one source) and ``merge_indexes`` (many)."""
+    import numpy as np
+
+    docs_paths = [
+        manifest_abspath(p, index_dir)
+        for p in manifest.get(
+            "docs_paths",
+            [r["output"] for r in manifest["lineage"]],
+        )
+    ]
+    tomb_path = os.path.join(index_dir, "tombstones.json")
+    deleted = None
+    if os.path.exists(tomb_path):
+        with open(tomb_path) as f:
+            deleted = np.asarray(
+                sorted(json.load(f)["doc_ids"]), dtype=np.int64
+            )
+    inputs: list[str] = []
+    if deleted is None or deleted.size == 0:
+        for i, src in enumerate(docs_paths):
+            link = os.path.join(
+                link_dir, f"{prefix}{i:05d}-{os.path.basename(src)}"
+            )
+            if os.path.lexists(link):
+                # never trust a leftover entry: it may be a purged COPY
+                # from a tombstoned compact, or a symlink into a
+                # DIFFERENT source index staged into this out_dir
+                # earlier — either would be served silently
+                os.remove(link)
+            os.symlink(os.path.abspath(src), link)
+            inputs.append(link)
+        return inputs
+    # the purge: rewrite each docs shard without its tombstoned rows
+    # (one distributed task per shard — the merge that makes soft
+    # deletes physical)
+    import pandas as pd
+    import ray.data
+
+    shards = [
+        {"i": i, "src": os.path.abspath(p)} for i, p in enumerate(docs_paths)
+    ]
+
+    def purge_shard(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        rows = []
+        for i, src in zip(batch["i"], batch["src"]):
+            t = _pq.read_table(src)
+            keep = ~np.isin(
+                t["doc_id"].to_numpy().astype(np.int64), deleted
+            )
+            dst = os.path.join(
+                link_dir, f"{prefix}{int(i):05d}-{os.path.basename(src)}"
+            )
+            # a prior tombstone-free stage left dst as a SYMLINK to the
+            # source shard — writing through it would corrupt the source
+            # index; unlink first, then write atomically
+            if os.path.lexists(dst):
+                os.remove(dst)
+            _pq.write_table(t.filter(_pa.array(keep)), dst + ".tmp")
+            os.replace(dst + ".tmp", dst)
+            rows.append({"dst": dst, "n_kept": int(keep.sum())})
+        return _pd.DataFrame(rows)
+
+    out = (
+        ray.data.from_pandas(pd.DataFrame(shards))
+        .repartition(max(1, min(len(shards), 32)))
+        .map_batches(purge_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    return sorted(out["dst"].tolist())
+
+
+def merge_indexes(
+    index_dirs: list[str],
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+) -> dict:
+    """Merge N independently built indexes into ONE fresh balanced index
+    (the Lucene ``IndexWriter.addIndexes`` / cross-index segment-merge
+    analog; the reference's TorSaver has no equivalent — it rewrites one
+    index or nothing): every source's forward-index shards are staged
+    (each source's tombstones purged during staging) and rebuilt as one
+    index with globally recomputed N/avgdl/df and a fresh salt shift.
+
+    Doc ids are PRESERVED and must be globally disjoint across sources —
+    two sources sharing an id fail loud in the postings shuffle (the
+    build's duplicate-doc_id guard), never silently corrupt.  Query
+    results over the merged index equal a fresh build over the union of
+    the sources' corpora (rank identity, tested).
+
+    ``cfg`` defaults to the FIRST source's config; sources may have been
+    built under different grids (num_term_shards / num_salts) — the
+    rebuild re-grids everything."""
+    if len(index_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two source indexes")
+    reals = [os.path.realpath(d) for d in index_dirs]
+    if len(set(reals)) != len(reals):
+        raise ValueError("merge_indexes: duplicate source index dirs")
+    if os.path.realpath(out_dir) in reals:
+        raise ValueError(
+            "merge_indexes needs a fresh out_dir — merging into a source "
+            "would interleave new shards with its own"
+        )
+    manifests = []
+    for d in index_dirs:
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifests.append(json.load(f))
+    cfg = cfg or config_from_manifest(manifests[0])
+    link_dir = os.path.join(out_dir, "merge-inputs")
+    os.makedirs(link_dir, exist_ok=True)
+    inputs: list[str] = []
+    for s, (d, man) in enumerate(zip(index_dirs, manifests)):
+        inputs.extend(
+            _stage_source_inputs(d, man, link_dir, prefix=f"m{s:02d}x")
+        )
+    return build_index(inputs, out_dir, cfg)
+
+
 def compact_index(
     index_dir: str,
     out_dir: str,
@@ -615,85 +746,13 @@ def compact_index(
     with open(os.path.join(index_dir, "manifest.json")) as f:
         manifest = json.load(f)
     cfg = cfg or config_from_manifest(manifest)
-    docs_paths = [
-        manifest_abspath(p, index_dir)
-        for p in manifest.get(
-            "docs_paths",
-            [r["output"] for r in manifest["lineage"]],
-        )
-    ]
     # docs shards across GENERATIONS may share basenames (gen dirs keep
     # them apart in the source); build_index names its shards by stem,
-    # so compact feeds position-uniquified symlinks instead
+    # so compact feeds position-uniquified symlinks (or purged copies
+    # when the source carries tombstones) instead
     link_dir = os.path.join(out_dir, "compact-inputs")
     os.makedirs(link_dir, exist_ok=True)
-    tomb_path = os.path.join(index_dir, "tombstones.json")
-    deleted = None
-    if os.path.exists(tomb_path):
-        import numpy as np
-
-        with open(tomb_path) as f:
-            deleted = np.asarray(
-                sorted(json.load(f)["doc_ids"]), dtype=np.int64
-            )
-    inputs = []
-    if deleted is None or deleted.size == 0:
-        for i, src in enumerate(docs_paths):
-            link = os.path.join(
-                link_dir, f"c{i:05d}-{os.path.basename(src)}"
-            )
-            if os.path.lexists(link):
-                # never trust a leftover entry: it may be a purged COPY
-                # from a tombstoned compact, or a symlink into a
-                # DIFFERENT source index compacted into this out_dir
-                # earlier — either would be served silently
-                os.remove(link)
-            os.symlink(os.path.abspath(src), link)
-            inputs.append(link)
-    else:
-        # the purge: rewrite each docs shard without its tombstoned rows
-        # (one distributed task per shard — the merge that makes soft
-        # deletes physical and lets the rebuild recompute N/avgdl/df
-        # over only the live docs)
-        import pandas as pd
-        import ray.data
-
-        shards = [
-            {"i": i, "src": os.path.abspath(p)}
-            for i, p in enumerate(docs_paths)
-        ]
-
-        def purge_shard(batch: "pd.DataFrame") -> "pd.DataFrame":
-            import pandas as _pd
-            import pyarrow as _pa
-            import pyarrow.parquet as _pq
-
-            rows = []
-            for i, src in zip(batch["i"], batch["src"]):
-                t = _pq.read_table(src)
-                keep = ~np.isin(
-                    t["doc_id"].to_numpy().astype(np.int64), deleted
-                )
-                dst = os.path.join(
-                    link_dir, f"c{int(i):05d}-{os.path.basename(src)}"
-                )
-                # a prior tombstone-free compact left dst as a SYMLINK to
-                # the source shard — writing through it would corrupt the
-                # source index; unlink first, then write atomically
-                if os.path.lexists(dst):
-                    os.remove(dst)
-                _pq.write_table(t.filter(_pa.array(keep)), dst + ".tmp")
-                os.replace(dst + ".tmp", dst)
-                rows.append({"dst": dst, "n_kept": int(keep.sum())})
-            return _pd.DataFrame(rows)
-
-        out = (
-            ray.data.from_pandas(pd.DataFrame(shards))
-            .repartition(max(1, min(len(shards), 32)))
-            .map_batches(purge_shard, batch_format="pandas")
-            .to_pandas()
-        )
-        inputs = sorted(out["dst"].tolist())
+    inputs = _stage_source_inputs(index_dir, manifest, link_dir, prefix="c")
     return build_index(inputs, out_dir, cfg)
 
 

@@ -561,6 +561,60 @@ def regex_match(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
 
+def documents_index_merged(sf_dir: str) -> str:
+    """Two half-corpus indexes merged into one (``build.merge_indexes``):
+    ``documents.parquet`` split by row order into two halves (driver
+    slice — this is a gate FIXTURE builder, not a pipeline; the sf gate
+    corpus is tiny), each half built into its own index, then merged
+    into a fresh balanced index.  Doc ids ride in the ``doc_id`` column,
+    so they stay disjoint and the merged index must answer every query
+    exactly like the plain full build (global stats recomputed)."""
+    import dataclasses
+    import hashlib
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines.build import merge_indexes
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    cfg_tag = hashlib.md5(
+        _json.dumps(
+            ["merged", dataclasses.asdict(_INDEX_CFG), os.path.abspath(src),
+             st.st_size, st.st_mtime_ns],
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:10]
+    root = os.path.join(CACHE_ROOT, f"docindex-merged-{name}-{cfg_tag}")
+    out_dir = os.path.join(root, "merged")
+    if os.path.exists(os.path.join(out_dir, "manifest.json")):
+        return out_dir
+    t = pq.read_table(src)
+    half = t.num_rows // 2
+    os.makedirs(root, exist_ok=True)
+    pa_a = os.path.join(root, "docs_half_a.parquet")
+    pa_b = os.path.join(root, "docs_half_b.parquet")
+    pq.write_table(t.slice(0, half), pa_a)
+    pq.write_table(t.slice(half), pa_b)
+    idx_a = os.path.join(root, "idx-a")
+    idx_b = os.path.join(root, "idx-b")
+    build_index([pa_a], idx_a, _INDEX_CFG)
+    build_index([pa_b], idx_b, _INDEX_CFG)
+    merge_indexes([idx_a, idx_b], out_dir, _INDEX_CFG)
+    return out_dir
+
+
+def topk_merged(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — BM25 top-k served from an index
+    MERGED from two independently built half-corpus indexes
+    (``build.merge_indexes``).  Shares ``topk_bm25``'s SQL oracle: the
+    merge must be invisible to scoring (doc ids preserved, N/avgdl/df
+    recomputed globally over the union)."""
+    return _ranked_topk(_engine(documents_index_merged(sf_dir)), k)
+
+
 def documents_index_deleted(sf_dir: str) -> str:
     """A copy-on-write variant of :func:`documents_index` with the fixed
     takedown workload tombstoned (build once per cache key, delete once —
