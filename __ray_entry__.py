@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": corpus.suggest_terms,    # autocomplete (df-ranked)
         "more_like_this": corpus.more_like_this,  # doc-to-doc retrieval
         "collapse_lang": corpus.collapse_lang,    # field collapsing
+        "topk_boosted": corpus.topk_boosted,      # term^boost retrieval
+        "synonym_topk": corpus.synonym_topk,      # SynonymQuery expansion
         "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
         "facet_lang": corpus.facet_lang,          # faceted-search counts
         "snippets_topk": corpus.snippets_topk,    # top-k result highlighting
@@ -235,6 +237,84 @@ def _prefix_sql() -> str:
             f"WHERE len(list_filter(ts, t -> t LIKE '{esc}%' ESCAPE '\\')) > 0"
         )
     return " UNION ALL ".join(parts)
+
+
+def _boost_sql(k: int = 10) -> str:
+    """Boosted-retrieval oracle: the shared BM25 chain with each term's
+    contribution scaled by its (binary-exact) boost."""
+    from torchtrajectory_ray.pipelines.corpus import BOOST_QUERIES
+
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}', {b!r})"
+        for q in BOOST_QUERIES
+        for t, b in q["boosts"]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term, boost) AS (VALUES {vals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    q.boost * ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= {k}"""
+
+
+def _synonym_sql(k: int = 10) -> str:
+    """SynonymQuery oracle: per (query, group), tf = summed member tfs
+    per doc, df = MAX member df (the Lucene docFreq rule); the group
+    then scores as one BM25 term."""
+    from torchtrajectory_ray.pipelines.corpus import SYN_QUERIES
+
+    vals = ", ".join(
+        f"({q['query_id']}, {gid}, '{t}')"
+        for q in SYN_QUERIES
+        for gid, g in enumerate(q["groups"])
+        for t in g
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, gid, term) AS (VALUES {vals}),
+gdf AS (SELECT q.query_id, q.gid, max(df.df) AS gdf
+        FROM q JOIN df ON df.term = q.term GROUP BY q.query_id, q.gid),
+gtf AS (SELECT q.query_id, q.gid, tf.doc_id, sum(tf.tf) AS gtf
+        FROM q JOIN tf ON tf.term = q.term
+        GROUP BY q.query_id, q.gid, tf.doc_id),
+contrib AS (
+  SELECT gtf.query_id, gtf.doc_id,
+    ln(1.0 + (st.n - gdf.gdf + 0.5) / (gdf.gdf + 0.5))
+      * (gtf.gtf * (1.2 + 1.0)
+         / (gtf.gtf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM gtf
+  JOIN gdf ON gdf.query_id = gtf.query_id AND gdf.gid = gtf.gid
+  JOIN dl ON dl.doc_id = gtf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= {k}"""
 
 
 def _span_sql() -> str:
@@ -643,6 +723,8 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "suggest_terms": _suggest_sql(),
         "more_like_this": _mlt_sql(),
         "collapse_lang": _collapse_sql(),
+        "topk_boosted": _boost_sql(),
+        "synonym_topk": _synonym_sql(),
         "tfidf_topk": tfidf,
         "term_df": f"""
 SELECT term, count(*)::BIGINT AS df

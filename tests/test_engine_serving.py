@@ -190,6 +190,27 @@ def test_more_like_this_excludes_seed_and_matches_distributed(built):
         local.more_like_this(10**15)
 
 
+def test_boosted_and_synonym_identities(built):
+    local = QueryEngine(built)
+    dist = QueryEngine(built, distributed=True)
+    terms = ["w0001", "w0003"]
+    # all-ones boosts == the plain query (same wand path, same weights)
+    plain = local.topk(terms, k=10)
+    assert local.topk_boosted([(t, 1.0) for t in terms], k=10) == plain
+    # singleton groups == the plain query scored exhaustively (bitwise:
+    # wand and exhaustive accumulate identically per the topk contract)
+    assert local.topk_synonyms([[t] for t in terms], k=10) == plain
+    # distributed == in-process for both new paths
+    boosts = [("w0001", 2.0), ("w0003", 0.5)]
+    groups = [["w0001", "w0002"], ["w0003"]]
+    assert local.topk_boosted(boosts, k=10) == dist.topk_boosted(boosts, k=10)
+    assert local.topk_synonyms(groups, k=10) == dist.topk_synonyms(groups, k=10)
+    # a boost reorders: doubling one term's weight must not be a no-op
+    assert local.topk_boosted(boosts, k=10) != plain
+    with pytest.raises(ValueError, match="boost"):
+        local.topk_boosted([("w0001", 0.0)])
+
+
 def test_query_result_envelope(built):
     eng = QueryEngine(built)
     r = eng.query_result("w0000 w0003", k=5, resolve=True)

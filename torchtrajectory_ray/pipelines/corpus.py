@@ -106,6 +106,26 @@ NEAR_QUERIES: list[dict] = [
     {"query_id": 3, "terms": ["table", "zzznothing"], "window": 4},
 ]
 
+# Fixed boosted-retrieval workload (term^boost).  Boost values are
+# binary-exact floats so the engine and the SQL oracle compute
+# bit-identical weights; query 3's boosted unknown term drops out.
+BOOST_QUERIES: list[dict] = [
+    {"query_id": 0, "boosts": [("spark", 2.0), ("join", 0.5)]},
+    {"query_id": 1, "boosts": [("hash", 1.0), ("table", 3.0), ("scan", 0.25)]},
+    {"query_id": 2, "boosts": [("window", 1.5), ("agg", 1.5)]},
+    {"query_id": 3, "boosts": [("spark", 2.0), ("zzzmissing", 4.0)]},
+]
+
+# Fixed synonym-expansion workload (Lucene SynonymQuery semantics: the
+# group scores as one pseudo-term — summed tf, max member df).  Query 3
+# has an unindexed group member (drops out of the group, group stays).
+SYN_QUERIES: list[dict] = [
+    {"query_id": 0, "groups": [["spark", "hash"], ["join"]]},
+    {"query_id": 1, "groups": [["table"], ["scan", "merge"]]},
+    {"query_id": 2, "groups": [["window", "agg"]]},
+    {"query_id": 3, "groups": [["spark", "zzzmissing"], ["join"]]},
+]
+
 # Fixed ORDERED-proximity workload (span-near in-order).  Queries 0/1
 # are the same term pair in both orders — order must change the result;
 # query 3 is a repeated term (two distinct occurrences required);
@@ -375,6 +395,46 @@ def prefix_match(sf_dir: str) -> pd.DataFrame:
         for d in eng.prefix_or(q["prefix"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def _ranked_rows(qid: int, res: list, k: int) -> list[tuple]:
+    """The shared rounded re-rank: 6-dp round, (score desc, doc_id asc),
+    head(k), 1-based rank tuples."""
+    df = pd.DataFrame(res, columns=["doc_id", "score"])
+    df["score"] = df["score"].round(6)
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+    df = df.head(k).reset_index(drop=True)
+    return [
+        (qid, r + 1, int(df["doc_id"].iloc[r]), float(df["score"].iloc[r]))
+        for r in range(len(df))
+    ]
+
+
+def topk_boosted(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — per-term boosted BM25 top-k
+    (``QueryEngine.topk_boosted``; the term^boost operator).  Same
+    rounding/re-rank protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in BOOST_QUERIES:
+        rows += _ranked_rows(
+            q["query_id"], eng.topk_boosted(q["boosts"], k=2 * k), k
+        )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def synonym_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — synonym-expanded BM25 top-k with
+    SynonymQuery semantics (``QueryEngine.topk_synonyms``: summed tf per
+    group, max member df for the group idf).  Same rounding/re-rank
+    protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in SYN_QUERIES:
+        rows += _ranked_rows(
+            q["query_id"], eng.topk_synonyms(q["groups"], k=2 * k), k
+        )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
 def collapse_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:

@@ -418,6 +418,93 @@ class QueryEngine:
         bucket before any scoring)."""
         return self.topk(query, k=k, require_all=True, **kw)
 
+    def topk_boosted(
+        self,
+        boosts: dict[str, float] | list[tuple[str, float]],
+        k: int = 10,
+        method: str = "wand",
+        **filt,
+    ) -> list[tuple[int, float]]:
+        """Per-term boosted retrieval (the ``term^boost`` query
+        operator): each term's idf weight is scaled by its boost before
+        scoring.  WAND upper bounds are computed from the same scaled
+        weight, so pruning stays exact; a zero/negative boost fails loud
+        (use bool_and_not for exclusion)."""
+        items = sorted(boosts.items() if isinstance(boosts, dict) else boosts)
+        tids, idfs = [], []
+        for term, boost in items:
+            if boost <= 0:
+                raise ValueError(
+                    f"topk_boosted: boost for {term!r} must be > 0 "
+                    "(use bool_and_not to exclude terms)"
+                )
+            tid = term_hash(term)
+            df = self._df.get(tid)
+            if df:
+                tids.append(tid)
+                idfs.append(
+                    float(self.scorer.idf(df, self.n_docs)) * float(boost)
+                )
+        if not tids:
+            return []
+        parts = self._fanout("topk", tids, idfs, k, method, *self._filt3(filt))
+        merged = heapq.nlargest(
+            k,
+            (
+                (float(s), -int(d))
+                for ids, scores in parts
+                for d, s in zip(ids, scores)
+            ),
+        )
+        return [(-nd, s) for s, nd in merged]
+
+    def topk_synonyms(
+        self, groups: list[list[str]], k: int = 10, **filt
+    ) -> list[tuple[int, float]]:
+        """Synonym-expanded retrieval with Lucene SynonymQuery
+        semantics: each group of synonyms scores as ONE pseudo-term —
+        per-doc tf is the sum of the member tfs, and the group's idf
+        uses the MAX member df (the Lucene docFreq rule, which keeps a
+        rare synonym from inflating the group).  Members with no
+        postings drop out of their group; a group with no indexed member
+        drops out entirely (OR semantics across groups)."""
+        group_tids: list[list[int]] = []
+        weights: list[float] = []
+        for g in groups:
+            tids, dfs = [], []
+            for t in sorted(set(g)):
+                tid = term_hash(t)
+                df = self._df.get(tid)
+                if df:
+                    tids.append(tid)
+                    dfs.append(df)
+            if tids:
+                group_tids.append(tids)
+                weights.append(float(self.scorer.idf(max(dfs), self.n_docs)))
+        if not group_tids:
+            return []
+        parts = self._fanout(
+            "topk_groups", group_tids, weights, k, *self._filt3(filt)
+        )
+        merged = heapq.nlargest(
+            k,
+            (
+                (float(s), -int(d))
+                for ids, scores in parts
+                for d, s in zip(ids, scores)
+            ),
+        )
+        return [(-nd, s) for s, nd in merged]
+
+    @staticmethod
+    def _filt3(filt: dict) -> tuple:
+        """(lang, ts_lo, ts_hi) positional filters from a kwargs dict,
+        rejecting unknown keys loudly."""
+        known = {"lang", "ts_lo", "ts_hi"}
+        if set(filt) - known:
+            raise TypeError(f"unknown filter kwargs: {sorted(set(filt) - known)}")
+        return filt.get("lang"), filt.get("ts_lo"), filt.get("ts_hi")
+
     def bool_or(self, query: str | list[str], **filt) -> np.ndarray:
         terms = self._tokenize(query) if isinstance(query, str) else list(query)
         tids, _ = self.resolve_terms(terms)

@@ -366,6 +366,45 @@ class SaltSearcher:
             )
         return self._topk_wand(posts, k, lang, ts_lo, ts_hi, require_all)
 
+    def topk_groups(
+        self,
+        group_tids: list[list[int]],
+        weights: list[float],
+        k: int,
+        lang=None,
+        ts_lo=None,
+        ts_hi=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Synonym-group scoring (the Lucene SynonymQuery shape): each
+        group scores as ONE pseudo-term — per-doc tf is the SUM of the
+        member tfs, the group weight (idf of the max member df) comes in
+        via ``weights``.  Exhaustive scoring on purpose: block metadata
+        stores per-TERM bounds, and a summed-tf pseudo-term's bound is
+        not derivable from them without over-pruning risk; the candidate
+        set stays bucket-local.  A single-member group degenerates to
+        the plain term."""
+        posts = []
+        for tids, w in zip(group_tids, weights):
+            ids_parts, tf_parts, dl_parts = [], [], []
+            for tid in sorted(tids):
+                ids, tfs, dls = self.postings(tid)
+                if len(ids):
+                    ids_parts.append(ids)
+                    tf_parts.append(tfs.astype(np.float64))
+                    dl_parts.append(dls)
+            if not ids_parts:
+                continue
+            allids = np.concatenate(ids_parts)
+            uniq, inv = np.unique(allids, return_inverse=True)
+            tfsum = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(tfsum, inv, np.concatenate(tf_parts))
+            dl = np.zeros(len(uniq), dtype=np.int64)
+            dl[inv] = np.concatenate(dl_parts)  # doclen is per doc
+            posts.append((None, w, uniq, tfsum, dl))
+        if not posts:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        return self._topk_exhaustive(posts, k, lang, ts_lo, ts_hi)
+
     def collapse_topk(
         self,
         term_ids: list[int],
