@@ -162,12 +162,43 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "topk_paged",
         lambda: [eng.topk_page(q["terms"], k=10, page=1) for q in WEB_QUERIES],
     )
+    from torchtrajectory_ray.pipelines.corpus import (
+        BOOST_QUERIES,
+        MLT_SEEDS,
+        SPAN_QUERIES,
+        SYN_QUERIES,
+    )
+
+    timed(
+        "span_match",
+        lambda: [eng.span_near(q["terms"], q["window"]) for q in SPAN_QUERIES],
+    )
+    timed(
+        "topk_boosted",
+        lambda: [eng.topk_boosted(q["boosts"], k=10) for q in BOOST_QUERIES],
+    )
+    timed(
+        "synonym_topk",
+        lambda: [eng.topk_synonyms(q["groups"], k=10) for q in SYN_QUERIES],
+    )
+    timed(
+        "suggest_terms",
+        lambda: [eng.suggest(p, n=10) for p in ("sp", "ta", "s", "w")],
+    )
+    timed(
+        "more_like_this",
+        lambda: [eng.more_like_this(d, k=10) for d in MLT_SEEDS],
+    )
     from torchtrajectory_ray.pipelines.corpus import SEARCH_QUERIES
 
     eng_meta = QueryEngine(idx_dir, load_doc_meta=True)
     timed(
         "search_box",
         lambda: [eng_meta.search(q["q"], k=10) for q in SEARCH_QUERIES],
+    )
+    timed(
+        "collapse_lang",
+        lambda: [eng_meta.collapse_topk(q["terms"], k=10) for q in WEB_QUERIES],
     )
     timed(
         "bool_and_not",
