@@ -481,15 +481,19 @@ def _search_sql() -> str:
     (global stats) with per-query scoring-term VALUES, joined to a
     per-query candidate predicate (AND/NOT/phrase/lang) — the SQL mirror
     of QueryEngine.search's operator composition."""
-    # scoring terms per query (mirror of querylang parsing)
+    # scoring terms per query with their ^boosts (mirror of querylang
+    # parsing; boosts are binary-exact floats)
     qterms = {
-        0: ["data", "the"],
-        1: ["data", "the"],
-        2: ["hash", "scan", "table"],
-        3: ["the"],
+        0: [("data", 1.0), ("the", 1.0)],
+        1: [("data", 1.0), ("the", 1.0)],
+        2: [("hash", 1.0), ("scan", 1.0), ("table", 1.0)],
+        3: [("the", 1.0)],
+        4: [("spark", 2.0), ("join", 0.5)],
     }
     values = ", ".join(
-        f"({qid}, '{t}')" for qid in sorted(qterms) for t in qterms[qid]
+        f"({qid}, '{t}', {b!r})"
+        for qid in sorted(qterms)
+        for t, b in qterms[qid]
     )
     lc = "list_contains"
     phrase = (
@@ -506,18 +510,20 @@ def _search_sql() -> str:
   SELECT 2::BIGINT, doc_id
   FROM (SELECT doc_id, {_TOKS} AS ts FROM documents) WHERE {phrase}
   UNION ALL
-  SELECT 3::BIGINT, doc_id FROM documents WHERE lang = 'en')"""
+  SELECT 3::BIGINT, doc_id FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT 4::BIGINT, doc_id FROM documents)"""
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
 st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {values}),
+q(query_id, term, boost) AS (VALUES {values}),
 {cand},
 contrib AS (
   SELECT q.query_id, tf.doc_id,
-    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+    q.boost * ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
       * (tf.tf * (1.2 + 1.0)
          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
   FROM q

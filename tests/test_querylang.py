@@ -66,3 +66,30 @@ def test_search_contradiction_is_empty(ray_session):
     eng = _engine(documents_index(SF))
     assert eng.search("+spark -spark", k=10) == []
     assert eng.search('"zzz impossible phrase" the', k=10) == []
+
+
+def test_parse_boost_syntax():
+    from torchtrajectory_ray.functions.querylang import parse_query
+
+    tok = str.split
+    pq = parse_query("spark^2.0 +join^0.5 table", tok)
+    assert pq.should == ["spark", "table"] and pq.must == ["join"]
+    assert pq.boosts == {"spark": 2.0, "join": 0.5}
+    # a non-numeric suffix stays part of the term, never a silent boost
+    pq2 = parse_query("a^b", tok)
+    assert pq2.should == ["a^b"] and not pq2.boosts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boost"):
+        parse_query("spark^0", tok)
+    with _pytest.raises(ValueError, match="boost"):
+        parse_query("^2.0", tok)
+
+
+def test_search_boost_equals_topk_boosted(ray_session):
+    eng = _engine(documents_index(SF))
+    got = eng.search("spark^2.0 join^0.5", k=10)
+    want = eng.topk_boosted([("spark", 2.0), ("join", 0.5)], k=10)
+    assert got == want and got
+    # unit boost == the plain search ranking
+    assert eng.search("spark^1.0 join", k=10) == eng.search("spark join", k=10)

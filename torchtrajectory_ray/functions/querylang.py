@@ -8,6 +8,9 @@ deliberately small and deterministic:
 - ``-term`` — excluded (AND-NOT side)
 - bare terms — scoring terms (BM25 "should"; they rank, and when no
   ``+``/phrase clause exists they also define the candidate set)
+- ``term^2.0`` — per-term boost on a bare or ``+`` term (scales the
+  term's idf weight; the Lucene ^boost operator); boost must parse as a
+  positive float, last boost wins when a term repeats
 - ``field:value`` — metadata filter; supported fields: ``lang``
 
 Semantics composed from the engine's existing verified operators, so the
@@ -42,6 +45,24 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)
     should: list[str] = field(default_factory=list)
     filters: dict = field(default_factory=dict)
+    boosts: dict = field(default_factory=dict)  # term -> ^boost weight
+
+
+def _split_boost(tok: str) -> tuple[str, float | None]:
+    """Strip a trailing ``^boost``; a suffix that doesn't parse as a
+    float stays part of the term (never a silent reinterpretation)."""
+    if "^" in tok:
+        body, _, tail = tok.rpartition("^")
+        try:
+            b = float(tail)
+        except ValueError:
+            return tok, None
+        if not body:
+            raise ValueError(f"boost without a term: {tok!r}")
+        if b <= 0:
+            raise ValueError(f"boost must be > 0 in {tok!r}")
+        return body, b
+    return tok, None
 
 
 def parse_query(s: str, tokenize) -> ParsedQuery:
@@ -57,7 +78,11 @@ def parse_query(s: str, tokenize) -> ParsedQuery:
             if toks:
                 out.phrases.append(toks)
         elif m.group("plus"):
-            out.must.extend(tokenize(m.group("plus")[1:]))
+            body, boost = _split_boost(m.group("plus")[1:])
+            toks = tokenize(body)
+            out.must.extend(toks)
+            if boost is not None:
+                out.boosts.update({t: boost for t in toks})
         elif m.group("minus"):
             out.must_not.extend(tokenize(m.group("minus")[1:]))
         elif m.group("field"):
@@ -69,7 +94,11 @@ def parse_query(s: str, tokenize) -> ParsedQuery:
                 )
             out.filters[k] = v
         else:
-            out.should.extend(tokenize(m.group("term")))
+            body, boost = _split_boost(m.group("term"))
+            toks = tokenize(body)
+            out.should.extend(toks)
+            if boost is not None:
+                out.boosts.update({t: boost for t in toks})
     if not (out.phrases or out.must or out.should):
         raise ValueError(
             "query has no positive clause (only exclusions/filters) — "

@@ -146,6 +146,7 @@ SEARCH_QUERIES: list[dict] = [
     {"query_id": 1, "q": "+the +data -window"},
     {"query_id": 2, "q": '"table hash" scan'},
     {"query_id": 3, "q": "the lang:en"},
+    {"query_id": 4, "q": "spark^2.0 join^0.5"},  # ^boost operator
 ]
 
 _INDEX_CFG = IndexConfig(

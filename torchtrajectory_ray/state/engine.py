@@ -1190,7 +1190,16 @@ class QueryEngine:
                 + pq_.should
             )
         )
-        ranked = self.topk(score_terms, k=10**9, **filt)
+        if pq_.boosts:
+            # ^boost terms route through the boosted scorer (unit boosts
+            # are bit-identical to the plain path — tested identity)
+            ranked = self.topk_boosted(
+                [(t, pq_.boosts.get(t, 1.0)) for t in score_terms],
+                k=10**9,
+                **filt,
+            )
+        else:
+            ranked = self.topk(score_terms, k=10**9, **filt)
         out = []
         rset = set(restrict.tolist()) if restrict is not None else None
         eset = set(exclude.tolist()) if exclude is not None else ()
