@@ -211,6 +211,24 @@ def test_boosted_and_synonym_identities(built):
         local.topk_boosted([("w0001", 0.0)])
 
 
+def test_explain_reproduces_topk_score_bitwise(built):
+    local = QueryEngine(built)
+    dist = QueryEngine(built, distributed=True)
+    for q in _queries()[:5]:
+        top = local.topk(q["terms"], k=3)
+        for d, s in top:
+            ex = local.explain(q["terms"], d)
+            assert ex["score"] == s  # bitwise, per the topk contract
+            assert ex["terms"] and sum(
+                t["contribution"] for t in ex["terms"]
+            ) == pytest.approx(s, abs=0)
+            assert ex == dist.explain(q["terms"], d)
+    # a doc matching nothing explains to zero with no rows
+    ex0 = local.explain(["w0001"], 10**15)
+    assert ex0["score"] == 0.0 and ex0["terms"] == []
+    json.dumps(local.explain(["w0001"], int(local.bool_or(["w0001"])[0])))
+
+
 def test_query_result_envelope(built):
     eng = QueryEngine(built)
     r = eng.query_result("w0000 w0003", k=5, resolve=True)

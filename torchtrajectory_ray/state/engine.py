@@ -1210,6 +1210,53 @@ class QueryEngine:
                     break
         return out
 
+    def explain(self, query: str | list[str], doc_id: int) -> dict:
+        """Scoring explanation (the Lucene ``explain`` shape): the
+        per-term contribution breakdown for one (query, doc) pair —
+        ``terms`` rows of (term, tf, doclen, df, idf, tf_norm,
+        contribution) plus the total.  Contributions accumulate in
+        ascending term_id order, exactly the topk contract, so ``score``
+        is BIT-IDENTICAL to what wand/exhaustive would hand the heap for
+        this doc (tested).  A doc matching no query term (or a
+        tombstoned doc) explains to score 0 with no rows; json-able."""
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        tids, idfs = self.resolve_terms(terms)
+        tid2term = {term_hash(t): t for t in set(terms)}
+        idf_by_tid = dict(zip(tids, idfs))
+        parts = self._fanout("doc_term_stats", tids, int(doc_id))
+        found = sorted(
+            (t for part in parts for t in part)
+        )  # one bucket owns the doc; sort = ascending term_id
+        rows = []
+        total = 0.0
+        for tid, tf, dl in found:
+            idf = idf_by_tid[tid]
+            tfn = float(
+                self.scorer.tf_norm(
+                    np.asarray([tf], dtype=np.float64),
+                    np.asarray([dl], dtype=np.float64),
+                    self.avgdl,
+                )[0]
+            )
+            c = idf * tfn
+            total += c
+            rows.append(
+                {
+                    "term": tid2term[tid],
+                    "tf": int(tf),
+                    "doclen": int(dl),
+                    "df": int(self._df[tid]),
+                    "idf": float(idf),
+                    "tf_norm": tfn,
+                    "contribution": float(c),
+                }
+            )
+        return {
+            "doc_id": int(doc_id),
+            "score": float(total),
+            "terms": rows,
+        }
+
     def query_result(
         self, query: str | list[str], k: int = 10, resolve: bool = False
     ) -> dict:

@@ -366,6 +366,26 @@ class SaltSearcher:
             )
         return self._topk_wand(posts, k, lang, ts_lo, ts_hi, require_all)
 
+    def doc_term_stats(
+        self, term_ids: list[int], doc_id: int
+    ) -> list[tuple[int, int, int]]:
+        """(term_id, tf, doclen) for each query term whose posting list
+        in this bucket contains ``doc_id`` — the explain probe: one
+        binary search per term, no scoring.  Tombstoned docs return
+        nothing (they can't appear in any result, so they have no
+        explanation)."""
+        arr = np.asarray([doc_id], dtype=np.int64)
+        if not self._allowed_mask(arr, None, None, None)[0]:
+            return []
+        out = []
+        for tid in sorted(term_ids):
+            ids, tfs, dls = self.postings(tid)
+            if len(ids):
+                i = int(np.searchsorted(ids, doc_id))
+                if i < len(ids) and ids[i] == doc_id:
+                    out.append((int(tid), int(tfs[i]), int(dls[i])))
+        return out
+
     def topk_groups(
         self,
         group_tids: list[list[int]],
