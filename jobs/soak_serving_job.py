@@ -118,6 +118,35 @@ def main() -> None:
     )
     out["snippet_rows"] = int(len(s))
 
+    # --- round-3 second-pass serving ops at 1M docs ---
+    # ordered proximity on the hot pair: same corpus-scale candidate set
+    # as near_hot_w8, via the distributed ordered verification
+    span_hits = timed("span_hot_w8", lambda: eng.span_near(hot, 8))
+    out["span_hits"] = int(span_hits.size)
+    # field collapsing on the hot OR: exhaustive bucket-local scoring of
+    # a corpus-scale candidate set, one row per lang per bucket merged
+    eng_meta = QueryEngine(idx_dir, load_doc_meta=True)
+    col = timed("collapse_hot", lambda: eng_meta.collapse_topk(hot, k=10))
+    out["collapse_groups"] = int(len(col))
+    # boosted + synonym ranking on the hot pair (wand / exhaustive over
+    # the same candidates)
+    timed(
+        "boosted_hot",
+        lambda: eng.topk_boosted([(hot[0], 2.0), (hot[1], 0.5)], k=10),
+    )
+    timed("synonym_hot", lambda: eng.topk_synonyms([hot], k=10))
+    # MoreLikeThis from a mid-corpus seed: one pushdown read + topk
+    seed = int(ids[len(ids) // 2])
+    timed("mlt_seed", lambda: eng.more_like_this(seed, k=10))
+    # autocomplete over the full 1M-doc dictionary
+    timed(
+        "suggest_100probes",
+        lambda: [eng.suggest(eng._terms[i][:2], n=10) for i in range(100)],
+    )
+    # explain over the boosted top doc
+    top_doc = eng.topk(hot, k=1)[0][0]
+    timed("explain_hot", lambda: eng.explain(hot, top_doc))
+
     print(json.dumps(out))
     ray.shutdown()
 
