@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": corpus.facet_lang,          # faceted-search counts
         "snippets_topk": corpus.snippets_topk,    # top-k result highlighting
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
+        "bm25plus_topk": corpus.bm25plus_topk,    # X3: third measure (BM25+)
         # --- corpus / text analysis (training-data ops) ---
         "doc_stats": textstats.doc_stats,         # A7: global aggregates
         "token_count": textstats.token_count,
@@ -744,6 +745,16 @@ GROUP BY term, doc_id""",
         # merged two half-corpus indexes == the plain full build, so the
         # merge gate shares the topk oracle verbatim
         "topk_merged": topk,
+        # BM25+ (Lv & Zhai 2011): idf = ln((N+1)/df), tf-normalization
+        # shifted by the paper's default delta = 1.0
+        "bm25plus_topk": topk.replace(
+            "ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))",
+            "ln((st.n + 1.0) / df.df)",
+        ).replace(
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c",
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))"
+            " + 1.0) AS c",
+        ),
         "topk_and": topk_and,
         "bool_or": _bool_sql("OR"),
         "bool_and": _bool_sql("AND"),

@@ -147,3 +147,25 @@ def test_find_in_range_terms_free(built):
     got3 = eng.find_in_range(doclen_lo=30, doclen_hi=60)
     exp3 = sorted(ids[i] for i in range(N) if 30 <= dl[i] <= 60)
     assert got3.tolist() == exp3
+
+
+def test_bm25plus_wand_equals_exhaustive_and_shifts_scores(built):
+    """Third registered measure (BM25+): the +delta shift keeps the
+    (max_tf, min_dl) block bound dominating, so WAND stays exact; and
+    per-term contributions are the plain-BM25 tf_norm plus delta*idf'
+    with the BM25+ idf (checked via the explain breakdown)."""
+    import math
+
+    eng = QueryEngine(built, scorer="bm25plus")
+    for terms in (["w0000", "w0003"], ["w0001"], ["w0002", "w0005", "w0009"]):
+        wand = eng.topk(terms, k=10, method="wand")
+        exact = eng.topk(terms, k=10, method="exhaustive")
+        assert wand == exact and wand
+    d, s = eng.topk(["w0001"], k=1)[0]
+    ex = eng.explain(["w0001"], d)
+    assert ex["score"] == s
+    row = ex["terms"][0]
+    # idf = ln((N+1)/df); tf_norm carries the +1.0 shift
+    assert row["idf"] == pytest.approx(math.log((eng.n_docs + 1) / row["df"]))
+    plain = QueryEngine(built).explain(["w0001"], d)["terms"][0]
+    assert row["tf_norm"] == pytest.approx(plain["tf_norm"] + 1.0)

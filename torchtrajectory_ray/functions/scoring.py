@@ -71,7 +71,44 @@ class TFIDFScorer:
             self.b = float(b)
 
 
-SCORERS: dict[str, type] = {"bm25": BM25Scorer, "tfidf": TFIDFScorer}
+class BM25PlusScorer:
+    """BM25+ (Lv & Zhai, CIKM 2011 "Lower-Bounding Term Frequency
+    Normalization"): the BM25 tf-normalization plus a constant shift δ
+    that lower-bounds long documents' term contribution —
+
+        score(q,d) = Σ_t ln((N+1)/df) · (tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) + δ)
+
+    δ = 1.0 (the paper's default).  WAND-safe: the +δ shift preserves
+    monotonicity in tf and anti-monotonicity in doclen, so the stored
+    (max_tf, min_dl) block bound still dominates.  Postings only hold
+    tf ≥ 1, so the shift applies uniformly (the tf=0 discontinuity the
+    paper lower-bounds never materializes in a posting scan)."""
+
+    name = "bm25plus"
+    delta = 1.0
+
+    def __init__(self, k1: float = 1.2, b: float = 0.75):
+        self.k1 = float(k1)
+        self.b = float(b)
+
+    def idf(self, df, n_docs: float):
+        return np.log((n_docs + 1.0) / np.asarray(df, dtype=np.float64))
+
+    def tf_norm(self, tf: np.ndarray, doclen: np.ndarray, avgdl: float) -> np.ndarray:
+        return _bm25_tf_norm(tf, doclen, avgdl, self.k1, self.b) + self.delta
+
+    def set_params(self, k1: float | None = None, b: float | None = None) -> None:
+        if k1 is not None:
+            self.k1 = float(k1)
+        if b is not None:
+            self.b = float(b)
+
+
+SCORERS: dict[str, type] = {
+    "bm25": BM25Scorer,
+    "tfidf": TFIDFScorer,
+    "bm25plus": BM25PlusScorer,
+}
 
 
 def make_scorer(name: str, k1: float = 1.2, b: float = 0.75):

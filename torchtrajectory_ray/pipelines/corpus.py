@@ -438,6 +438,20 @@ def synonym_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+def bm25plus_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — top-k under the THIRD registered
+    measure (BM25+, Lv & Zhai 2011) on the SAME index — the pluggable
+    similarity point again (functions.scoring.SCORERS), same
+    rounding/re-rank protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir), scorer="bm25plus")
+    rows = []
+    for q in WEB_QUERIES:
+        rows += _ranked_rows(
+            q["query_id"], eng.topk(q["terms"], k=2 * k, method="wand"), k
+        )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
 def collapse_lang(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """query_id, rank, lang, doc_id, score — field collapsing: each
     language group represented by its best-scoring doc, groups ranked by
