@@ -112,3 +112,27 @@ def test_merge_guards(corpus_files, tmp_path):
         merge_indexes([a, a], str(tmp_path / "m2"), CFG)
     with pytest.raises(ValueError, match="fresh out_dir"):
         merge_indexes([a, str(tmp_path / "b")], a, CFG)
+
+
+def test_merge_rerun_resumes_and_is_stable(corpus_files, tmp_path):
+    """Re-running a finished merge resumes from its checkpoints (the
+    rebuild's resumability applies) and serves identical answers; a
+    crash BEFORE the manifest (simulated by deleting it) also recovers
+    on re-run because staging entries are always re-created, never
+    trusted."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(corpus_files[:2], a, CFG)
+    build_index(corpus_files[2:], b, CFG)
+    merged = str(tmp_path / "merged")
+    merge_indexes([a, b], merged, CFG)
+    import json
+    import os
+
+    before = QueryEngine(merged).topk(["w0000", "w0001"], k=10)
+    m2 = merge_indexes([a, b], merged, CFG)  # idempotent re-run
+    assert m2.get("resumed_complete", False)
+    assert QueryEngine(merged).topk(["w0000", "w0001"], k=10) == before
+    # simulate a crash before the manifest landed
+    os.remove(os.path.join(merged, "manifest.json"))
+    merge_indexes([a, b], merged, CFG)
+    assert QueryEngine(merged).topk(["w0000", "w0001"], k=10) == before
