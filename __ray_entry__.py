@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_box": corpus.search_box,          # composed query language
         "topk_bm25_lang": corpus.topk_bm25_lang,  # metadata-filtered ranked
         "regex_match": corpus.regex_match,        # regex dictionary scan
+        "wildcard_match": corpus.wildcard_match,  # glob dictionary scan
+        "facet_doclen": corpus.facet_doclen,      # numeric RANGE facet
+        "prf_topk": corpus.prf_topk,              # Rocchio pseudo-rel feedback
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
         "topk_merged": corpus.topk_merged,        # cross-index segment merge
@@ -543,6 +546,83 @@ SELECT query_id::BIGINT AS query_id,
 FROM scores QUALIFY rank <= 10"""
 
 
+def _wildcard_sql() -> str:
+    """Wildcard dictionary-scan oracle: each glob is translated by the
+    SAME glob_to_regex the engine compiles, so both sides run one
+    translated pattern (full-match anchored on both sides)."""
+    from torchtrajectory_ray.functions.text import glob_to_regex
+    from torchtrajectory_ray.pipelines.corpus import WILDCARD_QUERIES
+
+    parts = []
+    for q in WILDCARD_QUERIES:
+        rx = glob_to_regex(q["pattern"])
+        parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id FROM ("
+            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({_TOKS}) "
+            f"AS term FROM documents) WHERE regexp_full_match(term, "
+            f"'{rx}'))"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _prf_sql(k: int = 10, r: int = 3, e: int = 2) -> str:
+    """Rocchio pseudo-relevance-feedback oracle: the base BM25 chain
+    picks each query's rounded top-r feedback docs, expansion terms are
+    the e highest-total-tf NEW terms of that set (integer weights,
+    term-ascending ties), and the final ranking is the boosted chain
+    (originals at 1.0, expansions at 0.5)."""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q0(query_id, term) AS (VALUES {_query_values()}),
+c0 AS (
+  SELECT q0.query_id, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q0
+  JOIN df ON df.term = q0.term
+  JOIN tf ON tf.term = q0.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+s0 AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+       FROM c0 GROUP BY query_id, doc_id),
+fb AS (SELECT query_id, doc_id FROM s0
+       QUALIFY row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) <= {r}),
+expw AS (
+  SELECT fb.query_id, tf.term, sum(tf.tf)::BIGINT AS w
+  FROM fb JOIN tf USING (doc_id)
+  WHERE NOT EXISTS (SELECT 1 FROM q0
+                    WHERE q0.query_id = fb.query_id AND q0.term = tf.term)
+  GROUP BY fb.query_id, tf.term),
+expq AS (SELECT query_id, term, 0.5 AS boost FROM expw
+         QUALIFY row_number() OVER (PARTITION BY query_id
+                 ORDER BY w DESC, term ASC) <= {e}),
+q AS (SELECT query_id, term, 1.0 AS boost FROM q0
+      UNION ALL SELECT query_id, term, boost FROM expq),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    q.boost * ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= {k}"""
+
+
 def _bool_sql(op: str, lang: str | None = None) -> str:
     from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
 
@@ -725,6 +805,16 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
             "QUALIFY rank <= 10", "QUALIFY rank BETWEEN 11 AND 20"
         ),
         "regex_match": _regex_sql(),
+        "wildcard_match": _wildcard_sql(),
+        "prf_topk": _prf_sql(),
+        # numeric RANGE facet: doclen floored to 64-wide buckets
+        "facet_doclen": f"""
+WITH m AS ({_bool_sql('OR')}),
+d AS (SELECT doc_id, len({_TOKS})::BIGINT AS dl FROM documents)
+SELECT m.query_id, (d.dl // 64 * 64)::BIGINT AS doclen_bucket,
+       count(*)::BIGINT AS n_docs
+FROM m JOIN d USING (doc_id)
+GROUP BY m.query_id, doclen_bucket""",
         "search_box": _search_sql(),
         "prefix_match": _prefix_sql(),
         "suggest_terms": _suggest_sql(),

@@ -158,6 +158,16 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "regex_match",
         lambda: [eng.regex_or(q["pattern"]) for q in REGEX_QUERIES],
     )
+    from torchtrajectory_ray.pipelines.corpus import WILDCARD_QUERIES
+
+    timed(
+        "wildcard_match",
+        lambda: [eng.wildcard_or(q["pattern"]) for q in WILDCARD_QUERIES],
+    )
+    timed(
+        "prf_topk",
+        lambda: [eng.prf_topk(q["terms"], k=10, r=3, e=2) for q in WEB_QUERIES],
+    )
     timed(
         "topk_paged",
         lambda: [eng.topk_page(q["terms"], k=10, page=1) for q in WEB_QUERIES],
@@ -215,6 +225,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed(
         "facet_lang",
         lambda: [eng.facet_counts(q["terms"]) for q in WEB_QUERIES],
+    )
+    timed(
+        "facet_doclen",
+        lambda: [
+            eng_meta.facet_counts(
+                q["terms"], facet_col="doclen", bucket_width=64
+            )
+            for q in WEB_QUERIES
+        ],
     )
     timed(
         "snippets_topk",

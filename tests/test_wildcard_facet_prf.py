@@ -1,0 +1,94 @@
+"""Round-3 third-pass operators: wildcard dictionary scan, numeric
+range faceting, and Rocchio pseudo-relevance feedback.  Each pipeline's
+sf0.01 oracle gate runs in test_driver_gate.py; these tests pin the
+kernel semantics (glob translation, bucket flooring across both facet
+branches, feedback determinism and expansion behavior)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+from torchtrajectory_ray.functions.text import glob_to_regex
+from torchtrajectory_ray.pipelines.corpus import _engine, documents_index
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_glob_to_regex_semantics():
+    cases = [
+        ("sp*", ["spark", "sp", "spun"], ["asp", "xsp"]),
+        ("?able", ["table", "cable"], ["able", "stable"]),
+        ("s*n", ["scan", "sn", "sun"], ["scans", "nscan"]),
+        # regex metachars in the glob are matched literally
+        ("a.b*", ["a.b", "a.bc"], ["axb", "axbc"]),
+        ("c[1]?", ["c[1]x"], ["c1x", "cx"]),
+    ]
+    for pat, yes, no in cases:
+        rx = re.compile(glob_to_regex(pat))
+        for t in yes:
+            assert rx.fullmatch(t), (pat, t)
+        for t in no:
+            assert not rx.fullmatch(t), (pat, t)
+
+
+def test_wildcard_terms_and_or(ray_session):
+    eng = _engine(documents_index(SF))
+    # a plain-star glob is exactly the prefix scan
+    assert eng.wildcard_terms("sp*") == eng.prefix_terms("sp")
+    np.testing.assert_array_equal(eng.wildcard_or("sp*"), eng.prefix_or("sp"))
+    # ? holes restrict, never extend
+    q = set(eng.wildcard_terms("?able"))
+    assert q <= {t for t in eng.prefix_terms("") if len(t) == 5}
+    assert eng.wildcard_or("zzz*q").size == 0  # empty-scan edge
+
+
+def test_facet_doclen_buckets_and_guards(ray_session):
+    eng = _engine(documents_index(SF), load_doc_meta=True)
+    f = eng.facet_counts(["the", "a"], facet_col="doclen", bucket_width=64)
+    assert (f["doclen"] % 64 == 0).all()
+    assert f["n_docs"].sum() == len(eng.bool_or(["the", "a"]))
+    # bucketed counts are the exact regroup of the unbucketed facet
+    raw = eng.facet_counts(["the", "a"], facet_col="doclen")
+    regroup = (
+        raw.assign(b=(raw["doclen"] // 64) * 64)
+        .groupby("b")["n_docs"]
+        .sum()
+    )
+    assert dict(zip(f["doclen"], f["n_docs"])) == regroup.to_dict()
+    with pytest.raises(ValueError, match="numeric facets"):
+        eng.facet_counts(["the"], facet_col="lang", bucket_width=8)
+    with pytest.raises(ValueError, match=">= 1"):
+        eng.facet_counts(["the"], facet_col="doclen", bucket_width=0)
+
+
+def test_facet_doclen_distributed_branch_matches_pushdown(ray_session):
+    eng = _engine(documents_index(SF), load_doc_meta=True)
+    a = eng.facet_counts(["the", "a"], facet_col="doclen", bucket_width=32)
+    b = eng.facet_counts(
+        ["the", "a"], facet_col="doclen", bucket_width=32, max_candidates=1
+    )
+    assert a.equals(b)
+
+
+def test_prf_expands_and_is_deterministic(ray_session):
+    eng = _engine(documents_index(SF))
+    q = ["spark", "join"]
+    a = eng.prf_topk(q, k=10, r=3, e=2)
+    assert a == eng.prf_topk(q, k=10, r=3, e=2)
+    # e=0 disables expansion: boosted(all 1.0) == plain topk, bitwise
+    base = eng.topk(q, k=10)
+    assert eng.prf_topk(q, k=10, r=3, e=0) == base
+    # with expansion the score vector must differ somewhere (the
+    # expansion terms add positive contributions to feedback docs)
+    assert a != base
+
+
+def test_prf_edge_cases(ray_session):
+    eng = _engine(documents_index(SF))
+    assert eng.prf_topk(["zzzmissing"], k=5) == []  # empty base result
+    # r larger than the match set still works (fb = every match)
+    small = eng.prf_topk(["spark"], k=5, r=10_000, e=2)
+    assert len(small) <= 5

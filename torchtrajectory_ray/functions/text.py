@@ -96,6 +96,26 @@ def get_tokenizer(name: str):
         ) from None
 
 
+def glob_to_regex(pattern: str) -> str:
+    """Translate a shell-style wildcard pattern (``*`` = any run, ``?`` =
+    any one char) into an un-anchored regex using only constructs with
+    identical semantics in Python ``re.fullmatch`` and DuckDB/RE2
+    ``regexp_full_match`` — so the engine's dictionary scan and the SQL
+    oracle compile the SAME translated pattern.  (``fnmatch.translate``
+    is avoided: its ``(?s:...)\\Z`` wrapper is Python-specific.)"""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
 # --- term hashing -----------------------------------------------------------
 # Analog of the reference keying vertices by geohash strings
 # (Torch/mapMatching/model/TorVertex.java:16-22): a stable content hash is

@@ -83,6 +83,17 @@ REGEX_QUERIES: list[dict] = [
     {"query_id": 3, "pattern": "zzz.+"},
 ]
 
+# Fixed wildcard dictionary-scan workload (shell-style * / ? globs, the
+# Lucene WildcardQuery shape; translated to regex by glob_to_regex on
+# BOTH the engine and the oracle side).  Pattern 4 matches nothing.
+WILDCARD_QUERIES: list[dict] = [
+    {"query_id": 0, "pattern": "sp*"},
+    {"query_id": 1, "pattern": "?able"},
+    {"query_id": 2, "pattern": "s*n"},
+    {"query_id": 3, "pattern": "w?ndow*"},
+    {"query_id": 4, "pattern": "zzz*q"},
+]
+
 # Fixed takedown workload: 25 doc ids live at every sf (sf0.001 has 50
 # docs).  Tombstoned at serving time; purged physically by compaction.
 DELETED_DOC_IDS: list[int] = sorted(range(0, 50, 2))
@@ -634,6 +645,50 @@ def regex_match(sf_dir: str) -> pd.DataFrame:
         for d in eng.regex_or(q["pattern"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def wildcard_match(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — boolean OR over every dictionary term matching
+    each fixed shell-style wildcard (``QueryEngine.wildcard_or``; the
+    J5 dictionary scan with a glob comparator — Lucene WildcardQuery)."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in WILDCARD_QUERIES:
+        for d in eng.wildcard_or(q["pattern"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def facet_doclen(sf_dir: str, width: int = 64) -> pd.DataFrame:
+    """query_id, doclen_bucket, n_docs — numeric RANGE facet (the Lucene
+    LongRangeFacetCounts shape) over the boolean OR result of each fixed
+    query: matched docs counted by ``width``-sized doclen bucket
+    (bucket lower bound), via ``QueryEngine.facet_counts``."""
+    eng = _engine(documents_index(sf_dir))
+    out = []
+    for q in WEB_QUERIES:
+        f = eng.facet_counts(
+            q["terms"], facet_col="doclen", mode="or", bucket_width=width
+        )
+        f = f.rename(columns={"doclen": "doclen_bucket"})
+        f.insert(0, "query_id", np.int64(q["query_id"]))
+        out.append(f)
+    res = pd.concat(out, ignore_index=True)
+    return res.astype({"doclen_bucket": np.int64, "n_docs": np.int64})
+
+
+def prf_topk(sf_dir: str, k: int = 10, r: int = 3, e: int = 2) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — Rocchio pseudo-relevance-feedback
+    retrieval (``QueryEngine.prf_topk``): base BM25 top-``r`` docs feed
+    ``e`` expansion terms (highest total tf, term-ascending ties) scored
+    at boost 0.5 beside the original terms at 1.0.  Same rounded re-rank
+    protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in WEB_QUERIES:
+        res = eng.prf_topk(q["terms"], k=2 * k, r=r, e=e, beta=0.5)
+        rows.extend(_ranked_rows(q["query_id"], res, k))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
 def documents_index_merged(sf_dir: str) -> str:

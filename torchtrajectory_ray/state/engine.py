@@ -876,6 +876,23 @@ class QueryEngine:
             return np.empty(0, dtype=np.int64)
         return self.bool_or(terms, **filt)
 
+    def wildcard_terms(self, pattern: str) -> list[str]:
+        """Dictionary scan by shell-style wildcard (``*`` / ``?`` — the
+        Lucene WildcardQuery analog of ``regex_terms``), term-ascending.
+        The glob is translated once (``functions/text.py:glob_to_regex``,
+        shared verbatim with the SQL oracle) and routed through the
+        compiled-pattern comparator scan."""
+        from torchtrajectory_ray.functions.text import glob_to_regex
+
+        return self.regex_terms(glob_to_regex(pattern))
+
+    def wildcard_or(self, pattern: str, **filt) -> np.ndarray:
+        """OR query over every dictionary term matching the wildcard."""
+        terms = self.wildcard_terms(pattern)
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        return self.bool_or(terms, **filt)
+
     def prefix_terms(self, prefix: str) -> list[str]:
         """Dictionary scan: all terms starting with ``prefix`` (the
         street-name→edge-ids dictionary lookup shape, Torch/base/db/
@@ -976,6 +993,59 @@ class QueryEngine:
         res = self.topk(qterms, k=k + 1, **filt)
         return [(d, s) for d, s in res if d != int(doc_id)][:k]
 
+    def prf_topk(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        r: int = 3,
+        e: int = 2,
+        beta: float = 0.5,
+        **filt,
+    ) -> list[tuple[int, float]]:
+        """Pseudo-relevance-feedback retrieval (the Rocchio shape,
+        Rocchio 1971 / Lucene QueryRelevanceFeedback): run the base BM25
+        query, treat its top-``r`` docs as relevant, expand the query
+        with the ``e`` most frequent NEW terms of that feedback set
+        (total tf across the feedback docs — integer weights, so term
+        selection is exactly reproducible), then re-score with the
+        boosted scorer: original terms at boost 1.0, expansion terms at
+        ``beta``.  Feedback docs are chosen under the 6-dp-rounded
+        (score desc, doc_id asc) gate protocol so the SQL oracle selects
+        the same set; the feedback texts come from ONE predicate-pushdown
+        forward-index read of r docs (the ``more_like_this`` read shape
+        — never a corpus scan)."""
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        base = self.topk(terms, k=r + 10, **filt)
+        ranked = sorted(
+            ((round(float(s), 6), -int(d)) for d, s in base), reverse=True
+        )
+        fb_ids = [-nd for _, nd in ranked[:r]]
+        if not fb_ids:
+            return []
+        import collections
+
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(self.docs_paths, format="parquet")
+        t = dset.to_table(
+            columns=["text"],
+            filter=pads.field("doc_id").isin(pa.array(fb_ids, pa.int64())),
+        )
+        counts: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            counts.update(self._tokenize(txt))
+        orig = set(terms)
+        cand = [
+            (int(c), term)
+            for term, c in counts.items()
+            if term not in orig and self._df.get(term_hash(term))
+        ]
+        cand.sort(key=lambda p: (-p[0], p[1]))
+        boosts = [(term, 1.0) for term in sorted(orig)] + [
+            (term, float(beta)) for _, term in cand[:e]
+        ]
+        return self.topk_boosted(boosts, k=k, **filt)
+
     def fuzzy_terms(self, term: str, max_edits: int = 1) -> pd.DataFrame:
         """Did-you-mean dictionary probe: ``(term, df)`` rows for every
         dictionary term within Levenshtein distance ``max_edits`` of
@@ -1019,11 +1089,15 @@ class QueryEngine:
         facet_col: str = "lang",
         mode: str = "or",
         max_candidates: int = 65536,
+        bucket_width: int | None = None,
         **filt,
     ) -> pd.DataFrame:
         """Faceted-search counts: docs matching ``query`` (OR/AND)
         grouped by a forward-index column — ``(facet_col, n_docs)``,
-        facet-ascending, nulls excluded.
+        facet-ascending, nulls excluded.  ``bucket_width`` (numeric
+        facets only) turns the facet into a RANGE facet — the Lucene
+        LongRangeFacetCounts shape: each value is floored to its
+        ``width``-sized bucket's lower bound before counting.
 
         Candidate sets up to ``max_candidates`` use one predicate-
         pushdown read (the ``resolve`` shape); larger sets (stopword
@@ -1033,6 +1107,10 @@ class QueryEngine:
         O(#facet values) rows per block reach the driver."""
         if facet_col not in ("lang", "doclen"):
             raise ValueError("facet_col must be a forward-index metadata column")
+        if bucket_width is not None and facet_col != "doclen":
+            raise ValueError("bucket_width applies to numeric facets only")
+        if bucket_width is not None and bucket_width < 1:
+            raise ValueError("bucket_width must be >= 1")
         ids = (
             self.bool_or(query, **filt)
             if mode == "or"
@@ -1047,7 +1125,10 @@ class QueryEngine:
                 columns=[facet_col],
                 filter=pads.field("doc_id").isin(pa.array(ids, pa.int64())),
             )
-            vc = t.column(facet_col).to_pandas().value_counts(dropna=True)
+            vals = t.column(facet_col).to_pandas()
+            if bucket_width is not None:
+                vals = (vals // bucket_width) * bucket_width
+            vc = vals.value_counts(dropna=True)
         else:
             import ray
             import ray.data
@@ -1059,11 +1140,10 @@ class QueryEngine:
                 d = batch["doc_id"].to_numpy().astype(np.int64)
                 pos = np.searchsorted(wanted, d)
                 pos[pos == len(wanted)] = 0
-                v = (
-                    batch[facet_col]
-                    .to_pandas()[wanted[pos] == d]
-                    .value_counts(dropna=True)
-                )
+                hit = batch[facet_col].to_pandas()[wanted[pos] == d]
+                if bucket_width is not None:
+                    hit = (hit // bucket_width) * bucket_width
+                v = hit.value_counts(dropna=True)
                 return pa.table(
                     {
                         facet_col: pa.array(v.index.to_numpy()),
