@@ -148,6 +148,137 @@ def lm_quality(sf_dir: str) -> ray.data.Dataset:
     return lm_quality_ds(lambda: _docs(sf_dir))
 
 
+def _batch_bigrams(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized word-bigram expansion of one batch: (bigram strings,
+    owning-doc index, per-doc bigram counts).  One split per doc, then
+    object-array concatenation — no per-bigram Python loop."""
+    tok_lists = [t.split(" ") for t in texts]
+    n = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    flat = np.asarray([tok for ts in tok_lists for tok in ts], dtype=object)
+    nb = np.maximum(n - 1, 0)
+    if flat.size < 2 or not nb.sum():
+        return np.asarray([], dtype=object), np.zeros(0, np.int64), nb
+    # a token starts a bigram unless it is the last token of its doc
+    starts_next = np.cumsum(n)[:-1]  # first-token index of docs 1..
+    valid = np.ones(len(flat) - 1, bool)
+    valid[starts_next - 1] = False
+    bg = flat[:-1][valid] + " " + flat[1:][valid]
+    doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), nb)
+    return bg, doc_idx, nb
+
+
+def dsir_weights_ds(
+    docs_factory,
+    target_lang: str = "en",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023) over a ``(doc_id, lang, text)``
+    dataset: ``doc_id, n_feats, logw`` where ``logw`` is the summed
+    log-likelihood ratio of the doc's word bigrams under the TARGET
+    feature distribution (docs with ``lang == target_lang``) vs the RAW
+    corpus distribution, both add-one smoothed over the raw bigram
+    vocabulary — high ``logw`` = looks like the target domain, the
+    signal DSIR resamples by.
+
+    Two streaming passes (the module's shared shape): pass 1 emits
+    per-batch pre-aggregated ``(feature, n_raw, n_target)`` partials
+    through ONE groupby shuffle (at most one row per distinct feature
+    per block) and broadcasts the smoothed log-ratio table once; pass 2
+    scores each doc with one ``searchsorted`` + ``add.reduceat``.
+
+    ``n_buckets`` switches the feature space from exact bigrams to the
+    paper's hashed buckets (blake2b mod ``n_buckets``) — the 100-TB
+    path, where the broadcast table is O(n_buckets) regardless of
+    vocabulary size.  The sf gate runs exact so DuckDB reproduces it."""
+    from torchtrajectory_ray.functions.text import term_hash
+
+    def _keys(bg: np.ndarray) -> np.ndarray:
+        if n_buckets is None:
+            return bg
+        return np.fromiter(
+            (term_hash(f) % n_buckets for f in bg), np.int64, len(bg)
+        )
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        bg, doc_idx, _ = _batch_bigrams(batch["text"].to_pylist())
+        key_t = pa.string() if n_buckets is None else pa.int64()
+        if not bg.size:
+            return pa.table(
+                {
+                    "f": pa.array([], key_t),
+                    "n_raw": pa.array([], pa.int64()),
+                    "n_tgt": pa.array([], pa.int64()),
+                }
+            )
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        tgt_bg = langs[doc_idx] == target_lang
+        codes, uniq = pd.factorize(_keys(bg), sort=False)
+        n_raw = np.bincount(codes, minlength=len(uniq))
+        n_tgt = np.bincount(
+            codes[tgt_bg], minlength=len(uniq)
+        )
+        return pa.table(
+            {
+                "f": pa.array(uniq, key_t),
+                "n_raw": pa.array(n_raw.astype(np.int64), pa.int64()),
+                "n_tgt": pa.array(n_tgt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    freqs = (
+        docs_factory()
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(Sum("n_raw", alias_name="cr"), Sum("n_tgt", alias_name="ct"))
+        .to_pandas()
+    )
+    if freqs.empty:
+        vocab, llr = np.asarray([], dtype=object), np.zeros(0)
+    else:
+        order = np.argsort(freqs["f"].to_numpy())
+        vocab = freqs["f"].to_numpy()[order]
+        cr = freqs["cr"].to_numpy().astype(np.float64)[order]
+        ct = freqs["ct"].to_numpy().astype(np.float64)[order]
+        v = float(len(vocab))
+        tr, tt = float(cr.sum()), float(ct.sum())
+        llr = np.log((ct + 1.0) / (tt + v)) - np.log((cr + 1.0) / (tr + v))
+    ref = ray.put((vocab, llr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, lr = ray.get(ref)
+        bg, doc_idx, nb = _batch_bigrams(batch["text"].to_pylist())
+        logw = np.zeros(len(nb))
+        if bg.size and len(voc):
+            keys = _keys(bg)
+            pos = np.searchsorted(voc, keys)
+            pos_c = np.minimum(pos, len(voc) - 1)
+            # every raw-corpus bigram is in-vocab by construction; the
+            # hit mask guards re-scoring of EXTERNAL datasets only
+            per_bg = np.where(voc[pos_c] == keys, lr[pos_c], 0.0)
+            np.add.at(logw, doc_idx, per_bg)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_feats": pa.array(nb, pa.int64()),
+                "logw": pa.array(np.round(logw, 6), pa.float64()),
+            }
+        )
+
+    return docs_factory().map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights(sf_dir: str, target_lang: str = "en") -> ray.data.Dataset:
+    """Gate entry: exact-bigram DSIR log importance weights per doc."""
+
+    def docs():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+
+    return dsir_weights_ds(docs)
+
+
 def _doc_df_partial(batch: pa.Table) -> pa.Table:
     """(token, n_docs) partial document frequencies of one batch."""
     per_doc = [set(t.split(" ")) for t in batch["text"].to_pylist()]
