@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_match": corpus.regex_match,        # regex dictionary scan
         "wildcard_match": corpus.wildcard_match,  # glob dictionary scan
         "facet_doclen": corpus.facet_doclen,      # numeric RANGE facet
+        "sorted_by_doclen": corpus.sorted_by_doclen,  # sort-by-field (Sort)
         "prf_topk": corpus.prf_topk,              # Rocchio pseudo-rel feedback
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
@@ -808,6 +809,16 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "regex_match": _regex_sql(),
         "wildcard_match": _wildcard_sql(),
         "prf_topk": _prf_sql(),
+        # sort-by-field retrieval: OR match set ordered doclen DESC
+        "sorted_by_doclen": f"""
+WITH m AS ({_bool_sql('OR')}),
+d AS (SELECT doc_id, len({_TOKS})::BIGINT AS doclen FROM documents)
+SELECT m.query_id,
+       CAST(row_number() OVER (PARTITION BY m.query_id
+            ORDER BY d.doclen DESC, m.doc_id ASC) AS BIGINT) AS rank,
+       m.doc_id, d.doclen
+FROM m JOIN d USING (doc_id)
+QUALIFY rank <= 10""",
         # numeric RANGE facet: doclen floored to 64-wide buckets
         "facet_doclen": f"""
 WITH m AS ({_bool_sql('OR')}),

@@ -227,6 +227,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         lambda: [eng.facet_counts(q["terms"]) for q in WEB_QUERIES],
     )
     timed(
+        "sorted_by_doclen",
+        lambda: [
+            eng_meta.sort_by(q["terms"], field="doclen", k=10)
+            for q in WEB_QUERIES
+        ],
+    )
+    timed(
         "facet_doclen",
         lambda: [
             eng_meta.facet_counts(

@@ -111,6 +111,28 @@ def main() -> None:
     )
     out["mean_nll"] = round(float(r["nll_sum"]) / r["n"], 3)
 
+    # DSIR at the broadcast-table worst case: every doc is target-lang
+    # (ct == cr, llr == 0), so the vocab partials + broadcast carry the
+    # FULL bigram table; hashed mode bounds it to n_buckets.
+    r = timed(
+        "dsir_exact",
+        lambda: lm.dsir_weights(soak_dir).aggregate(
+            Count(on="doc_id", alias_name="n")
+        ),
+    )
+    assert r["n"] == args.n_docs
+    r = timed(
+        "dsir_hashed_1m_buckets",
+        lambda: lm.dsir_weights_ds(
+            lambda: __import__("ray").data.read_parquet(
+                os.path.join(soak_dir, "documents.parquet"),
+                columns=["doc_id", "lang", "text"],
+            ),
+            n_buckets=1_000_000,
+        ).aggregate(Count(on="doc_id", alias_name="n")),
+    )
+    assert r["n"] == args.n_docs
+
     r = timed(
         "doc_keywords",
         lambda: lm.doc_keywords(soak_dir).aggregate(

@@ -92,3 +92,21 @@ def test_prf_edge_cases(ray_session):
     # r larger than the match set still works (fb = every match)
     small = eng.prf_topk(["spark"], k=5, r=10_000, e=2)
     assert len(small) <= 5
+
+
+def test_sort_by_field(ray_session):
+    eng = _engine(documents_index(SF), load_doc_meta=True)
+    top = eng.sort_by(["the", "a"], field="doclen", k=10)
+    assert list(top.columns) == ["rank", "doc_id", "doclen"]
+    assert (top["doclen"].diff().dropna() <= 0).all()  # descending
+    # ascending flips the order
+    bot = eng.sort_by(["the", "a"], field="doclen", k=10, descending=False)
+    assert (bot["doclen"].diff().dropna() >= 0).all()
+    # distributed branch == pushdown branch
+    dist = eng.sort_by(["the", "a"], field="doclen", k=10, max_candidates=1)
+    assert top.equals(dist)
+    # ranks tile 1..k and ties break doc_id-ascending within equal keys
+    assert top["rank"].tolist() == list(range(1, len(top) + 1))
+    with pytest.raises(ValueError, match="metadata column"):
+        eng.sort_by(["the"], field="text")
+    assert eng.sort_by(["zzzmissing"]).empty

@@ -691,6 +691,20 @@ def prf_topk(sf_dir: str, k: int = 10, r: int = 3, e: int = 2) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+def sorted_by_doclen(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, doclen — sort-by-field retrieval (the
+    Lucene ``Sort`` shape, ``QueryEngine.sort_by``): each fixed query's
+    OR match set ordered doclen-descending (doc_id-ascending ties)."""
+    eng = _engine(documents_index(sf_dir), load_doc_meta=True)
+    out = []
+    for q in WEB_QUERIES:
+        f = eng.sort_by(q["terms"], field="doclen", k=k, descending=True)
+        f.insert(0, "query_id", np.int64(q["query_id"]))
+        out.append(f)
+    res = pd.concat(out, ignore_index=True)
+    return res.astype({"rank": np.int64, "doc_id": np.int64, "doclen": np.int64})
+
+
 def documents_index_merged(sf_dir: str) -> str:
     """Two half-corpus indexes merged into one (``build.merge_indexes``):
     ``documents.parquet`` split by row order into two halves (driver

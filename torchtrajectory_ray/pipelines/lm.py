@@ -188,17 +188,17 @@ def dsir_weights_ds(
     scores each doc with one ``searchsorted`` + ``add.reduceat``.
 
     ``n_buckets`` switches the feature space from exact bigrams to the
-    paper's hashed buckets (blake2b mod ``n_buckets``) — the 100-TB
-    path, where the broadcast table is O(n_buckets) regardless of
-    vocabulary size.  The sf gate runs exact so DuckDB reproduces it."""
-    from torchtrajectory_ray.functions.text import term_hash
+    paper's hashed buckets — the 100-TB path, where the broadcast table
+    is O(n_buckets) regardless of vocabulary size.  Bucketing uses
+    pandas' vectorized deterministic string hash (fixed key, stable
+    across processes/runs — no per-bigram Python loop).  The sf gate
+    runs exact so DuckDB reproduces it."""
 
     def _keys(bg: np.ndarray) -> np.ndarray:
         if n_buckets is None:
             return bg
-        return np.fromiter(
-            (term_hash(f) % n_buckets for f in bg), np.int64, len(bg)
-        )
+        h = pd.util.hash_array(bg, categorize=True)
+        return (h % np.uint64(n_buckets)).astype(np.int64)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         bg, doc_idx, _ = _batch_bigrams(batch["text"].to_pylist())

@@ -1166,6 +1166,73 @@ class QueryEngine:
             .reset_index(drop=True)
         )
 
+    def sort_by(
+        self,
+        query: str | list[str],
+        field: str = "doclen",
+        k: int = 10,
+        descending: bool = True,
+        mode: str = "or",
+        max_candidates: int = 65536,
+        **filt,
+    ) -> pd.DataFrame:
+        """Sort-by-field retrieval (the Lucene ``Sort`` shape): the
+        top-``k`` docs matching ``query`` ordered by a forward-index
+        metadata column instead of relevance — ``(rank, doc_id,
+        field)``, ties broken doc_id-ascending.  Small match sets use
+        one predicate-pushdown read; larger ones use the distributed
+        membership scan with a PER-BLOCK partial top-k, so only
+        O(k × #blocks) rows reach the driver merge."""
+        if field not in ("lang", "doclen"):
+            raise ValueError("field must be a forward-index metadata column")
+        ids = (
+            self.bool_or(query, **filt)
+            if mode == "or"
+            else self.bool_and(query, **filt)
+        )
+        cols = ["rank", "doc_id", field]
+        if len(ids) == 0:
+            return pd.DataFrame(columns=cols)
+
+        def _head(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(
+                [field, "doc_id"],
+                ascending=[not descending, True],
+                kind="mergesort",
+            ).head(k)
+
+        if len(ids) <= max_candidates:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(self.docs_paths, format="parquet").to_table(
+                columns=["doc_id", field],
+                filter=pads.field("doc_id").isin(pa.array(ids, pa.int64())),
+            )
+            top = _head(t.to_pandas())
+        else:
+            import ray
+            import ray.data
+
+            ref = ray.put(np.sort(np.asarray(ids, np.int64)))
+
+            def part(batch: pa.Table) -> pa.Table:
+                wanted = ray.get(ref)
+                d = batch["doc_id"].to_numpy().astype(np.int64)
+                pos = np.searchsorted(wanted, d)
+                pos[pos == len(wanted)] = 0
+                hit = batch.to_pandas()[wanted[pos] == d]
+                return pa.Table.from_pandas(_head(hit), preserve_index=False)
+
+            parts = (
+                ray.data.read_parquet(self.docs_paths, columns=["doc_id", field])
+                .map_batches(part, batch_format="pyarrow")
+                .to_pandas()  # tiny: ≤ k rows per block
+            )
+            top = _head(parts)
+        top = top.reset_index(drop=True)
+        top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+        return top.astype({"doc_id": np.int64})
+
     def search_with_snippets(
         self,
         queries: list[dict],
