@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_deciles": textstats.length_deciles,  # exact histogram quantiles
         "lm_quality": lm.lm_quality,              # unigram-LM NLL filter signal
         "dsir_weights": lm.dsir_weights,          # DSIR importance weights
+        "dsir_select": lm.dsir_select,            # DSIR top-frac selection
         "doc_keywords": lm.doc_keywords,          # per-doc TF-IDF keywords
         # --- training-set assembly (scan / selection operators) ---
         "pack_sequences": pack.pack_sequences,    # distributed prefix scan
@@ -546,6 +547,33 @@ SELECT query_id::BIGINT AS query_id,
             ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, score
 FROM scores QUALIFY rank <= 10"""
+
+
+def _dsir_chain() -> str:
+    """Shared DSIR WITH-chain: word-bigram tf per doc, smoothed target
+    (lang='en') vs raw log-likelihood ratios, per-doc summed weights;
+    ends at ``alldocs`` = one (doc_id, n_feats, logw) row per document
+    (docs without bigrams carry 0)."""
+    return f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS} AS ts FROM documents),
+bg AS (SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS f
+       FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)),
+tf AS (SELECT doc_id, f, count(*)::DOUBLE AS c,
+              max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_tgt
+       FROM bg GROUP BY doc_id, f),
+agg AS (SELECT f, sum(c) AS cr, sum(CASE WHEN is_tgt = 1 THEN c ELSE 0 END) AS ct
+        FROM tf GROUP BY f),
+st AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*)::DOUBLE AS v FROM agg),
+lp AS (SELECT agg.f,
+              ln((agg.ct + 1.0) / (st.tt + st.v))
+                - ln((agg.cr + 1.0) / (st.tr + st.v)) AS llr
+       FROM agg CROSS JOIN st),
+w AS (SELECT tf.doc_id, sum(tf.c)::BIGINT AS n_feats,
+             round(sum(tf.c * lp.llr), 6) AS logw
+      FROM tf JOIN lp USING (f) GROUP BY tf.doc_id),
+alldocs AS (SELECT d.doc_id, coalesce(w.n_feats, 0)::BIGINT AS n_feats,
+                coalesce(w.logw, 0.0) AS logw
+         FROM documents d LEFT JOIN w USING (doc_id))"""
 
 
 def _wildcard_sql() -> str:
@@ -987,26 +1015,13 @@ GROUP BY e.doc_id""",
         # DSIR importance weights: per-doc summed log-likelihood ratio
         # of word bigrams, target (lang='en') vs raw corpus, add-one
         # smoothed over the raw bigram vocabulary
-        "dsir_weights": f"""
-WITH tok AS (SELECT doc_id, lang, {_TOKS} AS ts FROM documents),
-bg AS (SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS f
-       FROM tok, unnest(generate_series(1, len(ts) - 1)) AS t(i)),
-tf AS (SELECT doc_id, f, count(*)::DOUBLE AS c,
-              max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_tgt
-       FROM bg GROUP BY doc_id, f),
-agg AS (SELECT f, sum(c) AS cr, sum(CASE WHEN is_tgt = 1 THEN c ELSE 0 END) AS ct
-        FROM tf GROUP BY f),
-st AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*)::DOUBLE AS v FROM agg),
-lp AS (SELECT agg.f,
-              ln((agg.ct + 1.0) / (st.tt + st.v))
-                - ln((agg.cr + 1.0) / (st.tr + st.v)) AS llr
-       FROM agg CROSS JOIN st),
-w AS (SELECT tf.doc_id, sum(tf.c)::BIGINT AS n_feats,
-             round(sum(tf.c * lp.llr), 6) AS logw
-      FROM tf JOIN lp USING (f) GROUP BY tf.doc_id)
-SELECT d.doc_id, coalesce(w.n_feats, 0)::BIGINT AS n_feats,
-       coalesce(w.logw, 0.0) AS logw
-FROM documents d LEFT JOIN w USING (doc_id)""",
+        "dsir_weights": f"""{_dsir_chain()}
+SELECT doc_id, n_feats, logw FROM alldocs""",
+        # DSIR selection: top 30% by weight, threshold at the discrete
+        # 0.7 quantile, ties kept on both sides
+        "dsir_select": f"""{_dsir_chain()}
+SELECT doc_id, logw FROM alldocs
+WHERE logw >= (SELECT quantile_disc(logw, 0.7) FROM alldocs)""",
         # per-doc TF-IDF top-3: score = tf * ln(N/df), ranked score
         # DESC with term-ASC tie-break (identical doubles both sides:
         # same libm, same int inputs)

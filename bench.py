@@ -313,6 +313,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     timed("lm_quality", lambda: lm.lm_quality(sf_dir).materialize())
     timed("dsir_weights", lambda: lm.dsir_weights(sf_dir).materialize())
+    timed("dsir_select", lambda: lm.dsir_select(sf_dir).materialize())
     timed("source_quality", lambda: textstats.source_quality(sf_dir).to_pandas())
     timed(
         "source_filtered",

@@ -66,3 +66,28 @@ def test_dsir_edges(ray_session):
     # no target docs at all: weights still defined (smoothing only)
     w2 = dsir_weights_ds(_ds(rows), target_lang="zz").to_pandas()
     assert len(w2) == 2 and np.isfinite(w2["logw"]).all()
+
+
+def test_dsir_select_top_fraction(ray_session):
+    from torchtrajectory_ray.pipelines.lm import dsir_select_ds
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = [
+        (i, "en" if i % 2 else "fr",
+         " ".join(rng.choice(vocab, size=rng.integers(5, 30))))
+        for i in range(100)
+    ]
+    kept = dsir_select_ds(_ds(rows), frac=0.3).to_pandas()
+    w = dsir_weights_ds(_ds(rows)).to_pandas()
+    # kept = exactly the docs at/above the (1-frac) discrete quantile
+    thr = np.sort(w["logw"].to_numpy())[int(np.ceil(0.7 * len(w))) - 1]
+    expect = set(w.loc[w["logw"] >= thr, "doc_id"])
+    assert set(kept["doc_id"]) == expect
+    assert len(kept) >= 30  # at least the fraction (ties may add)
+    # frac=1 keeps everything; bad frac fails loud
+    assert len(dsir_select_ds(_ds(rows), frac=1.0).to_pandas()) == 100
+    import pytest
+
+    with pytest.raises(ValueError, match="frac"):
+        dsir_select_ds(_ds(rows), frac=0.0)

@@ -279,6 +279,72 @@ def dsir_weights(sf_dir: str, target_lang: str = "en") -> ray.data.Dataset:
     return dsir_weights_ds(docs)
 
 
+def dsir_select_ds(
+    docs_factory,
+    frac: float = 0.3,
+    target_lang: str = "en",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """DSIR selection: keep the top-``frac`` of the corpus by importance
+    weight — ``doc_id, logw`` of every doc whose weight reaches the
+    (1−frac) quantile (ties at the threshold all kept, so the result is
+    sample-order independent; the deterministic top-quantile variant of
+    the paper's Gumbel resampling).
+
+    The threshold is an EXACT quantile without a global sort: weights
+    are 6-dp rounded, so micro-unit int64 values feed the same
+    value-histogram reduction as ``textstats.length_quantile_thresholds``
+    (one row per distinct weight per block through a tiny groupby).  The
+    weights dataset is materialized once (3 narrow columns — the cheap
+    side of the pipeline) and re-filtered, so document text is never
+    read twice."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError("frac must be in (0, 1]")
+    w = dsir_weights_ds(docs_factory, target_lang, n_buckets).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        u = np.rint(batch["logw"].to_numpy() * 1e6).astype(np.int64)
+        v, c = np.unique(u, return_counts=True)
+        return pa.table(
+            {"u": pa.array(v), "c": pa.array(c.astype(np.int64))}
+        )
+
+    hist = (
+        w.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("u")
+    )
+    vals = hist["u"].to_numpy()
+    cum = hist["c"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return w.select_columns(["doc_id", "logw"])
+    # quantile_disc convention: sorted element at ceil(p·n) − 1
+    rank = max(int(np.ceil((1.0 - frac) * n)), 1)
+    thr = vals[int(np.searchsorted(cum, rank, side="left"))]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        u = np.rint(batch["logw"].to_numpy() * 1e6).astype(np.int64)
+        return batch.select(["doc_id", "logw"]).filter(
+            pa.array(u >= thr)
+        )
+
+    return w.map_batches(keep, batch_format="pyarrow")
+
+
+def dsir_select(sf_dir: str, frac: float = 0.3) -> ray.data.Dataset:
+    """Gate entry: top-30%-by-weight DSIR selection (exact bigrams)."""
+
+    def docs():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+
+    return dsir_select_ds(docs, frac=frac)
+
+
 def _doc_df_partial(batch: pa.Table) -> pa.Table:
     """(token, n_docs) partial document frequencies of one batch."""
     per_doc = [set(t.split(" ")) for t in batch["text"].to_pylist()]
