@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_match": corpus.wildcard_match,  # glob dictionary scan
         "facet_doclen": corpus.facet_doclen,      # numeric RANGE facet
         "sorted_by_doclen": corpus.sorted_by_doclen,  # sort-by-field (Sort)
+        "topk_corrected": corpus.topk_corrected,  # spell-corrected re-query
         "prf_topk": corpus.prf_topk,              # Rocchio pseudo-rel feedback
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
@@ -653,6 +654,52 @@ SELECT query_id::BIGINT AS query_id,
 FROM scores QUALIFY rank <= {k}"""
 
 
+def _corrected_sql(k: int = 10) -> str:
+    """Spell-corrected retrieval oracle: OOV query terms replaced by
+    their best edit-1 dictionary term (df desc, term asc — the engine's
+    did-you-mean rule), corrected term sets deduped, then the shared
+    BM25 chain."""
+    from torchtrajectory_ray.pipelines.corpus import TYPO_QUERIES
+
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}')" for q in TYPO_QUERIES for t in q["terms"]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q0(query_id, term) AS (VALUES {vals}),
+inv AS (SELECT query_id, term FROM q0
+        WHERE term IN (SELECT term FROM df)),
+oov AS (SELECT q0.query_id, df.term
+        FROM q0 JOIN df ON levenshtein(q0.term, df.term) <= 1
+        WHERE q0.term NOT IN (SELECT term FROM df)
+        QUALIFY row_number() OVER (PARTITION BY q0.query_id, q0.term
+                ORDER BY df.df DESC, df.term ASC) = 1),
+q AS (SELECT DISTINCT query_id, term FROM
+      (SELECT query_id, term FROM inv
+       UNION ALL SELECT query_id, term FROM oov)),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= {k}"""
+
+
 def _bool_sql(op: str, lang: str | None = None) -> str:
     from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
 
@@ -837,6 +884,7 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "regex_match": _regex_sql(),
         "wildcard_match": _wildcard_sql(),
         "prf_topk": _prf_sql(),
+        "topk_corrected": _corrected_sql(),
         # sort-by-field retrieval: OR match set ordered doclen DESC
         "sorted_by_doclen": f"""
 WITH m AS ({_bool_sql('OR')}),

@@ -110,3 +110,20 @@ def test_sort_by_field(ray_session):
     with pytest.raises(ValueError, match="metadata column"):
         eng.sort_by(["the"], field="text")
     assert eng.sort_by(["zzzmissing"]).empty
+
+
+def test_topk_corrected(ray_session):
+    eng = _engine(documents_index(SF))
+    terms, res = eng.topk_corrected(["spak", "join"], k=10)
+    assert "spark" in terms and "join" in terms and "spak" not in terms
+    # correcting the typo == querying the corrected set directly
+    assert res == eng.topk(terms, k=10)
+    # in-vocab terms pass through untouched
+    t2, r2 = eng.topk_corrected(["spark", "join"], k=10)
+    assert t2 == sorted({"spark", "join"}) and r2 == eng.topk(t2, k=10)
+    # uncorrectable-only query: empty rewrite, empty result
+    t3, r3 = eng.topk_corrected(["zzznothing"], k=10)
+    assert t3 == [] and r3 == []
+    # two typos of one word collapse to a single corrected term
+    t4, _ = eng.topk_corrected(["spak", "sparkk"], k=5)
+    assert t4 == ["spark"]

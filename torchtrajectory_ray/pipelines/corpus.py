@@ -94,6 +94,15 @@ WILDCARD_QUERIES: list[dict] = [
     {"query_id": 4, "pattern": "zzz*q"},
 ]
 
+# Fixed spell-correction workload (typos within edit distance 1 of
+# vocabulary terms; query 3 is uncorrectable — empty-result edge)
+TYPO_QUERIES: list[dict] = [
+    {"query_id": 0, "terms": ["spak", "join"]},
+    {"query_id": 1, "terms": ["tble", "hash", "scann"]},
+    {"query_id": 2, "terms": ["windoq", "agg"]},
+    {"query_id": 3, "terms": ["zzznothing"]},
+]
+
 # Fixed takedown workload: 25 doc ids live at every sf (sf0.001 has 50
 # docs).  Tombstoned at serving time; purged physically by compaction.
 DELETED_DOC_IDS: list[int] = sorted(range(0, 50, 2))
@@ -703,6 +712,19 @@ def sorted_by_doclen(sf_dir: str, k: int = 10) -> pd.DataFrame:
         out.append(f)
     res = pd.concat(out, ignore_index=True)
     return res.astype({"rank": np.int64, "doc_id": np.int64, "doclen": np.int64})
+
+
+def topk_corrected(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — spell-corrected BM25 top-k
+    (``QueryEngine.topk_corrected``): OOV terms replaced by their best
+    edit-1 dictionary correction before ranking.  Same rounded re-rank
+    protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in TYPO_QUERIES:
+        _, res = eng.topk_corrected(q["terms"], k=2 * k)
+        rows.extend(_ranked_rows(q["query_id"], res, k))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
 def documents_index_merged(sf_dir: str) -> str:

@@ -1083,6 +1083,33 @@ class QueryEngine:
             return np.empty(0, dtype=np.int64)
         return self.bool_or(terms, **filt)
 
+    def topk_corrected(
+        self, query: str | list[str], k: int = 10, **filt
+    ) -> tuple[list[str], list[tuple[int, float]]]:
+        """Spell-corrected retrieval (the Lucene DirectSpellChecker →
+        re-query shape): each query term NOT in the dictionary is
+        replaced by its best edit-distance-1 dictionary correction
+        (highest df, term-ascending ties — the did-you-mean rule of
+        ``suggest``); uncorrectable terms drop (the unindexed-term
+        rule).  The corrected term SET (sorted, deduped — two typos may
+        correct to one term) feeds the ordinary BM25 top-k.  Returns
+        ``(corrected_terms, results)`` so callers can surface the
+        rewrite."""
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        corrected: set[str] = set()
+        for t in terms:
+            if self._df.get(term_hash(t)):
+                corrected.add(t)
+                continue
+            hits = self.fuzzy_terms(t)
+            if len(hits):
+                best = hits.sort_values(
+                    ["df", "term"], ascending=[False, True], kind="mergesort"
+                ).iloc[0]["term"]
+                corrected.add(str(best))
+        out = sorted(corrected)
+        return out, (self.topk(out, k=k, **filt) if out else [])
+
     def facet_counts(
         self,
         query: str | list[str],
