@@ -93,3 +93,31 @@ def test_search_boost_equals_topk_boosted(ray_session):
     assert got == want and got
     # unit boost == the plain search ranking
     assert eng.search("spark^1.0 join", k=10) == eng.search("spark join", k=10)
+
+
+def test_search_fuzzy_and_wildcard_grammar(ray_session):
+    import pytest
+
+    eng = _engine(documents_index(SF))
+    # term~ == synonym-group scoring over the edit-1 expansion
+    exp = eng.fuzzy_terms("spak")["term"].tolist()
+    assert eng.search("spak~", k=10) == eng.topk_synonyms([exp], k=10)
+    # wildcard token == synonym group over the glob dictionary scan
+    wexp = eng.wildcard_terms("sp*")
+    assert eng.search("sp*", k=10) == eng.topk_synonyms([wexp], k=10)
+    # plain terms ride along as singleton groups
+    assert eng.search("join spak~", k=10) == eng.topk_synonyms(
+        [["join"], exp], k=10
+    )
+    # composes with exclusions and filters
+    eng_meta = _engine(documents_index(SF), load_doc_meta=True)
+    got = eng_meta.search("sp* -join lang:en", k=10)
+    banned = set(eng.bool_or(["join"]).tolist())
+    assert all(d not in banned for d, _ in got)
+    # no-match expansion alone -> empty, not an error
+    assert eng.search("zzz*qq", k=5) == []
+    # boost + multi-term in one query fails loud
+    with pytest.raises(ValueError, match="boost cannot combine"):
+        eng.search("spark^2.0 spak~", k=5)
+    with pytest.raises(ValueError, match="malformed fuzzy"):
+        eng.search("~", k=5)

@@ -11,6 +11,12 @@ deliberately small and deterministic:
 - ``term^2.0`` — per-term boost on a bare or ``+`` term (scales the
   term's idf weight; the Lucene ^boost operator); boost must parse as a
   positive float, last boost wins when a term repeats
+- ``term~`` — fuzzy scoring term: expands to every dictionary term
+  within edit distance 1 and scores as ONE synonym group (the Lucene
+  multi-term rewrite to SynonymQuery); bare terms only
+- ``wild*card`` / ``wi?d`` — wildcard scoring term, same synonym-group
+  rewrite over the glob dictionary scan; bare terms only.  ``~`` and
+  wildcards cannot combine with ``^boost`` in one query (fail loud)
 - ``field:value`` — metadata filter; supported fields: ``lang``
 
 Semantics composed from the engine's existing verified operators, so the
@@ -46,6 +52,8 @@ class ParsedQuery:
     should: list[str] = field(default_factory=list)
     filters: dict = field(default_factory=dict)
     boosts: dict = field(default_factory=dict)  # term -> ^boost weight
+    fuzzy: list[str] = field(default_factory=list)      # term~ bodies
+    wildcards: list[str] = field(default_factory=list)  # glob patterns
 
 
 def _split_boost(tok: str) -> tuple[str, float | None]:
@@ -94,12 +102,34 @@ def parse_query(s: str, tokenize) -> ParsedQuery:
                 )
             out.filters[k] = v
         else:
-            body, boost = _split_boost(m.group("term"))
+            raw = m.group("term")
+            if raw.endswith("~"):
+                base = raw[:-1]
+                if not base or "~" in base:
+                    raise ValueError(f"malformed fuzzy term {raw!r}")
+                toks = tokenize(base)
+                if len(toks) != 1:
+                    raise ValueError(
+                        f"fuzzy operator needs a single term, got {raw!r}"
+                    )
+                out.fuzzy.append(toks[0])
+                continue
+            if "*" in raw or "?" in raw:
+                # the glob is NOT tokenized (the tokenizer would strip
+                # the metachars); lowercase to match the dictionary
+                out.wildcards.append(raw.lower())
+                continue
+            body, boost = _split_boost(raw)
             toks = tokenize(body)
             out.should.extend(toks)
             if boost is not None:
                 out.boosts.update({t: boost for t in toks})
-    if not (out.phrases or out.must or out.should):
+    if (out.fuzzy or out.wildcards) and out.boosts:
+        raise ValueError(
+            "^boost cannot combine with ~fuzzy/wildcard terms in one "
+            "query (synonym-group scoring has no per-term boosts)"
+        )
+    if not (out.phrases or out.must or out.should or out.fuzzy or out.wildcards):
         raise ValueError(
             "query has no positive clause (only exclusions/filters) — "
             "add a term, +term, or \"phrase\""

@@ -1364,7 +1364,21 @@ class QueryEngine:
                 + pq_.should
             )
         )
-        if pq_.boosts:
+        if pq_.fuzzy or pq_.wildcards:
+            # multi-term clauses rewrite to synonym groups (the Lucene
+            # SynonymQuery rewrite): plain terms score as singleton
+            # groups (tested identical to the plain path), each ~fuzzy /
+            # wildcard expansion as ONE group; empty expansions drop
+            groups: list[list[str]] = [[t] for t in score_terms]
+            for f in pq_.fuzzy:
+                groups.append(self.fuzzy_terms(f)["term"].tolist())
+            for w in pq_.wildcards:
+                groups.append(self.wildcard_terms(w))
+            groups = [g for g in groups if g]
+            if not groups:
+                return []
+            ranked = self.topk_synonyms(groups, k=10**9, **filt)
+        elif pq_.boosts:
             # ^boost terms route through the boosted scorer (unit boosts
             # are bit-identical to the plain path — tested identity)
             ranked = self.topk_boosted(
