@@ -111,9 +111,11 @@ def main() -> None:
     )
     out["mean_nll"] = round(float(r["nll_sum"]) / r["n"], 3)
 
-    # DSIR at the broadcast-table worst case: every doc is target-lang
-    # (ct == cr, llr == 0), so the vocab partials + broadcast carry the
-    # FULL bigram table; hashed mode bounds it to n_buckets.
+    # DSIR at the exchange worst case: every doc is target-lang (ct ==
+    # cr, llr == 0) and exact mode shuffles the FULL distinct-bigram
+    # table (millions of string keys — the line_dedup cost shape).
+    # Hashed mode with the paper's 10k buckets bounds each batch's
+    # partial to <=10k int rows — the exchange all but disappears.
     r = timed(
         "dsir_exact",
         lambda: lm.dsir_weights(soak_dir).aggregate(
@@ -122,13 +124,13 @@ def main() -> None:
     )
     assert r["n"] == args.n_docs
     r = timed(
-        "dsir_hashed_1m_buckets",
+        "dsir_hashed_10k_buckets",
         lambda: lm.dsir_weights_ds(
             lambda: __import__("ray").data.read_parquet(
                 os.path.join(soak_dir, "documents.parquet"),
                 columns=["doc_id", "lang", "text"],
             ),
-            n_buckets=1_000_000,
+            n_buckets=10_000,
         ).aggregate(Count(on="doc_id", alias_name="n")),
     )
     assert r["n"] == args.n_docs

@@ -148,23 +148,37 @@ def lm_quality(sf_dir: str) -> ray.data.Dataset:
     return lm_quality_ds(lambda: _docs(sf_dir))
 
 
-def _batch_bigrams(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized word-bigram expansion of one batch: (bigram strings,
-    owning-doc index, per-doc bigram counts).  One split per doc, then
-    object-array concatenation — no per-bigram Python loop."""
+def _batch_bigrams(
+    texts: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized word-bigram expansion of one batch, factorized:
+    returns ``(uniq_bigrams, inv, doc_idx, nb)`` where ``uniq_bigrams``
+    holds each DISTINCT bigram string of the batch exactly once,
+    ``inv`` maps each bigram occurrence to its distinct index, and
+    ``doc_idx``/``nb`` give the owning doc per occurrence and per-doc
+    bigram counts.  Bigram occurrences are int pair codes (token
+    factorize → left·V + right), so the expensive object-string
+    concatenation runs once per DISTINCT pair, not per occurrence —
+    the difference between 1.2k and 10k+ docs/s on Zipf text."""
     tok_lists = [t.split(" ") for t in texts]
     n = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
     flat = np.asarray([tok for ts in tok_lists for tok in ts], dtype=object)
     nb = np.maximum(n - 1, 0)
+    empty = np.asarray([], dtype=object)
     if flat.size < 2 or not nb.sum():
-        return np.asarray([], dtype=object), np.zeros(0, np.int64), nb
+        return empty, np.zeros(0, np.int64), np.zeros(0, np.int64), nb
     # a token starts a bigram unless it is the last token of its doc
     starts_next = np.cumsum(n)[:-1]  # first-token index of docs 1..
     valid = np.ones(len(flat) - 1, bool)
     valid[starts_next - 1] = False
-    bg = flat[:-1][valid] + " " + flat[1:][valid]
+    codes, uniq_toks = pd.factorize(flat, sort=False)
+    v = np.int64(len(uniq_toks))
+    pair = codes[:-1][valid].astype(np.int64) * v + codes[1:][valid]
+    upair, inv = np.unique(pair, return_inverse=True)
+    toks_arr = np.asarray(uniq_toks, dtype=object)
+    uniq_bg = toks_arr[(upair // v)] + " " + toks_arr[(upair % v)]
     doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), nb)
-    return bg, doc_idx, nb
+    return uniq_bg, inv.astype(np.int64), doc_idx, nb
 
 
 def dsir_weights_ds(
@@ -201,9 +215,9 @@ def dsir_weights_ds(
         return (h % np.uint64(n_buckets)).astype(np.int64)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
-        bg, doc_idx, _ = _batch_bigrams(batch["text"].to_pylist())
+        uniq_bg, inv, doc_idx, _ = _batch_bigrams(batch["text"].to_pylist())
         key_t = pa.string() if n_buckets is None else pa.int64()
-        if not bg.size:
+        if not uniq_bg.size:
             return pa.table(
                 {
                     "f": pa.array([], key_t),
@@ -212,15 +226,14 @@ def dsir_weights_ds(
                 }
             )
         langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        tgt_bg = langs[doc_idx] == target_lang
-        codes, uniq = pd.factorize(_keys(bg), sort=False)
-        n_raw = np.bincount(codes, minlength=len(uniq))
-        n_tgt = np.bincount(
-            codes[tgt_bg], minlength=len(uniq)
-        )
+        tgt_occ = langs[doc_idx] == target_lang
+        # counts per DISTINCT batch bigram (hash collisions within a
+        # batch emit duplicate key rows — the Sum groupby merges them)
+        n_raw = np.bincount(inv, minlength=len(uniq_bg))
+        n_tgt = np.bincount(inv[tgt_occ], minlength=len(uniq_bg))
         return pa.table(
             {
-                "f": pa.array(uniq, key_t),
+                "f": pa.array(_keys(uniq_bg), key_t),
                 "n_raw": pa.array(n_raw.astype(np.int64), pa.int64()),
                 "n_tgt": pa.array(n_tgt.astype(np.int64), pa.int64()),
             }
@@ -247,16 +260,17 @@ def dsir_weights_ds(
 
     def score(batch: pa.Table) -> pa.Table:
         voc, lr = ray.get(ref)
-        bg, doc_idx, nb = _batch_bigrams(batch["text"].to_pylist())
+        uniq_bg, inv, doc_idx, nb = _batch_bigrams(batch["text"].to_pylist())
         logw = np.zeros(len(nb))
-        if bg.size and len(voc):
-            keys = _keys(bg)
+        if uniq_bg.size and len(voc):
+            keys = _keys(uniq_bg)
+            # one dictionary probe per DISTINCT batch bigram
             pos = np.searchsorted(voc, keys)
             pos_c = np.minimum(pos, len(voc) - 1)
             # every raw-corpus bigram is in-vocab by construction; the
             # hit mask guards re-scoring of EXTERNAL datasets only
-            per_bg = np.where(voc[pos_c] == keys, lr[pos_c], 0.0)
-            np.add.at(logw, doc_idx, per_bg)
+            lr_u = np.where(voc[pos_c] == keys, lr[pos_c], 0.0)
+            np.add.at(logw, doc_idx, lr_u[inv])
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
