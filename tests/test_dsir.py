@@ -91,3 +91,22 @@ def test_dsir_select_top_fraction(ray_session):
 
     with pytest.raises(ValueError, match="frac"):
         dsir_select_ds(_ds(rows), frac=0.0)
+
+
+def test_dsir_fit_score_cross_pile(ray_session):
+    from torchtrajectory_ray.pipelines.lm import dsir_fit_ds, dsir_score_ds
+
+    train = [(i, "en", "alpha beta gamma delta") for i in range(5)]
+    train += [(10 + i, "fr", "x y z w") for i in range(5)]
+    model = dsir_fit_ds(_ds(train))
+    # scoring the training pile == the one-shot weights entry
+    a = dsir_score_ds(_ds(train), model).to_pandas().sort_values("doc_id")
+    b = dsir_weights_ds(_ds(train)).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # an external pile: known bigrams score, unseen bigrams contribute 0
+    new = [(100, "de", "alpha beta gamma delta"),   # all target bigrams
+           (101, "de", "x y z w"),                  # all raw-only bigrams
+           (102, "de", "qq rr ss tt")]              # fully OOV
+    s = dsir_score_ds(_ds(new), model).to_pandas().set_index("doc_id")
+    assert s.loc[100, "logw"] > 0 > s.loc[101, "logw"]
+    assert s.loc[102, "logw"] == 0.0 and s.loc[102, "n_feats"] == 3

@@ -181,38 +181,28 @@ def _batch_bigrams(
     return uniq_bg, inv.astype(np.int64), doc_idx, nb
 
 
-def dsir_weights_ds(
+def _dsir_keys(bg: np.ndarray, n_buckets: int | None) -> np.ndarray:
+    """Feature keys: exact bigram strings, or the paper's hashed buckets
+    via pandas' vectorized deterministic string hash (fixed key, stable
+    across processes/runs — no per-bigram Python loop)."""
+    if n_buckets is None:
+        return bg
+    h = pd.util.hash_array(bg, categorize=True)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def dsir_fit_ds(
     docs_factory,
     target_lang: str = "en",
     n_buckets: int | None = None,
-) -> ray.data.Dataset:
-    """DSIR-style importance weights (Data Selection via Importance
-    Resampling, Xie et al. 2023) over a ``(doc_id, lang, text)``
-    dataset: ``doc_id, n_feats, logw`` where ``logw`` is the summed
-    log-likelihood ratio of the doc's word bigrams under the TARGET
-    feature distribution (docs with ``lang == target_lang``) vs the RAW
-    corpus distribution, both add-one smoothed over the raw bigram
-    vocabulary — high ``logw`` = looks like the target domain, the
-    signal DSIR resamples by.
-
-    Two streaming passes (the module's shared shape): pass 1 emits
-    per-batch pre-aggregated ``(feature, n_raw, n_target)`` partials
-    through ONE groupby shuffle (at most one row per distinct feature
-    per block) and broadcasts the smoothed log-ratio table once; pass 2
-    scores each doc with one ``searchsorted`` + ``add.reduceat``.
-
-    ``n_buckets`` switches the feature space from exact bigrams to the
-    paper's hashed buckets — the 100-TB path, where the broadcast table
-    is O(n_buckets) regardless of vocabulary size.  Bucketing uses
-    pandas' vectorized deterministic string hash (fixed key, stable
-    across processes/runs — no per-bigram Python loop).  The sf gate
-    runs exact so DuckDB reproduces it."""
-
-    def _keys(bg: np.ndarray) -> np.ndarray:
-        if n_buckets is None:
-            return bg
-        h = pd.util.hash_array(bg, categorize=True)
-        return (h % np.uint64(n_buckets)).astype(np.int64)
+) -> dict:
+    """Fit the DSIR model over a ``(doc_id, lang, text)`` dataset: ONE
+    streaming stats pass (per-batch pre-aggregated ``(feature, n_raw,
+    n_target)`` partials, one groupby shuffle) producing the smoothed
+    log-likelihood-ratio table.  Returns a picklable model dict
+    ``{vocab, llr, n_buckets}`` — train once on (target sample, raw
+    pile), then ``dsir_score_ds`` any NEW shard against it (bigrams the
+    model never saw contribute 0)."""
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         uniq_bg, inv, doc_idx, _ = _batch_bigrams(batch["text"].to_pylist())
@@ -233,7 +223,7 @@ def dsir_weights_ds(
         n_tgt = np.bincount(inv[tgt_occ], minlength=len(uniq_bg))
         return pa.table(
             {
-                "f": pa.array(_keys(uniq_bg), key_t),
+                "f": pa.array(_dsir_keys(uniq_bg, n_buckets), key_t),
                 "n_raw": pa.array(n_raw.astype(np.int64), pa.int64()),
                 "n_tgt": pa.array(n_tgt.astype(np.int64), pa.int64()),
             }
@@ -256,19 +246,28 @@ def dsir_weights_ds(
         v = float(len(vocab))
         tr, tt = float(cr.sum()), float(ct.sum())
         llr = np.log((ct + 1.0) / (tt + v)) - np.log((cr + 1.0) / (tr + v))
-    ref = ray.put((vocab, llr))
+    return {"vocab": vocab, "llr": llr, "n_buckets": n_buckets}
+
+
+def dsir_score_ds(docs_factory, model: dict) -> ray.data.Dataset:
+    """Score a ``(doc_id, text)`` dataset against a fitted DSIR model:
+    ``doc_id, n_feats, logw``.  The model table ships once via
+    ``ray.put``; each batch probes it once per DISTINCT bigram
+    (``searchsorted``) and folds per doc with ``np.add.at``.  Features
+    absent from the model contribute 0 (the OOV rule for scoring piles
+    the model never saw)."""
+    n_buckets = model["n_buckets"]
+    ref = ray.put((model["vocab"], model["llr"]))
 
     def score(batch: pa.Table) -> pa.Table:
         voc, lr = ray.get(ref)
         uniq_bg, inv, doc_idx, nb = _batch_bigrams(batch["text"].to_pylist())
         logw = np.zeros(len(nb))
         if uniq_bg.size and len(voc):
-            keys = _keys(uniq_bg)
-            # one dictionary probe per DISTINCT batch bigram
+            keys = _dsir_keys(uniq_bg, n_buckets)
+            # one model probe per DISTINCT batch bigram
             pos = np.searchsorted(voc, keys)
             pos_c = np.minimum(pos, len(voc) - 1)
-            # every raw-corpus bigram is in-vocab by construction; the
-            # hit mask guards re-scoring of EXTERNAL datasets only
             lr_u = np.where(voc[pos_c] == keys, lr[pos_c], 0.0)
             np.add.at(logw, doc_idx, lr_u[inv])
         return pa.table(
@@ -280,6 +279,40 @@ def dsir_weights_ds(
         )
 
     return docs_factory().map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_ds(
+    docs_factory,
+    target_lang: str = "en",
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023) over a ``(doc_id, lang, text)``
+    dataset: ``doc_id, n_feats, logw`` where ``logw`` is the summed
+    log-likelihood ratio of the doc's word bigrams under the TARGET
+    feature distribution (docs with ``lang == target_lang``) vs the RAW
+    corpus distribution, both add-one smoothed over the raw bigram
+    vocabulary — high ``logw`` = looks like the target domain, the
+    signal DSIR resamples by.
+
+    Two streaming passes (the module's shared shape): pass 1 emits
+    per-batch pre-aggregated ``(feature, n_raw, n_target)`` partials
+    through ONE groupby shuffle (at most one row per distinct feature
+    per block) and broadcasts the smoothed log-ratio table once; pass 2
+    probes the table once per DISTINCT batch bigram (``searchsorted``)
+    and folds per doc with ``np.add.at``.
+
+    ``n_buckets`` switches the feature space from exact bigrams to the
+    paper's hashed buckets — the 100-TB path, where the broadcast table
+    is O(n_buckets) regardless of vocabulary size.  Bucketing uses
+    pandas' vectorized deterministic string hash (fixed key, stable
+    across processes/runs — no per-bigram Python loop).  The sf gate
+    runs exact so DuckDB reproduces it.  Implemented as
+    ``dsir_score_ds(docs, dsir_fit_ds(docs, ...))`` — fit and score are
+    independently reusable."""
+    return dsir_score_ds(
+        docs_factory, dsir_fit_ds(docs_factory, target_lang, n_buckets)
+    )
 
 
 def dsir_weights(sf_dir: str, target_lang: str = "en") -> ray.data.Dataset:
