@@ -470,18 +470,24 @@ def _docs_live_cte() -> str:
     )
 
 
-def _regex_sql() -> str:
-    from torchtrajectory_ray.pipelines.corpus import REGEX_QUERIES
-
+def _dict_scan_sql(queries: list[dict], pattern_of) -> str:
+    """Shared dictionary-scan-OR oracle body: docs containing any token
+    fully matching each query's regex (``pattern_of(q)``)."""
     parts = []
-    for q in REGEX_QUERIES:
+    for q in queries:
         parts.append(
             f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id FROM ("
             f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({_TOKS}) "
             f"AS term FROM documents) WHERE regexp_full_match(term, "
-            f"'{q['pattern']}'))"
+            f"'{pattern_of(q)}'))"
         )
     return " UNION ALL ".join(parts)
+
+
+def _regex_sql() -> str:
+    from torchtrajectory_ray.pipelines.corpus import REGEX_QUERIES
+
+    return _dict_scan_sql(REGEX_QUERIES, lambda q: q["pattern"])
 
 
 def _search_sql() -> str:
@@ -584,16 +590,9 @@ def _wildcard_sql() -> str:
     from torchtrajectory_ray.functions.text import glob_to_regex
     from torchtrajectory_ray.pipelines.corpus import WILDCARD_QUERIES
 
-    parts = []
-    for q in WILDCARD_QUERIES:
-        rx = glob_to_regex(q["pattern"])
-        parts.append(
-            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id FROM ("
-            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({_TOKS}) "
-            f"AS term FROM documents) WHERE regexp_full_match(term, "
-            f"'{rx}'))"
-        )
-    return " UNION ALL ".join(parts)
+    return _dict_scan_sql(
+        WILDCARD_QUERIES, lambda q: glob_to_regex(q["pattern"])
+    )
 
 
 def _prf_sql(k: int = 10, r: int = 3, e: int = 2) -> str:

@@ -121,3 +121,22 @@ def test_search_fuzzy_and_wildcard_grammar(ray_session):
         eng.search("spark^2.0 spak~", k=5)
     with pytest.raises(ValueError, match="malformed fuzzy"):
         eng.search("~", k=5)
+
+
+def test_multiterm_operator_misuse_fails_loud(ray_session):
+    import pytest
+
+    eng = _engine(documents_index(SF))
+    # boost attached directly to a glob / fuzzy token
+    with pytest.raises(ValueError, match="boost cannot combine"):
+        eng.search("sp*^2.0", k=5)
+    with pytest.raises(ValueError, match="boost cannot combine"):
+        eng.search("spak~^2.0", k=5)
+    # glob+fuzzy in one token
+    with pytest.raises(ValueError, match="malformed fuzzy"):
+        eng.search("sp*~", k=5)
+    # metachars on +must / -not clauses never silently fragment
+    with pytest.raises(ValueError, match="bare scoring term"):
+        eng.search("+wild*card foo", k=5)
+    with pytest.raises(ValueError, match="bare scoring term"):
+        eng.search("spark -spak~", k=5)

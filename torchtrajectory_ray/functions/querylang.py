@@ -73,6 +73,17 @@ def _split_boost(tok: str) -> tuple[str, float | None]:
     return tok, None
 
 
+def _reject_multiterm(body: str, clause: str) -> None:
+    """Fuzzy/wildcard operators are bare-scoring-term only; on +must /
+    -not clauses the tokenizer would silently strip the metachars and
+    match fragment terms the user never typed — fail loud instead."""
+    if "*" in body or "?" in body or body.endswith("~"):
+        raise ValueError(
+            f"~fuzzy/wildcard operators are not supported on {clause} "
+            f"clauses (got {body!r}) — use a bare scoring term"
+        )
+
+
 def parse_query(s: str, tokenize) -> ParsedQuery:
     """Parse a search-box string; ``tokenize`` is the ENGINE's tokenizer
     (the build's mapper), applied to every clause body so parsed terms
@@ -87,12 +98,15 @@ def parse_query(s: str, tokenize) -> ParsedQuery:
                 out.phrases.append(toks)
         elif m.group("plus"):
             body, boost = _split_boost(m.group("plus")[1:])
+            _reject_multiterm(body, "+must")
             toks = tokenize(body)
             out.must.extend(toks)
             if boost is not None:
                 out.boosts.update({t: boost for t in toks})
         elif m.group("minus"):
-            out.must_not.extend(tokenize(m.group("minus")[1:]))
+            body = m.group("minus")[1:]
+            _reject_multiterm(body, "-not")
+            out.must_not.extend(tokenize(body))
         elif m.group("field"):
             k, v = m.group("field").split(":", 1)
             if k not in SUPPORTED_FIELDS:
@@ -102,24 +116,33 @@ def parse_query(s: str, tokenize) -> ParsedQuery:
                 )
             out.filters[k] = v
         else:
-            raw = m.group("term")
-            if raw.endswith("~"):
-                base = raw[:-1]
-                if not base or "~" in base:
-                    raise ValueError(f"malformed fuzzy term {raw!r}")
+            # boost-split FIRST so "sp*^2.0" / "spak~^2.0" hit the loud
+            # boost+multiterm rejection instead of silently becoming a
+            # glob over the literal "^2.0" suffix
+            body, boost = _split_boost(m.group("term"))
+            is_fuzzy = body.endswith("~")
+            has_wild = "*" in body or "?" in body
+            if (is_fuzzy or has_wild) and boost is not None:
+                raise ValueError(
+                    "^boost cannot combine with ~fuzzy/wildcard terms "
+                    f"in one query (got {m.group('term')!r})"
+                )
+            if is_fuzzy:
+                base = body[:-1]
+                if not base or "~" in base or "*" in base or "?" in base:
+                    raise ValueError(f"malformed fuzzy term {body!r}")
                 toks = tokenize(base)
                 if len(toks) != 1:
                     raise ValueError(
-                        f"fuzzy operator needs a single term, got {raw!r}"
+                        f"fuzzy operator needs a single term, got {body!r}"
                     )
                 out.fuzzy.append(toks[0])
                 continue
-            if "*" in raw or "?" in raw:
+            if has_wild:
                 # the glob is NOT tokenized (the tokenizer would strip
                 # the metachars); lowercase to match the dictionary
-                out.wildcards.append(raw.lower())
+                out.wildcards.append(body.lower())
                 continue
-            body, boost = _split_boost(raw)
             toks = tokenize(body)
             out.should.extend(toks)
             if boost is not None:

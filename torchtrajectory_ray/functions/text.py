@@ -103,8 +103,6 @@ def glob_to_regex(pattern: str) -> str:
     ``regexp_full_match`` — so the engine's dictionary scan and the SQL
     oracle compile the SAME translated pattern.  (``fnmatch.translate``
     is avoided: its ``(?s:...)\\Z`` wrapper is Python-specific.)"""
-    import re as _re
-
     out = []
     for ch in pattern:
         if ch == "*":
@@ -112,7 +110,7 @@ def glob_to_regex(pattern: str) -> str:
         elif ch == "?":
             out.append(".")
         else:
-            out.append(_re.escape(ch))
+            out.append(re.escape(ch))
     return "".join(out)
 
 
