@@ -147,6 +147,31 @@ def main() -> None:
     top_doc = eng.topk(hot, k=1)[0][0]
     timed("explain_hot", lambda: eng.explain(hot, top_doc))
 
+    # --- round-3 third-pass serving ops at 1M docs ---
+    # Rocchio PRF on the hot pair: base topk + ONE r-doc pushdown read +
+    # boosted re-query (scale-flat beyond the two rankings)
+    timed("prf_hot", lambda: eng.prf_topk(hot, k=10, r=3, e=2))
+    # spell-corrected re-query: dictionary-wide edit-1 scan per typo
+    timed(
+        "corrected_2typos",
+        lambda: eng.topk_corrected([hot[0] + "x", hot[1][:-1]], k=10),
+    )
+    # wildcard scan over the full dictionary + OR of the matched terms
+    wt = timed("wildcard_scan", lambda: eng.wildcard_terms("w00*1"))
+    out["wildcard_terms"] = int(len(wt))
+    # sort-by-field + range facet on the corpus-scale hot OR candidate
+    # set — both exercise the distributed membership branch
+    timed(
+        "sort_by_hot_distributed",
+        lambda: eng_meta.sort_by(hot, field="doclen", k=10, max_candidates=0),
+    )
+    timed(
+        "facet_doclen_hot_distributed",
+        lambda: eng_meta.facet_counts(
+            hot, facet_col="doclen", bucket_width=16, max_candidates=0
+        ),
+    )
+
     print(json.dumps(out))
     ray.shutdown()
 
