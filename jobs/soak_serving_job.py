@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""1M-doc soak of the serving features (fuzzy / facets / snippets).
+"""1M-doc soak of the serving features (fuzzy / facets / snippets /
+proximity / collapse / boosted / synonyms / MLT / suggest / explain /
+PRF / spell-correction / wildcard / sort-by-field / range facet).
 
 Opens (or builds) the 1M-doc index used by the phrase soak and
 measures:
