@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_doclen": corpus.facet_doclen,      # numeric RANGE facet
         "sorted_by_doclen": corpus.sorted_by_doclen,  # sort-by-field (Sort)
         "topk_corrected": corpus.topk_corrected,  # spell-corrected re-query
+        "min_match": corpus.min_match,            # minimum_should_match
         "prf_topk": corpus.prf_topk,              # Rocchio pseudo-rel feedback
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
@@ -699,6 +700,23 @@ SELECT query_id::BIGINT AS query_id,
 FROM scores QUALIFY rank <= {k}"""
 
 
+def _msm_sql() -> str:
+    """minimum_should_match oracle: docs with at least m DISTINCT
+    matching terms per query."""
+    from torchtrajectory_ray.pipelines.corpus import MSM_QUERIES
+
+    parts = []
+    for q in MSM_QUERIES:
+        in_list = ", ".join(f"'{t}'" for t in q["terms"])
+        parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id FROM ("
+            f"SELECT doc_id, unnest({_TOKS}) AS term FROM documents) "
+            f"WHERE term IN ({in_list}) GROUP BY doc_id "
+            f"HAVING count(DISTINCT term) >= {q['m']}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _bool_sql(op: str, lang: str | None = None) -> str:
     from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
 
@@ -884,6 +902,7 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "wildcard_match": _wildcard_sql(),
         "prf_topk": _prf_sql(),
         "topk_corrected": _corrected_sql(),
+        "min_match": _msm_sql(),
         # sort-by-field retrieval: OR match set ordered doclen DESC
         "sorted_by_doclen": f"""
 WITH m AS ({_bool_sql('OR')}),

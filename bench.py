@@ -168,11 +168,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "prf_topk",
         lambda: [eng.prf_topk(q["terms"], k=10, r=3, e=2) for q in WEB_QUERIES],
     )
-    from torchtrajectory_ray.pipelines.corpus import TYPO_QUERIES
+    from torchtrajectory_ray.pipelines.corpus import MSM_QUERIES, TYPO_QUERIES
 
     timed(
         "topk_corrected",
         lambda: [eng.topk_corrected(q["terms"], k=10) for q in TYPO_QUERIES],
+    )
+    timed(
+        "min_match",
+        lambda: [eng.bool_min_match(q["terms"], q["m"]) for q in MSM_QUERIES],
     )
     timed(
         "topk_paged",

@@ -127,3 +127,24 @@ def test_topk_corrected(ray_session):
     # two typos of one word collapse to a single corrected term
     t4, _ = eng.topk_corrected(["spak", "sparkk"], k=5)
     assert t4 == ["spark"]
+
+
+def test_bool_min_match_identities(ray_session):
+    eng = _engine(documents_index(SF))
+    q = ["the", "a", "row"]
+    # m=1 == OR, m=n == AND, monotone containment in between
+    np.testing.assert_array_equal(eng.bool_min_match(q, 1), eng.bool_or(q))
+    np.testing.assert_array_equal(eng.bool_min_match(q, 3), eng.bool_and(q))
+    m2 = set(eng.bool_min_match(q, 2).tolist())
+    assert set(eng.bool_min_match(q, 3).tolist()) <= m2 <= set(
+        eng.bool_or(q).tolist()
+    )
+    # unindexed terms cannot contribute to the count
+    assert eng.bool_min_match(["spark", "zzzmissing"], 2).size == 0
+    np.testing.assert_array_equal(
+        eng.bool_min_match(["spark", "zzzmissing"], 1), eng.bool_or(["spark"])
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 1"):
+        eng.bool_min_match(q, 0)

@@ -94,6 +94,17 @@ WILDCARD_QUERIES: list[dict] = [
     {"query_id": 4, "pattern": "zzz*q"},
 ]
 
+# Fixed minimum_should_match workload (at-least-m-of-n boolean; query 3
+# needs 2 matches but only 1 term is indexed — provably-empty edge,
+# query 4 with m=1 degenerates to OR)
+MSM_QUERIES: list[dict] = [
+    {"query_id": 0, "terms": ["the", "a", "row"], "m": 2},
+    {"query_id": 1, "terms": ["hash", "table", "scan"], "m": 2},
+    {"query_id": 2, "terms": ["group", "sort", "filter", "part"], "m": 3},
+    {"query_id": 3, "terms": ["spark", "zzzmissing"], "m": 2},
+    {"query_id": 4, "terms": ["spark", "join"], "m": 1},
+]
+
 # Fixed spell-correction workload (typos within edit distance 1 of
 # vocabulary terms; query 3 is uncorrectable — empty-result edge)
 TYPO_QUERIES: list[dict] = [
@@ -725,6 +736,18 @@ def topk_corrected(sf_dir: str, k: int = 10) -> pd.DataFrame:
         _, res = eng.topk_corrected(q["terms"], k=2 * k)
         rows.extend(_ranked_rows(q["query_id"], res, k))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def min_match(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — at-least-m-of-n boolean retrieval
+    (``QueryEngine.bool_min_match``, the Lucene minimum_should_match
+    operator) for the fixed workload."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in MSM_QUERIES:
+        for d in eng.bool_min_match(q["terms"], q["m"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
 
 def documents_index_merged(sf_dir: str) -> str:

@@ -522,6 +522,26 @@ class QueryEngine:
         parts = self._fanout("bool_and", tids, **filt)
         return np.sort(np.concatenate(parts))
 
+    def bool_min_match(
+        self, query: str | list[str], m: int, **filt
+    ) -> np.ndarray:
+        """At-least-``m``-of-n boolean retrieval (the Lucene
+        ``minimum_should_match`` operator): docs containing at least
+        ``m`` DISTINCT query terms — ``m=1`` is exactly ``bool_or``,
+        ``m=n`` exactly ``bool_and`` (tested identities).  Unindexed
+        terms match nothing and simply cannot contribute to the count
+        (Lucene's should-clause rule); fewer indexed terms than ``m``
+        is provably empty."""
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        uniq = sorted(set(terms))
+        if m < 1:
+            raise ValueError("bool_min_match: m must be >= 1")
+        tids, _ = self.resolve_terms(uniq)
+        if len(tids) < m:
+            return np.empty(0, dtype=np.int64)
+        parts = self._fanout("bool_min_match", tids, int(m), **filt)
+        return np.sort(np.concatenate(parts))
+
     def bool_and_not(
         self,
         include: str | list[str],

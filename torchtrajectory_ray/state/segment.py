@@ -304,6 +304,21 @@ class SaltSearcher:
         ids = ids[counts == len(uniq)]
         return ids[self._allowed_mask(ids, lang, ts_lo, ts_hi)]
 
+    def bool_min_match(
+        self, term_ids: list[int], m: int, lang=None, ts_lo=None, ts_hi=None
+    ) -> np.ndarray:
+        """At-least-``m``-of-n boolean (Lucene minimum_should_match):
+        the same counting intersection as ``bool_and`` with the count
+        threshold relaxed from n to ``m`` — m=1 is OR, m=n is AND."""
+        uniq = sorted(set(term_ids))
+        parts = [p for t in uniq if len(p := self.postings(t)[0])]
+        if len(parts) < m:
+            return np.empty(0, dtype=np.int64)
+        allc = np.concatenate(parts)
+        ids, counts = np.unique(allc, return_counts=True)
+        ids = ids[counts >= m]
+        return ids[self._allowed_mask(ids, lang, ts_lo, ts_hi)]
+
     def bool_and_not(
         self,
         include_tids: list[int],
