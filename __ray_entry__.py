@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_by_doclen": corpus.sorted_by_doclen,  # sort-by-field (Sort)
         "topk_corrected": corpus.topk_corrected,  # spell-corrected re-query
         "min_match": corpus.min_match,            # minimum_should_match
+        "topk_min_match": corpus.topk_min_match,  # ranked msm
         "prf_topk": corpus.prf_topk,              # Rocchio pseudo-rel feedback
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
@@ -717,6 +718,42 @@ def _msm_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _ranked_msm_sql(k: int = 10) -> str:
+    """Ranked minimum_should_match oracle: the shared BM25 chain over
+    each MSM query's terms, restricted to its at-least-m candidate set."""
+    from torchtrajectory_ray.pipelines.corpus import MSM_QUERIES
+
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}')" for q in MSM_QUERIES for t in q["terms"]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+cand AS ({_msm_sql()}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT c.query_id, c.doc_id, round(sum(c.c), 6) AS score
+           FROM contrib c JOIN cand USING (query_id, doc_id)
+           GROUP BY c.query_id, c.doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= {k}"""
+
+
 def _bool_sql(op: str, lang: str | None = None) -> str:
     from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
 
@@ -903,6 +940,7 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "prf_topk": _prf_sql(),
         "topk_corrected": _corrected_sql(),
         "min_match": _msm_sql(),
+        "topk_min_match": _ranked_msm_sql(),
         # sort-by-field retrieval: OR match set ordered doclen DESC
         "sorted_by_doclen": f"""
 WITH m AS ({_bool_sql('OR')}),

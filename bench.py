@@ -179,6 +179,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         lambda: [eng.bool_min_match(q["terms"], q["m"]) for q in MSM_QUERIES],
     )
     timed(
+        "topk_min_match",
+        lambda: [
+            eng.topk_min_match(q["terms"], q["m"], k=10) for q in MSM_QUERIES
+        ],
+    )
+    timed(
         "topk_paged",
         lambda: [eng.topk_page(q["terms"], k=10, page=1) for q in WEB_QUERIES],
     )

@@ -148,3 +148,15 @@ def test_bool_min_match_identities(ray_session):
 
     with pytest.raises(ValueError, match=">= 1"):
         eng.bool_min_match(q, 0)
+
+
+def test_topk_min_match(ray_session):
+    eng = _engine(documents_index(SF))
+    q = ["the", "a", "row"]
+    # m=1 ranks exactly like plain topk (candidates = OR set)
+    assert eng.topk_min_match(q, 1, k=10) == eng.topk(sorted(set(q)), k=10)
+    # every ranked doc satisfies the candidate predicate
+    got = eng.topk_min_match(q, 2, k=10)
+    cand = set(eng.bool_min_match(q, 2).tolist())
+    assert got and all(d in cand for d, _ in got)
+    assert eng.topk_min_match(["spark", "zzzmissing"], 2, k=5) == []

@@ -750,6 +750,18 @@ def min_match(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
 
+def topk_min_match(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — ranked minimum_should_match
+    (``QueryEngine.topk_min_match``) for the fixed MSM workload.  Same
+    rounded re-rank protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in MSM_QUERIES:
+        res = eng.topk_min_match(q["terms"], q["m"], k=2 * k)
+        rows.extend(_ranked_rows(q["query_id"], res, k))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
 def documents_index_merged(sf_dir: str) -> str:
     """Two half-corpus indexes merged into one (``build.merge_indexes``):
     ``documents.parquet`` split by row order into two halves (driver

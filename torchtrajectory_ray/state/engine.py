@@ -542,6 +542,24 @@ class QueryEngine:
         parts = self._fanout("bool_min_match", tids, int(m), **filt)
         return np.sort(np.concatenate(parts))
 
+    def topk_min_match(
+        self, query: str | list[str], m: int, k: int = 10, **filt
+    ) -> list[tuple[int, float]]:
+        """Ranked minimum_should_match: BM25 top-``k`` restricted to
+        docs matching at least ``m`` distinct query terms — the way
+        Lucene applies msm to a scored boolean query.  Candidates come
+        from the counting intersection; the post-scoring mask is the
+        ``search()``/``topk_purged`` protocol (exact, bounded by the
+        scored candidate count)."""
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        cand = self.bool_min_match(terms, m, **filt)
+        if cand.size == 0:
+            return []
+        ranked = self.topk(sorted(set(terms)), k=10**9, **filt)
+        cset = set(cand.tolist())
+        out = [(d, s) for d, s in ranked if d in cset]
+        return out[:k]
+
     def bool_and_not(
         self,
         include: str | list[str],
