@@ -467,3 +467,31 @@ def test_topk_ts_window_matches_filtered_oracle(ray_session, tmp_path):
             assert [(int(a), round(float(b), 9)) for a, b in got] == [
                 (int(a), round(float(b), 9)) for a, b in want
             ], (terms, method)
+
+
+def test_distributed_matches_inprocess_round3_third_pass_ops(built):
+    """The round-3 third-pass engine ops through the ray.remote searcher
+    fan-out: identical answers to the in-process engine."""
+    local = QueryEngine(built, load_doc_meta=True)
+    dist = QueryEngine(built, load_doc_meta=True, distributed=True)
+    terms = _queries()[0]["terms"] + _queries()[1]["terms"]
+    assert (
+        local.bool_min_match(terms, 2).tolist()
+        == dist.bool_min_match(terms, 2).tolist()
+    )
+    assert local.topk_min_match(terms, 2, k=10) == dist.topk_min_match(
+        terms, 2, k=10
+    )
+    assert local.prf_topk(terms[:2], k=10) == dist.prf_topk(terms[:2], k=10)
+    assert local.topk_corrected([terms[0] + "x"], k=10) == dist.topk_corrected(
+        [terms[0] + "x"], k=10
+    )
+    assert local.wildcard_or(terms[0][:2] + "*").tolist() == dist.wildcard_or(
+        terms[0][:2] + "*"
+    ).tolist()
+    assert local.sort_by(terms, field="doclen", k=10).equals(
+        dist.sort_by(terms, field="doclen", k=10)
+    )
+    assert local.facet_counts(terms, facet_col="doclen", bucket_width=32).equals(
+        dist.facet_counts(terms, facet_col="doclen", bucket_width=32)
+    )
