@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe (rows-only)
         "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
         "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
+        "range_search": knn.range_search_bruteforce,  # radius query (exact)
+        "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
@@ -754,6 +756,21 @@ SELECT query_id::BIGINT AS query_id,
 FROM scores QUALIFY rank <= {k}"""
 
 
+def _range_search_sql(threshold: float = 0.25) -> str:
+    """Radius-query oracle: every (query, vector) pair at or above the
+    cosine threshold (self-matches included, like the engine)."""
+    ids = ", ".join(str(v) for v in range(8))
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({ids}))
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]), 6) AS sim
+FROM q CROSS JOIN embeddings e
+WHERE list_cosine_similarity(q.embedding::DOUBLE[],
+                             e.embedding::DOUBLE[]) >= {threshold!r}"""
+
+
 def _bool_sql(op: str, lang: str | None = None) -> str:
     from torchtrajectory_ray.pipelines.corpus import WEB_QUERIES
 
@@ -1315,7 +1332,11 @@ SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
        ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
        neighbor_id, sim
 FROM s QUALIFY rank <= 10""",
-        "embedding_neardup": """
+                # radius query: both the exact scan and the pruned IVF route
+        # share this oracle (pruning is lossless)
+        "range_search": _range_search_sql(),
+        "range_search_ivf": _range_search_sql(),
+"embedding_neardup": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 6) AS sim

@@ -292,6 +292,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("knn_ivf_cold", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf_fullprobe", lambda: knn.knn_ivf_fullprobe(sf_dir))
+    timed("range_search", lambda: knn.range_search_bruteforce(sf_dir))
+    timed("range_search_ivf", lambda: knn.range_search_ivf(sf_dir))
     timed("knn_ivf_sq8", lambda: knn.knn_ivf_sq8(sf_dir))
     timed("knn_ivf_batch", lambda: knn.knn_ivf_batch(sf_dir))
     from torchtrajectory_ray.pipelines import semantic

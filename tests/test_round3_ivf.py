@@ -694,3 +694,55 @@ def test_split_layout_membership_is_sharding_independent(ray_session, tmp_path):
         assert len(meta["buckets"]) > 2  # splits happened
         metas.append(membership(d, meta))
     assert metas[0] == metas[1]
+
+
+def test_range_search_pruned_equals_bruteforce(ray_session, tmp_path):
+    """Radius query through the layout == the exhaustive scan (pruning
+    is lossless), and the probe actually skips buckets for a tight
+    query."""
+    rng = np.random.default_rng(23)
+    # three well-separated direction clusters so pruning has teeth
+    base = rng.normal(size=(3, 16))
+    vecs = np.concatenate(
+        [b + 0.05 * rng.normal(size=(60, 16)) for b in base]
+    )
+    src = str(tmp_path / "emb.parquet")
+    _write_emb(src, vecs)
+    out = str(tmp_path / "ivf")
+    ivf.build_ivf([src], out, id_col="vec_id", nlist=6)
+
+    q = vecs[[0, 61, 122]]
+    got, stats = ivf.range_search(out, [0, 61, 122], q, threshold=0.9)
+    # brute force over the same vectors
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    expect = sorted(
+        (int([0, 61, 122][qi]), int(bi), round(float(sims[qi, bi]), 6))
+        for qi, bi in zip(*np.nonzero(sims >= 0.9))
+    )
+    assert (
+        list(got.itertuples(index=False, name=None)) == expect
+    )
+    # every query hits its own cluster
+    assert len(got) >= 3 * 30
+    # a single tight query must NOT read every bucket
+    _, s1 = ivf.range_search(out, [0], q[:1], threshold=0.9)
+    assert 0 < s1["n_buckets_probed"] < s1["nlist"] or s1["nlist"] <= 2
+    assert s1["bytes_read"] < stats["total_bytes"]
+
+
+def test_range_search_masks_tombstones(ray_session, tmp_path):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 8))
+    vecs[7] = vecs[0]  # a guaranteed hit for query 0
+    src = str(tmp_path / "emb.parquet")
+    _write_emb(src, vecs)
+    out = str(tmp_path / "ivf")
+    ivf.build_ivf([src], out, id_col="vec_id", nlist=2)
+    before, _ = ivf.range_search(out, [0], vecs[[0]], threshold=0.999)
+    assert 7 in set(before["neighbor_id"])
+    ivf.delete_vectors(out, [7])
+    after, _ = ivf.range_search(out, [0], vecs[[0]], threshold=0.999)
+    assert 7 not in set(after["neighbor_id"])
+    assert set(after["neighbor_id"]) == set(before["neighbor_id"]) - {7}

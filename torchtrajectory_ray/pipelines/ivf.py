@@ -1106,6 +1106,92 @@ def probe_topk_sq8(
     return pd.DataFrame(rows, columns=cols), stats
 
 
+def range_search(
+    out_dir: str,
+    query_ids: list[int],
+    q: np.ndarray,
+    *,
+    threshold: float,
+) -> tuple[pd.DataFrame, dict]:
+    """Radius query (the Faiss ``range_search`` shape): ALL vectors with
+    cosine similarity ≥ ``threshold`` to each query — ``(query_id,
+    neighbor_id, sim)`` rows + the probe IO stats.
+
+    Bucket pruning is LOSSLESS, the same sphere triangle inequality as
+    the bucket-pair near-dup: a member x of bucket b satisfies
+    θ(x, c_b) ≤ R_b (R_b from the bucket's stored ``min_cos``), so
+    cos(q, x) ≥ t requires θ(q, c_b) ≤ arccos(t) + R_b — only those
+    buckets' files are read, every qualifying vector provably lives in
+    one of them (exactness vs the brute-force scan is tested).  Each
+    batch emits only its ≥-threshold hits, so the driver holds the
+    ANSWER, never the scan."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cols = ["query_id", "neighbor_id", "sim"]
+    stats = {
+        "bytes_read": 0,
+        "total_bytes": int(meta.get("total_bytes", 0)),
+        "n_buckets_probed": 0,
+        "nlist": int(meta.get("nlist", 0)),
+    }
+    if not meta["centroids"]:
+        return pd.DataFrame(columns=cols), stats
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    qn = _norm_rows(np.asarray(q, dtype=np.float64))
+    theta_t = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    angles = np.arccos(np.clip(qn @ C.T, -1.0, 1.0))  # Q × ncent
+    cent_of = _centroid_of(meta)
+    probed_buckets = []
+    for b_str, info in meta["buckets"].items():
+        b = int(b_str)
+        r_b = float(np.arccos(np.clip(info["min_cos"], -1.0, 1.0)))
+        if (angles[:, cent_of[b]] <= theta_t + r_b).any():
+            probed_buckets.append(b)
+    probed_buckets.sort()
+    files = _bucket_files(out_dir, meta, probed_buckets)
+    stats["bytes_read"] = int(sum(os.path.getsize(p) for p in files))
+    stats["n_buckets_probed"] = len(probed_buckets)
+    if not files:
+        return pd.DataFrame(columns=cols), stats
+    id_col = meta["params"]["id_col"]
+    deleted = _load_deleted(out_dir)
+    qids = np.asarray(query_ids, np.int64)
+
+    def batch_hits(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        lm = _live_mask(ids, deleted)
+        if lm is not None and not lm.all():
+            batch = batch.filter(pa.array(lm))
+            ids = ids[lm]
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        e = _norm_rows(_batch_matrix(batch))
+        sims = qn @ e.T  # Q × B cosine (both sides unit)
+        qi, bi = np.nonzero(sims >= threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], pa.int64()),
+                "neighbor_id": pa.array(ids[bi], pa.int64()),
+                "sim": pa.array(sims[qi, bi], pa.float64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(files, columns=[id_col, "embedding"])
+        .map_batches(batch_hits, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["sim"] = out["sim"].round(6)
+    out = out.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    return out, stats
+
+
 def pc_field_isin(col: str, values: np.ndarray):
     import pyarrow.dataset as pads
 

@@ -101,6 +101,51 @@ def knn_bruteforce(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "sim"])
 
 
+def range_search_bruteforce(
+    sf_dir: str, threshold: float = 0.25
+) -> pd.DataFrame:
+    """query_id, neighbor_id, sim — radius query (ALL vectors with
+    cosine ≥ ``threshold`` to each fixed query; the Faiss range_search
+    shape): exact streaming scan, each batch emits only its hits."""
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    qids = np.asarray(QUERY_VEC_IDS, np.int64)
+
+    def batch_hits(batch: pa.Table) -> pa.Table:
+        e = _batch_matrix(batch)
+        vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        sims = _cosine(q, e)
+        qi, bi = np.nonzero(sims >= threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], pa.int64()),
+                "neighbor_id": pa.array(vec_ids[bi], pa.int64()),
+                "sim": pa.array(sims[qi, bi], pa.float64()),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(batch_hits, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    out["sim"] = out["sim"].round(6)
+    return out.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+
+
+def range_search_ivf(sf_dir: str, threshold: float = 0.25) -> pd.DataFrame:
+    """The same radius query through the persistent IVF layout —
+    triangle-inequality bucket pruning, lossless (`ivf.range_search`)."""
+    from torchtrajectory_ray.pipelines import ivf
+
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    out, _ = ivf.range_search(
+        _sf_ivf_dir(sf_dir), QUERY_VEC_IDS, q, threshold=threshold
+    )
+    return out
+
+
 # --- IVF (bucket-partitioned layout, see pipelines/ivf.py) -------------------
 
 
