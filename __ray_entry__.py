@@ -90,6 +90,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": corpus.phrase_match,      # exact phrase verification
         "near_match": corpus.near_match,          # unordered proximity (NEAR)
         "span_match": corpus.span_match,          # ORDERED proximity (span)
+        # the same three workloads answered INDEX-ONLY from full
+        # positional postings (position_mode="full"; Lucene layout) —
+        # they share the text-route oracles, so the driver gates the
+        # routes against each other through DuckDB
+        "phrase_match_pos": corpus.phrase_match_pos,
+        "near_match_pos": corpus.near_match_pos,
+        "span_match_pos": corpus.span_match_pos,
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
         "search_box": corpus.search_box,          # composed query language
@@ -922,6 +929,10 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "phrase_match": " UNION ALL ".join(phrase_parts),
         "near_match": " UNION ALL ".join(near_parts),
         "span_match": _span_sql(),
+        # positional-postings route: same workloads, same oracles
+        "phrase_match_pos": " UNION ALL ".join(phrase_parts),
+        "near_match_pos": " UNION ALL ".join(near_parts),
+        "span_match_pos": _span_sql(),
         "bool_and_not": " UNION ALL ".join(andnot_parts),
         # tombstoned serving: the boolean-OR workload minus the fixed
         # takedown set (exact immediately — no stats involved)

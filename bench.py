@@ -216,6 +216,53 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "span_match",
         lambda: [eng.span_near(q["terms"], q["window"]) for q in SPAN_QUERIES],
     )
+
+    # positional-postings route: build a second index carrying the full
+    # position payload (the honest extra cost is the index_build_pos /
+    # pos_index_bytes delta), then answer the SAME proximity workloads
+    # index-only — the 100-TB serving path, no forward-index reads
+    import dataclasses as _dc
+
+    pos_dir = os.path.join(WORK, "index-pos")
+
+    def _reset_pos_dir():
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        os.makedirs(pos_dir, exist_ok=True)
+
+    _reset_pos_dir()
+    cfg_pos = _dc.replace(cfg, store_positions=True, position_mode="full")
+    timed(
+        "index_build_pos",
+        lambda: build_index(staged, pos_dir, cfg_pos),
+        reset=_reset_pos_dir,
+    )
+    extra["pos_index_bytes"] = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(pos_dir, "segments"))
+        for f in fs
+    )
+    extra["index_bytes"] = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(idx_dir, "segments"))
+        for f in fs
+    )
+    eng_pos = QueryEngine(pos_dir)
+    timed(
+        "phrase_match_pos",
+        lambda: [eng_pos.phrase_and_pos(q["phrase"]) for q in PHRASE_QUERIES],
+    )
+    timed(
+        "near_match_pos",
+        lambda: [
+            eng_pos.near_and_pos(q["terms"], q["window"]) for q in NEAR_QUERIES
+        ],
+    )
+    timed(
+        "span_match_pos",
+        lambda: [
+            eng_pos.span_near_pos(q["terms"], q["window"]) for q in SPAN_QUERIES
+        ],
+    )
     timed(
         "topk_boosted",
         lambda: [eng.topk_boosted(q["boosts"], k=10) for q in BOOST_QUERIES],

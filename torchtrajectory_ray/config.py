@@ -43,9 +43,16 @@ class IndexConfig:
     - ``block_size``: posting block length for block-max WAND metadata.
     - ``tokenize_batch_size`` / ``tokenize_concurrency``: actor-pool
       sizing for the tokenize+combine stage.
-    - ``store_positions``: also store the first occurrence position per
-      (term, doc) — analog of the reference's posting ``position``
-      payload (Torch/base/invertedIndex/InvertedIndex.java:23-25).
+    - ``store_positions``: also store a position payload per (term, doc)
+      — analog of the reference's posting ``position`` payload
+      (Torch/base/invertedIndex/InvertedIndex.java:23-25).
+    - ``position_mode`` (with ``store_positions=True``): ``"first"``
+      stores the first occurrence only (the reference's exact layout —
+      one int per posting); ``"full"`` stores EVERY occurrence
+      (delta+varint within each doc, the Lucene positional-postings
+      layout), which makes phrase / ordered-span / unordered-proximity
+      queries exact INDEX-ONLY operations — no forward-index re-read,
+      repeated terms handled.
     """
 
     num_term_shards: int = 8
@@ -59,6 +66,7 @@ class IndexConfig:
     tokenize_batch_size: int = 512
     tokenize_concurrency: int = 4
     store_positions: bool = False
+    position_mode: str = "first"  # "first" | "full" (see class docstring)
     # parquet row-group size of segment files: small groups let the LAZY
     # query path prune by term_id row-group statistics (segments are
     # written sorted by term_id)

@@ -189,6 +189,11 @@ def build_index(
     for d in (docs_dir, seg_dir, dict_dir):
         os.makedirs(d, exist_ok=True)
 
+    if cfg.position_mode not in ("first", "full"):
+        raise ValueError(
+            f"position_mode={cfg.position_mode!r}: expected 'first' or 'full'"
+        )
+
     t0 = time.monotonic()
     sorted_inputs = sorted(input_paths)
     stems = [os.path.splitext(os.path.basename(p))[0] for p in sorted_inputs]

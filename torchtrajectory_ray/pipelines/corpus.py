@@ -185,7 +185,7 @@ _INDEX_CFG = IndexConfig(
 )
 
 
-def documents_index(sf_dir: str) -> str:
+def documents_index(sf_dir: str, cfg: IndexConfig = _INDEX_CFG) -> str:
     """Build (or resume) the inverted index over ``sf_dir/documents.parquet``;
     returns the index dir."""
     import dataclasses
@@ -200,15 +200,29 @@ def documents_index(sf_dir: str) -> str:
     # stale cached index
     cfg_tag = hashlib.md5(
         _json.dumps(
-            [dataclasses.asdict(_INDEX_CFG), os.path.abspath(src),
+            [dataclasses.asdict(cfg), os.path.abspath(src),
              st.st_size, st.st_mtime_ns],
             sort_keys=True,
         ).encode()
     ).hexdigest()[:10]
     out_dir = os.path.join(CACHE_ROOT, f"docindex-{name}-{cfg_tag}")
     os.makedirs(out_dir, exist_ok=True)
-    build_index([os.path.join(sf_dir, "documents.parquet")], out_dir, _INDEX_CFG)
+    build_index([os.path.join(sf_dir, "documents.parquet")], out_dir, cfg)
     return out_dir
+
+
+def documents_index_pos(sf_dir: str) -> str:
+    """The gate corpus indexed WITH full positional postings
+    (``position_mode="full"`` — every occurrence in the posting list),
+    serving the index-only phrase/span/NEAR route."""
+    import dataclasses
+
+    return documents_index(
+        sf_dir,
+        dataclasses.replace(
+            _INDEX_CFG, store_positions=True, position_mode="full"
+        ),
+    )
 
 
 _ENGINE_CACHE: dict[tuple, QueryEngine] = {}
@@ -412,6 +426,42 @@ def span_match(sf_dir: str, distribute_over: int | None = None) -> pd.DataFrame:
     rows = []
     for q in SPAN_QUERIES:
         for d in eng.span_near(q["terms"], q["window"], **kw):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def phrase_match_pos(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — the SAME phrase workload answered entirely from
+    full positional postings (``QueryEngine.phrase_and_pos``; no
+    forward-index read).  Shares ``phrase_match``'s SQL oracle — the two
+    routes must produce identical rows."""
+    eng = _engine(documents_index_pos(sf_dir))
+    rows = []
+    for q in PHRASE_QUERIES:
+        for d in eng.phrase_and_pos(q["phrase"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def near_match_pos(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — the NEAR workload from full positional postings
+    (``QueryEngine.near_and_pos``); shares ``near_match``'s oracle."""
+    eng = _engine(documents_index_pos(sf_dir))
+    rows = []
+    for q in NEAR_QUERIES:
+        for d in eng.near_and_pos(q["terms"], q["window"]):
+            rows.append((q["query_id"], int(d)))
+    return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+def span_match_pos(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — the ordered-span workload from full positional
+    postings (``QueryEngine.span_near_pos``); shares ``span_match``'s
+    oracle."""
+    eng = _engine(documents_index_pos(sf_dir))
+    rows = []
+    for q in SPAN_QUERIES:
+        for d in eng.span_near_pos(q["terms"], q["window"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 

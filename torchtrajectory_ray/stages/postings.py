@@ -264,6 +264,31 @@ class TokenizeCombine:
         d_dl = e_doclen[run_order]
         d_pos = first_pos[run_order]
 
+        full_pos = cfg.store_positions and cfg.position_mode == "full"
+        if full_pos:
+            # EVERY occurrence position, nested (run, doc asc, pos asc) to
+            # mirror the posting order exactly: sort the raw token stream
+            # by the same keys the entries were sorted by.  Delta within
+            # each posting (first absolute), one varint blob per run.
+            tok_run_key = codes.astype(np.int64) * cfg.num_salts + np.minimum(
+                doc_ids[doc_idx] >> self.shift, cfg.num_salts - 1
+            )
+            # entry ordinal per token: entries are unique (doc, term) pairs
+            # sorted by run_key then doc_id — give each token its entry's
+            # ordinal in d_* order, then sort tokens by (ordinal, pos)
+            ent_ord_sorted = np.empty(len(heads), dtype=np.int64)
+            ent_ord_sorted[run_order] = np.arange(len(heads), dtype=np.int64)
+            # token -> its entry: tokens sorted by key share heads order
+            tok_entry = np.repeat(ent_ord_sorted, tf)  # entry ord per SORTED token
+            tok_pos_sorted = pos_in_doc[order]  # same sort as entries
+            tok_order2 = np.lexsort((tok_pos_sorted, tok_entry))
+            pos_flat = tok_pos_sorted[tok_order2]
+            tf_by_posting = d_tf  # postings already in final order
+            pstarts = np.concatenate(([0], np.cumsum(tf_by_posting)[:-1]))
+            dpos = pos_flat.copy()
+            dpos[1:] -= pos_flat[:-1]
+            dpos[pstarts] = pos_flat[pstarts]
+
         # one vectorized multi-run encode per payload column (a web-scale
         # batch holds ~10^5-10^6 runs — per-run codec calls would be a
         # Python-loop bottleneck)
@@ -291,9 +316,15 @@ class TokenizeCombine:
                     varint_encode_multi(d_dl, run_len), pa.binary()
                 ),
                 "pos_blob": pa.array(
-                    varint_encode_multi(d_pos, run_len)
-                    if cfg.store_positions
-                    else [b""] * len(run_len),
+                    varint_encode_multi(
+                        dpos, np.add.reduceat(d_tf, run_heads)
+                    )
+                    if full_pos
+                    else (
+                        varint_encode_multi(d_pos, run_len)
+                        if cfg.store_positions
+                        else [b""] * len(run_len)
+                    ),
                     pa.binary(),
                 ),
             }
@@ -535,15 +566,31 @@ class SegmentWriter:
         ids = delta_decode_concat(group["doc_ids_blob"].to_pylist(), run_df)
         tfs = varint_decode_concat(group["tfs_blob"].to_pylist(), total)
         dls = varint_decode_concat(group["doclens_blob"].to_pylist(), total)
+        full_pos = cfg.store_positions and cfg.position_mode == "full"
         poss = (
             varint_decode_concat(group["pos_blob"].to_pylist(), total)
-            if cfg.store_positions
+            if cfg.store_positions and not full_pos
+            else None
+        )
+        pos_full = (
+            # full mode: one delta+varint run PER POSTING (tf values each),
+            # segmented by the just-decoded tfs — delta_decode_concat
+            # restores absolute positions per posting in one pass
+            delta_decode_concat(group["pos_blob"].to_pylist(), tfs)
+            if full_pos
             else None
         )
         post_tid = np.repeat(run_tid_u[run_order], run_df)
         post_salt = np.repeat(run_salt_u[run_order], run_df)
 
         order = np.lexsort((ids, post_salt, post_tid))
+        if pos_full is not None:
+            # gather the variable-length position slices into posting order
+            old_pstarts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            gather = np.repeat(old_pstarts[order], tfs[order]) + concat_aranges(
+                tfs[order]
+            )
+            pos_full = pos_full[gather]
         ids, tfs, dls = ids[order], tfs[order], dls[order]
         post_tid, post_salt = post_tid[order], post_salt[order]
         if poss is not None:
@@ -594,11 +641,16 @@ class SegmentWriter:
         doc_blobs = delta_encode_multi(ids, glen)
         tf_blobs = varint_encode_multi(tfs, glen)
         dl_blobs = varint_encode_multi(dls, glen)
-        pos_blobs = (
-            varint_encode_multi(poss, glen)
-            if poss is not None
-            else [b""] * len(glen)
-        )
+        if pos_full is not None:
+            new_pstarts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            dpos = pos_full.copy()
+            dpos[1:] -= pos_full[:-1]
+            dpos[new_pstarts] = pos_full[new_pstarts]
+            pos_blobs = varint_encode_multi(dpos, np.add.reduceat(tfs, heads))
+        elif poss is not None:
+            pos_blobs = varint_encode_multi(poss, glen)
+        else:
+            pos_blobs = [b""] * len(glen)
         n_postings = total
 
         tbl = pa.table(

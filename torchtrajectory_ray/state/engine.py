@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from torchtrajectory_ray.functions.proximity import near_cover_ok, span_chain_ok
 from torchtrajectory_ray.functions.scoring import make_scorer
 from torchtrajectory_ray.functions.text import get_tokenizer, term_hash
 from torchtrajectory_ray.state.segment import SaltSearcher
@@ -54,11 +55,9 @@ def _span_doc_hits(
     """Docs containing ``terms`` IN ORDER (strictly increasing
     positions — a repeated term needs distinct occurrences) inside a
     span of at most ``window`` tokens (ordered proximity / span-near).
-    Per doc: the greedy earliest chain from every start position —
-    greedy is optimal for a fixed start (it minimizes the span end), and
-    scanning every start covers every window; vectorized as one
-    searchsorted per query term over all starts at once.  Shared by the
-    driver and distributed verification paths."""
+    Positions come from re-tokenizing each text; the per-doc decision is
+    ``functions.proximity.span_chain_ok`` — the SAME kernel the
+    positional-postings route uses, so the two routes cannot diverge."""
     n = len(terms)
     hits: list[int] = []
     for d, text in zip(doc_ids, texts):
@@ -67,17 +66,7 @@ def _span_doc_hits(
             continue
         arr = np.asarray(toks, dtype=object)
         pos = [np.flatnonzero(arr == t) for t in terms]
-        if any(p.size == 0 for p in pos):
-            continue
-        starts = pos[0].astype(np.int64)
-        f = starts
-        ok = np.ones(f.size, dtype=bool)
-        for j in range(1, n):
-            idx = np.searchsorted(pos[j], f, side="right")
-            ok &= idx < pos[j].size
-            idx = np.minimum(idx, pos[j].size - 1)  # masked rows: any value
-            f = pos[j][idx]
-        if np.any(ok & (f - starts + 1 <= window)):
+        if span_chain_ok(pos, window):
             hits.append(int(d))
     return hits
 
@@ -87,47 +76,18 @@ def _near_doc_hits(
 ) -> list[int]:
     """Docs where every UNIQUE query term occurs inside some span of at
     most ``window`` consecutive tokens, any order (unordered proximity —
-    the WITHIN/NEAR operator).  Per doc: positions of each term, then
-    the classic two-pointer minimal-cover sweep over the merged
-    position stream; shared by the driver and distributed paths."""
+    the WITHIN/NEAR operator).  Positions from re-tokenized text, the
+    decision from ``functions.proximity.near_cover_ok`` (shared with the
+    positional-postings route)."""
     uniq = list(dict.fromkeys(terms))
-    k = len(uniq)
     hits: list[int] = []
     for d, text in zip(doc_ids, texts):
         toks = tokenize(text)
-        if len(toks) < k:
+        if len(toks) < len(uniq):
             continue
         arr = np.asarray(toks, dtype=object)
-        pos, lab = [], []
-        for j, term in enumerate(uniq):
-            p = np.flatnonzero(arr == term)
-            if p.size == 0:
-                pos = []
-                break
-            pos.append(p)
-            lab.append(np.full(p.size, j, np.int64))
-        if not pos:
-            continue
-        allpos = np.concatenate(pos)
-        labels = np.concatenate(lab)
-        order = np.argsort(allpos, kind="stable")
-        allpos, labels = allpos[order], labels[order]
-        count = np.zeros(k, np.int64)
-        covered = 0
-        left = 0
-        found = False
-        for right in range(len(allpos)):
-            c = labels[right]
-            count[c] += 1
-            if count[c] == 1:
-                covered += 1
-            while count[labels[left]] > 1:  # shrink to the minimal cover
-                count[labels[left]] -= 1
-                left += 1
-            if covered == k and allpos[right] - allpos[left] + 1 <= window:
-                found = True
-                break
-        if found:
+        pos = [np.flatnonzero(arr == t) for t in uniq]
+        if near_cover_ok(pos, window):
             hits.append(int(d))
     return hits
 
@@ -209,6 +169,14 @@ class QueryEngine:
         self.scorer = make_scorer(scorer, k1=self.k1, b=self.b)
         self._tokenizer_name = cfg.get("tokenizer", "default")
         self._tokenize = get_tokenizer(self._tokenizer_name)
+        # position payload of this index: None (not stored), "first"
+        # (reference layout), or "full" (Lucene positional postings —
+        # enables the index-only phrase/span/near route)
+        self.position_mode = (
+            cfg.get("position_mode", "first")
+            if cfg.get("store_positions")
+            else None
+        )
 
         # term dictionary: term_id -> (df, max_tf, min_dl).  At 10^12-doc scale
         # this table is itself term-sharded and probed with parquet
@@ -289,6 +257,7 @@ class QueryEngine:
             salt_shift=self.stats.get("salt_shift"),
             docs_paths=self.docs_paths,
             scorer=scorer,
+            position_mode=self.position_mode or "first",
         )
         del_by_salt: dict[int, np.ndarray | None] = {
             s: None for s in range(self.num_salts)
@@ -829,6 +798,72 @@ class QueryEngine:
         return self._verify_phrase_distributed(
             cand, terms, window=window, ordered=True
         )
+
+    # --- positional-postings route (position_mode="full" indexes) ---
+    #
+    # The Lucene layout: every occurrence position lives IN the posting
+    # list, so phrase / span / NEAR are index-only operations — no
+    # forward-index read, no re-tokenization, and the verification work
+    # is already partitioned across the salt searchers (each verifies
+    # its own doc range from its own decoded postings).  The text-route
+    # methods above stay available for indexes without the payload; both
+    # routes share the per-doc kernels in functions/proximity.py.
+
+    def _pos_tids(self, terms: list[str]) -> list[int] | None:
+        if self.position_mode != "full":
+            raise ValueError(
+                "this index was not built with store_positions=True, "
+                "position_mode='full'; use phrase_and/near_and/span_near "
+                "(forward-index verification) instead"
+            )
+        for t in dict.fromkeys(terms):
+            if not self._df.get(term_hash(t)):
+                return None
+        return [term_hash(t) for t in terms]
+
+    def phrase_and_pos(self, terms: list[str], **filt) -> np.ndarray:
+        """EXACT phrase matching from full positional postings — same
+        answer as :meth:`phrase_and` (tested identity), no forward-index
+        read.  Repeated terms and non-first occurrences included."""
+        tids = self._pos_tids(terms)
+        if tids is None:
+            return np.empty(0, dtype=np.int64)
+        parts = self._fanout("phrase_pos", tids, *self._filt3(filt))
+        return np.sort(np.concatenate(parts))
+
+    def span_near_pos(
+        self, terms: list[str], window: int, **filt
+    ) -> np.ndarray:
+        """Ordered proximity from full positional postings — same answer
+        as :meth:`span_near` (tested identity)."""
+        if window < len(terms):
+            raise ValueError(
+                f"span_near_pos: window={window} can never hold "
+                f"{len(terms)} in-order occurrences; use window >= "
+                f"{len(terms)}"
+            )
+        tids = self._pos_tids(terms)
+        if tids is None:
+            return np.empty(0, dtype=np.int64)
+        parts = self._fanout("span_pos", tids, window, *self._filt3(filt))
+        return np.sort(np.concatenate(parts))
+
+    def near_and_pos(
+        self, terms: list[str], window: int, **filt
+    ) -> np.ndarray:
+        """Unordered proximity from full positional postings — same
+        answer as :meth:`near_and` (tested identity)."""
+        uniq = list(dict.fromkeys(terms))
+        if window < len(uniq):
+            raise ValueError(
+                f"near_and_pos: window={window} can never cover "
+                f"{len(uniq)} distinct terms; use window >= {len(uniq)}"
+            )
+        tids = self._pos_tids(terms)
+        if tids is None:
+            return np.empty(0, dtype=np.int64)
+        parts = self._fanout("near_pos", tids, window, *self._filt3(filt))
+        return np.sort(np.concatenate(parts))
 
     def _verify_phrase(
         self,

@@ -23,7 +23,13 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-from torchtrajectory_ray.functions.codec import delta_decode, varint_decode
+from torchtrajectory_ray.functions.codec import (
+    concat_aranges,
+    delta_decode,
+    delta_decode_concat,
+    varint_decode,
+)
+from torchtrajectory_ray.functions.proximity import near_cover_ok, span_chain_ok
 from torchtrajectory_ray.functions.scoring import make_scorer
 
 
@@ -44,6 +50,7 @@ class SaltSearcher:
         docs_paths: list[str] | None = None,
         scorer: str = "bm25",
         deleted: np.ndarray | None = None,
+        position_mode: str = "first",
     ):
         """``load_mode``:
 
@@ -72,12 +79,17 @@ class SaltSearcher:
         # (max_tf, min_dl) so any registered scorer works on any index
         self.scorer = make_scorer(scorer, k1=k1, b=b)
         self.load_mode = load_mode
+        # how pos_blob is encoded ("first" = one int per posting, the
+        # reference layout; "full" = every occurrence, Lucene layout) —
+        # from the build manifest via the engine
+        self.position_mode = position_mode
         # compressed runs: term_id -> list of row dicts (kept compressed,
         # decoded per probe like the reference)
         self.runs: dict[int, list[dict]] = {}
         self._lazy_cache: dict[int, list[dict]] = {}
         self._decoded_cache: dict[int, tuple] = {}
         self._pos_cache: dict[int, tuple] = {}
+        self._posfull_cache: dict[int, tuple] = {}
         if seg_paths is None:
             # standalone fallback: discover by glob (base build first, then
             # generations in order — dense doc ordinals grow per
@@ -214,10 +226,15 @@ class SaltSearcher:
 
     def postings_pos(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, first_positions) — requires store_positions=True.
-        Cached like :meth:`postings` (same decode-dominates argument)."""
+        Works on both position modes (under "full" the first occurrence
+        is each posting's first stored position).  Cached like
+        :meth:`postings` (same decode-dominates argument)."""
         hit = self._pos_cache.get(term_id)
         if hit is not None:
             return hit
+        if self.position_mode == "full":
+            ids, offsets, pos_flat = self.positions_full(term_id)
+            return ids, (pos_flat[offsets[:-1]] if ids.size else pos_flat)
         rows = self._rows(term_id)
         if not rows:
             e = np.empty(0, dtype=np.int64)
@@ -233,6 +250,150 @@ class SaltSearcher:
             self._pos_cache.clear()
         self._pos_cache[term_id] = (ids, pos)
         return ids, pos
+
+    def positions_full(
+        self, term_id: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, offsets, pos_flat) — EVERY occurrence position of the
+        term in this bucket (``position_mode="full"`` indexes only).
+        ``pos_flat[offsets[i]:offsets[i+1]]`` is doc ``doc_ids[i]``'s
+        ascending position list.  Generations concatenate transparently:
+        the delta coding restarts at every posting, so joined blobs
+        decode in one pass segmented by the tf array."""
+        if self.position_mode != "full":
+            raise ValueError(
+                "positions_full requires an index built with "
+                "store_positions=True, position_mode='full' (this index "
+                f"is {self.position_mode!r}); use the forward-index "
+                "verification path instead"
+            )
+        hit = self._posfull_cache.get(term_id)
+        if hit is not None:
+            return hit
+        rows = self._rows(term_id)
+        if not rows:
+            e = np.empty(0, dtype=np.int64)
+            return e, np.zeros(1, dtype=np.int64), e
+        ids = np.concatenate([delta_decode(r["doc_ids_blob"], r["df"]) for r in rows])
+        tfs = np.concatenate([varint_decode(r["tfs_blob"], r["df"]) for r in rows])
+        pos_flat = delta_decode_concat([r["pos_blob"] for r in rows], tfs)
+        offsets = np.concatenate(([0], np.cumsum(tfs)))
+        if len(self._posfull_cache) >= self._DECODED_CACHE_MAX:
+            self._posfull_cache.clear()
+        self._posfull_cache[term_id] = (ids, offsets, pos_flat)
+        return ids, offsets, pos_flat
+
+    _ORD_SHIFT = 32  # composite verify key = candidate ordinal << 32 | pos
+
+    def _cand_positions(
+        self, per: dict[int, tuple], cand: np.ndarray
+    ) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        """Per term: (tf per candidate doc, flat positions of the
+        candidates only), candidates in ``cand``'s (sorted) order."""
+        out = {}
+        for tid, (ids, offsets, pos_flat) in per.items():
+            sel = np.searchsorted(ids, cand)  # every cand is present
+            tf_sel = (offsets[sel + 1] - offsets[sel]).astype(np.int64)
+            gather = np.repeat(offsets[sel], tf_sel) + concat_aranges(tf_sel)
+            out[tid] = (tf_sel, pos_flat[gather])
+        return out
+
+    def _pos_candidates(self, term_ids: list[int]) -> tuple:
+        """(unique ids, per-term positions_full, sorted candidate array =
+        docs containing ALL unique terms) — shared entry of the three
+        positional verifiers."""
+        uniq = list(dict.fromkeys(term_ids))
+        per = {t: self.positions_full(t) for t in uniq}
+        empty = np.empty(0, dtype=np.int64)
+        if any(per[t][0].size == 0 for t in uniq):
+            return uniq, per, empty
+        cand = per[uniq[0]][0]
+        for t in uniq[1:]:
+            cand = cand[
+                np.isin(cand, per[t][0], assume_unique=True)
+            ]
+            if cand.size == 0:
+                return uniq, per, empty
+        return uniq, per, cand
+
+    def phrase_pos(
+        self, term_ids: list[int], lang=None, ts_lo=None, ts_hi=None
+    ) -> np.ndarray:
+        """EXACT index-only phrase matching over full positional postings
+        (repeated terms and non-first occurrences included — the Lucene
+        PhraseQuery semantics, no forward-index read).  Candidates =
+        docs containing all unique terms; verification is one vectorized
+        composite-key membership pass per query term: an occurrence key
+        is ``ordinal<<32 | position``, and a phrase start survives iff
+        ``key + j`` exists in term j's key set for every j."""
+        uniq, per, cand = self._pos_candidates(term_ids)
+        if cand.size == 0:
+            return cand
+        cp = self._cand_positions(per, cand)
+        ords = np.arange(cand.size, dtype=np.int64)
+
+        def keys(tid: int) -> np.ndarray:
+            tf_sel, pos_sel = cp[tid]
+            if pos_sel.size and int(pos_sel.max()) >= (1 << self._ORD_SHIFT):
+                raise ValueError("document position exceeds 2^32")
+            return (np.repeat(ords, tf_sel) << self._ORD_SHIFT) | pos_sel
+
+        kcache = {t: keys(t) for t in uniq}
+        k0 = kcache[term_ids[0]]
+        alive = np.ones(k0.size, dtype=bool)
+        for j, tid in enumerate(term_ids[1:], 1):
+            kj = kcache[tid]
+            idx = np.searchsorted(kj, k0 + j)
+            inb = idx < kj.size
+            idx = np.minimum(idx, kj.size - 1)
+            alive &= inb & (kj[idx] == k0 + j)
+        hits = cand[np.unique(k0[alive] >> self._ORD_SHIFT)]
+        return hits[self._allowed_mask(hits, lang, ts_lo, ts_hi)]
+
+    def span_pos(
+        self, term_ids: list[int], window: int, lang=None, ts_lo=None, ts_hi=None
+    ) -> np.ndarray:
+        """Ordered proximity (span-near in-order) straight from full
+        positional postings — same per-doc kernel as the forward-index
+        route (``functions.proximity.span_chain_ok``), positions sliced
+        from the index instead of re-tokenized text."""
+        return self._proximity_pos(term_ids, window, True, lang, ts_lo, ts_hi)
+
+    def near_pos(
+        self, term_ids: list[int], window: int, lang=None, ts_lo=None, ts_hi=None
+    ) -> np.ndarray:
+        """Unordered proximity (NEAR/WITHIN) from full positional
+        postings (``functions.proximity.near_cover_ok``)."""
+        return self._proximity_pos(term_ids, window, False, lang, ts_lo, ts_hi)
+
+    def _proximity_pos(
+        self, term_ids, window, ordered, lang, ts_lo, ts_hi
+    ) -> np.ndarray:
+        uniq, per, cand = self._pos_candidates(term_ids)
+        if cand.size == 0:
+            return cand
+        cp = self._cand_positions(per, cand)
+        # query order for span (repeated terms repeat their array);
+        # unique terms for near — matching the text-route kernels exactly
+        want = term_ids if ordered else uniq
+        tf_by_t = {t: cp[t][0] for t in uniq}
+        off_by_t = {
+            t: np.concatenate(([0], np.cumsum(tf_by_t[t]))) for t in uniq
+        }
+        kern = span_chain_ok if ordered else near_cover_ok
+        hits = [
+            int(cand[i])
+            for i in range(cand.size)
+            if kern(
+                [
+                    cp[t][1][off_by_t[t][i] : off_by_t[t][i + 1]]
+                    for t in want
+                ],
+                window,
+            )
+        ]
+        out = np.asarray(hits, dtype=np.int64)
+        return out[self._allowed_mask(out, lang, ts_lo, ts_hi)]
 
     def phrase_and(
         self, term_ids: list[int], lang=None, ts_lo=None, ts_hi=None
