@@ -174,6 +174,49 @@ def main() -> None:
         ),
     )
 
+    # --- positional-postings route at 1M docs ---
+    # second index carrying the FULL position payload; the same hot-pair
+    # proximity workloads answered index-only.  The candidate set is the
+    # same corpus-scale fraction, but verification needs no forward-index
+    # read and no fan-out stage — each salt searcher verifies its own
+    # range from its decoded postings.
+    import dataclasses
+
+    pos_dir = os.path.join(SOAK_ROOT, f"idx-serving-pos-{args.n_docs}")
+    t0 = time.monotonic()
+    build_index(
+        sorted(
+            os.path.join(soak_dir, "documents.parquet", p)
+            for p in os.listdir(os.path.join(soak_dir, "documents.parquet"))
+        ),
+        pos_dir,
+        dataclasses.replace(
+            IndexConfig(num_term_shards=16, num_salts=16),
+            store_positions=True,
+            position_mode="full",
+        ),
+    )
+    out["index_build_pos_or_resume_s"] = round(time.monotonic() - t0, 1)
+
+    def _tree_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(os.path.join(d, "segments"))
+            for f in fs
+        )
+
+    out["segment_bytes"] = _tree_bytes(idx_dir)
+    out["segment_bytes_pos"] = _tree_bytes(pos_dir)
+    eng_pos = QueryEngine(pos_dir)
+    near_pos = timed("near_pos_hot_w8", lambda: eng_pos.near_and_pos(hot, 8))
+    span_pos = timed("span_pos_hot_w8", lambda: eng_pos.span_near_pos(hot, 8))
+    assert near_pos.tolist() == near_hits.tolist(), "near routes disagree"
+    assert span_pos.tolist() == span_hits.tolist(), "span routes disagree"
+    phrase_pos = timed("phrase_pos_hot", lambda: eng_pos.phrase_and_pos(hot))
+    phrase_txt = timed("phrase_text_hot", lambda: eng.phrase_and(hot))
+    assert phrase_pos.tolist() == phrase_txt.tolist(), "phrase routes disagree"
+    out["phrase_hot_hits"] = int(phrase_pos.size)
+
     print(json.dumps(out))
     ray.shutdown()
 

@@ -227,6 +227,53 @@ def test_invalid_position_mode_rejected(ray_session, tmp_path):
         )
 
 
+def test_route_equivalence_fuzz(ray_session, tmp_path):
+    """The vectorized positional verifiers (composite-key searchsorted
+    across all docs) must agree with the per-doc text-route kernels on a
+    randomized small-vocabulary corpus — small vocab forces dense
+    repeats, collisions, and adjacent duplicates, the regime where an
+    off-by-one in the key algebra would show."""
+    rng = np.random.default_rng(20260818)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+        for _ in range(160)
+    ]
+    rows = {
+        "url": [f"https://f.test/{i}" for i in range(len(texts))],
+        "warc_ts": [np.datetime64("2025-01-01", "us")] * len(texts),
+        "html": [f"<html><body>{t}</body></html>".encode() for t in texts],
+        "text": texts,
+        "lang": ["en"] * len(texts),
+    }
+    p = str(tmp_path / "fuzz.parquet")
+    pq.write_table(pa.table(rows), p)
+    idx = str(tmp_path / "idx")
+    build_index([p], idx, IndexConfig(**CFG))
+    eng = QueryEngine(idx)
+    cases = []
+    for _ in range(30):
+        n = int(rng.integers(2, 4))
+        terms = list(rng.choice(vocab, size=n))
+        w = int(rng.integers(n, 9))
+        cases.append((terms, w))
+    for terms, w in cases:
+        assert (
+            eng.phrase_and(terms).tolist()
+            == eng.phrase_and_pos(terms).tolist()
+        ), ("phrase", terms)
+        assert (
+            eng.span_near(terms, w).tolist()
+            == eng.span_near_pos(terms, w).tolist()
+        ), ("span", terms, w)
+        uniq = list(dict.fromkeys(terms))
+        if w >= len(uniq):
+            assert (
+                eng.near_and(terms, w).tolist()
+                == eng.near_and_pos(terms, w).tolist()
+            ), ("near", terms, w)
+
+
 def test_full_position_payload_roundtrip_brute_force(pos_engine):
     """Decode every (term, doc) position list from the built index and
     compare against brute-force tokenization of the stored text — the

@@ -1,14 +1,14 @@
 """Pure per-document proximity kernels over POSITION ARRAYS.
 
-One implementation shared by BOTH verification routes so they cannot
-diverge:
-
-- the forward-index route (``state.engine._span_doc_hits`` /
-  ``_near_doc_hits``) derives each term's positions by re-tokenizing the
-  stored text;
-- the positional-postings route (``state.segment.SaltSearcher.span_pos``
-  / ``near_pos`` over indexes built with ``store_positions=True,
-  position_mode="full"``) slices them straight out of the index.
+Used by the forward-index verification route
+(``state.engine._span_doc_hits`` / ``_near_doc_hits``: each term's
+positions come from re-tokenizing the stored text) and as the
+REFERENCE SEMANTICS for the positional-postings route
+(``state.segment.SaltSearcher.span_pos`` / ``near_pos``), which
+re-expresses the same decisions vectorized across all candidate docs at
+once via composite ``ordinal<<32|pos`` keys — the route identity is
+pytest- and driver-oracle-gated (``tests/test_positions.py``,
+``queries()[span_match_pos / near_match_pos]``).
 
 The kernels take one sorted int64 position array per query term and
 answer "does this document match" — no text, no tokenizer.

@@ -806,8 +806,10 @@ class QueryEngine:
     # forward-index read, no re-tokenization, and the verification work
     # is already partitioned across the salt searchers (each verifies
     # its own doc range from its own decoded postings).  The text-route
-    # methods above stay available for indexes without the payload; both
-    # routes share the per-doc kernels in functions/proximity.py.
+    # methods above stay available for indexes without the payload; the
+    # positional verifiers re-express the functions/proximity.py kernels
+    # vectorized across all candidate docs (identity fuzz- and
+    # oracle-gated).
 
     def _pos_tids(self, terms: list[str]) -> list[int] | None:
         if self.position_mode != "full":

@@ -29,7 +29,6 @@ from torchtrajectory_ray.functions.codec import (
     delta_decode_concat,
     varint_decode,
 )
-from torchtrajectory_ray.functions.proximity import near_cover_ok, span_chain_ok
 from torchtrajectory_ray.functions.scoring import make_scorer
 
 
@@ -326,23 +325,13 @@ class SaltSearcher:
         composite-key membership pass per query term: an occurrence key
         is ``ordinal<<32 | position``, and a phrase start survives iff
         ``key + j`` exists in term j's key set for every j."""
-        uniq, per, cand = self._pos_candidates(term_ids)
+        cand, keys = self._occ_keys(term_ids)
         if cand.size == 0:
             return cand
-        cp = self._cand_positions(per, cand)
-        ords = np.arange(cand.size, dtype=np.int64)
-
-        def keys(tid: int) -> np.ndarray:
-            tf_sel, pos_sel = cp[tid]
-            if pos_sel.size and int(pos_sel.max()) >= (1 << self._ORD_SHIFT):
-                raise ValueError("document position exceeds 2^32")
-            return (np.repeat(ords, tf_sel) << self._ORD_SHIFT) | pos_sel
-
-        kcache = {t: keys(t) for t in uniq}
-        k0 = kcache[term_ids[0]]
+        k0 = keys[term_ids[0]]
         alive = np.ones(k0.size, dtype=bool)
         for j, tid in enumerate(term_ids[1:], 1):
-            kj = kcache[tid]
+            kj = keys[tid]
             idx = np.searchsorted(kj, k0 + j)
             inb = idx < kj.size
             idx = np.minimum(idx, kj.size - 1)
@@ -350,50 +339,82 @@ class SaltSearcher:
         hits = cand[np.unique(k0[alive] >> self._ORD_SHIFT)]
         return hits[self._allowed_mask(hits, lang, ts_lo, ts_hi)]
 
+    def _occ_keys(self, term_ids: list[int]) -> tuple:
+        """Shared verifier entry: (candidate array, composite occurrence
+        keys ``ordinal<<32 | position`` per unique term — sorted, since
+        ordinals ascend and positions ascend within a doc)."""
+        uniq, per, cand = self._pos_candidates(term_ids)
+        if cand.size == 0:
+            return cand, {}
+        cp = self._cand_positions(per, cand)
+        ords = np.arange(cand.size, dtype=np.int64)
+        keys = {}
+        for t in set(term_ids):
+            tf_sel, pos_sel = cp[t]
+            if pos_sel.size and int(pos_sel.max()) >= (1 << self._ORD_SHIFT):
+                raise ValueError("document position exceeds 2^32")
+            keys[t] = (np.repeat(ords, tf_sel) << self._ORD_SHIFT) | pos_sel
+        return cand, keys
+
     def span_pos(
         self, term_ids: list[int], window: int, lang=None, ts_lo=None, ts_hi=None
     ) -> np.ndarray:
         """Ordered proximity (span-near in-order) straight from full
-        positional postings — same per-doc kernel as the forward-index
-        route (``functions.proximity.span_chain_ok``), positions sliced
-        from the index instead of re-tokenized text."""
-        return self._proximity_pos(term_ids, window, True, lang, ts_lo, ts_hi)
+        positional postings — the greedy earliest chain of the
+        forward-index route (``functions.proximity.span_chain_ok``, the
+        per-start greedy is optimal for a fixed start) vectorized across
+        ALL candidate docs at once: occurrences become composite
+        ``ordinal<<32|pos`` keys, each chain step is one searchsorted
+        over the next term's key array, and staying inside the doc is
+        one ordinal-equality mask (route identity is pytest- and
+        driver-gated against the text route)."""
+        cand, keys = self._occ_keys(term_ids)
+        if cand.size == 0:
+            return cand
+        starts = keys[term_ids[0]]
+        f = starts
+        alive = np.ones(starts.size, dtype=bool)
+        for tid in term_ids[1:]:
+            kj = keys[tid]
+            idx = np.searchsorted(kj, f, side="right")  # strictly after f
+            inb = idx < kj.size
+            idx = np.minimum(idx, kj.size - 1)
+            nxt = kj[idx]
+            alive &= inb & ((nxt >> self._ORD_SHIFT) == (f >> self._ORD_SHIFT))
+            f = nxt
+        ok = alive & ((f - starts) <= window - 1)  # same ord ⇒ key Δ = pos Δ
+        hits = cand[np.unique(starts[ok] >> self._ORD_SHIFT)]
+        return hits[self._allowed_mask(hits, lang, ts_lo, ts_hi)]
 
     def near_pos(
         self, term_ids: list[int], window: int, lang=None, ts_lo=None, ts_hi=None
     ) -> np.ndarray:
         """Unordered proximity (NEAR/WITHIN) from full positional
-        postings (``functions.proximity.near_cover_ok``)."""
-        return self._proximity_pos(term_ids, window, False, lang, ts_lo, ts_hi)
-
-    def _proximity_pos(
-        self, term_ids, window, ordered, lang, ts_lo, ts_hi
-    ) -> np.ndarray:
-        uniq, per, cand = self._pos_candidates(term_ids)
+        postings, vectorized across all candidate docs.  A covering
+        window exists iff some occurrence x0 (of ANY query term — the
+        leftmost one inside the window) has every term's next occurrence
+        ≥ x0 within x0 + window - 1, so each unique term costs ONE
+        searchsorted over the merged start set (equivalence with the
+        text route's minimal-cover sweep is pytest- and driver-gated)."""
+        cand, keys = self._occ_keys(term_ids)
         if cand.size == 0:
             return cand
-        cp = self._cand_positions(per, cand)
-        # query order for span (repeated terms repeat their array);
-        # unique terms for near — matching the text-route kernels exactly
-        want = term_ids if ordered else uniq
-        tf_by_t = {t: cp[t][0] for t in uniq}
-        off_by_t = {
-            t: np.concatenate(([0], np.cumsum(tf_by_t[t]))) for t in uniq
-        }
-        kern = span_chain_ok if ordered else near_cover_ok
-        hits = [
-            int(cand[i])
-            for i in range(cand.size)
-            if kern(
-                [
-                    cp[t][1][off_by_t[t][i] : off_by_t[t][i + 1]]
-                    for t in want
-                ],
-                window,
+        uniq = list(dict.fromkeys(term_ids))
+        starts = np.sort(np.concatenate([keys[t] for t in uniq]))
+        ok = np.ones(starts.size, dtype=bool)
+        for tid in uniq:
+            kt = keys[tid]
+            idx = np.searchsorted(kt, starts, side="left")  # first ≥ start
+            inb = idx < kt.size
+            idx = np.minimum(idx, kt.size - 1)
+            nt = kt[idx]
+            ok &= (
+                inb
+                & ((nt >> self._ORD_SHIFT) == (starts >> self._ORD_SHIFT))
+                & ((nt - starts) <= window - 1)
             )
-        ]
-        out = np.asarray(hits, dtype=np.int64)
-        return out[self._allowed_mask(out, lang, ts_lo, ts_hi)]
+        hits = cand[np.unique(starts[ok] >> self._ORD_SHIFT)]
+        return hits[self._allowed_mask(hits, lang, ts_lo, ts_hi)]
 
     def phrase_and(
         self, term_ids: list[int], lang=None, ts_lo=None, ts_hi=None
