@@ -56,6 +56,30 @@ def _ivf_probe_stats(sf_dir: str) -> Any:
     )
 
 
+def _index_check(sf_dir: str) -> Any:
+    """One audit row from the distributed CheckIndex pass over the gate
+    index: every payload decoded, WAND block bounds re-derived,
+    dictionary and manifest stats cross-checked (rows-only — integrity
+    verification has no SQL analog)."""
+    import pandas as pd
+
+    from torchtrajectory_ray.pipelines.checkindex import check_index
+    from torchtrajectory_ray.pipelines.corpus import documents_index
+
+    rep = check_index(documents_index(sf_dir))
+    return pd.DataFrame(
+        [
+            {
+                "ok": rep["ok"],
+                "n_segments": rep["n_segments"],
+                "n_terms": rep["n_terms"],
+                "n_postings": rep["n_postings"],
+                "n_violations": len(rep["violations"]),
+            }
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from torchtrajectory_ray.pipelines import (
         analytics,
@@ -178,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_search": knn.range_search_bruteforce,  # radius query (exact)
         "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
+        "index_check": _index_check,              # CheckIndex audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
         "semantic_rerank": semantic.semantic_rerank,  # BM25→cosine hybrid

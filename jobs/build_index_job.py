@@ -45,6 +45,22 @@ def main() -> None:
     ap.add_argument("--bad-rows", choices=["raise", "drop"], default="raise")
     ap.add_argument("--store-positions", action="store_true")
     ap.add_argument(
+        "--position-mode",
+        choices=["first", "full"],
+        default="first",
+        help="with --store-positions: 'first' stores one position per "
+        "posting (the reference layout), 'full' every occurrence (the "
+        "Lucene layout; enables index-only phrase/span/NEAR)",
+    )
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="ignore --input and verify the integrity of the index at "
+        "--out (CheckIndex: decode every payload, re-derive WAND block "
+        "bounds, cross-check the dictionary and manifest stats); exits "
+        "non-zero on violations",
+    )
+    ap.add_argument(
         "--tokenizer",
         default="default",
         help="tokenizer registry name (functions.text.TOKENIZERS)",
@@ -82,17 +98,31 @@ def main() -> None:
         "from every query immediately, purged by the next --compact-from",
     )
     args = ap.parse_args()
-    modes = (args.extend, args.compact_from, args.delete_ids, args.merge_from)
+    modes = (
+        args.extend,
+        args.compact_from,
+        args.delete_ids,
+        args.merge_from,
+        args.check,
+    )
     if sum(map(bool, modes)) > 1:
         ap.error(
-            "--extend / --compact-from / --delete-ids / --merge-from "
-            "are mutually exclusive"
+            "--extend / --compact-from / --delete-ids / --merge-from / "
+            "--check are mutually exclusive"
         )
 
     import ray
 
     if not ray.is_initialized():  # the job driver owns the session
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"))
+
+    if args.check:
+        from torchtrajectory_ray.pipelines.checkindex import check_index
+
+        rep = check_index(args.out)
+        print(json.dumps({"out": args.out, "cmd": "check", **rep}))
+        ray.shutdown()
+        raise SystemExit(0 if rep["ok"] else 1)
 
     from torchtrajectory_ray.config import IndexConfig
     from torchtrajectory_ray.pipelines.build import (
@@ -128,6 +158,7 @@ def main() -> None:
         doc_id_mode=args.doc_id_mode,
         bad_rows=args.bad_rows,
         store_positions=args.store_positions,
+        position_mode=args.position_mode,
         tokenizer=args.tokenizer,
     )
     if args.compact_from:

@@ -1,0 +1,293 @@
+"""CheckIndex — distributed integrity verification of a built index.
+
+The analog of Lucene's ``CheckIndex`` tool (and of the reference's
+implicit load-time invariants: posting lists sorted before compression,
+InvertedIndex.java:63-67): decode every segment payload and prove the
+invariants the query engine RELIES on, so silent storage corruption or a
+codec regression is caught by an offline pass instead of by wrong query
+results.
+
+Shape: ONE Ray Data ``map_batches`` task per segment file (each task
+reads only its file — embarrassingly parallel, no shuffle), returning a
+violation list plus per-term df/max_tf/min_dl partials; the driver then
+folds the partials (a term lives in exactly one shard, so the fold is a
+dictionary-sized groupby done locally) and cross-checks them against the
+term dictionary shards and the manifest stats.
+
+Checked per segment row:
+- doc_ids decode strictly increasing, inside the row's salt range;
+- df == decoded length; tfs >= 1; doclens >= tfs;
+- max_tf / min_dl equal the decoded maxima/minima (WAND bounds);
+- block-max metadata (blk_last / blk_max_tf / blk_min_dl) re-derived
+  bit-exactly from the decoded postings;
+- position payload: count == df ("first" mode) or per-posting tf
+  ("full" mode), ascending within each doc, strictly below the doclen.
+
+Cross-checked globally:
+- dictionary df / max_tf / min_dl == fold of the segment partials,
+  term by term, and no dictionary term is missing from the segments
+  (or vice versa);
+- manifest stats: n_docs == forward-shard row count, sum_doclen and
+  max_doc_id match, every manifest path exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from torchtrajectory_ray.functions.codec import delta_decode, varint_decode
+
+
+def _check_segment_file(
+    path: str, num_salts: int, shift: int, position_mode, block_size: int
+):
+    """Violations + per-term (df, max_tf, min_dl) partials for ONE
+    segment parquet.  Pure function of the file — the map_batches task
+    body."""
+    violations: list[str] = []
+    tbl = pq.read_table(path)
+    seg_name = os.path.basename(path)
+    agg: dict[int, list] = {}
+    for row in tbl.to_pylist():
+        tid, salt, df = row["term_id"], int(row["salt"]), int(row["df"])
+        where = f"{seg_name} term_id={tid} salt={salt}"
+        try:
+            ids = delta_decode(row["doc_ids_blob"], df)
+            tfs = varint_decode(row["tfs_blob"], df)
+            dls = varint_decode(row["doclens_blob"], df)
+        except Exception as e:  # truncated/garbled blob
+            violations.append(f"{where}: payload decode failed: {e}")
+            continue
+        if len(ids) != df:
+            violations.append(f"{where}: df={df} != decoded {len(ids)}")
+            continue
+        if df and not bool(np.all(ids[1:] > ids[:-1])):
+            violations.append(f"{where}: doc_ids not strictly increasing")
+        lo = salt << shift
+        hi = None if salt == num_salts - 1 else (salt + 1) << shift
+        if df and (
+            int(ids[0]) < lo or (hi is not None and int(ids[-1]) >= hi)
+        ):
+            violations.append(f"{where}: doc_ids escape salt range")
+        if df and int(tfs.min()) < 1:
+            violations.append(f"{where}: tf < 1")
+        if df and bool(np.any(dls < tfs)):
+            violations.append(f"{where}: doclen < tf")
+        if df and (
+            int(row["max_tf"]) != int(tfs.max())
+            or int(row["min_dl"]) != int(dls.min())
+        ):
+            violations.append(f"{where}: stale (max_tf, min_dl) bounds")
+        # block-max metadata re-derivation at the BUILD's block size
+        blk_last = np.asarray(row["blk_last"], dtype=np.int64)
+        if df:
+            starts = np.arange(0, df, block_size)
+            if len(starts) != len(blk_last):
+                violations.append(f"{where}: block count mismatch")
+            else:
+                last_idx = np.minimum(starts + block_size - 1, df - 1)
+                if (
+                    not np.array_equal(ids[last_idx], blk_last)
+                    or not np.array_equal(
+                        np.maximum.reduceat(tfs, starts),
+                        np.asarray(row["blk_max_tf"], dtype=np.int64),
+                    )
+                    or not np.array_equal(
+                        np.minimum.reduceat(dls, starts),
+                        np.asarray(row["blk_min_dl"], dtype=np.int64),
+                    )
+                ):
+                    violations.append(f"{where}: block-max metadata wrong")
+        # position payload
+        if position_mode is not None and df:
+            try:
+                if position_mode == "full":
+                    total = int(tfs.sum())
+                    pos = varint_decode(row["pos_blob"], total)
+                    # undelta per posting and range-check against doclen
+                    pstarts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                    cs = np.cumsum(pos)
+                    base = cs[pstarts] - pos[pstarts]
+                    absolute = cs - np.repeat(base, tfs)
+                    if bool(np.any(absolute >= np.repeat(dls, tfs))):
+                        violations.append(f"{where}: position >= doclen")
+                    nonstart = np.ones(total, dtype=bool)
+                    nonstart[pstarts] = False
+                    if bool(np.any(pos[nonstart] < 1)):
+                        violations.append(
+                            f"{where}: positions not strictly ascending"
+                        )
+                else:
+                    pos = varint_decode(row["pos_blob"], df)
+                    if bool(np.any(pos >= dls)):
+                        violations.append(f"{where}: position >= doclen")
+            except Exception as e:
+                violations.append(f"{where}: position decode failed: {e}")
+        cur = agg.get(tid)
+        if cur is None:
+            agg[tid] = [df, int(tfs.max()), int(dls.min())]
+        else:
+            cur[0] += df
+            cur[1] = max(cur[1], int(tfs.max()))
+            cur[2] = min(cur[2], int(dls.min()))
+    return violations, agg
+
+
+class _SegmentCheckTask:
+    def __init__(self, num_salts: int, shift: int, position_mode, block_size):
+        self.num_salts = num_salts
+        self.shift = shift
+        self.position_mode = position_mode
+        self.block_size = block_size
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for path in batch["path"]:
+            violations, agg = _check_segment_file(
+                path,
+                self.num_salts,
+                self.shift,
+                self.position_mode,
+                self.block_size,
+            )
+            out.append(
+                {
+                    "path": path,
+                    "violations": json.dumps(violations),
+                    "term_ids": np.fromiter(agg, np.int64, len(agg)),
+                    "dfs": np.asarray([v[0] for v in agg.values()], np.int64),
+                    "max_tfs": np.asarray(
+                        [v[1] for v in agg.values()], np.int64
+                    ),
+                    "min_dls": np.asarray(
+                        [v[2] for v in agg.values()], np.int64
+                    ),
+                }
+            )
+        return pd.DataFrame(out)
+
+
+def check_index(index_dir: str, *, distributed: bool = True) -> dict:
+    """Verify every integrity invariant of a built index; returns
+    ``{"ok": bool, "violations": [...], "n_segments": int, "n_terms":
+    int, "n_postings": int}``.  ``distributed=False`` runs the segment
+    pass inline (tests / tiny indexes)."""
+    from torchtrajectory_ray.pipelines.build import manifest_abspath
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    cfg = manifest["config"]
+    stats = manifest["stats"]
+    violations: list[str] = []
+
+    seg_paths, missing = [], []
+    for row in manifest["segments"]:
+        p = manifest_abspath(row["path"], index_dir)
+        (seg_paths if os.path.exists(p) else missing).append(p)
+    for key in ("docs_paths", "dict_paths"):
+        for rel in manifest[key]:
+            p = manifest_abspath(rel, index_dir)
+            if not os.path.exists(p):
+                missing.append(p)
+    violations += [f"manifest path missing on disk: {p}" for p in missing]
+
+    position_mode = (
+        cfg.get("position_mode", "first") if cfg.get("store_positions") else None
+    )
+    shift = int(stats["salt_shift"])
+    task = _SegmentCheckTask(
+        cfg["num_salts"], shift, position_mode, int(cfg["block_size"])
+    )
+    if distributed and seg_paths:
+        import ray.data
+
+        res = (
+            ray.data.from_pandas(pd.DataFrame({"path": seg_paths}))
+            .repartition(len(seg_paths))
+            .map_batches(task, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+    else:
+        res = task(pd.DataFrame({"path": seg_paths}))
+
+    fold: dict[int, list] = {}
+    n_postings = 0
+    for _, r in res.iterrows():
+        violations += json.loads(r["violations"])
+        for tid, df, mt, md in zip(
+            r["term_ids"], r["dfs"], r["max_tfs"], r["min_dls"]
+        ):
+            n_postings += int(df)
+            cur = fold.get(int(tid))
+            if cur is None:
+                fold[int(tid)] = [int(df), int(mt), int(md)]
+            else:
+                cur[0] += int(df)
+                cur[1] = max(cur[1], int(mt))
+                cur[2] = min(cur[2], int(md))
+
+    # dictionary cross-check (term by term — a term lives in one shard)
+    import pyarrow as pa
+
+    dict_tbls = [
+        pq.read_table(manifest_abspath(p, index_dir))
+        for p in manifest["dict_paths"]
+        if os.path.exists(manifest_abspath(p, index_dir))
+    ]
+    d = pa.concat_tables(dict_tbls).to_pandas() if dict_tbls else pd.DataFrame(
+        columns=["term", "term_id", "df", "max_tf", "min_dl"]
+    )
+    dict_ids = set(int(t) for t in d["term_id"])
+    seg_ids = set(fold)
+    for tid in sorted(seg_ids - dict_ids)[:20]:
+        violations.append(f"term_id={tid} has postings but no dictionary row")
+    for tid in sorted(dict_ids - seg_ids)[:20]:
+        violations.append(f"dictionary term_id={tid} has no postings")
+    for _, row in d.iterrows():
+        got = fold.get(int(row["term_id"]))
+        if got is None:
+            continue
+        want = [int(row["df"]), int(row["max_tf"]), int(row["min_dl"])]
+        if got != want:
+            violations.append(
+                f"dictionary disagrees for term={row['term']!r}: "
+                f"dict (df,max_tf,min_dl)={want} segments={got}"
+            )
+
+    # manifest stats vs forward shards
+    n_docs = sum_dl = 0
+    max_id = -1
+    for rel in manifest["docs_paths"]:
+        p = manifest_abspath(rel, index_dir)
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p, columns=["doc_id", "doclen"])
+        n_docs += t.num_rows
+        if t.num_rows:
+            sum_dl += int(pd.Series(t["doclen"].to_numpy()).sum())
+            max_id = max(max_id, int(t["doc_id"].to_numpy().max()))
+    if n_docs != int(stats["n_docs"]):
+        violations.append(
+            f"stats.n_docs={stats['n_docs']} != forward rows {n_docs}"
+        )
+    if sum_dl != int(stats["sum_doclen"]):
+        violations.append(
+            f"stats.sum_doclen={stats['sum_doclen']} != forward sum {sum_dl}"
+        )
+    if max_id != int(stats["max_doc_id"]):
+        violations.append(
+            f"stats.max_doc_id={stats['max_doc_id']} != forward max {max_id}"
+        )
+
+    return {
+        "ok": not violations,
+        "violations": violations,
+        "n_segments": len(seg_paths),
+        "n_terms": len(fold),
+        "n_postings": n_postings,
+    }
