@@ -202,6 +202,23 @@ def test_positional_distributed_serving_parity(
         assert a.tolist() == b.tolist(), (kind, terms, w)
 
 
+def test_search_box_phrase_routes_through_positions(
+    ray_session, tmp_path
+):
+    """engine.search auto-routes quoted phrases through the positional
+    verifier on full-position indexes; answers must equal a plain index's
+    text-route answers for the same search-box queries."""
+    paths = _planted_corpus(tmp_path)
+    pos_dir, txt_dir = str(tmp_path / "pos"), str(tmp_path / "txt")
+    build_index(paths, pos_dir, IndexConfig(**CFG))
+    build_index(
+        paths, txt_dir, IndexConfig(**{**CFG, "store_positions": False})
+    )
+    ep, et = QueryEngine(pos_dir), QueryEngine(txt_dir)
+    for q in ('"spark lake" data', '"data data"', '+the "wind solar"'):
+        assert ep.search(q, k=10) == et.search(q, k=10), q
+
+
 def test_fail_loud_without_full_positions(ray_session, tmp_path):
     paths = fixtures.write_webpages(str(tmp_path / "c"), 40, num_files=2)
     for mode_cfg in (

@@ -1421,8 +1421,17 @@ class QueryEngine:
         def inter(a, b):
             return b if a is None else np.intersect1d(a, b)
 
+        # phrase clauses auto-route: index-only positional matching when
+        # this index carries the full payload (identical answers — the
+        # routes share driver oracles), forward-index verification
+        # otherwise
+        phrase_op = (
+            self.phrase_and_pos
+            if self.position_mode == "full"
+            else self.phrase_and
+        )
         for ph in pq_.phrases:
-            restrict = inter(restrict, self.phrase_and(ph, **filt))
+            restrict = inter(restrict, phrase_op(ph, **filt))
             if restrict.size == 0:
                 return []
         if pq_.must:
