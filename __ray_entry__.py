@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_pos": corpus.phrase_match_pos,
         "near_match_pos": corpus.near_match_pos,
         "span_match_pos": corpus.span_match_pos,
+        "term_vectors": corpus.term_vectors,      # Lucene TermVectors shape
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
         "search_box": corpus.search_box,          # composed query language
@@ -958,6 +959,13 @@ WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",
         "phrase_match_pos": " UNION ALL ".join(phrase_parts),
         "near_match_pos": " UNION ALL ".join(near_parts),
         "span_match_pos": _span_sql(),
+        "term_vectors": f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS ts FROM documents
+  WHERE doc_id IN (3, 77, 211, 498)
+)
+SELECT doc_id, ts[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+FROM tok, UNNEST(generate_series(1, len(ts))) AS g(i)""",
         "bool_and_not": " UNION ALL ".join(andnot_parts),
         # tombstoned serving: the boolean-OR workload minus the fixed
         # takedown set (exact immediately — no stats involved)

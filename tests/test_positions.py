@@ -234,6 +234,42 @@ def test_fail_loud_without_full_positions(ray_session, tmp_path):
             eng.phrase_and_pos(["the", "spark"])
 
 
+def test_tombstones_mask_positional_routes(ray_session, tmp_path):
+    """delete_docs must mask every positional verifier immediately, and
+    compact_index must preserve the positional answers while purging."""
+    from torchtrajectory_ray.pipelines.build import compact_index, delete_docs
+    from torchtrajectory_ray.pipelines.checkindex import check_index
+
+    paths = _planted_corpus(tmp_path)
+    idx = str(tmp_path / "idx")
+    build_index(paths, idx, IndexConfig(**CFG))
+    eng = QueryEngine(idx)
+    before = eng.phrase_and_pos(["spark", "lake"])
+    assert before.size >= 2
+    victim = int(before[0])
+    delete_docs(idx, [victim])
+    eng2 = QueryEngine(idx)
+    for hits in (
+        eng2.phrase_and_pos(["spark", "lake"]),
+        eng2.near_and_pos(["spark", "lake"], 8),
+        eng2.span_near_pos(["spark", "lake"], 8),
+    ):
+        assert victim not in hits.tolist()
+    assert set(eng2.phrase_and_pos(["spark", "lake"]).tolist()) == set(
+        before.tolist()
+    ) - {victim}
+    # compaction purges physically; positional answers preserved and the
+    # compacted positional layout verifies clean
+    cdir = str(tmp_path / "compacted")
+    compact_index(idx, cdir)
+    ec = QueryEngine(cdir)
+    assert sorted(ec.phrase_and_pos(["spark", "lake"]).tolist()) == sorted(
+        eng2.phrase_and_pos(["spark", "lake"]).tolist()
+    )
+    rep = check_index(cdir, distributed=False)
+    assert rep["ok"], rep["violations"][:3]
+
+
 def test_invalid_position_mode_rejected(ray_session, tmp_path):
     paths = fixtures.write_webpages(str(tmp_path / "c"), 10, num_files=1)
     with pytest.raises(ValueError, match="position_mode"):

@@ -466,6 +466,17 @@ def span_match_pos(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
 
+TV_SEEDS = [3, 77, 211, 498]  # present at every sf (doc ids 0..499+)
+
+
+def term_vectors(sf_dir: str) -> pd.DataFrame:
+    """doc_id, term, pos — per-document term vectors with positions for
+    the fixed seed docs (``QueryEngine.term_vector``, the Lucene
+    TermVectors API shape; one pushdown read)."""
+    eng = _engine(documents_index(sf_dir))
+    return eng.term_vector(TV_SEEDS)
+
+
 def prefix_match(sf_dir: str) -> pd.DataFrame:
     """query_id, doc_id — boolean OR over every dictionary term with the
     given prefix (the street-name→edge-ids lookup shape: J5/M12

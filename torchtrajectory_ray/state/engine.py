@@ -578,6 +578,44 @@ class QueryEngine:
         )
         return t.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
+    def term_vector(self, doc_ids) -> pd.DataFrame:
+        """Per-document term vectors WITH positions (the Lucene
+        ``Fields/TermVectors`` API shape): ``(doc_id, term, pos)`` rows
+        in position order, from ONE predicate-pushdown read of the
+        requested docs re-tokenized with the build's tokenizer — cost
+        bounded by the requested ids, never corpus size.  Aggregate
+        ``tf`` is ``groupby(term).size()`` on the result; deleted docs
+        don't resolve (same rule as :meth:`resolve`)."""
+        import pyarrow.dataset as pads
+
+        arr = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        if self._deleted_all is not None and self._deleted_all.size:
+            pos = np.clip(
+                np.searchsorted(self._deleted_all, arr),
+                0,
+                len(self._deleted_all) - 1,
+            )
+            arr = arr[self._deleted_all[pos] != arr]
+        wanted = pa.array(arr, pa.int64())
+        t = pads.dataset(self.docs_paths, format="parquet").to_table(
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(wanted),
+        )
+        out_ids, out_terms, out_pos = [], [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = self._tokenize(text)
+            out_ids.extend([int(d)] * len(toks))
+            out_terms.extend(toks)
+            out_pos.extend(range(len(toks)))
+        return (
+            pd.DataFrame(
+                {"doc_id": out_ids, "term": out_terms, "pos": out_pos}
+            )
+            .astype({"doc_id": "int64", "pos": "int64"})
+            .sort_values(["doc_id", "pos"])
+            .reset_index(drop=True)
+        )
+
     def find_in_range(
         self,
         ts_lo: int | None = None,
