@@ -378,6 +378,40 @@ class QueryEngine:
         )
         return [(-nd, s) for s, nd in merged]
 
+    def search_after(
+        self,
+        query: str | list[str],
+        after: tuple | None,
+        k: int = 10,
+        **kw,
+    ) -> list[tuple[int, float]]:
+        """Cursor pagination (the Lucene ``searchAfter`` shape): the next
+        ``k`` results STRICTLY after ``after=(doc_id, score)`` in
+        (score desc, doc_id asc) order — pass the previous page's last
+        result row as-is.  Unlike offset pagination (:meth:`topk_page`, O(page·k) per
+        bucket), the per-bucket work is one exhaustive scoring pass with
+        a cursor filter regardless of depth, and only k rows cross each
+        bucket boundary.  Exact at any depth because scoring is
+        bit-deterministic — the cursor score compares equal bitwise.
+        ``after=None`` is the first page (== :meth:`topk`, tested)."""
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        tids, idfs = self.resolve_terms(terms)
+        if not tids:
+            return []
+        lang, ts_lo, ts_hi = self._filt3(kw)
+        parts = self._fanout(
+            "topk", tids, idfs, k, "wand", lang, ts_lo, ts_hi, False, after
+        )
+        merged = heapq.nlargest(
+            k,
+            (
+                (float(s), -int(d))
+                for ids, scores in parts
+                for d, s in zip(ids, scores)
+            ),
+        )
+        return [(-nd, s) for s, nd in merged]
+
     def topk_and(
         self, query: str | list[str], k: int = 10, **kw
     ) -> list[tuple[int, float]]:

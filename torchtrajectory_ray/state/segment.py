@@ -533,6 +533,7 @@ class SaltSearcher:
         ts_lo=None,
         ts_hi=None,
         require_all: bool = False,
+        after: tuple | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Bucket-local BM25 top-k → (doc_ids, scores), unsorted length ≤ k.
 
@@ -543,7 +544,17 @@ class SaltSearcher:
         ``require_all`` scores ONLY docs containing every query term
         (ranked conjunctive retrieval) — valid bucket-locally because a
         doc's postings for all terms live in its one salt bucket.
+
+        ``after=(doc_id, score)`` — a result row of a previous page —
+        keeps only docs STRICTLY after the cursor in (score desc,
+        doc_id asc) order — cursor pagination
+        (Lucene searchAfter).  Exact because scoring is bit-deterministic,
+        so a cursor from a previous page compares equal bitwise; forces
+        exhaustive bucket scoring (WAND's threshold prunes from above,
+        the wrong side of a cursor).
         """
+        if after is not None:
+            method = "exhaustive"
         order = np.argsort(np.asarray(term_ids, dtype=np.int64), kind="stable")
         tids = [term_ids[i] for i in order]
         ws = [idfs[i] for i in order]
@@ -559,7 +570,7 @@ class SaltSearcher:
             return empty  # a term with no postings in this bucket
         if method == "exhaustive":
             return self._topk_exhaustive(
-                posts, k, lang, ts_lo, ts_hi, require_all
+                posts, k, lang, ts_lo, ts_hi, require_all, after
             )
         return self._topk_wand(posts, k, lang, ts_lo, ts_hi, require_all)
 
@@ -689,7 +700,9 @@ class SaltSearcher:
         )
         return ids[counts == len(posts)]
 
-    def _topk_exhaustive(self, posts, k, lang, ts_lo, ts_hi, require_all=False):
+    def _topk_exhaustive(
+        self, posts, k, lang, ts_lo, ts_hi, require_all=False, after=None
+    ):
         if require_all:
             uniq = self._conjunctive(posts)
             if not len(uniq):
@@ -706,6 +719,10 @@ class SaltSearcher:
             np.add.at(scores, idx, w * self.scorer.tf_norm(tfs, dls, self.avgdl))
         ok = self._allowed_mask(uniq, lang, ts_lo, ts_hi)
         uniq, scores = uniq[ok], scores[ok]
+        if after is not None:
+            d_a, s_a = int(after[0]), float(after[1])
+            keep = (scores < s_a) | ((scores == s_a) & (uniq > d_a))
+            uniq, scores = uniq[keep], scores[keep]
         if len(uniq) > k:
             # top-k by (score desc, doc_id asc)
             sel = np.lexsort((uniq, -scores))[:k]
