@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-set assembly (scan / selection operators) ---
         "pack_sequences": pack.pack_sequences,    # distributed prefix scan
         "stratified_sample": sampling.stratified_sample,
+        "shuffled_ids": sampling.shuffled_ids,    # seeded global shuffle order
         "top_per_lang": sampling.top_per_lang,    # group-wise top-k
         "decontaminate": decontaminate.decontaminate,  # broadcast n-gram overlap
         "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
@@ -1120,6 +1121,16 @@ FROM flat f JOIN bg USING (g) GROUP BY f.doc_id""",
 SELECT doc_id, lang FROM documents
 WHERE (doc_id * 1000003) % 1000000007 % 1000 <
       CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END""",
+        # seeded deterministic global shuffle: order by
+        # md5("{doc_id}:{seed}") — the byte-identical key the Ray sort
+        # uses, so the whole export ordering is checked row for row
+        "shuffled_ids": """
+SELECT
+  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id)
+    AS rank,
+  doc_id,
+  md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+FROM documents""",
         # result highlighting: top-5 BM25 (same scoring chain as
         # topk_bm25), snippet = ±3 tokens around the FIRST occurrence
         # of any query term (1-based inclusive list slice)

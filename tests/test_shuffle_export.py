@@ -1,0 +1,59 @@
+"""Seeded deterministic global shuffle (the training-export ordering):
+pure function of (doc ids, seed), independent of read parallelism, and
+different per seed.  The row-for-row ordering itself is driver-gated
+against DuckDB (queries()[shuffled_ids])."""
+
+from __future__ import annotations
+
+from torchtrajectory_ray.pipelines import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_order_is_deterministic_and_seeded(ray_session):
+    a = sampling.shuffled_ids(SF, seed=42)
+    b = sampling.shuffled_ids(SF, seed=42)
+    c = sampling.shuffled_ids(SF, seed=7)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()
+    # a shuffle: not the natural order
+    assert a["doc_id"].tolist() != sorted(a["doc_id"].tolist())
+    # a permutation: nothing lost or duplicated
+    assert sorted(a["doc_id"].tolist()) == sorted(set(a["doc_id"].tolist()))
+
+
+def test_order_independent_of_parallelism(ray_session):
+    import ray.data
+
+    base = sampling.shuffled_ids(SF, seed=42)["doc_id"].tolist()
+    ds = sampling.global_shuffle_ds(SF, seed=42)
+    # re-express the same pipeline over a differently-sharded read
+    import pyarrow as pa
+
+    docs = ray.data.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id"]
+    ).repartition(7)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        return batch.append_column(
+            "shuffle_key",
+            pa.array(sampling.shuffle_key(ids, 42), pa.string()),
+        )
+
+    other = (
+        docs.map_batches(add_key, batch_format="pyarrow")
+        .sort("shuffle_key")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert other == base
+    assert ds.count() == len(base)
+
+
+def test_carries_requested_columns(ray_session):
+    ds = sampling.global_shuffle_ds(SF, seed=42, columns=["lang"])
+    df = ds.to_pandas()
+    assert list(df.columns) == ["doc_id", "lang", "shuffle_key"]

@@ -163,3 +163,52 @@ def source_mix_sample(sf_dir: str, budget_den: int = 2) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     ).map_batches(keep, batch_format="pyarrow")
+
+
+def shuffle_key(ids: np.ndarray, seed: int) -> list[str]:
+    """Deterministic per-doc shuffle key: ``md5(f"{doc_id}:{seed}")`` hex
+    — exactly expressible in SQL (DuckDB ``md5``), so the global shuffle
+    order is oracle-gated.  Hashing is per-row Python, but an export
+    shuffle is IO/sort-bound: the hash is ~1 µs/row against a full-text
+    read + range-partition sort of the same rows."""
+    import hashlib
+
+    return [
+        hashlib.md5(f"{int(d)}:{seed}".encode()).hexdigest() for d in ids
+    ]
+
+
+def global_shuffle_ds(
+    sf_dir: str, seed: int = 42, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Seeded DETERMINISTIC global shuffle of the corpus — the export
+    step before training consumes the data.  ``random_shuffle()`` is
+    neither seeded across cluster sizes nor resumable; instead each
+    batch derives a reproducible md5 key from (doc_id, seed) and ONE
+    range-partition sort orders the corpus by it (the one unavoidable
+    all-to-all — a global shuffle IS an all-to-all).  The order is a
+    pure function of (doc ids, seed): independent of parallelism,
+    re-runnable, and verifiable row-for-row in SQL.  Write the result
+    with ``write_parquet`` — block order is the shuffle order."""
+    cols = ["doc_id"] + [c for c in (columns or []) if c != "doc_id"]
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        return batch.append_column(
+            "shuffle_key", pa.array(shuffle_key(ids, seed), pa.string())
+        )
+
+    return (
+        _read_docs(sf_dir, cols)
+        .map_batches(add_key, batch_format="pyarrow")
+        .sort("shuffle_key")
+    )
+
+
+def shuffled_ids(sf_dir: str, seed: int = 42) -> pd.DataFrame:
+    """(rank, doc_id, shuffle_key) of the seeded global shuffle — the
+    driver-gate projection (the full ordering; tiny at gate scale, the
+    bulk path is :func:`global_shuffle_ds` + ``write_parquet``)."""
+    df = global_shuffle_ds(sf_dir, seed).to_pandas()
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "doc_id", "shuffle_key"]]
