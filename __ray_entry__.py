@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_or_deleted": corpus.bool_or_deleted,  # tombstoned serving
         "topk_purged": corpus.topk_purged,        # compaction purges deletes
         "topk_merged": corpus.topk_merged,        # cross-index segment merge
+        "topk_federated": corpus.topk_federated,  # global-stats federation (no merge)
         "prefix_match": corpus.prefix_match,      # J5/M12 dictionary-scan OR
         "suggest_terms": corpus.suggest_terms,    # autocomplete (df-ranked)
         "more_like_this": corpus.more_like_this,  # doc-to-doc retrieval
@@ -1041,6 +1042,7 @@ GROUP BY term, doc_id""",
         # merged two half-corpus indexes == the plain full build, so the
         # merge gate shares the topk oracle verbatim
         "topk_merged": topk,
+        "topk_federated": topk,
         # BM25+ (Lv & Zhai 2011): idf = ln((N+1)/df), tf-normalization
         # shifted by the paper's default delta = 1.0
         "bm25plus_topk": topk.replace(

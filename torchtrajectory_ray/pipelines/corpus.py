@@ -877,6 +877,29 @@ def topk_merged(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return _ranked_topk(_engine(documents_index_merged(sf_dir)), k)
 
 
+_FED_CACHE: dict[str, object] = {}
+
+
+def topk_federated(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — BM25 top-k FEDERATED across the
+    two half-corpus indexes WITHOUT merging them
+    (``federated.FederatedEngine``: global N/avgdl/df pushed down, one
+    cross-index heap merge).  Shares ``topk_bm25``'s SQL oracle — the
+    federation must be invisible to scoring, like the merge but with no
+    physical merge step."""
+    from torchtrajectory_ray.pipelines.federated import FederatedEngine
+
+    merged = documents_index_merged(sf_dir)  # builds+caches idx-a / idx-b
+    root = os.path.dirname(merged)
+    eng = _FED_CACHE.get(root)
+    if eng is None:
+        eng = FederatedEngine(
+            [os.path.join(root, "idx-a"), os.path.join(root, "idx-b")]
+        )
+        _FED_CACHE[root] = eng
+    return _ranked_topk(eng, k)
+
+
 def documents_index_deleted(sf_dir: str) -> str:
     """A copy-on-write variant of :func:`documents_index` with the fixed
     takedown workload tombstoned (build once per cache key, delete once —

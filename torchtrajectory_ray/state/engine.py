@@ -306,21 +306,30 @@ class QueryEngine:
         k1: float | None = None,
         b: float | None = None,
         scorer: str | None = None,
+        avgdl: float | None = None,
+        n_docs: int | None = None,
     ) -> None:
         """Runtime scoring swap — parameters AND measure (the analog of
         the reference's Engine.update / QueryPool.update,
         Torch/queryEngine/Engine.java:165-171) — no index rebuild needed:
         bound metadata stores (max_tf, min_dl) and exact scores are
-        computed from raw tf/doclen under the engine's CURRENT scorer."""
+        computed from raw tf/doclen under the engine's CURRENT scorer.
+        ``avgdl`` / ``n_docs`` override the corpus statistics — the
+        global-statistics hook federated search uses to score several
+        independent indexes as one corpus (``pipelines.federated``)."""
         if k1 is not None:
             self.k1 = float(k1)
         if b is not None:
             self.b = float(b)
+        if avgdl is not None:
+            self.avgdl = float(avgdl)
+        if n_docs is not None:
+            self.n_docs = int(n_docs)
         if scorer is not None:
             self.scorer = make_scorer(scorer, k1=self.k1, b=self.b)
         else:
             self.scorer.set_params(k1=k1, b=b)
-        self._fanout("set_params", k1, b, scorer)
+        self._fanout("set_params", k1, b, scorer, avgdl)
 
     # --- query prep (same tokenizer as the build) ---
 

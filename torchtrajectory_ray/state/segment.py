@@ -166,15 +166,21 @@ class SaltSearcher:
         k1: float | None = None,
         b: float | None = None,
         scorer: str | None = None,
+        avgdl: float | None = None,
     ) -> bool:
         """Runtime scoring swap (params AND measure) — valid because
         segment bound metadata is (max_tf, min_dl), independent of any
         scorer; nothing cached depends on the measure (decoded postings
-        are raw tf/doclen)."""
+        are raw tf/doclen).  ``avgdl`` overrides the corpus statistic —
+        the global-statistics hook for federated search across indexes
+        (bounds stay valid: block metadata is avgdl-independent and the
+        serving bound is recomputed under the override)."""
         if k1 is not None:
             self.k1 = float(k1)
         if b is not None:
             self.b = float(b)
+        if avgdl is not None:
+            self.avgdl = float(avgdl)
         if scorer is not None:
             self.scorer = make_scorer(scorer, k1=self.k1, b=self.b)
         else:
