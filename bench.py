@@ -327,6 +327,31 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         lambda: eng.search_with_snippets(WEB_QUERIES, k=5),
     )
 
+    def _deep_cursor():
+        # ten cursor pages of 10 — the deep-paging shape offset paging
+        # pays O(page·k) for
+        out = []
+        for q in WEB_QUERIES[:4]:
+            after = None
+            for _ in range(10):
+                p = eng.search_after(q["terms"], after, k=10)
+                if not p:
+                    break
+                out.append(p)
+                after = p[-1]
+        return out
+
+    timed("search_after_deep", _deep_cursor)
+    from torchtrajectory_ray.pipelines.checkindex import check_index
+
+    timed("index_check", lambda: check_index(idx_dir))
+    from torchtrajectory_ray.pipelines import sampling as _sampling
+
+    timed(
+        "global_shuffle",
+        lambda: _sampling.global_shuffle_ds(sf_dir).materialize(),
+    )
+
     from torchtrajectory_ray.pipelines import analytics, knn, media
     from torchtrajectory_ray.pipelines.query_batch import batch_topk_df
 

@@ -140,3 +140,27 @@ def test_multiterm_operator_misuse_fails_loud(ray_session):
         eng.search("+wild*card foo", k=5)
     with pytest.raises(ValueError, match="bare scoring term"):
         eng.search("spark -spak~", k=5)
+
+
+def test_proximity_phrase_grammar(ray_session):
+    """'"a b"~N' == span_near(tokens, len+N) intersected with the BM25
+    ranking — composed from the oracle-gated span operator."""
+    import pytest
+
+    eng = _engine(documents_index(SF))
+    from torchtrajectory_ray.functions.querylang import parse_query
+
+    pq = parse_query('"spark join"~3 lake', eng._tokenize)
+    assert pq.prox == [(["spark", "join"], 3)] and pq.should == ["lake"]
+    got = eng.search('"spark join"~3', k=10**9)
+    allowed = set(eng.span_near(["spark", "join"], 5).tolist())
+    assert {d for d, _ in got} == allowed
+    # slop 0 == the exact phrase clause
+    assert eng.search('"spark join"~0', k=50) == eng.search(
+        '"spark join"', k=50
+    )
+    # malformed slop fails loud, never a silent bare term
+    with pytest.raises(ValueError, match="slop"):
+        eng.search('"spark join"~x', k=5)
+    with pytest.raises(ValueError, match="slop"):
+        eng.search('"spark join"~-1', k=5)

@@ -4,6 +4,10 @@ The front-door grammar every engine's serving layer needs, kept
 deliberately small and deterministic:
 
 - ``"exact phrase"`` — quoted spans must match consecutively
+- ``"a b"~N`` — proximity phrase: terms IN ORDER within a span of
+  ``len + N`` tokens (ordered span with slop — the explicit reading of
+  Lucene's phrase slop, composed from the oracle-gated span operator;
+  a malformed slop suffix fails loud)
 - ``+term`` — required (boolean AND side)
 - ``-term`` — excluded (AND-NOT side)
 - bare terms — scoring terms (BM25 "should"; they rank, and when no
@@ -32,7 +36,7 @@ from dataclasses import dataclass, field
 
 _TOKEN_RE = re.compile(
     r"""
-    "(?P<phrase>[^"]*)"          # quoted phrase
+    "(?P<phrase>[^"]*)"(?P<slop>~\S+)?   # quoted phrase, optional ~N slop
     | (?P<plus>\+\S+)            # +required
     | (?P<minus>-\S+)            # -excluded
     | (?P<field>[A-Za-z_]+:\S+)  # field:value
@@ -47,6 +51,11 @@ SUPPORTED_FIELDS = ("lang",)
 @dataclass
 class ParsedQuery:
     phrases: list[list[str]] = field(default_factory=list)
+    # ``"..."~N`` proximity clauses: (tokens, slop) — terms IN ORDER
+    # within a span of len(tokens)+slop tokens (ordered span with slop;
+    # a deliberately explicit simplification of Lucene's move-distance
+    # slop, composed from the oracle-gated span operator)
+    prox: list[tuple] = field(default_factory=list)
     must: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
     should: list[str] = field(default_factory=list)
@@ -94,7 +103,16 @@ def parse_query(s: str, tokenize) -> ParsedQuery:
     for m in _TOKEN_RE.finditer(s):
         if m.group("phrase") is not None:
             toks = tokenize(m.group("phrase"))
-            if toks:
+            slop_s = m.group("slop")
+            if slop_s is not None:
+                if not re.fullmatch(r"~\d+", slop_s) or int(slop_s[1:]) < 0:
+                    raise ValueError(
+                        f'phrase slop must be "~<non-negative int>", got '
+                        f"{slop_s!r}"
+                    )
+                if toks:
+                    out.prox.append((toks, int(slop_s[1:])))
+            elif toks:
                 out.phrases.append(toks)
         elif m.group("plus"):
             body, boost = _split_boost(m.group("plus")[1:])
@@ -152,7 +170,14 @@ def parse_query(s: str, tokenize) -> ParsedQuery:
             "^boost cannot combine with ~fuzzy/wildcard terms in one "
             "query (synonym-group scoring has no per-term boosts)"
         )
-    if not (out.phrases or out.must or out.should or out.fuzzy or out.wildcards):
+    if not (
+        out.phrases
+        or out.prox
+        or out.must
+        or out.should
+        or out.fuzzy
+        or out.wildcards
+    ):
         raise ValueError(
             "query has no positive clause (only exclusions/filters) — "
             "add a term, +term, or \"phrase\""

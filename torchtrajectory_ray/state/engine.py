@@ -1515,6 +1515,18 @@ class QueryEngine:
             restrict = inter(restrict, phrase_op(ph, **filt))
             if restrict.size == 0:
                 return []
+        # "..."~N proximity clauses: ordered span, window = len + slop
+        span_op = (
+            self.span_near_pos
+            if self.position_mode == "full"
+            else self.span_near
+        )
+        for toks, slop in pq_.prox:
+            restrict = inter(
+                restrict, span_op(toks, len(toks) + slop, **filt)
+            )
+            if restrict.size == 0:
+                return []
         if pq_.must:
             restrict = inter(restrict, self.bool_and(pq_.must, **filt))
             if restrict.size == 0:
@@ -1525,6 +1537,7 @@ class QueryEngine:
         score_terms = list(
             dict.fromkeys(
                 [t for ph in pq_.phrases for t in ph]
+                + [t for toks, _ in pq_.prox for t in toks]
                 + pq_.must
                 + pq_.should
             )
