@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_match_pos": corpus.near_match_pos,
         "span_match_pos": corpus.span_match_pos,
         "term_vectors": corpus.term_vectors,      # Lucene TermVectors shape
+        "percolate": corpus.percolate_matches,    # registered-query stream match
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
         "search_box": corpus.search_box,          # composed query language
@@ -950,7 +951,34 @@ FROM scores QUALIFY rank <= 10
             f"WHERE len(ts) >= {len(p)} AND len(list_filter("
             f"generate_series(1, len(ts) - {len(p) - 1}), i -> {conds})) > 0"
         )
+    # percolator: each registered boolean query as one SELECT — must =
+    # every list_contains, not = no list_contains, phrase = the same
+    # sliding-window condition the phrase oracle uses
+    from torchtrajectory_ray.pipelines.corpus import PERC_QUERIES
+
+    perc_parts = []
+    for q in PERC_QUERIES:
+        from torchtrajectory_ray.pipelines.percolate import compile_registry
+
+        r = compile_registry([q])[0]
+        preds = [f"list_contains(ts, '{t}')" for t in r["must"]]
+        preds += [f"NOT list_contains(ts, '{t}')" for t in r["must_not"]]
+        for p in r["phrases"]:
+            conds = " AND ".join(
+                f"ts[i + {j}] = '{t}'" for j, t in enumerate(p)
+            )
+            preds.append(
+                f"(len(ts) >= {len(p)} AND len(list_filter("
+                f"generate_series(1, len(ts) - {len(p) - 1}), i -> {conds})) > 0)"
+            )
+        perc_parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id "
+            f"FROM (SELECT doc_id, {_TOKS} AS ts FROM documents) "
+            f"WHERE {' AND '.join(preds)}"
+        )
+
     sql = {
+        "percolate": " UNION ALL ".join(perc_parts),
         "range_scan": f"""
 SELECT doc_id FROM documents
 WHERE lang = 'en' AND len({_TOKS}) BETWEEN 40 AND 90""",

@@ -1,0 +1,65 @@
+"""Percolator (registered queries over a document stream): anchor
+pruning is answer-invariant, df-ranked anchors pick the rarest term,
+non-boolean clauses fail loud.  The match table itself is driver-gated
+(queries()[percolate])."""
+
+from __future__ import annotations
+
+import pytest
+
+from torchtrajectory_ray.pipelines import percolate
+from torchtrajectory_ray.pipelines.corpus import PERC_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_matches_are_anchor_invariant(ray_session):
+    """The anchor only prunes: anchoring every query at a DIFFERENT
+    required term must produce the identical match table."""
+    base = percolate.percolate(SF, PERC_QUERIES)
+    # df table that inverts the tie-break order → different anchors
+    reg_a = percolate.compile_registry(PERC_QUERIES)
+    fake_df = {r["anchor"]: 10**9 for r in reg_a}
+    reg_b = percolate.compile_registry(PERC_QUERIES, df=fake_df)
+    changed = sum(
+        1
+        for a, b in zip(reg_a, reg_b)
+        if a["anchor"] != b["anchor"] and len(a["must"]) + len(a["phrases"]) > 1
+    )
+    assert changed > 0  # the experiment is real
+    alt = (
+        percolate.percolate_ds(SF, PERC_QUERIES, df=fake_df)
+        .to_pandas()[["query_id", "doc_id"]]
+        .sort_values(["query_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert alt.values.tolist() == base.values.tolist()
+    assert len(base) > 0
+
+
+def test_rarest_anchor_selected(ray_session):
+    df = {"spark": 100, "join": 3}
+    reg = percolate.compile_registry(
+        [{"query_id": 0, "q": "+spark +join"}], df=df
+    )
+    assert reg[0]["anchor"] == "join"
+
+
+def test_never_matching_exclusion_is_inert(ray_session):
+    both = percolate.percolate(
+        SF,
+        [
+            {"query_id": 0, "q": "+spark"},
+            {"query_id": 1, "q": "+spark -nosuchtermxyz"},
+        ],
+    )
+    g = both.groupby("query_id")["doc_id"].apply(list)
+    assert g[0] == g[1]
+
+
+def test_non_boolean_clauses_fail_loud():
+    for bad in ("spark", "spark~", "sp*", "+spark^2.0", '"a b"~2'):
+        with pytest.raises(ValueError):
+            percolate.compile_registry([{"query_id": 0, "q": bad}])
+    with pytest.raises(ValueError, match="positive clause|required term"):
+        percolate.compile_registry([{"query_id": 0, "q": "-only -nots"}])

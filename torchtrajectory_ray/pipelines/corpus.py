@@ -73,6 +73,17 @@ PHRASE_QUERIES: list[dict] = [
 # the sf tables assign dense ids from 0)
 MLT_SEEDS: list[int] = [0, 1, 2, 7]
 
+# Fixed percolator registry (boolean search-box grammar: +must / -not /
+# "phrase"); query 4's exclusion never matches, query 3 combines a must
+# with the repeated-term phrase
+PERC_QUERIES: list[dict] = [
+    {"query_id": 0, "q": "+spark +join"},
+    {"query_id": 1, "q": "+data -window"},
+    {"query_id": 2, "q": '"table hash"'},
+    {"query_id": 3, "q": '+the "a a"'},
+    {"query_id": 4, "q": "+spark -nosuchtermxyz"},
+]
+
 # Fixed regex dictionary-scan workload (patterns valid and equivalent in
 # both Python re.fullmatch and DuckDB regexp_full_match: literals,
 # classes, ., *, + only).  Pattern 3 matches nothing (empty-scan edge).
@@ -475,6 +486,15 @@ def term_vectors(sf_dir: str) -> pd.DataFrame:
     TermVectors API shape; one pushdown read)."""
     eng = _engine(documents_index(sf_dir))
     return eng.term_vector(TV_SEEDS)
+
+
+def percolate_matches(sf_dir: str) -> pd.DataFrame:
+    """query_id, doc_id — the fixed percolator registry streamed over
+    the corpus (``percolate.percolate_ds``: one read pass, anchor-term
+    pruned, no shuffle)."""
+    from torchtrajectory_ray.pipelines.percolate import percolate
+
+    return percolate(sf_dir, PERC_QUERIES)
 
 
 def prefix_match(sf_dir: str) -> pd.DataFrame:
