@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_match_pos": corpus.span_match_pos,
         "term_vectors": corpus.term_vectors,      # Lucene TermVectors shape
         "percolate": corpus.percolate_matches,    # registered-query stream match
+        "significant_terms": corpus.significant_terms,  # ES significant_terms
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
         "search_box": corpus.search_box,          # composed query language
@@ -977,7 +978,40 @@ FROM scores QUALIFY rank <= 10
             f"WHERE {' AND '.join(preds)}"
         )
 
+    # significant terms: lift = (fg_df/n_fg)/(df/N), 6dp-rounded top-15
+    # by (lift desc, term asc) — exactly the engine's protocol
+    from torchtrajectory_ray.pipelines.corpus import (
+        SIGTERM_QUERY_IDS,
+        WEB_QUERIES,
+    )
+
+    sig_parts = []
+    for qid in SIGTERM_QUERY_IDS:
+        q = WEB_QUERIES[qid]
+        pred = " OR ".join(
+            f"list_contains(ts, '{t}')" for t in q["terms"]
+        )
+        sig_parts.append(f"""
+SELECT * FROM (
+  WITH docs_t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+  cand AS (SELECT doc_id, ts FROM docs_t WHERE {pred}),
+  fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df
+         FROM (SELECT doc_id, unnest(ts) AS term FROM cand) GROUP BY term),
+  bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+         FROM (SELECT doc_id, unnest(ts) AS term FROM docs_t) GROUP BY term),
+  st AS (SELECT (SELECT count(*) FROM cand)::DOUBLE AS nfg,
+                (SELECT count(*) FROM documents)::DOUBLE AS nn)
+  SELECT {q['query_id']}::BIGINT AS query_id, term, fg_df, df,
+         round((fg_df / st.nfg) / (df / st.nn), 6) AS lift
+  FROM fg JOIN bg USING (term), st
+  WHERE fg_df >= 3
+  QUALIFY row_number() OVER (
+    ORDER BY round((fg_df / st.nfg) / (df / st.nn), 6) DESC, term
+  ) <= 15
+)""")
+
     sql = {
+        "significant_terms": " UNION ALL ".join(sig_parts),
         "percolate": " UNION ALL ".join(perc_parts),
         "range_scan": f"""
 SELECT doc_id FROM documents

@@ -84,3 +84,17 @@ def test_filters_compose(ray_session):
         assert (
             eng.search_after(q, head[-1], k=len(tail), lang="en") == tail
         )
+
+
+def test_significant_terms_branches_agree(eng):
+    """Pushdown and distributed-membership branches of the
+    significant-terms aggregation return identical tables (the driver
+    oracle gates the values; this gates the branch switch)."""
+    q = WEB_QUERIES[0]["terms"]
+    a = eng.significant_terms(q, n=15, max_candidates=1 << 62)
+    b = eng.significant_terms(q, n=15, max_candidates=0)
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0
+    # lift ordering and the min_fg floor hold
+    assert (a["fg_df"] >= 3).all()
+    assert a["lift"].is_monotonic_decreasing or len(a) <= 1

@@ -488,6 +488,25 @@ def term_vectors(sf_dir: str) -> pd.DataFrame:
     return eng.term_vector(TV_SEEDS)
 
 
+SIGTERM_QUERY_IDS = [0, 3, 7]  # WEB_QUERIES rows used by significant_terms
+
+
+def significant_terms(sf_dir: str, n: int = 15) -> pd.DataFrame:
+    """query_id, term, fg_df, df, lift — significant-terms aggregation
+    over three fixed OR match sets (``QueryEngine.significant_terms``;
+    fg from the match set, df straight from the dictionary, lift
+    rounded to 6 dp before the (lift desc, term asc) top-n — the same
+    protocol the SQL oracle applies)."""
+    eng = _engine(documents_index(sf_dir))
+    frames = []
+    for qid in SIGTERM_QUERY_IDS:
+        q = WEB_QUERIES[qid]
+        df = eng.significant_terms(q["terms"], n=n)
+        df.insert(0, "query_id", q["query_id"])
+        frames.append(df)
+    return pd.concat(frames).reset_index(drop=True)
+
+
 def percolate_matches(sf_dir: str) -> pd.DataFrame:
     """query_id, doc_id — the fixed percolator registry streamed over
     the corpus (``percolate.percolate_ds``: one read pass, anchor-term

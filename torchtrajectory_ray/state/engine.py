@@ -1349,6 +1349,115 @@ class QueryEngine:
             .reset_index(drop=True)
         )
 
+    def significant_terms(
+        self,
+        query: str | list[str],
+        n: int = 15,
+        min_fg: int = 3,
+        max_candidates: int = 65536,
+        **filt,
+    ) -> pd.DataFrame:
+        """Significant-terms aggregation (the Elasticsearch
+        significant_terms shape): terms over-represented in the query's
+        match set vs the whole corpus — ``(term, fg_df, df, lift)``,
+        top ``n`` by (lift desc, term asc), where ``fg_df`` is the
+        term's document frequency INSIDE the match set, ``df`` its
+        corpus df (straight from the dictionary — no second corpus
+        pass), and ``lift = (fg_df / n_fg) / (df / N)``.  ``min_fg``
+        suppresses one-off noise terms.
+
+        Match sets up to ``max_candidates`` verify through one
+        pushdown read; larger sets use the distributed membership scan
+        with PER-BLOCK partial (term, fg_df) counts — only vocabulary-
+        sized partials reach the driver fold, never documents."""
+        if n < 1 or min_fg < 1:
+            raise ValueError("significant_terms: n and min_fg must be >= 1")
+        ids = self.bool_or(query, **filt)
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {"term": [], "fg_df": [], "df": [], "lift": []}
+            )
+
+        def _fg_counts_local() -> pd.Series:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(self.docs_paths, format="parquet").to_table(
+                columns=["doc_id", "text"],
+                filter=pads.field("doc_id").isin(pa.array(ids, pa.int64())),
+            )
+            terms = [
+                t2
+                for text in t["text"].to_pylist()
+                for t2 in set(self._tokenize(text))
+            ]
+            return pd.Series(terms).value_counts()
+
+        if len(ids) <= max_candidates:
+            fg = _fg_counts_local()
+        else:
+            import ray
+            import ray.data
+
+            ref = ray.put(np.sort(np.asarray(ids, np.int64)))
+            tok_name = self._tokenizer_name
+
+            def part(batch: pa.Table) -> pa.Table:
+                from torchtrajectory_ray.functions.text import get_tokenizer
+
+                tok = get_tokenizer(tok_name)
+                wanted = ray.get(ref)
+                d = batch["doc_id"].to_numpy().astype(np.int64)
+                pos = np.searchsorted(wanted, d)
+                pos[pos == len(wanted)] = 0
+                texts = pd.Series(batch["text"].to_pylist())[wanted[pos] == d]
+                vc = pd.Series(
+                    [t2 for text in texts for t2 in set(tok(text))]
+                ).value_counts()
+                return pa.table(
+                    {
+                        "term": pa.array(vc.index.tolist(), pa.string()),
+                        "n": pa.array(vc.to_numpy().astype(np.int64)),
+                    }
+                )
+
+            parts = (
+                ray.data.read_parquet(
+                    self.docs_paths, columns=["doc_id", "text"]
+                )
+                .map_batches(part, batch_format="pyarrow")
+                .to_pandas()  # vocabulary-sized partials per block
+            )
+            fg = parts.groupby("term")["n"].sum()
+
+        fg = fg[fg >= min_fg]
+        if fg.empty:
+            return pd.DataFrame(
+                {"term": [], "fg_df": [], "df": [], "lift": []}
+            )
+        n_fg, N = float(len(ids)), float(self.n_docs)
+        rows = []
+        for term, fg_df in fg.items():
+            df = self._df.get(term_hash(term))
+            if not df:
+                continue  # not an indexed term (can't happen for in-doc terms)
+            rows.append(
+                (
+                    term,
+                    int(fg_df),
+                    int(df),
+                    (float(fg_df) / n_fg) / (float(df) / N),
+                )
+            )
+        out = pd.DataFrame(rows, columns=["term", "fg_df", "df", "lift"])
+        out["lift"] = out["lift"].round(6)
+        return (
+            out.sort_values(
+                ["lift", "term"], ascending=[False, True], kind="mergesort"
+            )
+            .head(n)
+            .reset_index(drop=True)
+        )
+
     def sort_by(
         self,
         query: str | list[str],
