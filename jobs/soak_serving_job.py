@@ -217,6 +217,71 @@ def main() -> None:
     assert phrase_pos.tolist() == phrase_txt.tolist(), "phrase routes disagree"
     out["phrase_hot_hits"] = int(phrase_pos.size)
 
+    # --- round-3 fifth-pass ops at 1M docs ---
+    shards = sorted(
+        os.path.join(soak_dir, "documents.parquet", p)
+        for p in os.listdir(os.path.join(soak_dir, "documents.parquet"))
+    )
+
+    # percolator: a registry anchored at the two hottest + two mid terms,
+    # streamed over the whole corpus in one pass (the tagging regime)
+    from torchtrajectory_ray.pipelines.percolate import percolate_ds
+
+    mid = [eng._terms[len(eng._terms) // 2], eng._terms[len(eng._terms) // 3]]
+    perc_q = [
+        {"query_id": 0, "q": f"+{hot[0]} +{hot[1]}"},
+        {"query_id": 1, "q": f"+{hot[0]} -{mid[0]}"},
+        {"query_id": 2, "q": f'"{hot[0]} {hot[1]}"'},
+        {"query_id": 3, "q": f"+{mid[0]} +{mid[1]}"},
+    ]
+    perc = timed(
+        "percolate_1m", lambda: percolate_ds(shards, perc_q).count()
+    )
+    out["percolate_matches"] = int(perc)
+
+    # significant terms over the corpus-scale hot OR (distributed branch)
+    sig = timed(
+        "significant_terms_hot",
+        lambda: eng.significant_terms(hot, n=15, max_candidates=0),
+    )
+    out["significant_terms_rows"] = int(len(sig))
+
+    # deep cursor pagination on the hot pair (exhaustive + cursor filter)
+    def _cursor_pages():
+        after, pages = None, 0
+        for _ in range(5):
+            p = eng.search_after(hot, after, k=10)
+            if not p:
+                break
+            pages += 1
+            after = p[-1]
+        return pages
+
+    out["cursor_pages"] = timed("search_after_5pages", _cursor_pages)
+
+    # seeded global shuffle of the full corpus (one sort)
+    from torchtrajectory_ray.pipelines.sampling import global_shuffle_ds
+
+    n_shuffled = timed(
+        "global_shuffle_1m", lambda: global_shuffle_ds(soak_dir).count()
+    )
+    assert int(n_shuffled) == args.n_docs
+
+    # federated: the same corpus as two half indexes, global-stats
+    # querying must equal the single-index answers bitwise
+    from torchtrajectory_ray.pipelines.federated import FederatedEngine
+
+    half = len(shards) // 2
+    fa = os.path.join(SOAK_ROOT, f"idx-fed-a-{args.n_docs}")
+    fb = os.path.join(SOAK_ROOT, f"idx-fed-b-{args.n_docs}")
+    t0 = time.monotonic()
+    build_index(shards[:half], fa, IndexConfig(num_term_shards=16, num_salts=16))
+    build_index(shards[half:], fb, IndexConfig(num_term_shards=16, num_salts=16))
+    out["federated_halves_build_or_resume_s"] = round(time.monotonic() - t0, 1)
+    fed = timed("federated_open", lambda: FederatedEngine([fa, fb]))
+    fed_top = timed("federated_topk_hot", lambda: fed.topk(hot, k=10))
+    assert fed_top == eng.topk(hot, k=10), "federated != single index"
+
     print(json.dumps(out))
     ray.shutdown()
 
