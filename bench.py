@@ -342,6 +342,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         return out
 
     timed("search_after_deep", _deep_cursor)
+    from torchtrajectory_ray.pipelines.corpus import (
+        SIGTERM_QUERY_IDS,
+        PERC_QUERIES,
+    )
+    from torchtrajectory_ray.pipelines.percolate import percolate_ds
+
+    timed(
+        "percolate",
+        lambda: percolate_ds(sf_dir, PERC_QUERIES).count(),
+    )
+    timed(
+        "significant_terms",
+        lambda: [
+            eng.significant_terms(WEB_QUERIES[i]["terms"], n=15)
+            for i in SIGTERM_QUERY_IDS
+        ],
+    )
     from torchtrajectory_ray.pipelines.checkindex import check_index
 
     timed("index_check", lambda: check_index(idx_dir))

@@ -63,3 +63,19 @@ def test_non_boolean_clauses_fail_loud():
             percolate.compile_registry([{"query_id": 0, "q": bad}])
     with pytest.raises(ValueError, match="positive clause|required term"):
         percolate.compile_registry([{"query_id": 0, "q": "-only -nots"}])
+
+
+def test_empty_and_unknown_edges(ray_session):
+    """Unknown query terms → empty significant-terms table with the
+    stable schema; a registry whose anchors never occur matches
+    nothing (and cheaply — no candidate ever fully evaluates)."""
+    from torchtrajectory_ray.pipelines.corpus import _engine, documents_index
+
+    eng = _engine(documents_index(SF))
+    df = eng.significant_terms(["nosuchtermxyz"], n=5)
+    assert list(df.columns) == ["term", "fg_df", "df", "lift"]
+    assert len(df) == 0
+    m = percolate.percolate(
+        SF, [{"query_id": 0, "q": "+nosuchtermxyz +alsonothere"}]
+    )
+    assert len(m) == 0 and list(m.columns) == ["query_id", "doc_id"]

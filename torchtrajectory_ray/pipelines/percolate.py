@@ -154,6 +154,10 @@ def percolate(sf_dir: str, queries: list[dict]) -> pd.DataFrame:
     """Driver-gate projection: the full (query_id, doc_id) match table,
     sorted."""
     df = percolate_ds(sf_dir, queries).to_pandas()
+    if df.empty:  # zero matches: keep the stable two-column schema
+        return pd.DataFrame({"query_id": [], "doc_id": []}).astype(
+            {"query_id": "int64", "doc_id": "int64"}
+        )
     return (
         df[["query_id", "doc_id"]]
         .sort_values(["query_id", "doc_id"])
