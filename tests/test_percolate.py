@@ -79,3 +79,23 @@ def test_empty_and_unknown_edges(ray_session):
         SF, [{"query_id": 0, "q": "+nosuchtermxyz +alsonothere"}]
     )
     assert len(m) == 0 and list(m.columns) == ["query_id", "doc_id"]
+
+
+def test_vectorized_equals_anchored_route(ray_session):
+    """The docs×terms membership-matrix route and the per-doc anchor
+    route must produce the identical match table."""
+    from torchtrajectory_ray.pipelines.percolate import _PercolateTask
+
+    reg = percolate.compile_registry(PERC_QUERIES)
+    import pyarrow.parquet as pq
+
+    batch = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    task = _PercolateTask(reg, "default")
+    assert task.vec
+    a = task(batch).to_pandas().sort_values(["query_id", "doc_id"])
+    task.vec = False  # force the anchor route on the same batch
+    b = task(batch).to_pandas().sort_values(["query_id", "doc_id"])
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0

@@ -95,7 +95,18 @@ class _PercolateTask:
     """map_batches task: docs batch → (doc_id, query_id) matches.  The
     compiled registry rides the task closure (broadcast once per worker
     by Ray's task serialization — at a 10^6-query registry, ship it via
-    ``ray.put`` and pass the ObjectRef instead)."""
+    ``ray.put`` and pass the ObjectRef instead).
+
+    Two evaluation routes, identical answers (tested):
+    - registries referencing ≤ ``_VEC_MAX_TERMS`` distinct terms build
+      ONE docs×terms boolean membership matrix per batch (flatten +
+      factorize, no per-doc Python beyond tokenization) and evaluate
+      every query as column algebra; phrases verify only on the docs
+      whose boolean mask survived;
+    - larger registries fall back to the per-doc anchor route (a doc
+      touches only the queries whose anchor it contains)."""
+
+    _VEC_MAX_TERMS = 4096
 
     def __init__(self, registry: list[dict], tokenizer: str):
         self.registry = registry
@@ -103,13 +114,70 @@ class _PercolateTask:
         self.by_anchor: dict[str, list[dict]] = {}
         for r in registry:
             self.by_anchor.setdefault(r["anchor"], []).append(r)
+        ref_terms = sorted(
+            {t for r in registry for t in r["must"] + r["must_not"]}
+            | {t for r in registry for ph in r["phrases"] for t in ph}
+        )
+        self.vec = len(ref_terms) <= self._VEC_MAX_TERMS
+        self.ref_col = {t: i for i, t in enumerate(ref_terms)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        tok_lists = [self.tokenize(t) for t in batch["text"].to_pylist()]
+        if self.vec:
+            out_d, out_q = self._eval_vectorized(ids, tok_lists)
+        else:
+            out_d, out_q = self._eval_anchored(ids, tok_lists)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "query_id": pa.array(out_q, pa.int64()),
+            }
+        )
+
+    def _eval_vectorized(self, ids, tok_lists):
+        import itertools
+
+        import pandas as pd
+
+        n = len(ids)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+        total = int(counts.sum())
+        mask = np.zeros((n, len(self.ref_col)), dtype=bool)
+        if total:
+            flat = np.fromiter(
+                itertools.chain.from_iterable(tok_lists), object, total
+            )
+            codes, uniq = pd.factorize(flat, sort=False)
+            col = np.fromiter(
+                (self.ref_col.get(u, -1) for u in uniq), np.int64, len(uniq)
+            )
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+            tok_col = col[codes]
+            hit = tok_col >= 0
+            mask[doc_idx[hit], tok_col[hit]] = True
         out_d, out_q = [], []
-        for d, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            toks = self.tokenize(text)
+        for r in self.registry:
+            m = np.ones(n, dtype=bool)
+            for t in r["must"]:
+                m &= mask[:, self.ref_col[t]]
+            for t in r["must_not"]:
+                m &= ~mask[:, self.ref_col[t]]
+            if r["phrases"]:
+                for i in np.flatnonzero(m):
+                    if all(
+                        _phrase_in(tok_lists[i], ph) for ph in r["phrases"]
+                    ):
+                        out_d.append(int(ids[i]))
+                        out_q.append(r["query_id"])
+            else:
+                out_d.extend(int(d) for d in ids[m])
+                out_q.extend([r["query_id"]] * int(m.sum()))
+        return out_d, out_q
+
+    def _eval_anchored(self, ids, tok_lists):
+        out_d, out_q = [], []
+        for d, toks in zip(ids, tok_lists):
             tset = set(toks)
             cands = []
             for t in tset & self.by_anchor.keys():
@@ -123,12 +191,7 @@ class _PercolateTask:
                     continue
                 out_d.append(int(d))
                 out_q.append(r["query_id"])
-        return pa.table(
-            {
-                "doc_id": pa.array(out_d, pa.int64()),
-                "query_id": pa.array(out_q, pa.int64()),
-            }
-        )
+        return out_d, out_q
 
 
 def percolate_ds(

@@ -28,6 +28,26 @@ from torchtrajectory_ray.functions.text import get_tokenizer, term_hash
 from torchtrajectory_ray.state.segment import SaltSearcher
 
 
+def _distinct_term_doc_counts(texts, tokenize) -> pd.Series:
+    """term → number of docs containing it, over ``texts`` — one
+    flatten + factorize pass, (doc, term) pairs deduped via a composite
+    key (no per-doc Python set building)."""
+    import itertools
+
+    tok_lists = [tokenize(t) for t in texts]
+    n = len(tok_lists)
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+    total = int(counts.sum())
+    if total == 0:
+        return pd.Series(dtype=np.int64)
+    flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+    codes, uniq = pd.factorize(flat, sort=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    ukey = np.unique(doc_idx * len(uniq) + codes)
+    vc = np.bincount(ukey % len(uniq), minlength=len(uniq))
+    return pd.Series(vc, index=uniq)
+
+
 def _phrase_doc_hits(doc_ids, texts, terms: list[str], tokenize) -> list[int]:
     """Docs whose token stream contains ``terms`` consecutively —
     sliding-window equality vectorized per doc; shared by the driver and
@@ -1385,12 +1405,9 @@ class QueryEngine:
                 columns=["doc_id", "text"],
                 filter=pads.field("doc_id").isin(pa.array(ids, pa.int64())),
             )
-            terms = [
-                t2
-                for text in t["text"].to_pylist()
-                for t2 in set(self._tokenize(text))
-            ]
-            return pd.Series(terms).value_counts()
+            return _distinct_term_doc_counts(
+                t["text"].to_pylist(), self._tokenize
+            )
 
         if len(ids) <= max_candidates:
             fg = _fg_counts_local()
@@ -1410,9 +1427,7 @@ class QueryEngine:
                 pos = np.searchsorted(wanted, d)
                 pos[pos == len(wanted)] = 0
                 texts = pd.Series(batch["text"].to_pylist())[wanted[pos] == d]
-                vc = pd.Series(
-                    [t2 for text in texts for t2 in set(tok(text))]
-                ).value_counts()
+                vc = _distinct_term_doc_counts(texts.tolist(), tok)
                 return pa.table(
                     {
                         "term": pa.array(vc.index.tolist(), pa.string()),
