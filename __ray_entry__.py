@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_match_pos": corpus.span_match_pos,
         "term_vectors": corpus.term_vectors,      # Lucene TermVectors shape
         "percolate": corpus.percolate_matches,    # registered-query stream match
+        "term_ttf": corpus.term_ttf,              # totalTermFreq statistics
         "significant_terms": corpus.significant_terms,  # ES significant_terms
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
@@ -1011,6 +1012,10 @@ SELECT * FROM (
 )""")
 
     sql = {
+        "term_ttf": f"""
+SELECT term, count(*)::BIGINT AS ttf
+FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+GROUP BY term ORDER BY term""",
         "significant_terms": " UNION ALL ".join(sig_parts),
         "percolate": " UNION ALL ".join(perc_parts),
         "range_scan": f"""

@@ -124,3 +124,12 @@ def test_distributed_equals_inline(idx):
     a = check_index(idx, distributed=True)
     b = check_index(idx, distributed=False)
     assert a == b
+
+
+def test_ttf_table_distributed_equals_inline(idx):
+    from torchtrajectory_ray.pipelines.checkindex import ttf_table
+
+    a = ttf_table(idx, distributed=True)
+    b = ttf_table(idx, distributed=False)
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0 and (a["ttf"] >= 1).all()

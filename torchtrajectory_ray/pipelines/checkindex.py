@@ -291,3 +291,55 @@ def check_index(index_dir: str, *, distributed: bool = True) -> dict:
         "n_terms": len(fold),
         "n_postings": n_postings,
     }
+
+
+class _TtfTask:
+    """map_batches task: one segment file → (term, ttf) partials (sum of
+    tf over the file's postings, varint-decoded per row)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        terms: list[str] = []
+        ttfs: list[int] = []
+        for path in batch["path"]:
+            t = pq.read_table(path, columns=["term", "df", "tfs_blob"])
+            for row in t.to_pylist():
+                terms.append(row["term"])
+                ttfs.append(
+                    int(varint_decode(row["tfs_blob"], row["df"]).sum())
+                )
+        return pd.DataFrame({"term": terms, "ttf": ttfs})
+
+
+def ttf_table(index_dir: str, *, distributed: bool = True) -> pd.DataFrame:
+    """Total term frequency per dictionary term (the Lucene
+    ``totalTermFreq`` statistic, which the dictionary doesn't store) —
+    ONE map_batches task per segment file decodes its tf payloads and
+    emits (term, ttf) partials; the driver folds them (a term's rows
+    span only its shard's salt files).  Returns (term, ttf) term-
+    ascending."""
+    from torchtrajectory_ray.pipelines.build import manifest_abspath
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    seg_paths = [
+        manifest_abspath(r["path"], index_dir) for r in manifest["segments"]
+    ]
+    task = _TtfTask()
+    if distributed and seg_paths:
+        import ray.data
+
+        parts = (
+            ray.data.from_pandas(pd.DataFrame({"path": seg_paths}))
+            .repartition(len(seg_paths))
+            .map_batches(task, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+    else:
+        parts = task(pd.DataFrame({"path": seg_paths}))
+    return (
+        parts.groupby("term", as_index=False)["ttf"]
+        .sum()
+        .astype({"ttf": "int64"})
+        .sort_values("term")
+        .reset_index(drop=True)
+    )

@@ -507,6 +507,16 @@ def significant_terms(sf_dir: str, n: int = 15) -> pd.DataFrame:
     return pd.concat(frames).reset_index(drop=True)
 
 
+def term_ttf(sf_dir: str) -> pd.DataFrame:
+    """term, ttf — total term frequency per dictionary term (the Lucene
+    ``totalTermFreq`` statistic), computed by the distributed segment
+    scan (``checkindex.ttf_table``: one task per segment file decodes
+    its tf payloads, the driver folds dictionary-sized partials)."""
+    from torchtrajectory_ray.pipelines.checkindex import ttf_table
+
+    return ttf_table(documents_index(sf_dir))
+
+
 def percolate_matches(sf_dir: str) -> pd.DataFrame:
     """query_id, doc_id — the fixed percolator registry streamed over
     the corpus (``percolate.percolate_ds``: one read pass, anchor-term
