@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components": dedup.neardup_components,
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
+        "knn_filtered": knn.knn_filtered,         # metadata-filtered ANN
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
@@ -1456,7 +1457,21 @@ SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
        ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
        neighbor_id, sim
 FROM s QUALIFY rank <= 10""",
-                # radius query: both the exact scan and the pruned IVF route
+        # filtered vector search: the same top-k chain restricted to one
+        # label (the predicate applies inside the Ray scan, before the
+        # distance computation)
+        "knn_filtered": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({', '.join(map(str, range(8)))})),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]), 6) AS sim
+      FROM q CROSS JOIN (SELECT * FROM embeddings WHERE label = 3) e)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+       neighbor_id, sim
+FROM s QUALIFY rank <= 10""",
+        # radius query: both the exact scan and the pruned IVF route
         # share this oracle (pruning is lossless)
         "range_search": _range_search_sql(),
         "range_search_ivf": _range_search_sql(),

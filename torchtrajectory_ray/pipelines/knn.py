@@ -355,3 +355,53 @@ def embedding_neardup(
         max_pairs_per_task=max_pairs_per_task,
     )
     return out
+
+
+def knn_filtered(sf_dir: str, k: int = 10, label: int = 3) -> pd.DataFrame:
+    """query_id, rank, neighbor_id, sim — FILTERED vector search (the
+    metadata-constrained ANN every vector store exposes): exact cosine
+    top-k restricted to vectors whose ``label`` matches the predicate.
+    The filter applies INSIDE the scan (each batch masks its rows before
+    the matmul — predicate pushdown into the distance computation), so
+    selective filters reduce compute instead of post-filtering a top-k
+    that might starve."""
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        keep = batch["label"].to_numpy() == label
+        out_q, out_n, out_s = [], [], []
+        if keep.any():
+            batch = batch.filter(pa.array(keep))
+            e = _batch_matrix(batch)
+            vec_ids = batch["vec_id"].to_numpy().astype(np.int64)
+            sims = _cosine(q, e)
+            kk = min(k, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                s = sims[qi]
+                sel = np.lexsort((vec_ids, -np.round(s, 6)))[:kk]
+                out_q.extend([QUERY_VEC_IDS[qi]] * len(sel))
+                out_n.extend(vec_ids[sel].tolist())
+                out_s.extend(s[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        .map_batches(batch_topk, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    partials["sim"] = partials["sim"].round(6)
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        for r, (_, row) in enumerate(g.iterrows(), 1):
+            rows.append((int(qid), r, int(row["neighbor_id"]), row["sim"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id", "sim"])
