@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack.pack_sequences,    # distributed prefix scan
         "stratified_sample": sampling.stratified_sample,
         "shuffled_ids": sampling.shuffled_ids,    # seeded global shuffle order
+        "shuffle_shards": sampling.shuffle_shards,  # export shard placement
         "top_per_lang": sampling.top_per_lang,    # group-wise top-k
         "decontaminate": decontaminate.decontaminate,  # broadcast n-gram overlap
         "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
@@ -1200,6 +1201,13 @@ SELECT
     AS rank,
   doc_id,
   md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+FROM documents""",
+        # export shard placement: first 4 hex digits of the shuffle key,
+        # scaled — CAST('0x....') parses the prefix as an integer
+        "shuffle_shards": """
+SELECT doc_id,
+  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4))
+            AS INT) * 16 // 65536 AS BIGINT) AS shard
 FROM documents""",
         # result highlighting: top-5 BM25 (same scoring chain as
         # topk_bm25), snippet = ±3 tokens around the FIRST occurrence

@@ -57,3 +57,42 @@ def test_carries_requested_columns(ray_session):
     ds = sampling.global_shuffle_ds(SF, seed=42, columns=["lang"])
     df = ds.to_pandas()
     assert list(df.columns) == ["doc_id", "lang", "shuffle_key"]
+
+
+def test_export_shuffled_is_ordered_and_resumable(ray_session, tmp_path):
+    """Concatenating the export shards in shard order reproduces the
+    global shuffle order exactly; a re-run skips every finished shard;
+    deleting one shard re-writes ONLY that shard."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "export")
+    m = sampling.export_shuffled(SF, out, seed=42, n_shards=8)
+    assert m["skipped"] == 0 and len(m["shards"]) <= 8
+    got = pd.concat(
+        [pq.read_table(os.path.join(out, s)).to_pandas() for s in m["shards"]]
+    )
+    want = sampling.shuffled_ids(SF, seed=42)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert "text" in got.columns
+    # resume: everything skips
+    m2 = sampling.export_shuffled(SF, out, seed=42, n_shards=8)
+    assert m2["skipped"] == len(m2["shards"])
+    # partial resume: only the deleted shard re-writes
+    victim = m["shards"][0]
+    os.remove(os.path.join(out, victim))
+    os.remove(os.path.join(out, victim + ".ok"))
+    m3 = sampling.export_shuffled(SF, out, seed=42, n_shards=8)
+    assert m3["skipped"] == len(m3["shards"]) - 1
+    got3 = pq.read_table(os.path.join(out, victim)).to_pandas()
+    assert got3["doc_id"].tolist() == pd.concat(
+        [pq.read_table(os.path.join(out, s)).to_pandas() for s in m["shards"]]
+    ).iloc[: len(got3)]["doc_id"].tolist()
+
+
+def test_shard_assignment_monotone_in_key(ray_session):
+    keys = sorted(sampling.shuffle_key(__import__("numpy").arange(500), 42))
+    sh = sampling.shuffle_shard_of(keys, 16)
+    assert (sh[1:] >= sh[:-1]).all()

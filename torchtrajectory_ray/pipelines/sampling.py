@@ -19,6 +19,8 @@ Two operators a 100-TB pipeline needs between cleaning and packing:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -212,3 +214,116 @@ def shuffled_ids(sf_dir: str, seed: int = 42) -> pd.DataFrame:
     df = global_shuffle_ds(sf_dir, seed).to_pandas()
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df[["rank", "doc_id", "shuffle_key"]]
+
+
+def shuffle_shard_of(keys: list[str], n_shards: int) -> np.ndarray:
+    """Shard id from the shuffle key's first 4 hex digits:
+    ``int(key[:4], 16) * n_shards >> 16`` — monotone in the key, so
+    shard boundaries respect the global shuffle order, and exactly
+    expressible in SQL (``CAST(concat('0x', substr(key, 1, 4)) AS INT)``)."""
+    if not 1 <= n_shards <= 65536:
+        raise ValueError("n_shards must be in [1, 65536]")
+    pref = np.fromiter((int(k[:4], 16) for k in keys), np.int64, len(keys))
+    return (pref * n_shards) >> 16
+
+
+def shuffle_shards(sf_dir: str, seed: int = 42, n_shards: int = 16) -> pd.DataFrame:
+    """(doc_id, shard) of the sharded export — the driver-gate
+    projection of :func:`export_shuffled`'s placement."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        sh = shuffle_shard_of(shuffle_key(ids, seed), n_shards)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "shard": pa.array(sh, pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def export_shuffled(
+    sf_dir: str,
+    out_dir: str,
+    seed: int = 42,
+    n_shards: int = 16,
+    columns: list[str] | None = None,
+) -> dict:
+    """RESUMABLE sharded export of the seeded global shuffle: shard i
+    holds the i-th key range of the shuffle order (global order =
+    shard_id asc, shuffle_key asc within the shard), one atomic parquet
+    per shard + a manifest.  A re-run skips finished shards (per-shard
+    checkpoint files), so a failed export resumes instead of restarting
+    — the resumable-output rule for training exports.
+
+    Shape: ONE pass assigns (shuffle_key, shard) per batch, a
+    ``groupby("shard").map_groups`` shuffle co-locates each shard's rows
+    (sorted within the group), and every group writes its own file —
+    no global sort barrier, no driver materialization."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    cols = ["doc_id"] + [c for c in (columns or ["text"]) if c != "doc_id"]
+
+    done = {
+        s
+        for s in range(n_shards)
+        if os.path.exists(os.path.join(out_dir, f"shard-{s:05d}.parquet"))
+        and os.path.exists(os.path.join(out_dir, f"shard-{s:05d}.parquet.ok"))
+    }
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        keys = shuffle_key(ids, seed)
+        shard = shuffle_shard_of(keys, n_shards)
+        batch = batch.append_column(
+            "shuffle_key", pa.array(keys, pa.string())
+        )
+        return batch.append_column("shard", pa.array(shard, pa.int64()))
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        s = int(g["shard"].iloc[0])
+        if s in done:  # finished in a previous run
+            return pd.DataFrame({"shard": [s], "rows": [-1]})
+        g = g.sort_values("shuffle_key").drop(columns=["shard"])
+        path = os.path.join(out_dir, f"shard-{s:05d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(g, preserve_index=False), path + ".tmp"
+        )
+        os.replace(path + ".tmp", path)
+        with open(path + ".ok.tmp", "w") as f:
+            f.write("ok")
+        os.replace(path + ".ok.tmp", path + ".ok")
+        return pd.DataFrame({"shard": [s], "rows": [len(g)]})
+
+    res = (
+        _read_docs(sf_dir, cols)
+        .map_batches(add_key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_group, batch_format="pandas")
+        .to_pandas()  # n_shards rows
+    )
+    manifest = {
+        "seed": seed,
+        "n_shards": n_shards,
+        "columns": cols,
+        "shards": [
+            f"shard-{s:05d}.parquet" for s in sorted(res["shard"].tolist())
+        ],
+        "skipped": int((res["rows"] < 0).sum()),
+    }
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(manifest_path + ".tmp", manifest_path)
+    return manifest
