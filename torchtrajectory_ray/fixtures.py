@@ -186,3 +186,73 @@ def query_set(n_queries: int = 50, n_docs: int = 5000) -> list[dict]:
             q["lang"] = "en"
         queries.append(q)
     return queries
+
+
+def write_warc(
+    out_path: str, n_docs: int, start: int = 0, *, gzipped: bool = False
+) -> str:
+    """The deterministic corpus rows [start, start+n_docs) as ONE valid
+    WARC/1.0 file of ``response`` records (HTTP message payloads) — the
+    Common-Crawl shape, for exercising ``sources.warc`` end to end."""
+    import gzip as _gzip
+    from datetime import datetime, timezone
+
+    tbl = webpages_table(n_docs, start)
+    chunks = []
+    for i in range(tbl.num_rows):
+        url = tbl["url"][i].as_py()
+        ts_us = tbl["warc_ts"][i].value
+        html = tbl["html"][i].as_py()
+        date = (
+            datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%SZ")
+        )
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+        )
+        head = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + url.encode() + b"\r\n"
+            + b"WARC-Date: " + date.encode() + b"\r\n"
+            + b"WARC-Record-ID: <urn:uuid:" + str(start + i).encode() + b">\r\n"
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        )
+        chunks.append(head + http + b"\r\n\r\n")
+    raw = b"".join(chunks)
+    if gzipped:
+        raw = _gzip.compress(raw)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path + ".tmp", "wb") as f:
+        f.write(raw)
+    os.replace(out_path + ".tmp", out_path)
+    return out_path
+
+
+def write_jsonl(
+    out_path: str, n_docs: int, start: int = 0, *, with_html: bool = True
+) -> str:
+    """The deterministic corpus rows as JSONL (html base64 when
+    ``with_html``), for exercising ``sources.jsonl``."""
+    import base64
+    import json as _json
+
+    tbl = webpages_table(n_docs, start)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path + ".tmp", "w") as f:
+        for i in range(tbl.num_rows):
+            rec = {
+                "url": tbl["url"][i].as_py(),
+                "warc_ts": tbl["warc_ts"][i].value,
+                "text": tbl["text"][i].as_py(),
+                "lang": tbl["lang"][i].as_py(),
+            }
+            if with_html:
+                rec["html"] = base64.b64encode(
+                    tbl["html"][i].as_py()
+                ).decode()
+            f.write(_json.dumps(rec) + "\n")
+    os.replace(out_path + ".tmp", out_path)
+    return out_path
