@@ -35,6 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default="", help="glob of raw-pages parquet files (unused with --compact-from)")
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "warc", "jsonl"],
+        default="parquet",
+        help="warc/jsonl inputs are first converted to canonical pages "
+        "shards under OUT/ingest/ (one resumable task per file), then "
+        "built normally",
+    )
     ap.add_argument("--out", required=True, help="index output directory")
     ap.add_argument("--term-shards", type=int, default=8)
     ap.add_argument("--salts", type=int, default=8)
@@ -146,6 +154,20 @@ def main() -> None:
 
     no_input = bool(args.compact_from or args.merge_from)
     paths = [] if no_input else sorted(glob.glob(args.input))
+    if paths and args.input_format != "parquet":
+        ingest_dir = os.path.join(args.out, "ingest")
+        if args.input_format == "warc":
+            from torchtrajectory_ray.sources.warc import warc_to_parquet
+
+            paths = warc_to_parquet(
+                paths, ingest_dir, bad_records=args.bad_rows
+            )
+        else:
+            from torchtrajectory_ray.sources.jsonl import jsonl_to_parquet
+
+            paths = jsonl_to_parquet(
+                paths, ingest_dir, bad_records=args.bad_rows
+            )
     if not paths and not no_input:
         raise SystemExit(f"no input files match {args.input!r}")
     os.makedirs(args.out, exist_ok=True)
