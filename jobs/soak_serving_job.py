@@ -282,6 +282,19 @@ def main() -> None:
     fed_top = timed("federated_topk_hot", lambda: fed.topk(hot, k=10))
     assert fed_top == eng.topk(hot, k=10), "federated != single index"
 
+    # --- lazy load mode (the 10^12-doc serving path) ---
+    # segments stay on storage; probes read only the probed term's row
+    # groups via term_id statistics pushdown.  Open is O(dictionary),
+    # not O(index); the per-query cost is the pushdown read.
+    eng_lazy = timed(
+        "engine_open_lazy", lambda: QueryEngine(idx_dir, load_mode="lazy")
+    )
+    lazy_top = timed("topk_hot_lazy", lambda: eng_lazy.topk(hot, k=10))
+    assert lazy_top == eng.topk(hot, k=10), "lazy != memory serving"
+    rare = eng._terms[int(np.argmin(dfs))]
+    timed("topk_rare_lazy", lambda: eng_lazy.topk([rare], k=10))
+    timed("topk_rare_lazy_warm", lambda: eng_lazy.topk([rare], k=10))
+
     print(json.dumps(out))
     ray.shutdown()
 
