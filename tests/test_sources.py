@@ -105,3 +105,36 @@ def test_jsonl_text_only_and_bad_lines(ray_session, tmp_path):
     d = str(tmp_path / "idx")
     build_index(shards, d, IndexConfig(**CFG))
     assert QueryEngine(d).topk(["w0000"], k=5)
+
+
+def test_duplicate_shard_names_fail_loud(ray_session, tmp_path):
+    """Two inputs mapping to one output shard would silently overwrite
+    each other — both converters refuse upfront."""
+    import shutil
+
+    a = fixtures.write_warc(str(tmp_path / "d1" / "a.warc"), 3, 0)
+    b = str(tmp_path / "d2" / "a.warc")
+    os.makedirs(os.path.dirname(b), exist_ok=True)
+    shutil.copy(a, b)
+    with pytest.raises(ValueError, match="unique shard names"):
+        warc_to_parquet([a, b], str(tmp_path / "pages"))
+    ja = fixtures.write_jsonl(str(tmp_path / "d1" / "x.jsonl"), 3, 0)
+    jb = str(tmp_path / "d2" / "x.jsonl.gz")
+    import gzip
+
+    os.makedirs(os.path.dirname(jb), exist_ok=True)
+    with open(ja, "rb") as f, open(jb, "wb") as g:
+        g.write(gzip.compress(f.read()))
+    with pytest.raises(ValueError, match="unique shard names"):
+        jsonl_to_parquet([ja, jb], str(tmp_path / "pages2"))
+
+
+def test_naive_timestamps_are_utc():
+    from torchtrajectory_ray.sources.warc import _parse_warc_date
+
+    assert _parse_warc_date("2024-01-01T00:00:00") == _parse_warc_date(
+        "2024-01-01T00:00:00Z"
+    )
+    assert _parse_warc_date("2024-01-01T09:00:00+09:00") == _parse_warc_date(
+        "2024-01-01T00:00:00Z"
+    )

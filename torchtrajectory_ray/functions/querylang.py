@@ -105,7 +105,7 @@ def parse_query(s: str, tokenize) -> ParsedQuery:
             toks = tokenize(m.group("phrase"))
             slop_s = m.group("slop")
             if slop_s is not None:
-                if not re.fullmatch(r"~\d+", slop_s) or int(slop_s[1:]) < 0:
+                if not re.fullmatch(r"~\d+", slop_s):  # \d+ excludes signs
                     raise ValueError(
                         f'phrase slop must be "~<non-negative int>", got '
                         f"{slop_s!r}"

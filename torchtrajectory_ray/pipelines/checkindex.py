@@ -60,11 +60,10 @@ def _check_segment_file(
             ids = delta_decode(row["doc_ids_blob"], df)
             tfs = varint_decode(row["tfs_blob"], df)
             dls = varint_decode(row["doclens_blob"], df)
-        except Exception as e:  # truncated/garbled blob
+        except Exception as e:  # truncated/garbled blob, or count mismatch
+            # (delta/varint decode already raise when the blob holds a
+            # different count than df — that IS the df check)
             violations.append(f"{where}: payload decode failed: {e}")
-            continue
-        if len(ids) != df:
-            violations.append(f"{where}: df={df} != decoded {len(ids)}")
             continue
         if df and not bool(np.all(ids[1:] > ids[:-1])):
             violations.append(f"{where}: doc_ids not strictly increasing")

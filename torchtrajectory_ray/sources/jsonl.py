@@ -45,22 +45,23 @@ class _JsonlShardTask:
 
         lang_of = LangId()
         rows = []
+        from torchtrajectory_ray.sources.warc import shard_stem
+
         for path in batch["path"]:
-            stem = os.path.splitext(
-                os.path.basename(path).replace(".jsonl", "")
-            )[0]
+            stem = shard_stem(path, ".jsonl")
             out = os.path.join(self.out_dir, f"pages-{stem}.parquet")
             sidecar = out + ".src.json"
             st = os.stat(path)
             src_id = [st.st_size, st.st_mtime_ns]
             if os.path.exists(out) and os.path.exists(sidecar):
                 with open(sidecar) as f:
-                    if json.load(f).get("src_id") == src_id:
-                        rows.append(
-                            {"input": path, "output": out, "skipped": True,
-                             "n_pages": -1, "n_bad": 0}
-                        )
-                        continue
+                    side = json.load(f)
+                if side.get("src_id") == src_id:
+                    rows.append(
+                        {"input": path, "output": out, "skipped": True,
+                         "n_pages": -1, "n_bad": int(side.get("n_bad", 0))}
+                    )
+                    continue
             data = open(path, "rb").read()
             if data[:2] == b"\x1f\x8b":
                 data = gzip.decompress(data)
@@ -127,6 +128,9 @@ def jsonl_to_parquet(
     file, resumable); returns the shard paths, build_index-ready."""
     import ray.data
 
+    from torchtrajectory_ray.sources.warc import check_unique_outputs
+
+    check_unique_outputs(list(jsonl_paths), ".jsonl")
     os.makedirs(out_dir, exist_ok=True)
     res = (
         ray.data.from_pandas(pd.DataFrame({"path": sorted(jsonl_paths)}))

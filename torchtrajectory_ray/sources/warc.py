@@ -32,13 +32,31 @@ _CRLF2 = b"\r\n\r\n"
 
 
 def _parse_warc_date(s: str) -> int:
-    """ISO-8601 WARC-Date → microseconds since epoch."""
-    return int(
-        datetime.fromisoformat(s.replace("Z", "+00:00"))
-        .astimezone(timezone.utc)
-        .timestamp()
-        * 1_000_000
-    )
+    """ISO-8601 WARC-Date → microseconds since epoch.  Timezone-less
+    timestamps are UTC (never the ingest host's local zone — the same
+    file must produce the same warc_ts on every machine)."""
+    dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.astimezone(timezone.utc).timestamp() * 1_000_000)
+
+
+def shard_stem(path: str, suffix: str) -> str:
+    """Output stem for one input file."""
+    return os.path.splitext(os.path.basename(path).replace(suffix, ""))[0]
+
+
+def check_unique_outputs(paths: list[str], suffix: str) -> None:
+    """Two inputs mapping to one output shard would silently overwrite
+    each other (last atomic replace wins) — the same loud-uniqueness
+    rule the build applies to its input basenames."""
+    stems = [shard_stem(p, suffix) for p in paths]
+    dups = sorted({x for x in stems if stems.count(x) > 1})
+    if dups:
+        raise ValueError(
+            f"input files must map to unique shard names; duplicates: {dups} "
+            "(rename the inputs — shards are named by basename stem)"
+        )
 
 
 def parse_warc(raw: bytes, *, bad_records: str = "raise") -> list[dict]:
@@ -125,9 +143,7 @@ class _WarcShardTask:
         lang_of = LangId()
         rows = []
         for path in batch["path"]:
-            stem = os.path.splitext(
-                os.path.basename(path).replace(".warc", "")
-            )[0]
+            stem = shard_stem(path, ".warc")
             out = os.path.join(self.out_dir, f"pages-{stem}.parquet")
             sidecar = out + ".src.json"
             st = os.stat(path)
@@ -179,6 +195,7 @@ def warc_to_parquet(
     per file, resumable); returns the shard paths, build_index-ready."""
     import ray.data
 
+    check_unique_outputs(list(warc_paths), ".warc")
     os.makedirs(out_dir, exist_ok=True)
     res = (
         ray.data.from_pandas(pd.DataFrame({"path": sorted(warc_paths)}))

@@ -270,9 +270,6 @@ class TokenizeCombine:
             # mirror the posting order exactly: sort the raw token stream
             # by the same keys the entries were sorted by.  Delta within
             # each posting (first absolute), one varint blob per run.
-            tok_run_key = codes.astype(np.int64) * cfg.num_salts + np.minimum(
-                doc_ids[doc_idx] >> self.shift, cfg.num_salts - 1
-            )
             # entry ordinal per token: entries are unique (doc, term) pairs
             # sorted by run_key then doc_id — give each token its entry's
             # ordinal in d_* order, then sort tokens by (ordinal, pos)

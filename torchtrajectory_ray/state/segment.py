@@ -335,6 +335,14 @@ class SaltSearcher:
         if cand.size == 0:
             return cand
         k0 = keys[term_ids[0]]
+        # the chain adds up to len-1 to the position field; a position
+        # within len-1 of 2^32 would carry into the ordinal field and
+        # could match the NEXT candidate doc's first occurrence
+        # (_occ_keys guards raw positions; this guards the arithmetic)
+        if k0.size and int(
+            (k0 & ((1 << self._ORD_SHIFT) - 1)).max()
+        ) >= (1 << self._ORD_SHIFT) - len(term_ids):
+            raise ValueError("document position too large for phrase keys")
         alive = np.ones(k0.size, dtype=bool)
         for j, tid in enumerate(term_ids[1:], 1):
             kj = keys[tid]
