@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": corpus.term_df,                # A8/J5: dictionary df
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
+        "topk_bm25_pos": corpus.topk_bm25_pos,    # same ranking off the positional index
         "topk_and": corpus.topk_and,              # ranked conjunctive (AND) top-k
         "topk_resolved": corpus.topk_resolved,    # M6: result hydration
         "bool_or": corpus.bool_or,                # U1: findByPath
@@ -1111,6 +1112,7 @@ GROUP BY term, doc_id""",
         # merged two half-corpus indexes == the plain full build, so the
         # merge gate shares the topk oracle verbatim
         "topk_merged": topk,
+        "topk_bm25_pos": topk,
         "topk_federated": topk,
         # BM25+ (Lv & Zhai 2011): idf = ln((N+1)/df), tf-normalization
         # shifted by the paper's default delta = 1.0

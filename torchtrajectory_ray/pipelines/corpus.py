@@ -441,6 +441,13 @@ def span_match(sf_dir: str, distribute_over: int | None = None) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
 
 
+def topk_bm25_pos(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — the BM25 workload served from the
+    FULL-POSITION index; shares ``topk_bm25``'s oracle (the position
+    payload must be invisible to scoring and WAND pruning)."""
+    return _ranked_topk(_engine(documents_index_pos(sf_dir)), k)
+
+
 def phrase_match_pos(sf_dir: str) -> pd.DataFrame:
     """query_id, doc_id — the SAME phrase workload answered entirely from
     full positional postings (``QueryEngine.phrase_and_pos``; no
