@@ -108,8 +108,9 @@ class _PercolateTask:
 
     _VEC_MAX_TERMS = 4096
 
-    def __init__(self, registry: list[dict], tokenizer: str):
+    def __init__(self, registry: list[dict], tokenizer: str, id_column: str = "doc_id"):
         self.registry = registry
+        self.id_column = id_column
         self.tokenize = get_tokenizer(tokenizer)
         self.by_anchor: dict[str, list[dict]] = {}
         for r in registry:
@@ -122,7 +123,7 @@ class _PercolateTask:
         self.ref_col = {t: i for i, t in enumerate(ref_terms)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        ids = batch[self.id_column].to_pylist()
         tok_lists = [self.tokenize(t) for t in batch["text"].to_pylist()]
         if self.vec:
             out_d, out_q = self._eval_vectorized(ids, tok_lists)
@@ -130,7 +131,7 @@ class _PercolateTask:
             out_d, out_q = self._eval_anchored(ids, tok_lists)
         return pa.table(
             {
-                "doc_id": pa.array(out_d, pa.int64()),
+                self.id_column: pa.array(out_d, batch[self.id_column].type),
                 "query_id": pa.array(out_q, pa.int64()),
             }
         )
@@ -168,10 +169,10 @@ class _PercolateTask:
                     if all(
                         _phrase_in(tok_lists[i], ph) for ph in r["phrases"]
                     ):
-                        out_d.append(int(ids[i]))
+                        out_d.append(ids[i])
                         out_q.append(r["query_id"])
             else:
-                out_d.extend(int(d) for d in ids[m])
+                out_d.extend(ids[i] for i in np.flatnonzero(m))
                 out_q.extend([r["query_id"]] * int(m.sum()))
         return out_d, out_q
 
@@ -189,7 +190,7 @@ class _PercolateTask:
                     continue
                 if any(not _phrase_in(toks, ph) for ph in r["phrases"]):
                     continue
-                out_d.append(int(d))
+                out_d.append(d)
                 out_q.append(r["query_id"])
         return out_d, out_q
 
@@ -199,17 +200,20 @@ def percolate_ds(
     queries: list[dict],
     tokenizer: str = "default",
     df: dict | None = None,
+    id_column: str = "doc_id",
 ) -> ray.data.Dataset:
     """Stream the corpus through the registered queries → Dataset of
-    (doc_id, query_id) matches.  One read pass, no shuffle — every task
-    evaluates its own docs against the broadcast registry."""
+    (id, query_id) matches.  One read pass, no shuffle — every task
+    evaluates its own docs against the broadcast registry.
+    ``id_column`` names the document identifier (``doc_id`` for the
+    canonical tables; ``url`` for raw ingested page shards)."""
     registry = compile_registry(queries, tokenizer, df)
     if isinstance(sf_dir_or_paths, str):
         src = f"{sf_dir_or_paths}/documents.parquet"
     else:
         src = list(sf_dir_or_paths)
-    return ray.data.read_parquet(src, columns=["doc_id", "text"]).map_batches(
-        _PercolateTask(registry, tokenizer), batch_format="pyarrow"
+    return ray.data.read_parquet(src, columns=[id_column, "text"]).map_batches(
+        _PercolateTask(registry, tokenizer, id_column), batch_format="pyarrow"
     )
 
 
