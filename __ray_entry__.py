@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": corpus.term_vectors,      # Lucene TermVectors shape
         "percolate": corpus.percolate_matches,    # registered-query stream match
         "term_ttf": corpus.term_ttf,              # totalTermFreq statistics
+        "match_counts": corpus.match_counts,      # total-hit counting
         "significant_terms": corpus.significant_terms,  # ES significant_terms
         "bool_and_not": corpus.bool_and_not,      # negated boolean retrieval
         "topk_paged": corpus.topk_paged,          # offset pagination (page 2)
@@ -1014,7 +1015,22 @@ SELECT * FROM (
   ) <= 15
 )""")
 
+    count_parts = []
+    for q in WEB_QUERIES:
+        ors = " OR ".join(
+            f"list_contains({_TOKS}, '{t}')" for t in q["terms"]
+        )
+        ands = " AND ".join(
+            f"list_contains({_TOKS}, '{t}')" for t in q["terms"]
+        )
+        count_parts.append(
+            f"SELECT {q['query_id']}::BIGINT AS query_id, "
+            f"(SELECT count(*) FROM documents WHERE {ors})::BIGINT AS n_or, "
+            f"(SELECT count(*) FROM documents WHERE {ands})::BIGINT AS n_and"
+        )
+
     sql = {
+        "match_counts": " UNION ALL ".join(count_parts),
         "term_ttf": f"""
 SELECT term, count(*)::BIGINT AS ttf
 FROM (SELECT unnest({_TOKS}) AS term FROM documents)

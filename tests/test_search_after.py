@@ -98,3 +98,19 @@ def test_significant_terms_branches_agree(eng):
     # lift ordering and the min_fg floor hold
     assert (a["fg_df"] >= 3).all()
     assert a["lift"].is_monotonic_decreasing or len(a) <= 1
+
+
+def test_count_equals_boolean_sizes_and_distributed(ray_session):
+    from torchtrajectory_ray.state.engine import QueryEngine
+
+    idx = documents_index(SF)
+    eng, dist = QueryEngine(idx), QueryEngine(idx, distributed=True)
+    for q in WEB_QUERIES[:6]:
+        assert eng.count(q["terms"], "or") == eng.bool_or(q["terms"]).size
+        assert eng.count(q["terms"], "and") == eng.bool_and(q["terms"]).size
+        assert dist.count(q["terms"], "or") == eng.count(q["terms"], "or")
+    assert eng.count(["nosuchtermxyz"], "or") == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        eng.count(["the"], "xor")

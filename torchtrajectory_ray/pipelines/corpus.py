@@ -524,6 +524,24 @@ def term_ttf(sf_dir: str) -> pd.DataFrame:
     return ttf_table(documents_index(sf_dir))
 
 
+def match_counts(sf_dir: str) -> pd.DataFrame:
+    """query_id, n_or, n_and — total hit counts for the boolean workload
+    (``QueryEngine.count``: one integer per salt crosses the boundary,
+    never the id sets)."""
+    eng = _engine(documents_index(sf_dir))
+    rows = [
+        (
+            q["query_id"],
+            eng.count(q["terms"], "or"),
+            eng.count(q["terms"], "and"),
+        )
+        for q in WEB_QUERIES
+    ]
+    return pd.DataFrame(rows, columns=["query_id", "n_or", "n_and"]).astype(
+        {"n_or": "int64", "n_and": "int64"}
+    )
+
+
 def percolate_matches(sf_dir: str) -> pd.DataFrame:
     """query_id, doc_id — the fixed percolator registry streamed over
     the corpus (``percolate.percolate_ds``: one read pass, anchor-term

@@ -554,6 +554,29 @@ class QueryEngine:
         parts = self._fanout("bool_and", tids, **filt)
         return np.sort(np.concatenate(parts))
 
+    def count(
+        self, query: str | list[str], mode: str = "or", **filt
+    ) -> int:
+        """Total hit count (the Lucene TotalHitCountCollector shape):
+        how many docs match the boolean query, WITHOUT shipping ids —
+        each salt searcher returns one integer and buckets are disjoint,
+        so the answer is a sum.  The id-free form of
+        ``bool_or(...).size`` for corpus-scale match sets."""
+        if mode not in ("or", "and"):
+            raise ValueError("count: mode must be 'or' or 'and'")
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        uniq = sorted(set(terms))
+        tids, _ = self.resolve_terms(uniq)
+        if not tids or (mode == "and" and len(tids) < len(uniq)):
+            return 0
+        return int(
+            sum(
+                self._fanout(
+                    "count_match", tids, mode, *self._filt3(filt)
+                )
+            )
+        )
+
     def bool_min_match(
         self, query: str | list[str], m: int, **filt
     ) -> np.ndarray:

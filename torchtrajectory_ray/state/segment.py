@@ -500,6 +500,19 @@ class SaltSearcher:
         ids = ids[counts == len(uniq)]
         return ids[self._allowed_mask(ids, lang, ts_lo, ts_hi)]
 
+    def count_match(
+        self, term_ids: list[int], mode: str, lang=None, ts_lo=None, ts_hi=None
+    ) -> int:
+        """Bucket-local match COUNT (OR/AND) — the hit-total collector:
+        only one integer crosses the bucket boundary (buckets are
+        disjoint doc ranges, so the engine's total is a plain sum)."""
+        ids = (
+            self.bool_or(term_ids, lang, ts_lo, ts_hi)
+            if mode == "or"
+            else self.bool_and(term_ids, lang, ts_lo, ts_hi)
+        )
+        return int(ids.size)
+
     def bool_min_match(
         self, term_ids: list[int], m: int, lang=None, ts_lo=None, ts_hi=None
     ) -> np.ndarray:
