@@ -100,26 +100,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
     )
 
+    # KEY ORDER IS THE DRIVER'S CHECK WINDOW: the driver hash-checks the
+    # FIRST 50 keys per round.  Rounds 1-3 green-checked the whole
+    # inverted-index core (see CORRECTNESS_r01..r03); round 4 rotates the
+    # 28 oracle-bearing operators that had never been in a driver window
+    # (DSIR / packing / hygiene / sampling / exact-Jaccard / KNN-exactness)
+    # into slots 1-28, keeps 5 core canaries as regression tripwires, and
+    # fills the tail of the window with this round's new oracle gates.
     return {
-        # --- inverted-index core (SURVEY.md §2.1/2.5/2.6/2.7) ---
+        # --- slots 1-28: previously builder-only oracles (VERDICT r3 §1) ---
+        "source_quality": textstats.source_quality,    # domain-level gate
+        "source_filtered": textstats.source_filtered,  # gate applied
+        "bigram_pmi": textstats.bigram_pmi,       # PMI association scores
+        "repetition_stats": textstats.repetition_stats,  # Gopher-rule signals
+        "length_deciles": textstats.length_deciles,  # exact histogram quantiles
+        "lm_quality": lm.lm_quality,              # unigram-LM NLL filter signal
+        "dsir_weights": lm.dsir_weights,          # DSIR importance weights
+        "dsir_select": lm.dsir_select,            # DSIR top-frac selection
+        "doc_keywords": lm.doc_keywords,          # per-doc TF-IDF keywords
+        "pack_sequences": pack.pack_sequences,    # distributed prefix scan
+        "stratified_sample": sampling.stratified_sample,
+        "shuffled_ids": sampling.shuffled_ids,    # seeded global shuffle order
+        "shuffle_shards": sampling.shuffle_shards,  # export shard placement
+        "top_per_lang": sampling.top_per_lang,    # group-wise top-k
+        "decontaminate": decontaminate.decontaminate,  # broadcast n-gram overlap
+        "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
+        "pii_scrub": scrub.pii_scrub,             # regex PII redaction
+        "chunk_documents": pack.chunk_documents,  # sliding-window chunking
+        "source_mix_sample": sampling.source_mix_sample,  # mixture re-weighting
+        # EXACT all-pairs Jaccard (prefix filter) — oracle-gated against
+        # the quadratic SQL self-join
+        "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
+        # near-dup GROUPS: exact pairs -> hash-to-min connected
+        # components -> canonical-keeper assignment (oracle: recursive
+        # CTE transitive closure)
+        "neardup_components": dedup.neardup_components,
+        "knn_filtered": knn.knn_filtered,         # metadata-filtered ANN
+        "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
+        "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
+        "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
+        "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
+        "range_search": knn.range_search_bruteforce,  # radius query (exact)
+        "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
+        # --- slots 29-33: core canaries (driver-green r1/r2/r3) ---
         "term_df": corpus.term_df,                # A8/J5: dictionary df
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
-        "topk_bm25_pos": corpus.topk_bm25_pos,    # same ranking off the positional index
+        "phrase_match_pos": corpus.phrase_match_pos,  # positional-index route
+        "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
+        # --- slots 34-50: this round's work under the gate ---
+        "revenue_topk": analytics.revenue_topk,   # de-drivered this round
+        "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
+        "clean_summary": clean.clean_corpus_summary,
+        "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
+        "events_sessions": events.session_windows,
+        "events_sliding_hour": events.sliding_hour_agg,
+        "quality_score": textstats.quality_score,
+        "token_count": textstats.token_count,
+        "bpe_token_count": textstats.bpe_token_count,
+        "top_bigrams": textstats.top_bigrams,
+        "lang_count": textstats.lang_count,
+        "source_doc_count": textstats.source_doc_count,
+        "doc_stats": textstats.doc_stats,         # A7: global aggregates
+        "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
+        "pricing_summary": analytics.pricing_summary,
+        "nation_customer_stats": analytics.nation_customer_stats,
+        "events_tumbling_hour": events.tumbling_hour_agg,
+        # ---------------- end of the driver's 50-key window ----------------
+        # --- inverted-index core (SURVEY.md §2.1/2.5/2.6/2.7) ---
+        "topk_bm25_pos": corpus.topk_bm25_pos,    # BM25 off the positional index
         "topk_and": corpus.topk_and,              # ranked conjunctive (AND) top-k
         "topk_resolved": corpus.topk_resolved,    # M6: result hydration
         "bool_or": corpus.bool_or,                # U1: findByPath
-        "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
         "bool_or_lang": corpus.bool_or_lang,      # U3/M7: predicate filter
         "range_scan": corpus.range_scan,          # U3: terms-free findInRange
         "phrase_match": corpus.phrase_match,      # exact phrase verification
         "near_match": corpus.near_match,          # unordered proximity (NEAR)
         "span_match": corpus.span_match,          # ORDERED proximity (span)
-        # the same three workloads answered INDEX-ONLY from full
-        # positional postings (position_mode="full"; Lucene layout) —
-        # they share the text-route oracles, so the driver gates the
-        # routes against each other through DuckDB
-        "phrase_match_pos": corpus.phrase_match_pos,
+        # index-only positional routes (share the text-route oracles)
         "near_match_pos": corpus.near_match_pos,
         "span_match_pos": corpus.span_match_pos,
         "term_vectors": corpus.term_vectors,      # Lucene TermVectors shape
@@ -155,62 +213,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
         "bm25plus_topk": corpus.bm25plus_topk,    # X3: third measure (BM25+)
         # --- corpus / text analysis (training-data ops) ---
-        "doc_stats": textstats.doc_stats,         # A7: global aggregates
-        "token_count": textstats.token_count,
-        "quality_score": textstats.quality_score,
-        "lang_count": textstats.lang_count,
-        "source_doc_count": textstats.source_doc_count,
-        "source_quality": textstats.source_quality,    # domain-level gate
-        "source_filtered": textstats.source_filtered,  # gate applied
-        "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
-        "bpe_token_count": textstats.bpe_token_count,
         "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
-        "top_bigrams": textstats.top_bigrams,
-        "bigram_pmi": textstats.bigram_pmi,       # PMI association scores
-        "repetition_stats": textstats.repetition_stats,  # Gopher-rule signals
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
-        "length_deciles": textstats.length_deciles,  # exact histogram quantiles
-        "lm_quality": lm.lm_quality,              # unigram-LM NLL filter signal
-        "dsir_weights": lm.dsir_weights,          # DSIR importance weights
-        "dsir_select": lm.dsir_select,            # DSIR top-frac selection
-        "doc_keywords": lm.doc_keywords,          # per-doc TF-IDF keywords
-        # --- training-set assembly (scan / selection operators) ---
-        "pack_sequences": pack.pack_sequences,    # distributed prefix scan
-        "stratified_sample": sampling.stratified_sample,
-        "shuffled_ids": sampling.shuffled_ids,    # seeded global shuffle order
-        "shuffle_shards": sampling.shuffle_shards,  # export shard placement
-        "top_per_lang": sampling.top_per_lang,    # group-wise top-k
-        "decontaminate": decontaminate.decontaminate,  # broadcast n-gram overlap
-        "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
-        "pii_scrub": scrub.pii_scrub,             # regex PII redaction
-        "chunk_documents": pack.chunk_documents,  # sliding-window chunking
-        "source_mix_sample": sampling.source_mix_sample,  # mixture re-weighting
-        "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
-        "clean_summary": clean.clean_corpus_summary,
         # LSH near-dup pipelines (rows-only: the candidate set is
         # probabilistic, so no SQL oracle — planted-pair recall is
         # pytest-gated in test_dedup.py)
         "minhash_neardup": dedup.minhash_dedup_pairs,
         "simhash_neardup": dedup.simhash_dedup_pairs,
-        # EXACT all-pairs Jaccard (prefix filter) — oracle-gated against
-        # the quadratic SQL self-join
-        "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
-        # near-dup GROUPS: exact pairs -> hash-to-min connected
-        # components -> canonical-keeper assignment (oracle: recursive
-        # CTE transitive closure)
-        "neardup_components": dedup.neardup_components,
         # --- similarity search / embeddings ---
-        "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
-        "knn_filtered": knn.knn_filtered,         # metadata-filtered ANN
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
-        "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
-        "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
         "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe (rows-only)
-        "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
-        "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
-        "range_search": knn.range_search_bruteforce,  # radius query (exact)
-        "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
         "index_check": _index_check,              # CheckIndex audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
@@ -219,15 +232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embeddings": embed.doc_embeddings,       # feature hashing (rows-only)
         "doc_embedding_neardup": embed.doc_embedding_neardup,
         # --- generic analytics (partial agg / broadcast join / top-k) ---
-        "pricing_summary": analytics.pricing_summary,
-        "revenue_topk": analytics.revenue_topk,
-        "nation_customer_stats": analytics.nation_customer_stats,
         "part_type_stats": analytics.part_type_stats,
         "supplier_nation_balance": analytics.supplier_nation_balance,
         # --- stream-shaped (W1/W2 analogs) ---
-        "events_tumbling_hour": events.tumbling_hour_agg,
-        "events_sliding_hour": events.sliding_hour_agg,
-        "events_sessions": events.session_windows,
         "events_prop_stats": events.prop_k_stats,
     }
 
