@@ -83,26 +83,60 @@ def main() -> None:
     out["prefix_fraction"] = round(prefix_rows / max(all_rows, 1), 4)
     out["audit_s"] = round(time.monotonic() - t0, 1)
 
+    # pairs NEVER materialize as a driver DataFrame at soak scale: the
+    # verified pair Dataset is written to parquet, components consume
+    # the files, and the driver only sees streamed per-batch summaries
+    import shutil
+
+    pairs_dir = os.path.join(soak_dir, "jaccard_pairs")
+    shutil.rmtree(pairs_dir, ignore_errors=True)
     t0 = time.monotonic()
-    pairs = dedup.ngram_jaccard_pairs(
+    dedup.ngram_jaccard_pairs_ds(
         soak_dir, threshold=args.threshold, freq_topk=args.freq_topk
-    )
+    ).write_parquet(pairs_dir)
     out["jaccard_s"] = round(time.monotonic() - t0, 1)
-    out["pairs"] = int(len(pairs))
+    pairs_ds = ray.data.read_parquet(pairs_dir)
+
+    def pair_stats(t):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "n": [t.num_rows],
+                "exact": [
+                    int((t["jaccard"].to_numpy() >= 0.999999).sum())
+                    if t.num_rows
+                    else 0
+                ],
+            }
+        )
+
+    ps = pairs_ds.map_batches(pair_stats, batch_format="pyarrow").to_pandas()
+    out["pairs"] = int(ps["n"].sum())
     out["jaccard_docs_per_s"] = round(args.n_docs / out["jaccard_s"], 0)
-    out["exact_pairs"] = int((pairs["jaccard"] >= 0.999999).sum())
+    out["exact_pairs"] = int(ps["exact"].sum())
 
     t0 = time.monotonic()
-    comps = dedup.connected_components(pairs)
+    comps_ds = dedup.connected_components_ds(pairs_ds).materialize()
     out["components_s"] = round(time.monotonic() - t0, 1)
-    reps = comps["rep_id"].to_numpy()
-    _, sizes = np.unique(reps, return_counts=True)
-    out["nodes_in_components"] = int(len(comps))
+
+    # component census as a distributed aggregate (rep_id groupby), not
+    # a driver table of all labeled nodes
+    census = comps_ds.groupby("rep_id").count().to_pandas()
+    sizes = census["count()"].to_numpy()
+
+    def drop_stats(t):
+        import pandas as pd
+
+        d = t["doc_id"].to_numpy()
+        r = t["rep_id"].to_numpy()
+        return pd.DataFrame({"n": [len(d)], "dropped": [int((d != r).sum())]})
+
+    dstat = comps_ds.map_batches(drop_stats, batch_format="pyarrow").to_pandas()
+    out["nodes_in_components"] = int(dstat["n"].sum())
     out["n_components"] = int(len(sizes))
     out["max_component"] = int(sizes.max()) if len(sizes) else 0
-    out["docs_dropped"] = int(
-        (comps["doc_id"] != comps["rep_id"]).sum()
-    )
+    out["docs_dropped"] = int(dstat["dropped"].sum())
 
     print(json.dumps(out))
     ray.shutdown()

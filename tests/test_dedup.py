@@ -303,3 +303,51 @@ def test_neardup_components_groups_planted(ray_session, tmp_path):
     rep = dict(map(tuple, got.to_numpy()))
     assert rep[0] == rep[100] == rep[101] == 0
     assert rep[1] == rep[200] == 1
+
+
+def test_pairs_dataset_parquet_roundtrip(ray_session, tmp_path):
+    """The 100-TB path: verified pairs as a Dataset → parquet sink →
+    components fed from the files — same answer as the collected chain,
+    with no pair DataFrame on the driver in between."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(_planted_corpus(), str(tmp_path / "documents.parquet"))
+    pairs_dir = str(tmp_path / "pairs_out")
+    dedup.ngram_jaccard_pairs_ds(str(tmp_path), threshold=0.9).write_parquet(
+        pairs_dir
+    )
+    ref_pairs = dedup.ngram_jaccard_pairs(str(tmp_path), threshold=0.9)
+    from_files = (
+        ray.data.read_parquet(pairs_dir)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)[["doc_a", "doc_b", "jaccard"]]
+    )
+    assert from_files.equals(ref_pairs)
+    comps = dedup.connected_components(ray.data.read_parquet(pairs_dir))
+    ref = dedup.connected_components(ref_pairs)
+    assert comps.equals(ref)
+
+
+def test_minhash_simhash_ds_paths_match_collected(ray_session, tmp_path):
+    """Dataset variants of the LSH chains return the collected answers."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(_planted_corpus(), str(tmp_path / "documents.parquet"))
+    mh_ds = (
+        dedup.minhash_dedup_pairs_ds(str(tmp_path), threshold=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    mh = dedup.minhash_dedup_pairs(str(tmp_path), threshold=0.5)
+    assert mh_ds[["doc_a", "doc_b", "jaccard"]].equals(mh)
+    assert len(mh) >= 1
+    sh_ds = (
+        dedup.simhash_dedup_pairs_ds(str(tmp_path), max_hamming=10)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    sh = dedup.simhash_dedup_pairs(str(tmp_path), max_hamming=10)
+    assert sh_ds[["doc_a", "doc_b", "hamming"]].equals(sh)

@@ -171,9 +171,47 @@ def test_pricing_summary_vs_duckdb(ray_session, fn, sql):
 
 
 def test_revenue_topk_ordered(ray_session):
-    df = analytics.revenue_topk(SF)
+    audit = {}
+    df = analytics.revenue_topk(SF, _audit=audit)
     assert list(df["rank"]) == list(range(1, len(df) + 1))
     assert (df["revenue"].diff().dropna() <= 1e-9).all()  # descending
+    # the driver must only ever hold block-local top-k candidates, not
+    # the full per-order revenue table (~n_orders/segments rows at sf)
+    import pyarrow.parquet as pq
+
+    n_orders = pq.read_metadata(f"{SF}/orders.parquet").num_rows
+    assert audit["n_candidate_rows"] < max(n_orders // 4, 4 * audit["k"])
+
+
+def test_revenue_topk_matches_undistributed(ray_session):
+    """The per-block partial top-k must be lossless: same answer as the
+    plain per-order aggregate computed in one process."""
+    import duckdb as ddb
+
+    con = ddb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    ref = con.execute(
+        """
+        WITH rev AS (
+          SELECT l.l_orderkey,
+                 round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+          GROUP BY l.l_orderkey)
+        SELECT l_orderkey, revenue FROM rev
+        ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """
+    ).fetchdf()
+    got = analytics.revenue_topk(SF)
+    assert list(got["l_orderkey"]) == list(ref["l_orderkey"])
+    assert [round(v, 6) for v in got["revenue"]] == [
+        round(v, 6) for v in ref["revenue"]
+    ]
 
 
 def test_nation_customer_stats_join(ray_session):

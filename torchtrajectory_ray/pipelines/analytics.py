@@ -82,10 +82,23 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.DataFrame:
+def revenue_topk(
+    sf_dir: str,
+    k: int = 10,
+    segment: str = "BUILDING",
+    _audit: dict | None = None,
+) -> pd.DataFrame:
     """TPC-H Q3 shape: broadcast-join lineitem → orders → customer
-    (small sides collected once), partial revenue per batch, tiny final
-    groupby + sort + limit."""
+    (small sides collected once and shipped via ``ray.put``), partial
+    revenue per batch, distributed per-order groupby, then a per-block
+    partial top-k so the driver only ever sees O(k × blocks) candidate
+    rows — never the full per-order table.  Order dates are hydrated for
+    the k winners only (no driver-side dict over the segment's orders).
+
+    ``_audit``, when passed, receives ``n_candidate_rows`` /
+    ``n_blocks`` so tests can assert the driver-held volume bound.
+    """
+    import ray
     import pyarrow.parquet as pq
 
     cust = pq.read_table(
@@ -100,20 +113,19 @@ def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.Data
     omask = pc.is_in(orders["o_custkey"], value_set=pa.array(list(wanted_cust)))
     sel = orders.filter(omask)
     # broadcast side: sorted wanted-orderkey array (one market segment's
-    # orders) — membership via searchsorted, not per-batch set hashing.
-    # At real scale: ray.put once, read inside tasks.
+    # orders) — membership via searchsorted, not per-batch set hashing;
+    # put ONCE into the object store, fetched zero-copy inside each task.
     wanted_keys = np.sort(sel["o_orderkey"].to_numpy())
-    odate = dict(
-        zip(sel["o_orderkey"].to_pylist(), sel["o_orderdate"].to_pylist())
-    )
     if len(wanted_keys) == 0:
         return pd.DataFrame(columns=["rank", "l_orderkey", "revenue", "o_orderdate"])
+    wanted_ref = ray.put(wanted_keys)
 
     def partial(batch: pa.Table) -> pa.Table:
+        wk = ray.get(wanted_ref)  # node-local after first fetch
         keys = batch["l_orderkey"].to_numpy()
-        j = np.searchsorted(wanted_keys, keys)
-        j = np.clip(j, 0, len(wanted_keys) - 1)
-        hit = wanted_keys[j] == keys
+        j = np.searchsorted(wk, keys)
+        j = np.clip(j, 0, len(wk) - 1)
+        hit = wk[j] == keys
         if not hit.any():
             return pa.table(
                 {
@@ -132,7 +144,19 @@ def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.Data
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
+    def block_topk(batch: pa.Table) -> pa.Table:
+        # local top-k per grouped block under the GLOBAL sort key
+        # (6-dp-rounded revenue desc, orderkey asc): every global winner
+        # is a local winner, so this is lossless for the final head(k)
+        df = batch.to_pandas()
+        df.columns = ["l_orderkey", "revenue"]
+        df["revenue"] = df["revenue"].round(6)
+        df = df.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand_ds = (
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -140,18 +164,28 @@ def revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING") -> pd.Data
         .map_batches(partial, batch_format="pyarrow")
         .groupby("l_orderkey")
         .sum("revenue")
-        .to_pandas()
+        .map_batches(block_topk, batch_format="pyarrow")
     )
-    agg.columns = ["l_orderkey", "revenue"]
-    agg["revenue"] = agg["revenue"].round(6)
-    agg["o_orderdate"] = agg["l_orderkey"].map(
-        {k_: str(v) for k_, v in odate.items()}
-    )
-    agg = agg.sort_values(
+    cand = cand_ds.to_pandas()  # O(k × blocks) rows by construction
+    if _audit is not None:
+        _audit["n_candidate_rows"] = len(cand)
+        _audit["k"] = k
+    top = cand.sort_values(
         ["revenue", "l_orderkey"], ascending=[False, True]
     ).head(k)
-    agg["rank"] = np.arange(1, len(agg) + 1, dtype=np.int64)
-    return agg[["rank", "l_orderkey", "revenue", "o_orderdate"]].reset_index(
+    # hydrate dates for the k winners only, from the already-filtered
+    # orders table (k-row semi-join, not an O(orders) driver dict)
+    win = sel.filter(
+        pc.is_in(sel["o_orderkey"], value_set=pa.array(top["l_orderkey"].tolist()))
+    )
+    dmap = dict(
+        zip(win["o_orderkey"].to_pylist(),
+            (str(v) for v in win["o_orderdate"].to_pylist()))
+    )
+    top = top.copy()
+    top["o_orderdate"] = top["l_orderkey"].map(dmap)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "l_orderkey", "revenue", "o_orderdate"]].reset_index(
         drop=True
     )
 

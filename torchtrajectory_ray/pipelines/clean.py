@@ -361,8 +361,9 @@ def _verdicts_of(mixed: ray.data.Dataset) -> ray.data.Dataset:
     return mixed.map_batches(only_verdicts, batch_format="pyarrow")
 
 
-def _candidates_of(mixed: ray.data.Dataset) -> pd.DataFrame:
-    """kind=1 rows → deduped candidate pairs (small, driver-held)."""
+def _candidates_of_ds(mixed: ray.data.Dataset) -> ray.data.Dataset:
+    """kind=1 rows → DEDUPED candidate-pair Dataset (pair-partitioned
+    distributed dedupe; the pair list stays on the cluster)."""
 
     def only_pairs(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -384,14 +385,11 @@ def _candidates_of(mixed: ray.data.Dataset) -> pd.DataFrame:
             }
         )
 
-    pairs = mixed.map_batches(only_pairs, batch_format="pyarrow").to_pandas()
-    if pairs.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "capped"])
     return (
-        pairs.groupby(["doc_a", "doc_b"], as_index=False)
-        .agg(capped=("capped", "any"))
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+        mixed.map_batches(only_pairs, batch_format="pyarrow")
+        .map_batches(dedup_mod._add_pair_part, batch_format="pandas")
+        .groupby("pp")
+        .map_groups(dedup_mod._dedupe_pairs_group, batch_format="pandas")
     )
 
 
@@ -400,16 +398,22 @@ def _near_dup_ids(
 ) -> set[int]:
     """Confirmed near-dup victims (the higher doc_id of each verified
     pair): candidates from the combined shuffle's pair rows,
-    verification pair-partitioned with pushdown doc reads — only the
-    (LSH-bounded, small) pair lists ever reach the driver.  Pairs
+    verification pair-partitioned with pushdown doc reads — candidate
+    and confirmed pair lists stay Datasets; the driver only receives
+    the DISTINCT victim-id set (≤ number of dropped docs).  Pairs
     involving exact-dup docs are harmless: the stamp only ever demotes
     docs whose verdict is 'kept', and identical texts have identical
     signatures, so every kept-vs-kept pair is still found."""
-    cand = _candidates_of(mixed)
-    pairs = dedup_mod.verify_pairs(
-        [f"{sf_dir}/documents.parquet"], cand, threshold
+    cand = _candidates_of_ds(mixed)
+    verified = dedup_mod.verify_pairs_ds(
+        dedup_mod._expand_parquet(f"{sf_dir}/documents.parquet"),
+        cand,
+        threshold,
     )
-    return {int(b) for b in pairs["doc_b"]} if len(pairs) else set()
+    victims = verified.groupby("doc_b").count().to_pandas()
+    if victims.empty:
+        return set()
+    return {int(b) for b in victims["doc_b"]}
 
 
 def _restrict_to_kept(verdicts: ray.data.Dataset, ids: set[int]) -> set[int]:

@@ -238,7 +238,13 @@ def _partition_pairs(tbl: pa.Table) -> pd.DataFrame:
             out_b.append(u[ib])
             capped_any.append(np.full(len(ia), False))
     if not out_a:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "capped": []})
+        return pd.DataFrame(
+            {
+                "doc_a": np.array([], np.int64),
+                "doc_b": np.array([], np.int64),
+                "capped": np.array([], bool),
+            }
+        )
     return pd.DataFrame(
         {
             "doc_a": np.concatenate(out_a),
@@ -246,6 +252,29 @@ def _partition_pairs(tbl: pa.Table) -> pd.DataFrame:
             "capped": np.concatenate(capped_any),
         }
     )
+
+
+def _add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition key over the PAIR space: all copies of a (doc_a, doc_b)
+    candidate land in one partition, so pair-level dedupe can run
+    distributed instead of as a driver-side pandas groupby."""
+    a = df["doc_a"].to_numpy().astype(np.int64)
+    b = df["doc_b"].to_numpy().astype(np.int64)
+    pp = (((a * np.int64(1_000_003)) ^ b) % N_BUCKET_PARTS).astype(np.int32)
+    return df.assign(pp=pp)
+
+
+def _dedupe_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One pair-partition → one row per (doc_a, doc_b); ``capped`` (when
+    present) ORs across duplicates.  Correct globally because
+    ``_add_pair_part`` co-locates every copy of a pair."""
+    g = g.drop(columns=["pp"])
+    if g.empty:
+        return g
+    if "capped" in g.columns:
+        keys = [c for c in g.columns if c != "capped"]
+        return g.groupby(keys, as_index=False).agg(capped=("capped", "max"))
+    return g.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 _SKETCH_SINGLETONS: dict = {}
@@ -271,24 +300,32 @@ def _simhash_task(batch: pa.Table) -> pa.Table:
     return inst(batch)
 
 
-def candidates_from_band_rows(rows: ray.data.Dataset) -> pd.DataFrame:
-    """(doc_id, band, band_hash) Dataset → deduped candidate pairs.
-    Shared tail of the LSH pipeline: coarse bucket partitioning, one
-    vectorized pair expansion per partition, pair-level dedupe (the pair
-    list is the LSH-bounded small output)."""
-    pairs = (
+def candidates_from_band_rows_ds(rows: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, band, band_hash) Dataset → DEDUPED candidate-pair
+    Dataset.  Shared tail of the LSH pipeline: coarse bucket
+    partitioning, one vectorized pair expansion per partition, then a
+    pair-partitioned distributed dedupe — the pair list stays on the
+    cluster end to end (at 100 TB it is written to parquet, never
+    collected)."""
+    return (
         rows.map_batches(_add_bucket_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(_partition_pairs, batch_format="pyarrow")
-        .to_pandas()
+        .map_batches(_add_pair_part, batch_format="pandas")
+        .groupby("pp")
+        .map_groups(_dedupe_pairs_group, batch_format="pandas")
     )
+
+
+def candidates_from_band_rows(rows: ray.data.Dataset) -> pd.DataFrame:
+    """Driver-collected compat wrapper around the Dataset chain (sf-scale
+    gates and tests; the pair ANSWER here is the result, not an
+    intermediate)."""
+    pairs = candidates_from_band_rows_ds(rows).to_pandas()
     if pairs.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "capped"])
     return (
-        pairs.groupby(["doc_a", "doc_b"], as_index=False)
-        .agg(capped=("capped", "any"))
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
+        pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
 
@@ -330,12 +367,22 @@ class _VerifyPairsTask:
         # text; a 32-bit hash collision would shift the 6th decimal)
         self.exact_strings = exact_strings
 
+    _EMPTY = pd.DataFrame(
+        {
+            "doc_a": np.array([], np.int64),
+            "doc_b": np.array([], np.int64),
+            "jaccard": np.array([], np.float64),
+        }
+    )
+
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.dataset as pads
 
         from torchtrajectory_ray.stages.postings import _pin_arrow_single_thread
 
         _pin_arrow_single_thread()
+        if g.empty:
+            return self._EMPTY.copy()
         a = g["doc_a"].to_numpy().astype(np.int64)
         b = g["doc_b"].to_numpy().astype(np.int64)
         involved = pa.array(sorted(set(a) | set(b)), pa.int64())
@@ -370,6 +417,8 @@ class _VerifyPairsTask:
                 j = inter / (union - inter)
             if j >= self.threshold:
                 rows.append((int(x), int(y), round(j, 6)))
+        if not rows:
+            return self._EMPTY.copy()
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
 
@@ -408,6 +457,36 @@ def _as_docs_paths(docs_source) -> tuple[list[str], str | None]:
     return paths, stage
 
 
+def verify_pairs_ds(
+    docs_paths: list[str],
+    cand: ray.data.Dataset,
+    threshold: float,
+    shingle_k: int = 3,
+    exact_strings: bool = False,
+    pairs_per_task: int | None = 512,
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard verification of a candidate-pair DATASET:
+    each bounded batch of pairs is one task that reads only its own
+    involved docs (parquet predicate pushdown) and verifies vectorized.
+    Pairs stream through — candidate and confirmed lists never touch the
+    driver; chain ``write_parquet`` or ``connected_components_ds`` on
+    the result."""
+    task = _VerifyPairsTask(docs_paths, threshold, shingle_k, exact_strings)
+
+    def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        return task(g[["doc_a", "doc_b"]])
+
+    return cand.map_batches(
+        verify_chunk, batch_format="pandas", batch_size=pairs_per_task
+    )
+
+
+def _collect_pairs(out: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)[cols]
+
+
 def verify_pairs(
     docs_source,
     cand: pd.DataFrame,
@@ -415,48 +494,57 @@ def verify_pairs(
     shingle_k: int = 3,
     exact_strings: bool = False,
 ) -> pd.DataFrame:
-    """Exact n-gram-Jaccard verification of candidate pairs, DISTRIBUTED:
-    pairs are hash-partitioned, each partition's task reads only its own
-    involved docs (parquet predicate pushdown) and verifies vectorized —
-    no driver-side doc materialization, no per-pair driver loop.
-
-    ``docs_source``: parquet path(s) (the scale path) or a Dataset
-    (staged once).  Returns (doc_a, doc_b, jaccard) pairs ≥ threshold."""
+    """Driver-DataFrame compat wrapper over :func:`verify_pairs_ds`:
+    chunks the candidate frame into blocks (pairs are independent — any
+    split works, no shuffle), fans them out, collects the verified
+    answer.  ``docs_source``: parquet path(s) or a Dataset (staged
+    once).  Returns (doc_a, doc_b, jaccard) pairs ≥ threshold."""
     if cand.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     paths, staged = _as_docs_paths(docs_source)
-    # pairs are independent — ANY split works, so partition driver-side
-    # into bounded chunks (no shuffle/sort at all) and fan the chunks out
-    # as one block each.  (Candidates are LSH-bounded and already driver-
-    # held; at extreme scale they'd stay a Dataset and stream through the
-    # same task via repartition.)
     n_parts = int(max(1, min(64, -(-len(cand) // 512))))
     work = cand[["doc_a", "doc_b"]].reset_index(drop=True)
     chunks = [
         work.iloc[i : i + -(-len(work) // n_parts)]
         for i in range(0, len(work), -(-len(work) // n_parts))
     ]
-    task = _VerifyPairsTask(paths, threshold, shingle_k, exact_strings)
-
-    def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
-        return task(g)
-
     try:
-        out = (
-            ray.data.from_pandas(chunks)
-            .map_batches(verify_chunk, batch_format="pandas", batch_size=None)
-            .to_pandas()
-        )
+        out = verify_pairs_ds(
+            paths,
+            ray.data.from_pandas(chunks),
+            threshold,
+            shingle_k,
+            exact_strings,
+            pairs_per_task=None,  # one batch per already-bounded block
+        ).to_pandas()
     finally:
         if staged is not None:  # don't leak a staged corpus copy per call
             import shutil
 
             shutil.rmtree(staged, ignore_errors=True)
-    if out.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    return (
-        out.sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)[["doc_a", "doc_b", "jaccard"]]
+    return _collect_pairs(out, ["doc_a", "doc_b", "jaccard"])
+
+
+def minhash_dedup_pairs_ds(
+    sf_dir: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """Full MinHash-LSH near-dup pipeline as a DATASET: sketch → band
+    groupby → distributed pair dedupe → exact n-gram-Jaccard
+    verification — candidate and confirmed pair lists live on the
+    cluster end to end (the 100-TB path: ``.write_parquet`` the
+    result)."""
+    src = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    kw = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    cand = candidates_from_band_rows_ds(
+        docs.map_batches(_minhash_task, fn_kwargs=kw, batch_format="pyarrow")
+    )
+    return verify_pairs_ds(
+        _expand_parquet(src), cand, threshold, shingle_k
     )
 
 
@@ -467,15 +555,13 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_k: int = 3,
 ) -> pd.DataFrame:
-    """Full MinHash-LSH near-dup pipeline: sketch → band groupby →
-    candidates → exact n-gram-Jaccard verification → (doc_a, doc_b,
-    jaccard) pairs ≥ threshold."""
-    src = f"{sf_dir}/documents.parquet"
-    docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
-    cand = minhash_candidates(
-        docs, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-    )
-    return verify_pairs([src], cand, threshold, shingle_k)
+    """Collected answer of :func:`minhash_dedup_pairs_ds` — (doc_a,
+    doc_b, jaccard) pairs ≥ threshold, sorted.  The collect IS the
+    result sink here; the soak path writes parquet instead."""
+    out = minhash_dedup_pairs_ds(
+        sf_dir, threshold, num_perm, bands, shingle_k
+    ).to_pandas()
+    return _collect_pairs(out, ["doc_a", "doc_b", "jaccard"])
 
 
 # --- Exact n-gram-Jaccard all-pairs (prefix filter) --------------------------
@@ -670,17 +756,19 @@ class _PrefixGroupPairs:
         return pd.DataFrame({"doc_a": lo, "doc_b": hi})
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_pairs_ds(
     sf_dir: str,
     threshold: float = 0.7,
     shingle_k: int = 3,
     freq_topk: int = 256,
     max_group: int = 4096,
-) -> pd.DataFrame:
-    """EXACT all-pairs n-gram-Jaccard near-dup: every (doc_a, doc_b,
-    jaccard) with doc_a < doc_b sharing ≥ 1 shingle and J ≥ threshold —
-    equal to the quadratic SQL self-join, computed with prefix-filter
-    pruning + exact string-shingle verification (collision-free)."""
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram-Jaccard near-dup as a DATASET: every
+    (doc_a, doc_b, jaccard) with doc_a < doc_b sharing ≥ 1 shingle and
+    J ≥ threshold — equal to the quadratic SQL self-join, computed with
+    prefix-filter pruning, a distributed pair dedupe, and exact
+    string-shingle verification (collision-free).  Candidate and
+    confirmed pair lists never touch the driver."""
     src = f"{sf_dir}/documents.parquet"
     docs = ray.data.read_parquet(src, columns=["doc_id", "text"])
     rank = _frequent_shingle_ranks(docs, shingle_k, freq_topk)
@@ -698,23 +786,39 @@ def ngram_jaccard_pairs(
         rows.map_batches(_prefix_pair_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(expand_part, batch_format="pyarrow")
-        .to_pandas()
+        .map_batches(_add_pair_part, batch_format="pandas")
+        .groupby("pp")
+        .map_groups(_dedupe_pairs_group, batch_format="pandas")
     )
-    if cand.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    cand = cand.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
-    return verify_pairs([src], cand, threshold, shingle_k, exact_strings=True)
+    return verify_pairs_ds(
+        _expand_parquet(src), cand, threshold, shingle_k, exact_strings=True
+    )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    freq_topk: int = 256,
+    max_group: int = 4096,
+) -> pd.DataFrame:
+    """Collected, sorted answer of :func:`ngram_jaccard_pairs_ds`."""
+    out = ngram_jaccard_pairs_ds(
+        sf_dir, threshold, shingle_k, freq_topk, max_group
+    ).to_pandas()
+    return _collect_pairs(out, ["doc_a", "doc_b", "jaccard"])
 
 
 # --- Near-dup connected components (hash-to-min) -----------------------------
 
 
-def connected_components(
-    pairs: pd.DataFrame, max_iters: int = 64
-) -> pd.DataFrame:
-    """(doc_a, doc_b) near-dup pairs → (doc_id, rep_id): every doc that
-    appears in a pair, labeled with the MINIMUM doc_id of its connected
-    component (the canonical keeper — ``rep_id != doc_id`` marks drops).
+def connected_components_ds(
+    pairs: "ray.data.Dataset", max_iters: int = 64
+) -> ray.data.Dataset:
+    """(doc_a, doc_b) near-dup pair DATASET → (doc_id, rep_id) Dataset:
+    every doc that appears in a pair, labeled with the MINIMUM doc_id of
+    its connected component (the canonical keeper — ``rep_id != doc_id``
+    marks drops).  The pair list never touches the driver.
 
     Hash-to-min label propagation (Rastogi et al., "Finding Connected
     Components in Map-Reduce in Logarithmic Rounds", ICDE'13): state is
@@ -725,21 +829,25 @@ def connected_components(
     detected by a (count, checksum) signature computed as a streaming
     aggregate; ``max_iters`` fails loud (the proven bound is ~log₂ of
     the largest component, far under 64)."""
-    if pairs.empty:
-        return pd.DataFrame(
-            {"doc_id": np.array([], np.int64), "rep_id": np.array([], np.int64)}
-        )
-    a = pairs["doc_a"].to_numpy().astype(np.int64)
-    b = pairs["doc_b"].to_numpy().astype(np.int64)
-    nodes = np.unique(np.concatenate((a, b)))
-    init = pd.DataFrame(
-        {
-            "node": np.concatenate((a, b, nodes)),
-            "member": np.concatenate((b, a, nodes)),
-        }
+    _empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
     )
-    n_parts = int(max(2, min(64, len(init) // 4096 + 2)))
-    rows = ray.data.from_pandas(init).repartition(n_parts)
+
+    def both_directions(t: pa.Table) -> pd.DataFrame:
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"node": np.concatenate((a, b)), "member": np.concatenate((b, a))}
+        )
+
+    init = pairs.map_batches(
+        both_directions, batch_format="pyarrow"
+    ).materialize()
+    n_rows = init.count()
+    if n_rows == 0:
+        return ray.data.from_arrow(_empty)
+    n_parts = int(max(2, min(64, n_rows // 4096 + 2)))
+    rows = init.repartition(n_parts)
 
     def add_part(t: pa.Table) -> pa.Table:
         part = (t["node"].to_numpy().astype(np.int64) % n_parts).astype(np.int32)
@@ -802,8 +910,39 @@ def connected_components(
             "signature collision loop"
         )
 
-    out = rows.groupby("node").min("member").to_pandas()
-    out = out.rename(columns={"node": "doc_id", "min(member)": "rep_id"})
+    def to_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64()),
+                "rep_id": t["min(member)"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        rows.groupby("node")
+        .min("member")
+        .map_batches(to_labels, batch_format="pyarrow")
+    )
+
+
+def connected_components(
+    pairs, max_iters: int = 64
+) -> pd.DataFrame:
+    """Collected compat wrapper over :func:`connected_components_ds`;
+    accepts a (doc_a, doc_b) DataFrame or Dataset, returns the sorted
+    (doc_id, rep_id) label table."""
+    if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], np.int64),
+                    "rep_id": np.array([], np.int64),
+                }
+            )
+        pairs = ray.data.from_pandas(
+            pairs[["doc_a", "doc_b"]].reset_index(drop=True)
+        )
+    out = connected_components_ds(pairs, max_iters).to_pandas()
     return (
         out.sort_values("doc_id")
         .reset_index(drop=True)[["doc_id", "rep_id"]]
@@ -817,9 +956,11 @@ def neardup_components(
     """Exact near-dup GROUPS over the documents table: prefix-filter
     all-pairs Jaccard ≥ threshold → connected components → (doc_id,
     rep_id) canonical-keeper assignment.  Deterministic end to end, so
-    SQL-oracle-gated (recursive-CTE transitive closure)."""
+    SQL-oracle-gated (recursive-CTE transitive closure).  The pair list
+    flows Dataset→Dataset into the components rounds — it is never a
+    driver DataFrame."""
     return connected_components(
-        ngram_jaccard_pairs(sf_dir, threshold=threshold, shingle_k=shingle_k)
+        ngram_jaccard_pairs_ds(sf_dir, threshold=threshold, shingle_k=shingle_k)
     )
 
 
@@ -906,9 +1047,13 @@ class SimHasher:
         )
 
 
-def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """SimHash near-dup: 4-band pigeonhole candidates → exact hamming
-    verify → (doc_a, doc_b, hamming)."""
+def simhash_dedup_pairs_ds(
+    sf_dir: str, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """SimHash near-dup as a DATASET: 4-band pigeonhole candidates →
+    distributed pair dedupe + exact hamming verify → (doc_a, doc_b,
+    hamming) rows on the cluster (the signatures ride along with the
+    candidate rows, so verification needs no doc re-read at all)."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -942,7 +1087,14 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 ia, ib = np.triu_indices(len(u), k=1)
                 a.append(u[ia]); b.append(u[ib]); sa.append(us[ia]); sb.append(us[ib])
         if not a:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "sh_a": [], "sh_b": []})
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], np.int64),
+                    "doc_b": np.array([], np.int64),
+                    "sh_a": np.array([], np.int64),
+                    "sh_b": np.array([], np.int64),
+                }
+            )
         return pd.DataFrame(
             {
                 "doc_a": np.concatenate(a),
@@ -958,22 +1110,45 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         part = ((bv * 31 + band) % N_BUCKET_PARTS).astype(np.int32)
         return batch.append_column("part", pa.array(part, pa.int32()))
 
-    cand = (
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        """One pair-partition: dedupe then exact hamming from the
+        carried signatures, vectorized popcount via uint8 bit table."""
+        g = g.drop(columns=["pp"]).drop_duplicates(["doc_a", "doc_b"])
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": np.array([], np.int64),
+                    "doc_b": np.array([], np.int64),
+                    "hamming": np.array([], np.int64),
+                }
+            )
+        x = g["sh_a"].to_numpy().astype(np.uint64) ^ g["sh_b"].to_numpy().astype(
+            np.uint64
+        )
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        out = g.assign(hamming=ham)
+        return out[out["hamming"] <= max_hamming][
+            ["doc_a", "doc_b", "hamming"]
+        ].reset_index(drop=True)
+
+    return (
         rows.map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs, batch_format="pyarrow")
-        .to_pandas()
+        .map_batches(_add_pair_part, batch_format="pandas")
+        .groupby("pp")
+        .map_groups(finish, batch_format="pandas")
     )
-    if cand.empty:
-        return pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
-    cand = cand.drop_duplicates(["doc_a", "doc_b"])
-    x = cand["sh_a"].to_numpy().astype(np.uint64) ^ cand["sh_b"].to_numpy().astype(
-        np.uint64
-    )
-    ham = np.fromiter((bin(v).count("1") for v in x), np.int64, len(x))
-    cand = cand.assign(hamming=ham)
-    out = cand[cand["hamming"] <= max_hamming][["doc_a", "doc_b", "hamming"]]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Collected, sorted answer of :func:`simhash_dedup_pairs_ds`."""
+    out = simhash_dedup_pairs_ds(sf_dir, max_hamming).to_pandas()
+    return _collect_pairs(out, ["doc_a", "doc_b", "hamming"])
 
 
 # --- document fingerprint ----------------------------------------------------
