@@ -157,6 +157,12 @@ def test_postings_pos_first_positions_agree_across_modes(
             al, pl = sl.postings_pos(tid)
             assert af.tolist() == al.tolist()
             assert pf.tolist() == pl.tolist()
+            # the documented cache must hit under BOTH position modes
+            for s in (sf, sl):
+                if len(af):
+                    assert tid in s._pos_cache
+                    c_ids, c_pos = s.postings_pos(tid)
+                    assert c_ids is s._pos_cache[tid][0]
 
 
 def test_positions_survive_extend_generations(ray_session, tmp_path):

@@ -70,7 +70,7 @@ def test_export_shuffled_is_ordered_and_resumable(ray_session, tmp_path):
 
     out = str(tmp_path / "export")
     m = sampling.export_shuffled(SF, out, seed=42, n_shards=8)
-    assert m["skipped"] == 0 and len(m["shards"]) <= 8
+    assert m["skipped"] == 0 and len(m["shards"]) == 8
     got = pd.concat(
         [pq.read_table(os.path.join(out, s)).to_pandas() for s in m["shards"]]
     )
@@ -96,3 +96,25 @@ def test_shard_assignment_monotone_in_key(ray_session):
     keys = sorted(sampling.shuffle_key(__import__("numpy").arange(500), 42))
     sh = sampling.shuffle_shard_of(keys, 16)
     assert (sh[1:] >= sh[:-1]).all()
+
+
+def test_export_writes_empty_shards_explicitly(ray_session, tmp_path):
+    """A shard whose key range matches zero rows still gets a
+    schema-correct empty parquet + .ok and the manifest names it in
+    empty_shards — consumers can distinguish expected-empty from
+    missing/failed."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "export_sparse")
+    # far more shards than docs -> most shards MUST be empty
+    m = sampling.export_shuffled(SF, out, seed=42, n_shards=2048)
+    assert len(m["shards"]) == 2048
+    assert len(m["empty_shards"]) > 0
+    s = m["empty_shards"][0]
+    p = os.path.join(out, f"shard-{s:05d}.parquet")
+    assert os.path.exists(p) and os.path.exists(p + ".ok")
+    t = pq.read_table(p)
+    assert t.num_rows == 0
+    assert set(m["columns"] + ["shuffle_key"]) == set(t.schema.names)

@@ -72,9 +72,31 @@ def test_warc_parser_record_types_and_errors():
     trunc = data[: len(data) - 40]
     with pytest.raises(ValueError, match="truncated"):
         parse_warc(trunc)
-    assert len(parse_warc(trunc, bad_records="drop")) == 2
+    stats = {}
+    assert len(parse_warc(trunc, bad_records="drop", stats=stats)) == 2
+    assert stats["n_bad"] == 1  # the truncated tail record is COUNTED
     with pytest.raises(ValueError, match="not a WARC record"):
         parse_warc(b"GIBBERISH\r\n\r\n")
+
+
+def test_warc_drop_mode_resyncs_past_corrupt_record():
+    """A corrupt record mid-file must not discard the rest of the file:
+    drop mode counts it and resyncs to the next WARC/ header."""
+    data = open(
+        fixtures.write_warc("/tmp/ttray_test_resync.warc", 4, 0), "rb"
+    ).read()
+    # corrupt record #2's Content-Length header value in place
+    first = data.find(b"Content-Length:")
+    second = data.find(b"Content-Length:", first + 1)
+    bad = data[:second] + b"Content-Bogus: x\r\n" + data[
+        second + data[second:].find(b"\r\n") + 2 :
+    ]
+    stats = {}
+    recs = parse_warc(bad, bad_records="drop", stats=stats)
+    assert len(recs) == 3  # records 1, 3, 4 survive
+    assert stats["n_bad"] == 1
+    with pytest.raises(ValueError):
+        parse_warc(bad)  # raise mode still raises
 
 
 def test_jsonl_ingest_build_matches_parquet_build(ray_session, tmp_path):

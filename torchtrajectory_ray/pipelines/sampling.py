@@ -314,13 +314,31 @@ def export_shuffled(
         .map_groups(write_group, batch_format="pandas")
         .to_pandas()  # n_shards rows
     )
+    # a shard whose key range matched zero rows never reaches the
+    # groupby — write its (empty, schema-correct) parquet + .ok anyway
+    # so consumers can tell "expected empty" from "missing/failed"
+    present = set(int(s) for s in res["shard"].tolist()) | done
+    missing = [s for s in range(n_shards) if s not in present]
+    if missing:
+        src_schema = pq.read_schema(f"{sf_dir}/documents.parquet")
+        fields = [src_schema.field(c) for c in cols]
+        fields.append(pa.field("shuffle_key", pa.string()))
+        empty = pa.table(
+            {f.name: pa.array([], f.type) for f in fields}
+        )
+        for s in missing:
+            path = os.path.join(out_dir, f"shard-{s:05d}.parquet")
+            pq.write_table(empty, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            with open(path + ".ok.tmp", "w") as f:
+                f.write("ok")
+            os.replace(path + ".ok.tmp", path + ".ok")
     manifest = {
         "seed": seed,
         "n_shards": n_shards,
         "columns": cols,
-        "shards": [
-            f"shard-{s:05d}.parquet" for s in sorted(res["shard"].tolist())
-        ],
+        "shards": [f"shard-{s:05d}.parquet" for s in range(n_shards)],
+        "empty_shards": sorted(missing),
         "skipped": int((res["rows"] < 0).sum()),
     }
     with open(manifest_path + ".tmp", "w") as f:

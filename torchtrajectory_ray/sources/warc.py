@@ -59,18 +59,32 @@ def check_unique_outputs(paths: list[str], suffix: str) -> None:
         )
 
 
-def parse_warc(raw: bytes, *, bad_records: str = "raise") -> list[dict]:
+def parse_warc(
+    raw: bytes, *, bad_records: str = "raise", stats: dict | None = None
+) -> list[dict]:
     """Parse one WARC file's bytes → [{url, warc_ts, html}] from its
     ``response`` / ``resource`` / ``conversion`` records (request /
     metadata / warcinfo records are skipped — they describe the crawl,
     not the pages).  ``bad_records``: "raise" (default) or "drop"
-    (count-and-skip, the reference's malformed-row policy)."""
+    (count-and-skip, the reference's malformed-row policy): a malformed
+    record is counted in ``stats['n_bad']`` and the parser RESYNCS to
+    the next ``WARC/`` header line, so one corrupt record never discards
+    the rest of the file."""
+
+    def _bad(pos: int) -> int:
+        """Count one bad record and return the resync offset (next
+        header line), or -1 when no further record exists."""
+        if stats is not None:
+            stats["n_bad"] = stats.get("n_bad", 0) + 1
+        nxt = raw.find(b"\r\nWARC/", pos)
+        return nxt + 2 if nxt >= 0 else -1
+
     if raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)  # multi-member streams supported
     out: list[dict] = []
     pos = 0
     n = len(raw)
-    while pos < n:
+    while 0 <= pos < n:
         # skip inter-record blank lines
         while pos < n and raw[pos : pos + 2] == b"\r\n":
             pos += 2
@@ -79,13 +93,15 @@ def parse_warc(raw: bytes, *, bad_records: str = "raise") -> list[dict]:
         head_end = raw.find(_CRLF2, pos)
         if head_end < 0:
             if bad_records == "drop":
-                break
+                pos = _bad(pos + 1)
+                continue
             raise ValueError("truncated WARC header block")
         head = raw[pos:head_end].decode("utf-8", "replace")
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
             if bad_records == "drop":
-                break
+                pos = _bad(pos + 1)
+                continue
             raise ValueError(f"not a WARC record at offset {pos}")
         hdr = {}
         for ln in lines[1:]:
@@ -95,13 +111,15 @@ def parse_warc(raw: bytes, *, bad_records: str = "raise") -> list[dict]:
             clen = int(hdr["content-length"])
         except (KeyError, ValueError):
             if bad_records == "drop":
-                break
+                pos = _bad(pos + 1)
+                continue
             raise ValueError("WARC record without a valid Content-Length")
         body_start = head_end + 4
         body = raw[body_start : body_start + clen]
         if len(body) != clen:
             if bad_records == "drop":
-                break
+                pos = _bad(body_start)
+                continue
             raise ValueError("truncated WARC record payload")
         pos = body_start + clen
         rtype = hdr.get("warc-type", "")
@@ -110,6 +128,8 @@ def parse_warc(raw: bytes, *, bad_records: str = "raise") -> list[dict]:
             date = hdr.get("warc-date")
             if not uri or not date:
                 if bad_records == "drop":
+                    if stats is not None:
+                        stats["n_bad"] = stats.get("n_bad", 0) + 1
                     continue
                 raise ValueError(f"{rtype} record missing URI/Date")
             if rtype == "response":
@@ -152,14 +172,20 @@ class _WarcShardTask:
                 import json
 
                 with open(sidecar) as f:
-                    if json.load(f).get("src_id") == src_id:
-                        rows.append(
-                            {"input": path, "output": out, "skipped": True,
-                             "n_pages": -1}
-                        )
-                        continue
+                    side = json.load(f)
+                if side.get("src_id") == src_id:
+                    rows.append(
+                        {"input": path, "output": out, "skipped": True,
+                         "n_pages": -1,
+                         "n_bad": int(side.get("n_bad", 0))}
+                    )
+                    continue
+            pstats: dict = {}
             with open(path, "rb") as f:
-                recs = parse_warc(f.read(), bad_records=self.bad_records)
+                recs = parse_warc(
+                    f.read(), bad_records=self.bad_records, stats=pstats
+                )
+            n_bad = int(pstats.get("n_bad", 0))
             texts = [extract_text(r["html"]) for r in recs]
             tbl = pa.table(
                 {
@@ -179,11 +205,13 @@ class _WarcShardTask:
             import json
 
             with open(sidecar + ".tmp", "w") as f:
-                json.dump({"src_id": src_id, "n_pages": len(recs)}, f)
+                json.dump(
+                    {"src_id": src_id, "n_pages": len(recs), "n_bad": n_bad}, f
+                )
             os.replace(sidecar + ".tmp", sidecar)
             rows.append(
                 {"input": path, "output": out, "skipped": False,
-                 "n_pages": len(recs)}
+                 "n_pages": len(recs), "n_bad": n_bad}
             )
         return pd.DataFrame(rows)
 

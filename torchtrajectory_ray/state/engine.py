@@ -824,7 +824,7 @@ class QueryEngine:
         for indexes built with ``store_positions=True``."""
         uniq = list(dict.fromkeys(terms))  # order-preserving
         for t in uniq:
-            if not self._df.get(term_hash(t)):
+            if not self._term_indexed(term_hash(t)):
                 return np.empty(0, dtype=np.int64)
         cand = self.bool_and(uniq, **filt)
         if cand.size == 0:
@@ -866,7 +866,7 @@ class QueryEngine:
                 f"use window >= {len(uniq)}"
             )
         for t in uniq:
-            if not self._df.get(term_hash(t)):
+            if not self._term_indexed(term_hash(t)):
                 return np.empty(0, dtype=np.int64)
         cand = self.bool_and(uniq, **filt)
         if cand.size == 0:
@@ -906,7 +906,7 @@ class QueryEngine:
             )
         uniq = list(dict.fromkeys(terms))
         for t in uniq:
-            if not self._df.get(term_hash(t)):
+            if not self._term_indexed(term_hash(t)):
                 return np.empty(0, dtype=np.int64)
         cand = self.bool_and(uniq, **filt)
         if cand.size == 0:
@@ -935,6 +935,22 @@ class QueryEngine:
     # vectorized across all candidate docs (identity fuzz- and
     # oracle-gated).
 
+    def _term_indexed(self, tid: int) -> bool:
+        """EXPLICIT dictionary membership.  A present row must carry
+        df ≥ 1: a df-0 dictionary entry is index corruption (the build
+        never writes one; compaction rewrites the dictionary), so it
+        fails loud instead of being silently conflated with an
+        unindexed term by ``.get()`` falsiness."""
+        df = self._df.get(tid)
+        if df is None:
+            return False
+        if df < 1:
+            raise ValueError(
+                f"dictionary row for term_id {tid} has df={df}; the "
+                "dictionary and postings disagree — run check_index"
+            )
+        return True
+
     def _pos_tids(self, terms: list[str]) -> list[int] | None:
         if self.position_mode != "full":
             raise ValueError(
@@ -943,7 +959,7 @@ class QueryEngine:
                 "(forward-index verification) instead"
             )
         for t in dict.fromkeys(terms):
-            if not self._df.get(term_hash(t)):
+            if not self._term_indexed(term_hash(t)):
                 return None
         return [term_hash(t) for t in terms]
 
@@ -1237,7 +1253,7 @@ class QueryEngine:
         cand = [
             (int(c), term)
             for term, c in counts.items()
-            if term not in orig and self._df.get(term_hash(term))
+            if term not in orig and self._term_indexed(term_hash(term))
         ]
         cand.sort(key=lambda p: (-p[0], p[1]))
         boosts = [(term, 1.0) for term in sorted(orig)] + [
@@ -1297,7 +1313,7 @@ class QueryEngine:
         terms = self._tokenize(query) if isinstance(query, str) else list(query)
         corrected: set[str] = set()
         for t in terms:
-            if self._df.get(term_hash(t)):
+            if self._term_indexed(term_hash(t)):
                 corrected.add(t)
                 continue
             hits = self.fuzzy_terms(t)

@@ -239,7 +239,11 @@ class SaltSearcher:
             return hit
         if self.position_mode == "full":
             ids, offsets, pos_flat = self.positions_full(term_id)
-            return ids, (pos_flat[offsets[:-1]] if ids.size else pos_flat)
+            first = pos_flat[offsets[:-1]] if ids.size else pos_flat
+            if len(self._pos_cache) >= self._DECODED_CACHE_MAX:
+                self._pos_cache.clear()
+            self._pos_cache[term_id] = (ids, first)
+            return ids, first
         rows = self._rows(term_id)
         if not rows:
             e = np.empty(0, dtype=np.int64)
