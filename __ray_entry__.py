@@ -35,6 +35,7 @@ def _ivf_probe_stats(sf_dir: str) -> Any:
 
     s = knn.knn_ivf_stats(sf_dir, nprobe=4)
     q8 = knn.knn_ivf_sq8_stats(sf_dir, nprobe=4)
+    ex = knn.knn_ivf_exact_stats(sf_dir, nprobe0=4)
     return pd.DataFrame(
         [
             {
@@ -43,6 +44,10 @@ def _ivf_probe_stats(sf_dir: str) -> Any:
                 "bytes_read": s["bytes_read"],
                 "total_bytes": s["total_bytes"],
                 "pruned": bool(s["bytes_read"] < s["total_bytes"]),
+                # branch-and-bound EXACT probe: phases run and bytes it
+                # needed to certify exactness (≤ total by construction)
+                "exact_phases": ex["phases"],
+                "exact_bytes_read": ex["bytes_read"],
                 # quantized-scan audit: compressed bytes the int8 scan
                 # pays vs what the float column costs over the SAME
                 # probed buckets (parquet column-chunk metadata)
@@ -158,15 +163,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.quality_score,
         "token_count": textstats.token_count,
         "bpe_token_count": textstats.bpe_token_count,
-        "top_bigrams": textstats.top_bigrams,
-        "lang_count": textstats.lang_count,
-        "source_doc_count": textstats.source_doc_count,
+        # NEW r4 gates: deterministic reductions of the rows-only
+        # operators (LSH recall on the identical-text subset; one fixed
+        # Lloyd assignment of the k-means machinery)
+        "minhash_recall": dedup.minhash_recall_pairs,
+        "simhash_recall": dedup.simhash_recall_pairs,
+        "kmeans_onestep": clustering.kmeans_onestep,
         "doc_stats": textstats.doc_stats,         # A7: global aggregates
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
-        "events_tumbling_hour": events.tumbling_hour_agg,
+        # exact ANN with branch-and-bound termination: the bruteforce
+        # oracle gates that the pruned probe loses NOTHING
+        "knn_ivf_exact": knn.knn_ivf_exact,
         # ---------------- end of the driver's 50-key window ----------------
+        "events_tumbling_hour": events.tumbling_hour_agg,
         # --- inverted-index core (SURVEY.md §2.1/2.5/2.6/2.7) ---
         "topk_bm25_pos": corpus.topk_bm25_pos,    # BM25 off the positional index
         "topk_and": corpus.topk_and,              # ranked conjunctive (AND) top-k
@@ -213,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
         "bm25plus_topk": corpus.bm25plus_topk,    # X3: third measure (BM25+)
         # --- corpus / text analysis (training-data ops) ---
+        "top_bigrams": textstats.top_bigrams,
+        "lang_count": textstats.lang_count,
+        "source_doc_count": textstats.source_doc_count,
         "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
         # LSH near-dup pipelines (rows-only: the candidate set is
@@ -1420,6 +1434,33 @@ SELECT doc_id FROM documents WHERE source IN (SELECT source FROM keep)""",
         "exact_dedup": """
 SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text""",
+        # LSH recall gates: identical-text pairs are the deterministic
+        # subset every LSH chain must recover with probability 1
+        # (identical text -> identical signatures -> same buckets); the
+        # pipelines return the recovered subset, the self-join is the
+        # full set, equality = perfect structural recall
+        "minhash_recall": """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.text = b.text AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b""",
+        "simhash_recall": """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.text = b.text AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b""",
+        # one fixed Lloyd assignment (centroid c = embedding of vec_id c)
+        # — the SQL-expressible projection of the k-means machinery
+        "kmeans_onestep": """
+WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+d AS (SELECT e.vec_id, c.cid,
+        list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS dist
+      FROM embeddings e CROSS JOIN c),
+a AS (SELECT vec_id, cid FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist ASC, cid ASC) = 1)
+SELECT cid::BIGINT AS cluster, count(*)::BIGINT AS n
+FROM a GROUP BY cid ORDER BY cluster""",
         # exact all-pairs n-gram Jaccard: distinct 3-token shingles
         # (whole text if < 3 tokens), pairs sharing >= 1 shingle,
         # J = |inter| / |union| >= 0.7 — the quadratic self-join the
@@ -1480,6 +1521,19 @@ SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
        neighbor_id, sim
 FROM s QUALIFY rank <= 10""",
         "knn_bruteforce": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({', '.join(map(str, range(8)))})),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[]), 6) AS sim
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+       ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
+       neighbor_id, sim
+FROM s QUALIFY rank <= 10""",
+        # branch-and-bound exact probe: the SAME bruteforce oracle — the
+        # pruned route must lose nothing
+        "knn_ivf_exact": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id IN ({', '.join(map(str, range(8)))})),
 s AS (SELECT q.query_id, e.vec_id AS neighbor_id,

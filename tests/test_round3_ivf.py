@@ -746,3 +746,77 @@ def test_range_search_masks_tombstones(ray_session, tmp_path):
     after, _ = ivf.range_search(out, [0], vecs[[0]], threshold=0.999)
     assert 7 not in set(after["neighbor_id"])
     assert set(after["neighbor_id"]) == set(before["neighbor_id"]) - {7}
+
+
+# --- round-4: branch-and-bound EXACT probe -----------------------------------
+
+
+def _bruteforce_topk(src, qids, k=10):
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    e = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    en = e / np.linalg.norm(e, axis=1, keepdims=True)
+    out = {}
+    for qid in qids:
+        q = en[np.flatnonzero(ids == qid)[0]]
+        s = np.round(en @ q, 6)
+        sel = np.lexsort((ids, -s))[:k]
+        out[qid] = [(int(ids[i]), float(s[i])) for i in sel]
+    return out
+
+
+def test_exact_probe_matches_bruteforce_and_prunes(ray_session, tmp_path):
+    """On tightly clustered data probe_topk_exact must (a) equal brute
+    force bitwise under the rank protocol and (b) terminate WITHOUT
+    reading every bucket (the admissible bound actually prunes)."""
+    vecs = _clustered(600, n_centers=8, spread=0.03)
+    src = _write_emb(str(tmp_path / "e.parquet"), vecs)
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=8)
+    qids = [0, 100, 300, 550]
+    q = np.array([vecs[i] for i in qids], dtype=np.float64)
+    got, stats = ivf.probe_topk_exact(d, qids, q, k=10, nprobe0=2)
+    assert stats["exact"] and stats["phases"] <= 2
+    # pruning: fewer buckets read than the layout holds
+    with open(os.path.join(d, "meta.json")) as f:
+        n_buckets = len(json.load(f)["buckets"])
+    assert stats["n_buckets_probed"] < n_buckets
+    exp = _bruteforce_topk(src, qids)
+    for qid in qids:
+        g = got[got["query_id"] == qid]
+        assert [
+            (int(r.neighbor_id), float(r.sim)) for r in g.itertuples()
+        ] == exp[qid]
+
+
+def test_exact_probe_stays_exact_after_deletes(ray_session, tmp_path):
+    """Tombstoned vectors: the cached radii stay admissible (deletes only
+    shrink the true radius) and the answer equals bruteforce over LIVE
+    vectors."""
+    vecs = _clustered(300, n_centers=6, spread=0.05)
+    src = _write_emb(str(tmp_path / "e.parquet"), vecs)
+    d = str(tmp_path / "ivf")
+    ivf.build_ivf([src], d, id_col="vec_id", nlist=6)
+    qids = [0, 150]
+    q = np.array([vecs[i] for i in qids], dtype=np.float64)
+    before, _ = ivf.probe_topk_exact(d, qids, q, k=5, nprobe0=2)
+    victims = set(before["neighbor_id"].tolist()[:3]) - set(qids)
+    ivf.delete_vectors(d, sorted(victims))
+    got, stats = ivf.probe_topk_exact(d, qids, q, k=5, nprobe0=2)
+    assert stats["exact"]
+    assert not (set(got["neighbor_id"]) & victims)
+    # equality vs bruteforce over live rows
+    t = pq.read_table(src, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    live = ~np.isin(ids, sorted(victims))
+    live_src = _write_emb(
+        str(tmp_path / "live.parquet"),
+        np.array(t["embedding"].to_pylist())[live],
+        ids[live],
+    )
+    exp = _bruteforce_topk(live_src, qids, k=5)
+    for qid in qids:
+        g = got[got["query_id"] == qid]
+        assert [
+            (int(r.neighbor_id), float(r.sim)) for r in g.itertuples()
+        ] == exp[qid]

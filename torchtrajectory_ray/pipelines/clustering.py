@@ -134,6 +134,68 @@ def kmeans_embeddings(
     return assigns, centroids, history
 
 
+def kmeans_onestep(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """(cluster, n) after EXACTLY one Lloyd assignment from a FIXED,
+    SQL-reproducible init: centroid c = the embedding of vec_id c
+    (c < k), nearest by euclidean distance, ties to the lowest cluster
+    id.  This is the driver-gate projection of the k-means machinery —
+    the assignment kernel, the broadcast-centroid shape, and the
+    partial-sum groupby all run exactly as in :func:`kmeans_embeddings`
+    but the answer is deterministic AND DuckDB-expressible
+    (``list_distance`` against the k seed rows), so the driver
+    hash-gates it; the full seeded-random iterative run stays the
+    rows-only entry (SQL cannot run Lloyd's loop)."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    src = f"{sf_dir}/embeddings.parquet"
+    seed_tbl = pads.dataset(src, format="parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < k,
+    )
+    order = np.argsort(seed_tbl["vec_id"].to_numpy())
+    centroids = _batch_matrix_seed(seed_tbl)[order]
+    if len(centroids) < k:
+        raise ValueError(f"need vec_ids 0..{k-1} as seed centroids")
+
+    def assign_counts(batch: pa.Table) -> pa.Table:
+        from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+        e = _batch_matrix(batch)
+        # direct squared distance (not the dot-product expansion): the
+        # same float64 quantity DuckDB's list_distance orders by, so
+        # near-tie argmins agree across the two engines
+        d = ((e[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)  # first minimum = lowest cluster id
+        cl, n = np.unique(a, return_counts=True)
+        return pa.table(
+            {
+                "cluster": pa.array(cl.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+        .map_batches(assign_counts, batch_format="pyarrow", batch_size=4096)
+        .groupby("cluster")
+        .sum("n")
+        .to_pandas()
+    )
+    agg.columns = ["cluster", "n"]
+    return (
+        agg.astype({"cluster": "int64", "n": "int64"})
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+
+
+def _batch_matrix_seed(tbl: pa.Table) -> np.ndarray:
+    from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+    return _batch_matrix(tbl)
+
+
 def cluster_sizes(sf_dir: str, k: int = 8) -> pd.DataFrame:
     """cluster, n — driver-facing summary of the k-means run."""
     assigns, _, _ = kmeans_embeddings(sf_dir, k=k)

@@ -1151,6 +1151,95 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     return _collect_pairs(out, ["doc_a", "doc_b", "hamming"])
 
 
+# --- LSH recall gates (driver-checkable reductions) --------------------------
+#
+# The LSH candidate sets are probabilistic, so the pair lists themselves
+# have no SQL oracle — but IDENTICAL-TEXT pairs are a deterministic
+# subset LSH must recover with probability 1 (identical text → identical
+# signatures → same buckets in every band; J = 1 ≥ any threshold).  The
+# recall gates return exactly the identical-text pairs the chain found;
+# DuckDB's text-equality self-join is the oracle, and equality proves
+# 100 % structural recall through sketch → banding → bucketing →
+# verification.  (The reference gates its index the same way — a
+# deterministic roundtrip property, InvertedIndexTest.java:10-147.)
+
+
+def exact_text_pairs_ds(
+    sf_dir: str, max_group: int = 4096
+) -> ray.data.Dataset:
+    """(doc_a, doc_b) pairs of IDENTICAL text (doc_a < doc_b): sha-keyed
+    groupby, all in-group pairs (groups past ``max_group`` fail loud —
+    the pair answer there is inherently quadratic)."""
+    import hashlib
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        hs = [
+            int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+            )
+            >> 1
+            for s in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        if n > max_group:
+            raise ValueError(
+                f"identical-text group of {n} docs exceeds max_group="
+                f"{max_group}"
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(key_rows, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+
+
+def _lsh_exact_recall(
+    sf_dir: str, found: pd.DataFrame
+) -> pd.DataFrame:
+    """Identical-text pairs ∩ the chain's found pairs, sorted — equals
+    the full identical-text pair set iff recall is 100 %."""
+    exact = exact_text_pairs_ds(sf_dir).to_pandas()
+    if exact.empty or found.empty:
+        return pd.DataFrame(
+            {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+        )
+    out = exact.merge(found[["doc_a", "doc_b"]], on=["doc_a", "doc_b"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def minhash_recall_pairs(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
+    """Identical-text pairs recovered by the full MinHash-LSH chain
+    (oracle: the text-equality self-join — equality = perfect recall on
+    the deterministic subset)."""
+    return _lsh_exact_recall(sf_dir, minhash_dedup_pairs(sf_dir, threshold))
+
+
+def simhash_recall_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Identical-text pairs recovered by the SimHash chain (identical
+    text → hamming 0 → always ≤ max_hamming)."""
+    return _lsh_exact_recall(sf_dir, simhash_dedup_pairs(sf_dir, max_hamming))
+
+
 # --- document fingerprint ----------------------------------------------------
 
 

@@ -844,36 +844,24 @@ def _centroid_of(meta: dict) -> dict[int, int]:
     }
 
 
-def probe_topk(
+_PROBE_COLS = ["query_id", "rank", "neighbor_id", "sim"]
+
+
+def _probe_sets_topk(
     out_dir: str,
+    meta: dict,
     query_ids: list[int],
-    q: np.ndarray,
-    *,
-    k: int = 10,
-    nprobe: int = 4,
+    qn: np.ndarray,
+    probe_list: list[np.ndarray],
+    k: int,
 ) -> tuple[pd.DataFrame, dict]:
-    """(query_id, rank, neighbor_id, sim) + IO stats.  Each query ranks
-    the CENTROIDS and reads only the buckets belonging to its ``nprobe``
-    best (sub-buckets of a probed centroid are all read — they partition
-    that centroid's members); each batch restricts each query to its own
-    probe set, takes a rank-safe partial top-k (rounded-sim ordering),
-    and the driver merges Q × k × n_batches rows."""
-    with open(os.path.join(out_dir, "meta.json")) as f:
-        meta = json.load(f)
-    cols = ["query_id", "rank", "neighbor_id", "sim"]
-    if not meta["centroids"]:  # empty layout
-        return pd.DataFrame(columns=cols), {
-            "bytes_read": 0,
-            "total_bytes": 0,
-            "n_buckets_probed": 0,
-            "nlist": 0,
-        }
-    C = np.asarray(meta["centroids"], dtype=np.float64)
-    qn = _norm_rows(np.asarray(q, dtype=np.float64))
-    nprobe = min(nprobe, len(C))
-    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # Q × nprobe (centroids)
+    """Shared probe executor: read the union of the per-query probe
+    sets' buckets (sub-buckets of a probed centroid are all read — they
+    partition that centroid's members), per-batch rank-safe partial
+    top-k per query (rounded-sim ordering picks, RAW sims returned),
+    plus IO stats.  Callers merge the Q × k × n_batches partial rows."""
     cent_of = _centroid_of(meta)
-    probed_cents = {int(c) for c in probe.ravel()}
+    probed_cents = {int(c) for p in probe_list for c in p}
     probed_buckets = sorted(b for b, c in cent_of.items() if c in probed_cents)
     files = _bucket_files(out_dir, meta, probed_buckets)
     stats = {
@@ -882,8 +870,15 @@ def probe_topk(
         "n_buckets_probed": len(probed_buckets),
         "nlist": int(meta["nlist"]),
     }
+    empty = pd.DataFrame(
+        {
+            "query_id": np.array([], np.int64),
+            "neighbor_id": np.array([], np.int64),
+            "sim": np.array([], np.float64),
+        }
+    )
     if not files:
-        return pd.DataFrame(columns=cols), stats
+        return empty, stats
     id_col = meta["params"]["id_col"]
     # vectorized bucket → centroid lookup for the per-batch probe mask
     max_bid = max(cent_of) + 1
@@ -913,7 +908,7 @@ def probe_topk(
         sims = qn @ en.T
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qn)):
-            m = np.isin(cents, probe[qi])
+            m = np.isin(cents, probe_list[qi])
             if not m.any():
                 continue
             s, nid = sims[qi][m], ids[m]
@@ -935,14 +930,173 @@ def probe_topk(
         .to_pandas()
     )
     if partials.empty:
-        return pd.DataFrame(columns=cols), stats
+        return empty, stats
+    return partials, stats
+
+
+def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Partial rows → final (query_id, rank, neighbor_id, sim) under the
+    6-dp-rounded rank protocol."""
+    if partials.empty:
+        return pd.DataFrame(columns=_PROBE_COLS)
+    partials = partials.copy()
     partials["sim"] = partials["sim"].round(6)
     rows = []
     for qid, g in partials.groupby("query_id"):
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
         for r, (_, row) in enumerate(g.iterrows(), 1):
             rows.append((int(qid), r, int(row["neighbor_id"]), row["sim"]))
-    return pd.DataFrame(rows, columns=cols), stats
+    return pd.DataFrame(rows, columns=_PROBE_COLS)
+
+
+def probe_topk(
+    out_dir: str,
+    query_ids: list[int],
+    q: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+) -> tuple[pd.DataFrame, dict]:
+    """(query_id, rank, neighbor_id, sim) + IO stats.  Each query ranks
+    the CENTROIDS and reads only the buckets belonging to its ``nprobe``
+    best; each batch restricts each query to its own probe set, takes a
+    rank-safe partial top-k (rounded-sim ordering), and the driver
+    merges Q × k × n_batches rows."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta["centroids"]:  # empty layout
+        return pd.DataFrame(columns=_PROBE_COLS), {
+            "bytes_read": 0,
+            "total_bytes": 0,
+            "n_buckets_probed": 0,
+            "nlist": 0,
+        }
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    qn = _norm_rows(np.asarray(q, dtype=np.float64))
+    nprobe = min(nprobe, len(C))
+    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]  # Q × nprobe (centroids)
+    partials, stats = _probe_sets_topk(
+        out_dir, meta, query_ids, qn, [probe[i] for i in range(len(qn))], k
+    )
+    return _merge_topk(partials, k), stats
+
+
+def _centroid_radii(out_dir: str, meta: dict) -> np.ndarray:
+    """Per-CENTROID max angular distance (radians) of any member from
+    its normalized centroid — the admissible bound state for the exact
+    early-terminating probe (the reference's precomputed upper-bound
+    cache, ST2 / Yinyang.java:50-120's group bounds, applied to the
+    vector layout).  Computed in ONE distributed pass over the layout
+    and cached in a sidecar keyed by the meta content: extends and
+    compactions change meta (recompute); deletes only shrink the true
+    radius, so a stale-by-deletes cache stays admissible."""
+    fp = hashlib.md5(
+        json.dumps(meta, sort_keys=True).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(out_dir, f"radii-{fp}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return np.asarray(json.load(f)["radii"], dtype=np.float64)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    Cn = _norm_rows(C)
+    cent_of = _centroid_of(meta)
+    id_col = meta["params"]["id_col"]
+    files = _bucket_files(out_dir, meta, sorted(cent_of))
+    max_bid = max(cent_of) + 1
+    cent_lut = np.full(max_bid, -1, np.int64)
+    for b, c in cent_of.items():
+        cent_lut[b] = c
+
+    def batch_max(batch: pa.Table) -> pd.DataFrame:
+        e = _batch_matrix(batch)
+        en = _norm_rows(e)
+        cents = cent_lut[batch["bucket"].to_numpy().astype(np.int64)]
+        cs = np.einsum("ij,ij->i", en, Cn[cents])
+        ang = np.arccos(np.clip(cs, -1.0, 1.0))
+        return (
+            pd.DataFrame({"c": cents, "ang": ang})
+            .groupby("c", as_index=False)
+            .max()
+        )
+
+    agg = (
+        ray.data.read_parquet(files, columns=[id_col, "bucket", "embedding"])
+        .map_batches(batch_max, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    radii = np.zeros(len(C), dtype=np.float64)
+    if not agg.empty:
+        top = agg.groupby("c")["ang"].max()
+        radii[top.index.to_numpy().astype(np.int64)] = top.to_numpy()
+    with open(path + ".tmp", "w") as f:
+        json.dump({"radii": radii.tolist()}, f)
+    os.replace(path + ".tmp", path)
+    return radii
+
+
+def probe_topk_exact(
+    out_dir: str,
+    query_ids: list[int],
+    q: np.ndarray,
+    *,
+    k: int = 10,
+    nprobe0: int = 4,
+) -> tuple[pd.DataFrame, dict]:
+    """EXACT top-k through the IVF layout WITHOUT reading every bucket:
+    branch-and-bound probing under an admissible per-centroid bound.
+
+    On the unit sphere θ(q, x) ≥ θ(q, c) − θ(c, x), so every member x of
+    centroid c satisfies sim(q, x) ≤ cos(max(0, θ(q, c) − r_c)) with
+    r_c the centroid's cached max member angle.  Phase 1 probes the
+    ``nprobe0`` best centroids; phase 2 probes only the remaining
+    centroids whose bound can still reach the current kth-best raw sim
+    (1e-5 slack covers the 6-dp rank rounding and the arccos/cos float
+    error), after which every unprobed member provably ranks strictly
+    below the kth result — the bruteforce answer at a fraction of the
+    IO.  Stats report the pruning and the phase count."""
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if not meta["centroids"]:
+        return pd.DataFrame(columns=_PROBE_COLS), {
+            "bytes_read": 0,
+            "total_bytes": 0,
+            "n_buckets_probed": 0,
+            "nlist": 0,
+            "exact": True,
+            "phases": 0,
+        }
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    Cn = _norm_rows(C)
+    qn = _norm_rows(np.asarray(q, dtype=np.float64))
+    radii = _centroid_radii(out_dir, meta)
+    csim = qn @ Cn.T  # Q × nlist
+    theta = np.arccos(np.clip(csim, -1.0, 1.0))
+    bound = np.cos(np.maximum(0.0, theta - radii[None, :]))
+    order = np.argsort(-csim, axis=1)
+    p0 = min(nprobe0, C.shape[0])
+    probe1 = [order[i, :p0] for i in range(len(qn))]
+    part1, stats = _probe_sets_topk(out_dir, meta, query_ids, qn, probe1, k)
+    SLACK = 1e-5
+    tau = {int(qid): -2.0 for qid in query_ids}
+    if not part1.empty:
+        for qid, g in part1.groupby("query_id"):
+            if len(g) >= k:
+                tau[int(qid)] = float(g["sim"].nlargest(k).iloc[-1])
+    probe2 = []
+    for qi in range(len(qn)):
+        t = tau[int(query_ids[qi])]
+        need = np.flatnonzero(bound[qi] >= t - SLACK)
+        probe2.append(np.setdiff1d(need, probe1[qi]))
+    stats["phases"] = 1
+    parts = [part1]
+    if any(len(p) for p in probe2):
+        part2, s2 = _probe_sets_topk(out_dir, meta, query_ids, qn, probe2, k)
+        parts.append(part2)
+        stats["bytes_read"] += s2["bytes_read"]
+        stats["n_buckets_probed"] += s2["n_buckets_probed"]
+        stats["phases"] = 2
+    stats["exact"] = True
+    return _merge_topk(pd.concat(parts, ignore_index=True), k), stats
 
 
 def probe_topk_sq8(

@@ -333,6 +333,36 @@ def knn_ivf_stats(
     return stats
 
 
+def knn_ivf_exact(
+    sf_dir: str, k: int = 10, nprobe0: int = 4
+) -> pd.DataFrame:
+    """EXACT cosine top-k through the IVF layout with branch-and-bound
+    early termination (ivf.probe_topk_exact): identical to
+    :func:`knn_bruteforce` — and oracle-gated as such — while reading
+    only the buckets whose admissible bound can still reach the current
+    kth-best.  The scale answer to "exact ANN": no full scan, no recall
+    loss."""
+    from torchtrajectory_ray.pipelines import ivf
+
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    out, _stats = ivf.probe_topk_exact(
+        _sf_ivf_dir(sf_dir), QUERY_VEC_IDS, q, k=k, nprobe0=nprobe0
+    )
+    return out
+
+
+def knn_ivf_exact_stats(
+    sf_dir: str, k: int = 10, nprobe0: int = 4
+) -> dict:
+    from torchtrajectory_ray.pipelines import ivf
+
+    q = _load_embeddings_matrix(sf_dir, QUERY_VEC_IDS)
+    _, stats = ivf.probe_topk_exact(
+        _sf_ivf_dir(sf_dir), QUERY_VEC_IDS, q, k=k, nprobe0=nprobe0
+    )
+    return stats
+
+
 # --- embedding near-dup ------------------------------------------------------
 
 
