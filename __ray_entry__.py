@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lm,
         pack,
         sampling,
+        media,
         semantic,
         textstats,
     )
@@ -160,12 +161,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "events_sessions": events.session_windows,
         "events_sliding_hour": events.sliding_hour_agg,
-        "quality_score": textstats.quality_score,
-        "token_count": textstats.token_count,
         "bpe_token_count": textstats.bpe_token_count,
-        # NEW r4 gates: deterministic reductions of the rows-only
-        # operators (LSH recall on the identical-text subset; one fixed
-        # Lloyd assignment of the k-means machinery)
+        # NEW r4 gates: deterministic reductions of the rows-only /
+        # media operators (LSH recall on the identical-text subset; one
+        # fixed Lloyd assignment; planted-duplicate media discovery —
+        # the corpus generators are deterministic, so the ground-truth
+        # pair sets ARE the oracles and the pipelines must rediscover
+        # them from pixels / PCM samples)
+        "image_dhash_dups": media.image_dhash_dups,
+        "audio_fp_dups": media.audio_fp_dups,
         "minhash_recall": dedup.minhash_recall_pairs,
         "simhash_recall": dedup.simhash_recall_pairs,
         "kmeans_onestep": clustering.kmeans_onestep,
@@ -227,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": textstats.top_bigrams,
         "lang_count": textstats.lang_count,
         "source_doc_count": textstats.source_doc_count,
+        "quality_score": textstats.quality_score,
+        "token_count": textstats.token_count,
         "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
         "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
         # LSH near-dup pipelines (rows-only: the candidate set is
@@ -242,6 +248,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_check": _index_check,              # CheckIndex audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
+        # sliding-window re-clustering (StreamKpath shape; rows-only —
+        # iterative, window-identity pytest-gated); tumbling 6h windows
+        # keep the gate-scale round count bounded
+        "window_kmeans": lambda sf: clustering.windowed_kmeans(
+            sf, k=3, window_us=21_600_000_000, slide_us=21_600_000_000, iters=6
+        ),
         "semantic_rerank": semantic.semantic_rerank,  # BM25→cosine hybrid
         "doc_embeddings": embed.doc_embeddings,       # feature hashing (rows-only)
         "doc_embedding_neardup": embed.doc_embedding_neardup,
@@ -278,6 +290,38 @@ from torchtrajectory_ray.pipelines.scrub import (  # noqa: E402
     IPV4_PAT as _IPV4_PAT,
     PHONE_PAT as _PHONE_PAT,
 )
+
+
+def _recall_sql() -> str:
+    """Identical-text self-join over documents ∪ the planted duplicated
+    head — the SQL mirror of dedup._planted_dup_docs."""
+    from torchtrajectory_ray.pipelines.dedup import (
+        RECALL_PLANT_N,
+        RECALL_PLANT_OFFSET,
+    )
+
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {RECALL_PLANT_OFFSET}, text FROM documents
+  WHERE doc_id < {RECALL_PLANT_N})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM docs2 a JOIN docs2 b
+  ON a.text = b.text AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+
+def _planted_pairs_sql(base: int, n_const: str) -> str:
+    """Constant ground-truth oracle for the planted media duplicates."""
+    from torchtrajectory_ray.pipelines import media
+
+    n = getattr(media, n_const)
+    vals = ", ".join(f"({i}, {base + i})" for i in range(n))
+    return (
+        "SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b "
+        f"FROM (VALUES {vals}) AS t(doc_a, doc_b) ORDER BY doc_a"
+    )
 
 
 def _fuzzy_values() -> str:
@@ -1436,19 +1480,21 @@ SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY text""",
         # LSH recall gates: identical-text pairs are the deterministic
         # subset every LSH chain must recover with probability 1
-        # (identical text -> identical signatures -> same buckets); the
-        # pipelines return the recovered subset, the self-join is the
-        # full set, equality = perfect structural recall
-        "minhash_recall": """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM documents a JOIN documents b
-  ON a.text = b.text AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b""",
-        "simhash_recall": """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM documents a JOIN documents b
-  ON a.text = b.text AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b""",
+        # (identical text -> identical signatures -> same buckets).  The
+        # sf tables carry no duplicate texts, so the pipelines run over
+        # documents UNION a planted duplicated head (the same relation
+        # this SQL builds); the self-join is the full identical-pair
+        # set and equality = perfect structural recall
+        "minhash_recall": _recall_sql(),
+        "simhash_recall": _recall_sql(),
+        # planted-duplicate media oracles: the corpora are DETERMINISTIC
+        # generators (pipelines/media.py) planting near-dup image pairs
+        # (i, 1000+i) and gain-shifted audio pairs (i, 2000+i); the
+        # constant ground-truth table is the oracle and the pipelines
+        # must rediscover every pair from the decoded pixels / samples
+        # (dhash banding resp. MFCC-lite fingerprint banding)
+        "image_dhash_dups": _planted_pairs_sql(1000, "PLANTED_IMAGE_DUPS"),
+        "audio_fp_dups": _planted_pairs_sql(2000, "PLANTED_AUDIO_DUPS"),
         # one fixed Lloyd assignment (centroid c = embedding of vec_id c)
         # — the SQL-expressible projection of the k-means machinery
         "kmeans_onestep": """

@@ -435,3 +435,133 @@ def test_lang_id_pipeline_still_serves(ray_session):
     df = textstats.lang_id(SF).to_pandas()
     assert len(df) == 500
     assert set(df.columns) == {"doc_id", "lang_pred"}
+
+
+# --- round-4: windowed re-clustering + Yinyang bound filter ------------------
+
+
+def _clustered_emb_ds(n=400, k=4, dim=12, seed=11):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    v = np.repeat(centers, -(-n // k), axis=0)[:n] + 0.03 * rng.normal(
+        size=(n, dim)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [r.astype("float32").tolist() for r in v],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+
+
+def test_yinyang_matches_plain_lloyd_and_skips(ray_session):
+    """Bound-filtered assignment is EXACT (same final clusters as plain
+    Lloyd from the same deterministic init) and actually skips distance
+    kernels after the first round."""
+    from torchtrajectory_ray.pipelines import clustering
+
+    ds = _clustered_emb_ds()
+    a_plain, c_plain, _, _ = clustering.kmeans_dataset(ds, k=4, iters=8)
+    a_yy, c_yy, _, stats = clustering.kmeans_dataset(
+        ds, k=4, iters=8, yinyang=True
+    )
+    assert a_plain["cluster"].tolist() == a_yy["cluster"].tolist()
+    import numpy as np
+
+    assert np.allclose(c_plain, c_yy, atol=1e-9)
+    # after round 1 (full), converged rounds should skip nearly all rows
+    assert stats["dist_rows_computed"] < stats["rows_seen"]
+
+
+def test_windowed_kmeans_identity_per_window(ray_session):
+    """Each sliding window's clustering equals an independent batch
+    k-means over exactly that window's vectors (StreamKpath shape)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from torchtrajectory_ray.pipelines import clustering
+
+    sf = "/root/testdata/sf0.01"
+    out = clustering.windowed_kmeans(
+        sf, k=3, window_us=2 * 3_600_000_000, slide_us=3_600_000_000, iters=6
+    )
+    assert len(out) > 0
+    assert set(out.columns) == {"window_start_us", "cluster", "n"}
+    # re-derive one window's membership independently
+    w0 = int(out["window_start_us"].iloc[0])
+    w1 = w0 + 2 * 3_600_000_000
+    n_vec = pq.read_metadata(f"{sf}/embeddings.parquet").num_rows
+    ev = pads.dataset(f"{sf}/events.parquet").to_table(
+        columns=["event_id", "ts"], filter=pads.field("event_id") < n_vec
+    )
+    ts_of = np.full(n_vec, -1, np.int64)
+    ts_of[ev["event_id"].to_numpy()] = ev["ts"].to_numpy().astype(np.int64)
+    want_ids = np.flatnonzero((ts_of >= w0) & (ts_of < w1))
+    emb = pads.dataset(f"{sf}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(want_ids.tolist()),
+    )
+    assigns, _, _, _ = clustering.kmeans_dataset(
+        ray.data.from_arrow(emb), k=3, iters=6
+    )
+    sizes = assigns.groupby("cluster").size()
+    got = out[out["window_start_us"] == w0].set_index("cluster")["n"]
+    assert {int(c): int(n) for c, n in sizes.items()} == got.to_dict()
+
+
+# --- round-4: perceptual-hash image dedup + audio fingerprint ----------------
+
+
+def test_dhash_monotone_invariance_and_sensitivity():
+    import numpy as np
+
+    from torchtrajectory_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 250, size=(30, 40, 3), dtype=np.uint8)
+    h0 = mm.dhash64(img)
+    # uniform brightness shift: identical hash (monotone map)
+    assert mm.dhash64(np.minimum(img.astype(np.int32) + 5, 255)) == h0
+    # a genuinely different image: far hash
+    other = rng.integers(0, 250, size=(30, 40, 3), dtype=np.uint8)
+    d = bin(h0 ^ mm.dhash64(other)).count("1")
+    assert d > 10
+
+
+def test_audio_fingerprint_gain_invariance():
+    import numpy as np
+
+    from torchtrajectory_ray.stages import multimodal as mm
+
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(4000) * 1000).astype(np.int16)
+    f0 = mm.audio_fingerprint64(x)
+    f1 = mm.audio_fingerprint64((x.astype(np.float64) * 1.3).astype(np.int16))
+    assert bin(f0 ^ f1).count("1") <= 2
+    y = (rng.standard_normal(4000) * 1000).astype(np.int16)
+    assert bin(f0 ^ mm.audio_fingerprint64(y)).count("1") > 8
+
+
+def test_planted_media_dups_fully_recovered(ray_session):
+    from torchtrajectory_ray.pipelines import media
+
+    img = media.image_dhash_dups()
+    assert list(map(tuple, img.to_numpy())) == [
+        (i, 1000 + i) for i in range(media.PLANTED_IMAGE_DUPS)
+    ]
+    wav = media.audio_fp_dups()
+    assert list(map(tuple, wav.to_numpy())) == [
+        (i, 2000 + i) for i in range(media.PLANTED_AUDIO_DUPS)
+    ]

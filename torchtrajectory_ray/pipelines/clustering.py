@@ -134,6 +134,261 @@ def kmeans_embeddings(
     return assigns, centroids, history
 
 
+def _min_id_centroids(ds: ray.data.Dataset, k: int) -> np.ndarray:
+    """Init centroids = embeddings of the k SMALLEST vec_ids — a pure
+    function of the window's content (deterministic across partitioning
+    and cluster size), computed with per-block partial top-k."""
+    from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+    def block_min(t: pa.Table) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        sel = np.argsort(ids)[:k]
+        return pd.DataFrame(
+            {
+                "vec_id": ids[sel],
+                "embedding": [
+                    np.asarray(v, np.float64)
+                    for v in np.asarray(
+                        _batch_matrix(t), dtype=np.float64
+                    )[sel]
+                ],
+            }
+        )
+
+    head = ds.map_batches(block_min, batch_format="pyarrow").to_pandas()
+    head = head.sort_values("vec_id").head(k)
+    if len(head) < k:
+        raise ValueError(f"window has {len(head)} vectors < k={k}")
+    return np.stack(head["embedding"].to_numpy())
+
+
+def kmeans_dataset(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 12,
+    *,
+    yinyang: bool = False,
+) -> tuple[pd.DataFrame, np.ndarray, list[float], dict]:
+    """Lloyd k-means over any (vec_id, embedding) Dataset with the
+    min-id deterministic init.  ``yinyang=True`` switches the assign
+    pass to bound-filtered skipping (the reference's Yinyang.java:50-120
+    acceleration): each point carries (assign, upper, lower) bounds that
+    are adjusted by the centroid movements each round, and the k-way
+    distance computation runs ONLY for points whose bounds cross —
+    identical assignments (the filter is exact), fewer distance kernels.
+
+    Returns (assignments, centroids, per-iter inertia/changed, stats)
+    where stats['dist_rows_computed'] / stats['rows_seen'] shows the
+    skip rate under ``yinyang``."""
+    from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+    ds = ds.materialize()
+    centroids = _min_id_centroids(ds, k)
+    history: list[float] = []
+    stats = {"rows_seen": 0, "dist_rows_computed": 0, "iters": 0}
+
+    if not yinyang:
+        for _ in range(iters):
+            parts = (
+                ds.map_batches(
+                    _assign_partials,
+                    fn_kwargs={"centroids": centroids},
+                    batch_format="pyarrow",
+                    batch_size=4096,
+                )
+                .to_pandas()
+            )
+            agg = parts.groupby("cluster").agg(
+                count=("count", "sum"),
+                inertia=("inertia", "sum"),
+                vec_sum=(
+                    "vec_sum",
+                    lambda s: np.sum(np.stack(s.to_numpy()), axis=0),
+                ),
+            )
+            history.append(float(agg["inertia"].sum()))
+            stats["iters"] += 1
+            new_c = centroids.copy()
+            for c, row in agg.iterrows():
+                new_c[int(c)] = np.asarray(row["vec_sum"]) / row["count"]
+            if np.allclose(new_c, centroids, atol=1e-12):
+                break
+            centroids = new_c
+            if len(history) >= 2 and abs(history[-1] - history[-2]) < 1e-9:
+                break
+    else:
+        # state rows: vec_id, embedding, assign, ub, lb (euclidean)
+        def init_state(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return t.append_column(
+                "assign", pa.array(np.full(n, -1, np.int64))
+            ).append_column(
+                "ub", pa.array(np.full(n, np.inf))
+            ).append_column("lb", pa.array(np.full(n, -np.inf)))
+
+        state = ds.map_batches(
+            init_state, batch_format="pyarrow", batch_size=4096
+        ).materialize()
+        moves = np.full(k, np.inf)  # first round: recompute everything
+        for _ in range(iters):
+            C = centroids
+            mv, mvmax = moves, float(np.max(moves))
+
+            def step(t: pa.Table) -> pa.Table:
+                e = _batch_matrix(t)
+                a = t["assign"].to_numpy().astype(np.int64).copy()
+                ub = t["ub"].to_numpy().astype(np.float64).copy()
+                lb = t["lb"].to_numpy().astype(np.float64).copy()
+                live = a >= 0
+                ub[live] += mv[a[live]]
+                lb[live] -= mvmax
+                redo = ~(live & (ub < lb))
+                if redo.any():
+                    d = np.sqrt(
+                        np.maximum(
+                            ((e[redo, None, :] - C[None, :, :]) ** 2).sum(
+                                axis=2
+                            ),
+                            0.0,
+                        )
+                    )
+                    a[redo] = np.argmin(d, axis=1)
+                    srt = np.sort(d, axis=1)
+                    ub[redo] = srt[:, 0]
+                    lb[redo] = srt[:, 1] if k > 1 else np.inf
+                return pa.table(
+                    {
+                        "vec_id": t["vec_id"],
+                        "embedding": t["embedding"],
+                        "assign": pa.array(a),
+                        "ub": pa.array(ub),
+                        "lb": pa.array(lb),
+                        "redone": pa.array(redo.astype(np.int64)),
+                    }
+                )
+
+            state = state.map_batches(
+                step, batch_format="pyarrow", batch_size=4096
+            ).materialize()
+            stats["dist_rows_computed"] += int(state.sum("redone"))
+
+            def sums(t: pa.Table) -> pa.Table:
+                e = _batch_matrix(t)
+                a = t["assign"].to_numpy().astype(np.int64)
+                rows = []
+                for c in np.unique(a):
+                    m = a == c
+                    rows.append(
+                        {
+                            "cluster": int(c),
+                            "count": int(m.sum()),
+                            "vec_sum": e[m].sum(axis=0).tolist(),
+                        }
+                    )
+                return pa.Table.from_pylist(rows)
+
+            parts = state.map_batches(
+                sums, batch_format="pyarrow", batch_size=4096
+            ).to_pandas()
+            agg = parts.groupby("cluster").agg(
+                count=("count", "sum"),
+                vec_sum=(
+                    "vec_sum",
+                    lambda s: np.sum(np.stack(s.to_numpy()), axis=0),
+                ),
+            )
+            stats["rows_seen"] += int(parts["count"].sum())
+            stats["iters"] += 1
+            new_c = centroids.copy()
+            for c, row in agg.iterrows():
+                new_c[int(c)] = np.asarray(row["vec_sum"]) / row["count"]
+            moves = np.sqrt(((new_c - centroids) ** 2).sum(axis=1))
+            history.append(float(moves.max()))
+            centroids = new_c
+            if float(moves.max()) < 1e-12:
+                break
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        e = _batch_matrix(batch)
+        d = -2.0 * (e @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+            }
+        )
+
+    assigns = (
+        ds.map_batches(final_assign, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    return assigns, centroids, history, stats
+
+
+def windowed_kmeans(
+    sf_dir: str,
+    k: int = 4,
+    window_us: int = 3_600_000_000,
+    slide_us: int = 1_800_000_000,
+    iters: int = 8,
+) -> pd.DataFrame:
+    """Sliding-window re-clustering — the reference's StreamKpath loop
+    (clustering/Streaming/StreamKpath.java): re-run k-means over the
+    vectors inside each sliding event-time window.
+
+    The sf fixture stream is embeddings joined to their event times
+    (``vec_id == event_id``, a broadcast lookup).  Each window's run is
+    an INDEPENDENT deterministic k-means (min-id init), so a window's
+    result equals a batch run over that window's slice — the
+    window-identity property the tests assert.  Returns one row per
+    (window_start_us, cluster): member count."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n_vec = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    ev = pads.dataset(
+        f"{sf_dir}/events.parquet", format="parquet"
+    ).to_table(
+        columns=["event_id", "ts"],
+        filter=pads.field("event_id") < n_vec,
+    )
+    ts_of = np.full(n_vec, -1, np.int64)
+    ts_of[ev["event_id"].to_numpy()] = ev["ts"].to_numpy().astype(np.int64)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy().astype(np.int64)
+        return t.append_column("ts_us", pa.array(ts_of[ids], pa.int64()))
+
+    stream = emb.map_batches(stamp, batch_format="pyarrow").materialize()
+    lo = int(ts_of[ts_of >= 0].min())
+    hi = int(ts_of.max())
+    start0 = lo - (lo % slide_us)
+    out = []
+    w0 = start0
+    while w0 <= hi:
+        w1 = w0 + window_us
+        win = stream.filter(
+            expr=f"ts_us >= {w0} and ts_us < {w1}"
+        )
+        n_win = win.count()
+        if n_win >= k:
+            assigns, _, _, _ = kmeans_dataset(
+                win.select_columns(["vec_id", "embedding"]), k, iters
+            )
+            g = assigns.groupby("cluster").size()
+            for c, n in g.items():
+                out.append((w0, int(c), int(n)))
+        w0 += slide_us
+    return pd.DataFrame(
+        out, columns=["window_start_us", "cluster", "n"]
+    ).astype("int64")
+
+
 def kmeans_onestep(sf_dir: str, k: int = 8) -> pd.DataFrame:
     """(cluster, n) after EXACTLY one Lloyd assignment from a FIXED,
     SQL-reproducible init: centroid c = the embedding of vec_id c

@@ -463,11 +463,15 @@ def verify_pairs_ds(
     threshold: float,
     shingle_k: int = 3,
     exact_strings: bool = False,
-    pairs_per_task: int | None = 512,
+    pairs_per_task: int | None = None,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard verification of a candidate-pair DATASET:
-    each bounded batch of pairs is one task that reads only its own
-    involved docs (parquet predicate pushdown) and verifies vectorized.
+    each BLOCK of pairs is one task doing ONE predicate-pushdown read of
+    its involved docs, then vectorized verification.  Per-task memory is
+    bounded by the candidate partitioning (the pair-hash groupby yields
+    N_BUCKET_PARTS blocks; repartition the candidates for tighter
+    bounds) — NOT by sub-batching, which would repeat the pushdown read
+    per sub-batch (measured 6× the whole chain's wall at 1M docs).
     Pairs stream through — candidate and confirmed lists never touch the
     driver; chain ``write_parquet`` or ``connected_components_ds`` on
     the result."""
@@ -1047,17 +1051,13 @@ class SimHasher:
         )
 
 
-def simhash_dedup_pairs_ds(
-    sf_dir: str, max_hamming: int = 3
+def simhash_rows_pairs_ds(
+    rows: ray.data.Dataset, max_hamming: int = 3
 ) -> ray.data.Dataset:
-    """SimHash near-dup as a DATASET: 4-band pigeonhole candidates →
-    distributed pair dedupe + exact hamming verify → (doc_a, doc_b,
-    hamming) rows on the cluster (the signatures ride along with the
-    candidate rows, so verification needs no doc re-read at all)."""
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    rows = docs.map_batches(_simhash_task, batch_format="pyarrow")
+    """(doc_id, simhash, band, band_val) rows → verified near-dup pair
+    Dataset: 4-band pigeonhole candidates → distributed pair dedupe +
+    exact hamming verify (the signatures ride along with the candidate
+    rows, so verification needs no doc re-read at all)."""
 
     def pairs(tbl: pa.Table) -> pd.DataFrame:
         ids = tbl["doc_id"].to_numpy().astype(np.int64)
@@ -1145,6 +1145,27 @@ def simhash_dedup_pairs_ds(
     )
 
 
+def simhash_dedup_pairs_ds(
+    sf_dir: str, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """SimHash near-dup over the sf documents table as a DATASET."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash_rows_pairs_ds(
+        docs.map_batches(_simhash_task, batch_format="pyarrow"), max_hamming
+    )
+
+
+def _simhash_pairs_from_rows(
+    rows: ray.data.Dataset, max_hamming: int
+) -> pd.DataFrame:
+    return _collect_pairs(
+        simhash_rows_pairs_ds(rows, max_hamming).to_pandas(),
+        ["doc_a", "doc_b", "hamming"],
+    )
+
+
 def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     """Collected, sorted answer of :func:`simhash_dedup_pairs_ds`."""
     out = simhash_dedup_pairs_ds(sf_dir, max_hamming).to_pandas()
@@ -1164,12 +1185,60 @@ def simhash_dedup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 # deterministic roundtrip property, InvertedIndexTest.java:10-147.)
 
 
+RECALL_PLANT_N = 25           # sf docs planted as duplicates for the gate
+RECALL_PLANT_OFFSET = 10_000_000
+
+
+def _planted_dup_docs(sf_dir: str) -> list[str]:
+    """The sf documents table UNION a duplicated copy of its first
+    ``RECALL_PLANT_N`` docs (doc_id + RECALL_PLANT_OFFSET) — staged to a
+    cached parquet dir so the recall gates have a guaranteed-nonempty,
+    SQL-expressible identical-text subset at every sf.  The SQL mirror:
+    ``documents UNION ALL SELECT doc_id + off, text WHERE doc_id < n``."""
+    import os
+
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    d = f"/tmp/ttray_cache/recall-{tag}-{RECALL_PLANT_N}"
+    marker = os.path.join(d, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["doc_id", "text"])
+        pq.write_table(t, os.path.join(d, "base.parquet.tmp"))
+        os.replace(
+            os.path.join(d, "base.parquet.tmp"), os.path.join(d, "base.parquet")
+        )
+        mask = pc.less(t["doc_id"], RECALL_PLANT_N)
+        dup = t.filter(mask)
+        dup = dup.set_column(
+            0,
+            "doc_id",
+            pc.add(dup["doc_id"], RECALL_PLANT_OFFSET),
+        )
+        pq.write_table(dup, os.path.join(d, "plant.parquet.tmp"))
+        os.replace(
+            os.path.join(d, "plant.parquet.tmp"),
+            os.path.join(d, "plant.parquet"),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return [os.path.join(d, "base.parquet"), os.path.join(d, "plant.parquet")]
+
+
 def exact_text_pairs_ds(
-    sf_dir: str, max_group: int = 4096
+    docs_paths: list[str], max_group: int = 4096
 ) -> ray.data.Dataset:
-    """(doc_a, doc_b) pairs of IDENTICAL text (doc_a < doc_b): sha-keyed
-    groupby, all in-group pairs (groups past ``max_group`` fail loud —
-    the pair answer there is inherently quadratic)."""
+    """(doc_a, doc_b) pairs of IDENTICAL text (doc_a < doc_b) over the
+    given parquet files: sha-keyed groupby, all in-group pairs (groups
+    past ``max_group`` fail loud — the pair answer there is inherently
+    quadratic)."""
     import hashlib
 
     def key_rows(t: pa.Table) -> pa.Table:
@@ -1204,9 +1273,7 @@ def exact_text_pairs_ds(
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
     return (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
+        ray.data.read_parquet(docs_paths, columns=["doc_id", "text"])
         .map_batches(key_rows, batch_format="pyarrow")
         .groupby("h")
         .map_groups(group_pairs, batch_format="pandas")
@@ -1214,11 +1281,11 @@ def exact_text_pairs_ds(
 
 
 def _lsh_exact_recall(
-    sf_dir: str, found: pd.DataFrame
+    docs_paths: list[str], found: pd.DataFrame
 ) -> pd.DataFrame:
     """Identical-text pairs ∩ the chain's found pairs, sorted — equals
     the full identical-text pair set iff recall is 100 %."""
-    exact = exact_text_pairs_ds(sf_dir).to_pandas()
+    exact = exact_text_pairs_ds(docs_paths).to_pandas()
     if exact.empty or found.empty:
         return pd.DataFrame(
             {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
@@ -1228,16 +1295,31 @@ def _lsh_exact_recall(
 
 
 def minhash_recall_pairs(sf_dir: str, threshold: float = 0.7) -> pd.DataFrame:
-    """Identical-text pairs recovered by the full MinHash-LSH chain
-    (oracle: the text-equality self-join — equality = perfect recall on
-    the deterministic subset)."""
-    return _lsh_exact_recall(sf_dir, minhash_dedup_pairs(sf_dir, threshold))
+    """Identical-text pairs recovered by the full MinHash-LSH chain over
+    the planted-duplicate corpus (oracle: the text-equality self-join on
+    the SAME SQL-expressible union — equality = perfect recall on the
+    deterministic subset)."""
+    paths = _planted_dup_docs(sf_dir)
+    docs = ray.data.read_parquet(paths, columns=["doc_id", "text"])
+    cand = candidates_from_band_rows_ds(
+        docs.map_batches(_minhash_task, batch_format="pyarrow")
+    )
+    found = _collect_pairs(
+        verify_pairs_ds(paths, cand, threshold).to_pandas(),
+        ["doc_a", "doc_b", "jaccard"],
+    )
+    return _lsh_exact_recall(paths, found)
 
 
 def simhash_recall_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """Identical-text pairs recovered by the SimHash chain (identical
-    text → hamming 0 → always ≤ max_hamming)."""
-    return _lsh_exact_recall(sf_dir, simhash_dedup_pairs(sf_dir, max_hamming))
+    """Identical-text pairs recovered by the SimHash chain over the
+    planted-duplicate corpus (identical text → hamming 0 → always ≤
+    max_hamming)."""
+    paths = _planted_dup_docs(sf_dir)
+    docs = ray.data.read_parquet(paths, columns=["doc_id", "text"])
+    rows = docs.map_batches(_simhash_task, batch_format="pyarrow")
+    found = _simhash_pairs_from_rows(rows, max_hamming)
+    return _lsh_exact_recall(paths, found)
 
 
 # --- document fingerprint ----------------------------------------------------

@@ -193,6 +193,47 @@ def fixtures_media_table(n: int, start: int = 0) -> pa.Table:
     )
 
 
+def dhash64(img: np.ndarray) -> int:
+    """Perceptual difference-hash of an image: nearest-neighbor resize
+    to 9×8 grayscale, one bit per horizontal gradient sign → 64-bit
+    hash.  Robust to uniform brightness/contrast shifts (monotone maps
+    preserve the > comparisons) — the standard cheap near-dup signature
+    for crawl images."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    img = img.astype(np.float64)
+    h, w = img.shape
+    yi = (np.arange(8) * h // 8).astype(np.int64)
+    xi = (np.arange(9) * w // 9).astype(np.int64)
+    g = img[yi][:, xi]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    return int(
+        np.sum(bits.astype(np.uint64) << np.arange(64, dtype=np.uint64))
+    )
+
+
+def audio_fingerprint64(samples: np.ndarray, n_frames: int = 17, n_bands: int = 4) -> int:
+    """MFCC-lite fingerprint of a PCM clip: frame → |rfft| → band
+    log-energies → one bit per (frame-delta × band) energy-increase sign
+    (the Haitsma-Kalker / Shazam-style sign-of-delta hash).  Invariant
+    to uniform gain (log energies shift equally; deltas cancel).
+    Uses the first ``n_frames`` frames × ``n_bands`` bands = 64 bits."""
+    x = samples.astype(np.float64)
+    frame, hop = 256, 128
+    need = frame + hop * (n_frames - 1)
+    if len(x) < need:  # loop-pad short clips deterministically
+        x = np.resize(x, need)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(x[idx] * np.hanning(frame)[None, :], axis=1))
+    nb = spec.shape[1] // n_bands
+    bands = spec[:, : nb * n_bands].reshape(n_frames, n_bands, nb).sum(axis=2)
+    loge = np.log(bands + 1e-9)
+    bits = (loge[1:] - loge[:-1] > 0).reshape(-1)[:64]
+    return int(
+        np.sum(bits.astype(np.uint64) << np.arange(len(bits), dtype=np.uint64))
+    )
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode + per-modality features.
 
