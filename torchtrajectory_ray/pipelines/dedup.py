@@ -692,11 +692,14 @@ def _prefix_rows_task(
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
     keep = pos < np.repeat(p, sizes)  # order keeps doc_idx runs intact
+    # ``pos`` (the shingle's rank in the doc's global order) rides along
+    # for the PPJoin POSITIONAL filter at pair-expansion time
     return pa.table(
         {
             "shingle": pa.array(flat[order][keep], pa.string()),
             "doc_id": pa.array(doc_ids[doc_idx][keep], pa.int64()),
             "size": pa.array(sizes[doc_idx][keep], pa.int64()),
+            "pos": pa.array(pos[keep], pa.int64()),
         }
     )
 
@@ -715,9 +718,18 @@ def _prefix_pair_part(batch: pa.Table) -> pa.Table:
 
 class _PrefixGroupPairs:
     """One partition's candidate pairs: lexsort, run-length shingle
-    boundaries, vectorized pair expansion gated by the length filter
-    min(|Sa|,|Sb|) ≥ t·max (a J ≥ t pair always passes: the overlap is
-    ≤ min and ≥ t·max of the union ≥ t·max of the sizes)."""
+    boundaries, vectorized pair expansion gated by TWO exact filters:
+
+    - length filter: min(|Sa|,|Sb|) ≥ t·max (a J ≥ t pair always
+      passes — the overlap is ≤ min and ≥ t·max of the union ≥ t·max);
+    - PPJoin POSITIONAL filter (Xiao et al., WWW'08): the shared prefix
+      shingle sits at rank p in each doc's global shingle order, so the
+      overlap is ≤ min(|Sa| − pa, |Sb| − pb) (the suffixes including
+      it), while J ≥ t requires overlap ≥ t/(1+t)·(|Sa|+|Sb|); prune
+      occurrences whose bound falls short.  Occurrence-level pruning is
+      lossless: a true pair shares its SMALLEST common shingle inside
+      both prefixes, and THAT occurrence always passes the bound.
+    """
 
     def __init__(self, threshold: float, max_group: int):
         self.threshold = threshold
@@ -726,11 +738,13 @@ class _PrefixGroupPairs:
     def __call__(self, tbl: pa.Table) -> pd.DataFrame:
         ids = tbl["doc_id"].to_numpy().astype(np.int64)
         sz = tbl["size"].to_numpy().astype(np.int64)
+        pos = tbl["pos"].to_numpy().astype(np.int64)
         codes, _ = pd.factorize(tbl["shingle"].to_numpy(zero_copy_only=False))
         order = np.lexsort((ids, codes))
-        ids, sz, codes = ids[order], sz[order], codes[order]
+        ids, sz, codes, pos = ids[order], sz[order], codes[order], pos[order]
         heads = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
         ends = np.concatenate((heads[1:], [len(ids)]))
+        t = self.threshold
         out_a, out_b = [], []
         for h, e in zip(heads, ends):
             n = e - h
@@ -746,7 +760,12 @@ class _PrefixGroupPairs:
             ia, ib = np.triu_indices(n, k=1)
             ga, gb = ids[h:e][ia], ids[h:e][ib]
             sa, sb = sz[h:e][ia], sz[h:e][ib]
-            ok = np.minimum(sa, sb) >= self.threshold * np.maximum(sa, sb)
+            pa_, pb_ = pos[h:e][ia], pos[h:e][ib]
+            ok = np.minimum(sa, sb) >= t * np.maximum(sa, sb)
+            # positional bound vs required overlap (1e-9 float slack on
+            # the PRUNE side only — never drops a qualifying pair)
+            ubound = np.minimum(sa - pa_, sb - pb_)
+            ok &= ubound >= t / (1.0 + t) * (sa + sb) - 1e-9
             ok &= ga != gb  # a doc pairs with itself never
             out_a.append(ga[ok])
             out_b.append(gb[ok])
