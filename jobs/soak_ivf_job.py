@@ -178,6 +178,23 @@ def main() -> None:
         )
     )
 
+    # branch-and-bound EXACT probe on the clustered soak corpus: must
+    # equal the fullprobe answer while reading a fraction of the layout
+    t0 = time.monotonic()
+    ex, ex_stats = ivf.probe_topk_exact(layout, spot, qm, k=10, nprobe0=4)
+    out["exact_probe_s"] = round(time.monotonic() - t0, 2)
+    full, _ = ivf.probe_topk(layout, spot, qm, k=10, nprobe=10**9)
+    out["exact_probe_equals_fullprobe"] = bool(
+        ex.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+            full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+    )
+    out["exact_probe_buckets"] = int(ex_stats["n_buckets_probed"])
+    out["exact_probe_bytes_frac"] = round(
+        ex_stats["bytes_read"] / max(1, ex_stats["total_bytes"]), 3
+    )
+    out["exact_probe_phases"] = int(ex_stats["phases"])
+
     t0 = time.monotonic()
     pairs, stats = ivf.neardup_pairs(layout, 0.92)
     out["neardup_s"] = round(time.monotonic() - t0, 1)
