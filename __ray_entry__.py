@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_recall": dedup.minhash_recall_pairs,
         "simhash_recall": dedup.simhash_recall_pairs,
         "kmeans_onestep": clustering.kmeans_onestep,
-        "doc_stats": textstats.doc_stats,         # A7: global aggregates
+        "explain_topk": corpus.explain_topk,      # Lucene explain() decomposition
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
         "bm25plus_topk": corpus.bm25plus_topk,    # X3: third measure (BM25+)
         # --- corpus / text analysis (training-data ops) ---
+        "doc_stats": textstats.doc_stats,         # A7: global aggregates
         "top_bigrams": textstats.top_bigrams,
         "lang_count": textstats.lang_count,
         "source_doc_count": textstats.source_doc_count,
@@ -1577,6 +1578,33 @@ SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
        ORDER BY sim DESC, neighbor_id ASC) AS BIGINT) AS rank,
        neighbor_id, sim
 FROM s QUALIFY rank <= 10""",
+        # Lucene explain(): the shared BM25 chain WITHOUT the final sum
+        # — per-(doc, term) contribution rows joined to the ranked cut
+        "explain_topk": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (SELECT DISTINCT * FROM (VALUES {_query_values()}) v(query_id, term)),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, q.term,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+cut AS (SELECT query_id, doc_id FROM scores
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) <= 3)
+SELECT c.query_id::BIGINT AS query_id, c.doc_id, c.term,
+       round(c.c, 6) AS contrib
+FROM contrib c JOIN cut USING (query_id, doc_id)""",
         # branch-and-bound exact probe: the SAME bruteforce oracle — the
         # pruned route must lose nothing
         "knn_ivf_exact": f"""

@@ -495,3 +495,29 @@ def test_distributed_matches_inprocess_round3_third_pass_ops(built):
     assert local.facet_counts(terms, facet_col="doclen", bucket_width=32).equals(
         dist.facet_counts(terms, facet_col="doclen", bucket_width=32)
     )
+
+
+def test_explain_docs_matches_per_doc_explain(built):
+    """The batched multi-doc decomposition must agree row-for-row with
+    the single-doc explain (same scorer, same stats), and per-doc
+    contributions must sum to the topk score."""
+    eng = QueryEngine(built)
+    terms = ["w0001", "w0002"]
+    top = eng.topk(terms, k=5)
+    want = [d for d, _ in top]
+    rows = eng.explain_docs(terms, want)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    score_of = dict(top)
+    for d in want:
+        ex = eng.explain(terms, d)
+        got = sorted(
+            (r["term"], r["tf"], r["doclen"], r["df"]) for r in by_doc.get(d, [])
+        )
+        exp = sorted(
+            (r["term"], r["tf"], r["doclen"], r["df"]) for r in ex["terms"]
+        )
+        assert got == exp
+        total = sum(r["contrib"] for r in by_doc.get(d, []))
+        assert abs(total - score_of[d]) < 1e-9

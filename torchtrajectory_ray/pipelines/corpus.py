@@ -780,6 +780,37 @@ def search_box(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 
 
+def explain_topk(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """query_id, doc_id, term, contrib — the per-term BM25 score
+    decomposition (Lucene ``IndexSearcher.explain``) for each query's
+    rounded top-``k`` docs.  The SQL oracle is the shared BM25 chain
+    WITHOUT the final sum: the per-(doc, term) contribution rows joined
+    to the ranked cut — so the driver gates the decomposition against
+    the exact terms the ranking is built from."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in WEB_QUERIES:
+        res = eng.topk(q["terms"], k=4 * k, method="wand")
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k)
+        want = [int(d) for d in df["doc_id"]]
+        for r in eng.explain_docs(q["terms"], want):
+            rows.append(
+                (
+                    q["query_id"],
+                    r["doc_id"],
+                    r["term"],
+                    round(r["contrib"], 6),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["query_id", "doc_id", "term", "contrib"]
+    ).astype({"query_id": "int64", "doc_id": "int64"})
+
+
 def topk_paged(sf_dir: str, k: int = 10, page: int = 1) -> pd.DataFrame:
     """query_id, rank, doc_id, score — the SECOND page (ranks k+1..2k by
     default) of the BM25 workload under the shared float-stable protocol

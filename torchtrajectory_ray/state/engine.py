@@ -407,6 +407,51 @@ class QueryEngine:
         )
         return [(-nd, s) for s, nd in merged]
 
+    def explain_docs(
+        self, query: str | list[str], doc_ids
+    ) -> list[dict]:
+        """BATCHED per-(doc, term) score decomposition for a SET of docs
+        (the multi-doc form of :meth:`explain`): one postings probe per
+        unique query term masked to the requested ids, instead of one
+        per-doc decode per term — the shape for explaining a whole top-k
+        page at once.  Rows carry raw tf / doclen plus idf and the
+        scorer's contribution; per-doc contributions sum to exactly the
+        ``topk`` score (same scorer, same global stats; tested)."""
+        import numpy as np
+
+        terms = self._tokenize(query) if isinstance(query, str) else list(query)
+        want = np.sort(np.asarray(list(doc_ids), dtype=np.int64))
+        rows: list[dict] = []
+        for t in sorted(set(terms)):
+            tid = term_hash(t)
+            if not self._term_indexed(tid):
+                continue
+            df = self._df[tid]
+            idf = float(self.scorer.idf(df, self.n_docs))
+            parts = self._fanout("term_doc_stats", tid, want)
+            for ids, tfs, dls in parts:
+                if len(ids) == 0:
+                    continue
+                contrib = idf * self.scorer.tf_norm(
+                    np.asarray(tfs, np.float64),
+                    np.asarray(dls, np.float64),
+                    self.avgdl,
+                )
+                for d, tf, dl, c in zip(ids, tfs, dls, contrib):
+                    rows.append(
+                        {
+                            "doc_id": int(d),
+                            "term": t,
+                            "tf": int(tf),
+                            "doclen": int(dl),
+                            "df": int(df),
+                            "idf": idf,
+                            "contrib": float(c),
+                        }
+                    )
+        rows.sort(key=lambda r: (r["doc_id"], r["term"]))
+        return rows
+
     def search_after(
         self,
         query: str | list[str],

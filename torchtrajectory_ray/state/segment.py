@@ -229,6 +229,21 @@ class SaltSearcher:
         self._decoded_cache[term_id] = (ids, tfs, dls)
         return ids, tfs, dls
 
+    def term_doc_stats(
+        self, term_id: int, want: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, doclens) of this bucket's postings restricted
+        to the SORTED ``want`` doc-id array — the per-doc raw statistics
+        behind a score explanation (Lucene Explanation.describe shape);
+        cost is one postings decode + a searchsorted mask."""
+        ids, tfs, dls = self.postings(term_id)
+        if ids.size == 0 or want.size == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e
+        j = np.clip(np.searchsorted(want, ids), 0, want.size - 1)
+        m = want[j] == ids
+        return ids[m], tfs[m], dls[m]
+
     def postings_pos(self, term_id: int) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, first_positions) — requires store_positions=True.
         Works on both position modes (under "full" the first occurrence
