@@ -174,7 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_recall": dedup.simhash_recall_pairs,
         "kmeans_onestep": clustering.kmeans_onestep,
         "explain_topk": corpus.explain_topk,      # Lucene explain() decomposition
-        "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
+        "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
         # exact ANN with branch-and-bound termination: the bruteforce
@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": dedup.minhash_dedup_pairs,
         "simhash_neardup": dedup.simhash_dedup_pairs,
         # --- similarity search / embeddings ---
+        "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
         "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
         "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
         "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe (rows-only)
@@ -1605,6 +1606,22 @@ cut AS (SELECT query_id, doc_id FROM scores
 SELECT c.query_id::BIGINT AS query_id, c.doc_id, c.term,
        round(c.c, 6) AS contrib
 FROM contrib c JOIN cut USING (query_id, doc_id)""",
+        # vector near-dup GROUPS: recursive-CTE closure over the exact
+        # cosine pair graph — the embedding analog of neardup_components
+        "embedding_dedup_groups": """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.45),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u::BIGINT AS vec_id, least(u, min(v))::BIGINT AS rep_id
+FROM reach GROUP BY u ORDER BY vec_id""",
         # branch-and-bound exact probe: the SAME bruteforce oracle — the
         # pruned route must lose nothing
         "knn_ivf_exact": f"""

@@ -387,6 +387,24 @@ def embedding_neardup(
     return out
 
 
+def embedding_dedup_groups(
+    sf_dir: str, threshold: float = 0.45
+) -> pd.DataFrame:
+    """(vec_id, rep_id) — semantic near-dup GROUPS over the embedding
+    column: the exact cosine pair set (bucket-pair pruned, lossless)
+    fed through the SAME hash-to-min connected-components machinery the
+    text chains use.  Deterministic end to end, so SQL-oracle-gated
+    (recursive-CTE transitive closure over the cosine self-join) — the
+    embedding analog of ``neardup_components``."""
+    from torchtrajectory_ray.pipelines import dedup
+
+    pairs = embedding_neardup(sf_dir, threshold)[["vec_a", "vec_b"]].rename(
+        columns={"vec_a": "doc_a", "vec_b": "doc_b"}
+    )
+    comps = dedup.connected_components(pairs)
+    return comps.rename(columns={"doc_id": "vec_id"})
+
+
 def knn_filtered(sf_dir: str, k: int = 10, label: int = 3) -> pd.DataFrame:
     """query_id, rank, neighbor_id, sim — FILTERED vector search (the
     metadata-constrained ANN every vector store exposes): exact cosine
