@@ -383,6 +383,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("lang_id", lambda: textstats.lang_id(sf_dir).to_pandas())
     timed("exact_dedup", lambda: textstats.exact_dedup(sf_dir).to_pandas())
     timed("minhash_dedup", lambda: dedup.minhash_dedup_pairs(sf_dir))
+    timed("minhash_recall", lambda: dedup.minhash_recall_pairs(sf_dir))
     timed("simhash_dedup", lambda: dedup.simhash_dedup_pairs(sf_dir))
     # exact all-pairs Jaccard (prefix filter) + component assignment;
     # components reuse the timed pair output so each stage is costed once
@@ -402,6 +403,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("knn_ivf", lambda: knn.knn_ivf(sf_dir))
     timed("knn_ivf_fullprobe", lambda: knn.knn_ivf_fullprobe(sf_dir))
     timed("knn_ivf_exact", lambda: knn.knn_ivf_exact(sf_dir))
+    timed(
+        "embedding_dedup_groups",
+        lambda: knn.embedding_dedup_groups(sf_dir),
+    )
     timed("range_search", lambda: knn.range_search_bruteforce(sf_dir))
     timed("range_search_ivf", lambda: knn.range_search_ivf(sf_dir))
     timed("knn_ivf_sq8", lambda: knn.knn_ivf_sq8(sf_dir))
@@ -415,6 +420,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("events_window", lambda: events.tumbling_hour_agg(sf_dir).to_pandas())
     timed("events_sessions", lambda: events.session_windows(sf_dir).to_pandas())
     timed("media_features", lambda: media.media_features(n=300))
+    timed("image_dhash_dups", lambda: media.image_dhash_dups())
+    timed("audio_fp_dups", lambda: media.audio_fp_dups())
 
     from torchtrajectory_ray.pipelines import clean, embed
 
@@ -449,6 +456,19 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     )
     timed("length_deciles", lambda: textstats.length_deciles(sf_dir).materialize())
     timed("doc_keywords", lambda: lm.doc_keywords(sf_dir).materialize())
+    from torchtrajectory_ray.pipelines import clustering
+
+    timed("kmeans_onestep", lambda: clustering.kmeans_onestep(sf_dir))
+    timed(
+        "window_kmeans",
+        lambda: clustering.windowed_kmeans(
+            sf_dir, k=3, window_us=21_600_000_000,
+            slide_us=21_600_000_000, iters=6,
+        ),
+    )
+    from torchtrajectory_ray.pipelines import corpus as _corpus
+
+    timed("explain_topk", lambda: _corpus.explain_topk(sf_dir))
 
     regressions = _regressions(timings, retry_fns)
     extra["index_docs_per_s"] = round(n_docs / timings["index_build"], 1)
