@@ -503,13 +503,19 @@ def _regressions(timings: dict[str, float], retry_fns: dict | None = None) -> di
     import glob
 
     refs = sorted(glob.glob(os.path.join(REPO, "BENCH_r[0-9]*.json")))
-    if not refs:
-        return {}
-    ref_path = refs[-1]
-    try:
-        with open(ref_path) as f:
-            ref = json.load(f).get("parsed", {}).get("queries", {})
-    except Exception:
+    ref, ref_path = {}, None
+    # newest round whose record actually parsed (r3's was truncated —
+    # a null parsed reference must fall back, not disable the gate)
+    for cand_path in reversed(refs):
+        try:
+            with open(cand_path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            if parsed.get("queries"):
+                ref, ref_path = parsed["queries"], cand_path
+                break
+        except Exception:
+            continue
+    if not ref:
         return {}
     ref_tag = os.path.basename(ref_path).replace("BENCH_", "").replace(
         ".json", ""
