@@ -565,3 +565,29 @@ def test_planted_media_dups_fully_recovered(ray_session):
     assert list(map(tuple, wav.to_numpy())) == [
         (i, 2000 + i) for i in range(media.PLANTED_AUDIO_DUPS)
     ]
+
+
+def test_media_band_pairs_star_expand_degenerate_bucket(ray_session):
+    """>MAX_BUCKET identical hashes must star-expand (O(n) pairs that
+    keep connectivity), not emit a quadratic pair set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from torchtrajectory_ray.pipelines import dedup, media
+
+    n = dedup.MAX_BUCKET + 20
+    rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(n), pa.int64()),
+                "hash64": pa.array([12345] * n, pa.int64()),
+            }
+        )
+    )
+    pairs = media._hash_band_pairs(rows, max_hamming=3)
+    # star: n-1 pairs, all anchored at the min id
+    assert len(pairs) == n - 1
+    assert set(pairs["doc_a"]) == {0}
+    comp = dedup.connected_components(pairs[["doc_a", "doc_b"]])
+    assert set(comp["rep_id"]) == {0} and len(comp) == n

@@ -339,10 +339,14 @@ def windowed_kmeans(
     vectors inside each sliding event-time window.
 
     The sf fixture stream is embeddings joined to their event times
-    (``vec_id == event_id``, a broadcast lookup).  Each window's run is
-    an INDEPENDENT deterministic k-means (min-id init), so a window's
-    result equals a batch run over that window's slice — the
-    window-identity property the tests assert.  Returns one row per
+    (``vec_id == event_id``, a broadcast lookup — GATE-SCALE plumbing
+    only: a real vector stream already carries its timestamps, and at
+    cluster scale the stamp would be a hash join, not a driver-built
+    lookup array).  Each window's run is an INDEPENDENT deterministic
+    k-means (min-id init), so a window's result equals a batch run over
+    that window's slice — the window-identity property the tests
+    assert; windows are also independent of each other, so a cluster
+    deployment can process them concurrently.  Returns one row per
     (window_start_us, cluster): member count."""
     import pyarrow.parquet as pq
     import pyarrow.dataset as pads

@@ -195,6 +195,8 @@ def _hash_band_pairs(
         return t.append_column("part", pa.array(part, pa.int32()))
 
     def pairs(t: pa.Table) -> pd.DataFrame:
+        from torchtrajectory_ray.pipelines.dedup import MAX_BUCKET
+
         ids = t["doc_id"].to_numpy().astype(np.int64)
         band = t["band"].to_numpy().astype(np.int64)
         bv = t["band_val"].to_numpy().astype(np.int64)
@@ -210,6 +212,15 @@ def _hash_band_pairs(
             if len(u) < 2:
                 continue
             uh = hh[s:e][first]
+            if len(u) > MAX_BUCKET:
+                # degenerate bucket (mass-duplicated asset): star
+                # expansion keeps connectivity at O(n) pairs instead of
+                # a quadratic blowup — same policy as the text LSH
+                a.append(np.full(len(u) - 1, u[0]))
+                b.append(u[1:])
+                ha.append(np.full(len(u) - 1, uh[0]))
+                hb.append(uh[1:])
+                continue
             ia, ib = np.triu_indices(len(u), k=1)
             a.append(u[ia]); b.append(u[ib]); ha.append(uh[ia]); hb.append(uh[ib])
         if not a:
