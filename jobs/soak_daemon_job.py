@@ -81,7 +81,7 @@ def main() -> None:
         n_total += files_per_wave * per_file
         t0 = time.monotonic()
         res = ingest.ingest_tick(watch, work, idx)
-        tick_s = round(time.monotonic() - t0, 1)
+        tick_s = max(round(time.monotonic() - t0, 1), 0.1)
         out["ticks"].append(
             {
                 "wave": w,
@@ -118,7 +118,9 @@ def main() -> None:
         ):
             rank_identical = False
     out["rank_identical_vs_oneshot"] = bool(rank_identical)
-    out["total_tick_s"] = round(sum(t["tick_s"] for t in out["ticks"]), 1)
+    out["total_tick_s"] = max(
+        round(sum(t["tick_s"] for t in out["ticks"]), 1), 0.1
+    )
     out["daemon_docs_per_s"] = round(n_total / out["total_tick_s"], 0)
 
     print(json.dumps(out))

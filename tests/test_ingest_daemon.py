@@ -109,7 +109,46 @@ def test_daemon_loop_idle_stop(ray_session, tmp_path):
         IndexConfig(**CFG),
         poll_s=0.01,
         idle_stop_after=2,
+        min_age_s=0.0,
     )
     assert [r["n_new"] for r in res] == [1, 0, 0]
     eng = QueryEngine(str(tmp_path / "live"))
     assert eng.n_docs == 25
+
+
+def test_quiescence_window_skips_fresh_files(ray_session, tmp_path):
+    """A file modified within min_age_s (possibly mid-copy) must wait
+    for the next poll instead of being ingested truncated."""
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    fixtures.write_warc(os.path.join(watch, "a.warc"), 10, 0)
+    r = ingest.ingest_tick(
+        watch,
+        str(tmp_path / "work"),
+        str(tmp_path / "live"),
+        IndexConfig(**CFG),
+        min_age_s=60.0,
+    )
+    assert r["n_new"] == 0  # too fresh this tick
+    r = ingest.ingest_tick(
+        watch,
+        str(tmp_path / "work"),
+        str(tmp_path / "live"),
+        IndexConfig(**CFG),
+        min_age_s=0.0,
+    )
+    assert r["n_new"] == 1
+
+
+def test_cross_format_stem_collision_fails_loud(ray_session, tmp_path):
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    fixtures.write_warc(os.path.join(watch, "x.warc"), 5, 0)
+    fixtures.write_jsonl(os.path.join(watch, "x.jsonl"), 5, 10)
+    with pytest.raises(ValueError, match="basename stem"):
+        ingest.ingest_tick(
+            watch,
+            str(tmp_path / "work"),
+            str(tmp_path / "live"),
+            IndexConfig(**CFG),
+        )

@@ -177,8 +177,11 @@ def kmeans_dataset(
     distance computation runs ONLY for points whose bounds cross —
     identical assignments (the filter is exact), fewer distance kernels.
 
-    Returns (assignments, centroids, per-iter inertia/changed, stats)
-    where stats['dist_rows_computed'] / stats['rows_seen'] shows the
+    Returns (assignments, centroids, history, stats): ``history`` is
+    per-iteration INERTIA in the plain path and per-iteration MAX
+    CENTROID MOVEMENT in the yinyang path (skipped points have no exact
+    distance to fold into an inertia, and movement is the bound
+    signal); stats['dist_rows_computed'] / stats['rows_seen'] shows the
     skip rate under ``yinyang``."""
     from torchtrajectory_ray.pipelines.knn import _batch_matrix
 
@@ -369,6 +372,12 @@ def windowed_kmeans(
         return t.append_column("ts_us", pa.array(ts_of[ids], pa.int64()))
 
     stream = emb.map_batches(stamp, batch_format="pyarrow").materialize()
+    if not (ts_of >= 0).any():
+        # no event joins any embedding: an empty windowed result, not a
+        # reduction crash
+        return pd.DataFrame(
+            columns=["window_start_us", "cluster", "n"]
+        ).astype("int64")
     lo = int(ts_of[ts_of >= 0].min())
     hi = int(ts_of.max())
     start0 = lo - (lo % slide_us)
@@ -413,7 +422,9 @@ def kmeans_onestep(sf_dir: str, k: int = 8) -> pd.DataFrame:
         filter=pads.field("vec_id") < k,
     )
     order = np.argsort(seed_tbl["vec_id"].to_numpy())
-    centroids = _batch_matrix_seed(seed_tbl)[order]
+    from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+    centroids = _batch_matrix(seed_tbl)[order]
     if len(centroids) < k:
         raise ValueError(f"need vec_ids 0..{k-1} as seed centroids")
 
@@ -447,12 +458,6 @@ def kmeans_onestep(sf_dir: str, k: int = 8) -> pd.DataFrame:
         .sort_values("cluster")
         .reset_index(drop=True)
     )
-
-
-def _batch_matrix_seed(tbl: pa.Table) -> np.ndarray:
-    from torchtrajectory_ray.pipelines.knn import _batch_matrix
-
-    return _batch_matrix(tbl)
 
 
 def cluster_sizes(sf_dir: str, k: int = 8) -> pd.DataFrame:

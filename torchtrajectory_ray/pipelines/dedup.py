@@ -671,6 +671,7 @@ def _prefix_rows_task(
             "shingle": pa.array([], pa.string()),
             "doc_id": pa.array([], pa.int64()),
             "size": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
         }
     )
     if total == 0:

@@ -26,14 +26,25 @@ import time
 SOURCE_EXTS = (".warc", ".jsonl", ".parquet")
 
 
-def discover_sources(watch_dir: str) -> list[str]:
+def discover_sources(watch_dir: str, min_age_s: float = 2.0) -> list[str]:
     """Supported page files currently in the watch dir, sorted (the
-    ingest order — doc ids are deterministic given it)."""
+    ingest order — doc ids are deterministic given it).
+
+    ``min_age_s`` is the quiescence window: a file modified within it is
+    skipped this tick (it may still be mid-copy) and picked up on the
+    next poll.  The watch contract is APPEND-ONLY: sources must stop
+    changing once quiesced — mutating an already-ingested file is not
+    re-ingested (the manifest lineage marks its shard done) and leaves
+    the pages dir disagreeing with the live index."""
+    now = time.time()
     out = []
     for name in sorted(os.listdir(watch_dir)):
         p = os.path.join(watch_dir, name)
-        if os.path.isfile(p) and name.endswith(SOURCE_EXTS):
-            out.append(p)
+        if not (os.path.isfile(p) and name.endswith(SOURCE_EXTS)):
+            continue
+        if min_age_s > 0 and now - os.path.getmtime(p) < min_age_s:
+            continue  # possibly mid-copy — wait for quiescence
+        out.append(p)
     return out
 
 
@@ -83,18 +94,34 @@ def ingest_tick(
     cfg=None,
     *,
     bad_records: str = "drop",
+    min_age_s: float = 0.0,
 ) -> dict:
     """ONE micro-batch: discover → convert new files → build or extend.
 
     Returns {"n_new": int, "sources": [...], "generation": int}.
     Safe to re-run at any point: conversion skips finished shards and
     ``extend_index`` is idempotent for an exact re-run of the last
-    extension."""
+    extension.  Direct callers control arrival so ``min_age_s`` defaults
+    to 0; the polling daemon passes its quiescence window through."""
     from torchtrajectory_ray.config import IndexConfig
     from torchtrajectory_ray.pipelines.build import build_index, extend_index
 
     cfg = cfg or IndexConfig()
-    sources = discover_sources(watch_dir)
+    sources = discover_sources(watch_dir, min_age_s=min_age_s)
+    # one converted-shard name per source across ALL formats: x.warc and
+    # x.jsonl would both become pages-x.parquet and silently overwrite
+    # each other — fail loud instead
+    stems = [
+        os.path.splitext(os.path.basename(p))[0]
+        for p in sources
+        if not p.endswith(".parquet")
+    ]
+    dups = sorted({s for s in stems if stems.count(s) > 1})
+    if dups:
+        raise ValueError(
+            "watch dir holds sources in different formats sharing a "
+            f"basename stem (would overwrite each other's shards): {dups}"
+        )
     mapping = _convert(sources, os.path.join(work_dir, "pages"), bad_records)
     done = ingested_inputs(index_dir)
     new_shards = sorted(
@@ -132,15 +159,20 @@ def ingest_daemon(
     poll_s: float = 5.0,
     max_ticks: int | None = None,
     idle_stop_after: int | None = None,
+    min_age_s: float = 2.0,
     on_tick=None,
 ) -> list[dict]:
     """Poll ``watch_dir`` and ingest micro-batches until ``max_ticks``
     ticks have run or ``idle_stop_after`` consecutive empty ticks pass
-    (both None = run forever).  Returns the per-tick results."""
+    (both None = run forever).  ``min_age_s`` skips files modified
+    within the window (mid-copy protection).  Returns the per-tick
+    results."""
     results: list[dict] = []
     idle = 0
     while True:
-        res = ingest_tick(watch_dir, work_dir, index_dir, cfg)
+        res = ingest_tick(
+            watch_dir, work_dir, index_dir, cfg, min_age_s=min_age_s
+        )
         results.append(res)
         if on_tick is not None:
             on_tick(res)

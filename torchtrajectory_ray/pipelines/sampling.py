@@ -333,12 +333,26 @@ def export_shuffled(
             with open(path + ".ok.tmp", "w") as f:
                 f.write("ok")
             os.replace(path + ".ok.tmp", path + ".ok")
+    # empty_shards must survive RESUMED runs too: a previously-written
+    # empty shard sits in `done` and never reaches the groupby, so
+    # re-derive the set from the on-disk row counts (metadata-only reads)
+    empty_shards = sorted(
+        set(missing)
+        | {
+            s
+            for s in done
+            if pq.read_metadata(
+                os.path.join(out_dir, f"shard-{s:05d}.parquet")
+            ).num_rows
+            == 0
+        }
+    )
     manifest = {
         "seed": seed,
         "n_shards": n_shards,
         "columns": cols,
         "shards": [f"shard-{s:05d}.parquet" for s in range(n_shards)],
-        "empty_shards": sorted(missing),
+        "empty_shards": empty_shards,
         "skipped": int((res["rows"] < 0).sum()),
     }
     with open(manifest_path + ".tmp", "w") as f:
