@@ -235,6 +235,7 @@ class QueryEngine:
             )
         self._terms = d["term"].tolist()  # dictionary scan support (J5)
         self._terms_arr = None  # lazy numpy view for fuzzy scans
+        self._dictscan = None  # lazy trigram/prefix scan index (dictscan.py)
         self._df = dict(zip(d["term_id"], d["df"]))
         self._max_tf = dict(zip(d["term_id"], d["max_tf"]))
         self._min_dl = dict(zip(d["term_id"], d["min_dl"]))
@@ -1120,14 +1121,38 @@ class QueryEngine:
         full = self.topk(query, k=(page + 1) * k, **kw)
         return full[page * k :]
 
-    def regex_terms(self, pattern: str) -> list[str]:
-        """Dictionary scan by regular expression (FULL match), term-
-        ascending — the generalization of ``prefix_terms`` (same
-        NameEdgeIdLookup shape with a compiled-pattern comparator)."""
+    def _scan_index(self):
+        """Lazy sorted-dictionary + trigram index for pattern scans
+        (state/dictscan.py); built once per engine open, amortized over
+        every regex / wildcard / prefix / suggest query."""
+        if self._dictscan is None:
+            from torchtrajectory_ray.state.dictscan import DictScanIndex
+
+            self._dictscan = DictScanIndex(self._terms)
+        return self._dictscan
+
+    def _regex_terms_scan(self, pattern: str) -> list[str]:
+        """The naive full dictionary scan — the identity baseline the
+        accelerated path is tested against (and nothing else calls)."""
         import re
 
         rx = re.compile(pattern)
         return sorted(t for t in self._terms if rx.fullmatch(t))
+
+    def regex_terms(self, pattern: str) -> list[str]:
+        """Dictionary scan by regular expression (FULL match), term-
+        ascending — the generalization of ``prefix_terms`` (same
+        NameEdgeIdLookup shape with a compiled-pattern comparator).
+        Sub-linear: required literals extracted from the pattern prune
+        candidates via the trigram index / prefix bisect (LOSSLESS —
+        every candidate is still verified by the compiled pattern;
+        unanalyzable patterns full-scan), state/dictscan.py."""
+        import re
+
+        from torchtrajectory_ray.state.dictscan import analyze_regex
+
+        rx = re.compile(pattern)
+        return self._scan_index().scan_regex(rx, analyze_regex(pattern))
 
     def regex_or(self, pattern: str, **filt) -> np.ndarray:
         """OR query over every dictionary term fully matching ``pattern``."""
@@ -1140,11 +1165,16 @@ class QueryEngine:
         """Dictionary scan by shell-style wildcard (``*`` / ``?`` — the
         Lucene WildcardQuery analog of ``regex_terms``), term-ascending.
         The glob is translated once (``functions/text.py:glob_to_regex``,
-        shared verbatim with the SQL oracle) and routed through the
-        compiled-pattern comparator scan."""
-        from torchtrajectory_ray.functions.text import glob_to_regex
+        shared verbatim with the SQL oracle) for verification, while the
+        candidate pruning analyzes the GLOB itself (its literal runs are
+        exact by construction — state/dictscan.py:analyze_glob)."""
+        import re
 
-        return self.regex_terms(glob_to_regex(pattern))
+        from torchtrajectory_ray.functions.text import glob_to_regex
+        from torchtrajectory_ray.state.dictscan import analyze_glob
+
+        rx = re.compile(glob_to_regex(pattern))
+        return self._scan_index().scan_regex(rx, analyze_glob(pattern))
 
     def wildcard_or(self, pattern: str, **filt) -> np.ndarray:
         """OR query over every dictionary term matching the wildcard."""
@@ -1156,8 +1186,10 @@ class QueryEngine:
     def prefix_terms(self, prefix: str) -> list[str]:
         """Dictionary scan: all terms starting with ``prefix`` (the
         street-name→edge-ids dictionary lookup shape, Torch/base/db/
-        NameEdgeIdLookup.java:17-27 used by PathQuery.java:74-87)."""
-        return sorted(t for t in self._terms if t.startswith(prefix))
+        NameEdgeIdLookup.java:17-27 used by PathQuery.java:74-87).
+        One bisect range over the sorted dictionary — O(log V + hits),
+        the Lucene TermsEnum.seekCeil shape (state/dictscan.py)."""
+        return self._scan_index().scan_prefix(prefix)
 
     def prefix_or(self, prefix: str, **filt) -> np.ndarray:
         """OR query over every term matching a dictionary prefix."""
