@@ -160,8 +160,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_summary": clean.clean_corpus_summary,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "events_sessions": events.session_windows,
-        "events_sliding_hour": events.sliding_hour_agg,
-        "bpe_token_count": textstats.bpe_token_count,
+        # cardinality aggregation: exact COUNT(DISTINCT) per lang (one
+        # vocabulary-sized groupby), and its HyperLogLog sketch scale
+        # path (fixed 4 KiB registers per group, max-merge fold — the
+        # COUNT DISTINCT that still works when the vocabulary itself no
+        # longer fits a shuffle); the sketch entry is rows-only by
+        # nature (no SQL reproduces the register fold)
+        "distinct_terms": textstats.distinct_terms,
+        "cardinality_hll": textstats.cardinality_hll,
         # NEW r4 gates: deterministic reductions of the rows-only /
         # media operators (LSH recall on the identical-text subset; one
         # fixed Lloyd assignment; planted-duplicate media discovery —
@@ -181,6 +187,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle gates that the pruned probe loses NOTHING
         "knn_ivf_exact": knn.knn_ivf_exact,
         # ---------------- end of the driver's 50-key window ----------------
+        # (driver-green in r1/r2, rotated out to make window room for the
+        # round-4 cardinality gates; their oracles still run in
+        # test_driver_gate.py every session)
+        "events_sliding_hour": events.sliding_hour_agg,
+        "bpe_token_count": textstats.bpe_token_count,
         "events_tumbling_hour": events.tumbling_hour_agg,
         # --- inverted-index core (SURVEY.md §2.1/2.5/2.6/2.7) ---
         "topk_bm25_pos": corpus.topk_bm25_pos,    # BM25 off the positional index
@@ -1187,6 +1198,10 @@ GROUP BY m.query_id, doclen_bucket""",
 SELECT term, count(*)::BIGINT AS df
 FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents)
 GROUP BY term""",
+        "distinct_terms": f"""
+SELECT lang, count(DISTINCT term)::BIGINT AS n_terms
+FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
+GROUP BY lang""",
         "postings_flat": f"""
 SELECT term, doc_id, count(*)::BIGINT AS tf
 FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)

@@ -660,3 +660,128 @@ def length_deciles(sf_dir: str) -> ray.data.Dataset:
         )
 
     return lens_ds().map_batches(assign, batch_format="pyarrow")
+
+
+# --- cardinality aggregation (COUNT DISTINCT, exact + sketch) ---------------
+
+
+def _lang_term_pairs(batch: pa.Table) -> pa.Table:
+    """Distinct (lang, term) pairs of ONE batch — the dedup-before-shuffle
+    combiner: only distinct pairs enter the exchange, exactly like the
+    index build's per-batch tf combine (stages/postings.py)."""
+    import itertools
+
+    texts = batch["text"].to_pylist()
+    tok_lists = [t.split(" ") for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    total = int(counts.sum())
+    flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+    lang_codes, lang_uniq = pd.factorize(
+        np.asarray(batch["lang"].to_pylist(), dtype=object), sort=False
+    )
+    tok_lang = np.repeat(lang_codes, counts)
+    term_codes, term_uniq = pd.factorize(flat, sort=False)
+    key = tok_lang.astype(np.int64) * len(term_uniq) + term_codes
+    uk = np.unique(key)
+    return pa.table(
+        {
+            "lang": pa.array(lang_uniq[uk // len(term_uniq)], pa.string()),
+            "term": pa.array(term_uniq[uk % len(term_uniq)], pa.string()),
+        }
+    )
+
+
+def distinct_terms(sf_dir: str) -> pd.DataFrame:
+    """lang, n_terms — EXACT per-language distinct-token counts (the
+    cardinality aggregation; ES ``cardinality`` at exact precision / SQL
+    COUNT(DISTINCT)).  Exchange economy: each batch ships only its
+    DISTINCT (lang, term) pairs into ONE (lang, term) groupby (the same
+    vocabulary-sized shuffle the dictionary build A8 already pays), then
+    per-block partial counts per lang feed a lang-sized groupby — the
+    driver never sees a vocabulary-sized table.  The sketch counterpart
+    for vocabularies too large to shuffle is ``cardinality_hll``."""
+    from ray.data.aggregate import Sum
+
+    pairs = _read_docs(sf_dir, ["text", "lang"]).map_batches(
+        _lang_term_pairs, batch_format="pyarrow"
+    )
+    deduped = pairs.groupby(["lang", "term"]).count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs, counts = np.unique(
+            np.asarray(batch["lang"].to_pylist(), dtype=object),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_terms": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        deduped.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_terms", alias_name="n_terms"))
+        .to_pandas()
+    )
+    out["n_terms"] = out["n_terms"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def cardinality_hll(sf_dir: str, p: int | None = None) -> pd.DataFrame:
+    """lang, n_terms_est — per-language distinct-token ESTIMATES from a
+    HyperLogLog sketch (functions/hll.py; Flajolet et al. 2007).  The
+    100-TB cardinality path: every batch folds its distinct terms into
+    fixed 2^p-byte per-lang registers, per-block partials return
+    O(blocks × langs × 2^p) bytes to an element-wise max fold — no
+    vocabulary-sized exchange anywhere, and the max-merge makes the
+    estimate independent of batch boundaries / parallelism / retries.
+    Deterministic (blake2b term hashes), so the estimate is a pure
+    function of the distinct-term set; rel. std error 1.04/sqrt(2^p)
+    (~1.6 % at the default p=12)."""
+    from torchtrajectory_ray.functions.hll import (
+        DEFAULT_P,
+        hll_add_hashes,
+        hll_estimate,
+        hll_init,
+        hll_merge,
+    )
+    from torchtrajectory_ray.functions.text import term_hash
+
+    p = DEFAULT_P if p is None else int(p)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pairs = _lang_term_pairs(batch)
+        langs = np.asarray(pairs["lang"].to_pylist(), dtype=object)
+        terms = pairs["term"].to_pylist()
+        hashes = np.fromiter(
+            (term_hash(t) for t in terms), np.uint64, len(terms)
+        )
+        rows = []
+        for lang in np.unique(langs):
+            regs = hll_init(p)
+            hll_add_hashes(regs, hashes[langs == lang])
+            rows.append({"lang": str(lang), "regs": regs.tobytes()})
+        return pd.DataFrame(rows)
+
+    parts = (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged: dict[str, np.ndarray] = {}
+    for lang, blob in zip(parts["lang"], parts["regs"]):
+        regs = np.frombuffer(blob, dtype=np.uint8)
+        merged[lang] = (
+            hll_merge(merged[lang], regs) if lang in merged else regs
+        )
+    out = pd.DataFrame(
+        {
+            "lang": sorted(merged),
+            "n_terms_est": [
+                round(hll_estimate(merged[g]), 6) for g in sorted(merged)
+            ],
+        }
+    )
+    return out
