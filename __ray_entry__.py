@@ -176,17 +176,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # them from pixels / PCM samples)
         "image_dhash_dups": media.image_dhash_dups,
         "audio_fp_dups": media.audio_fp_dups,
+        "video_dhash_dups": media.video_dhash_dups,
         "minhash_recall": dedup.minhash_recall_pairs,
         "simhash_recall": dedup.simhash_recall_pairs,
         "kmeans_onestep": clustering.kmeans_onestep,
         "explain_topk": corpus.explain_topk,      # Lucene explain() decomposition
         "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
         "pricing_summary": analytics.pricing_summary,
-        "nation_customer_stats": analytics.nation_customer_stats,
         # exact ANN with branch-and-bound termination: the bruteforce
         # oracle gates that the pruned probe loses NOTHING
         "knn_ivf_exact": knn.knn_ivf_exact,
         # ---------------- end of the driver's 50-key window ----------------
+        # (driver-green in r1/r2, rotated out for the video-dedup gate)
+        "nation_customer_stats": analytics.nation_customer_stats,
         # (driver-green in r1/r2, rotated out to make window room for the
         # round-4 cardinality gates; their oracles still run in
         # test_driver_gate.py every session)
@@ -1512,6 +1514,7 @@ FROM documents GROUP BY text""",
         # (dhash banding resp. MFCC-lite fingerprint banding)
         "image_dhash_dups": _planted_pairs_sql(1000, "PLANTED_IMAGE_DUPS"),
         "audio_fp_dups": _planted_pairs_sql(2000, "PLANTED_AUDIO_DUPS"),
+        "video_dhash_dups": _planted_pairs_sql(3000, "PLANTED_VIDEO_DUPS"),
         # one fixed Lloyd assignment (centroid c = embedding of vec_id c)
         # — the SQL-expressible projection of the k-means machinery
         "kmeans_onestep": """

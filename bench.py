@@ -424,6 +424,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())
+    timed("video_dhash_dups", lambda: media.video_dhash_dups())
 
     from torchtrajectory_ray.pipelines import clean, embed
 

@@ -155,6 +155,66 @@ def audio_corpus(num_files: int = 4) -> list[str]:
     return paths
 
 
+PLANTED_VIDEO_DUPS = 24  # video i and 3000+i are planted near-dups
+_N_VIDEOS = 150
+
+
+def video_corpus(num_files: int = 4) -> list[str]:
+    """Deterministic video corpus (the fake frame-stack container —
+    decode is format plumbing, the SIGNATURE math is real) with planted
+    near-duplicates: video ``3000+i`` is video ``i`` with a uniform +1
+    brightness shift on every frame and one corner pixel of frame 0
+    saturated (per-frame dHash monotone invariance + the majority fold
+    absorbing the single-frame edit) for i < PLANTED_VIDEO_DUPS."""
+    import struct
+
+    import pyarrow as pa
+
+    from torchtrajectory_ray.stages.multimodal import (
+        MAGIC,
+        decode_payload,
+        encode_fake_video,
+    )
+
+    out_dir = os.path.join(CACHE_ROOT, f"videodup-v1-{_N_VIDEOS}-{num_files}")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [
+        os.path.join(out_dir, f"vid-{i:04d}.parquet") for i in range(num_files)
+    ]
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return paths
+    ids, payloads = [], []
+    for i in range(_N_VIDEOS):
+        ids.append(i)
+        payloads.append(
+            encode_fake_video(i, 8 + i % 5, 12 + i % 5, 10 + i % 4)
+        )
+    for i in range(PLANTED_VIDEO_DUPS):
+        _, frames = decode_payload(payloads[i])
+        pert = np.minimum(frames.astype(np.int32) + 1, 255).astype(np.uint8)
+        pert[0, 0, 0] = 255
+        f, h, w = pert.shape
+        ids.append(3000 + i)
+        payloads.append(
+            MAGIC + b"V" + struct.pack("<HHB", h, w, 1)
+            + struct.pack("<H", f) + pert.tobytes()
+        )
+    tbl = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        }
+    )
+    per = -(-tbl.num_rows // num_files)
+    for i, p in enumerate(paths):
+        pq.write_table(tbl.slice(i * per, per), p + ".tmp")
+        os.replace(p + ".tmp", p)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
 def _hash_band_pairs(
     rows: "ray.data.Dataset", max_hamming: int
 ) -> pd.DataFrame:
@@ -342,6 +402,54 @@ def audio_fp_dups(sf_dir: str | None = None) -> pd.DataFrame:
         hash_batch, batch_format="pyarrow", batch_size=32
     )
     pairs = _hash_band_pairs(rows, max_hamming=2)
+    return pairs[["doc_a", "doc_b"]].reset_index(drop=True)
+
+
+def video_dhash_dups(
+    sf_dir: str | None = None,
+    frame_stride: int = 2,
+    max_hamming: int = 3,
+) -> pd.DataFrame:
+    """(doc_a, doc_b) video near-dup pairs over the planted corpus:
+    actor-pool decode → frame-sample (every ``frame_stride``-th frame)
+    → per-frame dhash64 → per-bit majority fold
+    (multimodal.video_signature64) → banded pigeonhole pairs → hamming
+    verify.  Ground truth (i, 3000+i) is the deterministic oracle; the
+    pipeline must REDISCOVER it from the decoded frame stacks.
+    ``sf_dir`` accepted per the driver contract (media is synthesized,
+    not an sf table)."""
+    import pyarrow as pa
+
+    from torchtrajectory_ray.stages.multimodal import (
+        decode_payload,
+        video_signature64,
+    )
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for mid, payload in zip(
+            t["media_id"].to_pylist(), t["payload"].to_pylist()
+        ):
+            _, frames = decode_payload(payload)
+            ids.append(mid)
+            hs.append(
+                int(
+                    np.uint64(
+                        video_signature64(frames, frame_stride)
+                    ).astype(np.int64)
+                )
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "hash64": pa.array(hs, pa.int64()),
+            }
+        )
+
+    rows = ray.data.read_parquet(video_corpus()).map_batches(
+        hash_batch, batch_format="pyarrow", batch_size=32
+    )
+    pairs = _hash_band_pairs(rows, max_hamming)
     return pairs[["doc_a", "doc_b"]].reset_index(drop=True)
 
 

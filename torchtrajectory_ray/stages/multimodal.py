@@ -212,6 +212,23 @@ def dhash64(img: np.ndarray) -> int:
     )
 
 
+def video_signature64(frames: np.ndarray, frame_stride: int = 2) -> int:
+    """Temporal near-dup signature of a video: sample every
+    ``frame_stride``-th frame (the frame-sample stage), dhash64 each,
+    then per-bit MAJORITY across the sampled frame hashes (strict —
+    ties fall to 0).  Brightness/contrast shifts leave every per-frame
+    dHash unchanged (monotone-map invariance), and an edit to one frame
+    can only move bits whose cross-frame vote was pivotal, so the fold
+    absorbs single-frame perturbations — the video analog of dhash64's
+    role for crawl images."""
+    step = max(1, int(frame_stride))
+    sampled = frames[::step]
+    hs = np.asarray([dhash64(f) for f in sampled], dtype=np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    maj = bits.sum(axis=0) * 2 > len(hs)
+    return int(np.sum(maj.astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+
+
 def audio_fingerprint64(samples: np.ndarray, n_frames: int = 17, n_bands: int = 4) -> int:
     """MFCC-lite fingerprint of a PCM clip: frame → |rfft| → band
     log-energies → one bit per (frame-delta × band) energy-increase sign
