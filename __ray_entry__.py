@@ -182,12 +182,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_onestep": clustering.kmeans_onestep,
         "explain_topk": corpus.explain_topk,      # Lucene explain() decomposition
         "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
-        "pricing_summary": analytics.pricing_summary,
+        # heavy hitters WITHOUT a vocabulary shuffle: Misra-Gries block
+        # summaries (O(blocks×m) exchange) + exact counting pass over
+        # the O(m) candidates — provably-exact top-k, fail-loud when the
+        # deficit bound can't prove it
+        "heavy_terms": textstats.heavy_terms,
         # exact ANN with branch-and-bound termination: the bruteforce
         # oracle gates that the pruned probe loses NOTHING
         "knn_ivf_exact": knn.knn_ivf_exact,
         # ---------------- end of the driver's 50-key window ----------------
-        # (driver-green in r1/r2, rotated out for the video-dedup gate)
+        # (driver-green in r1/r2, rotated out for the round-4 gates)
+        "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
         # (driver-green in r1/r2, rotated out to make window room for the
         # round-4 cardinality gates; their oracles still run in
@@ -1204,6 +1209,12 @@ GROUP BY term""",
 SELECT lang, count(DISTINCT term)::BIGINT AS n_terms
 FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
 GROUP BY lang""",
+        "heavy_terms": f"""
+SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS rank, term, n
+FROM (SELECT term, count(*)::BIGINT AS n
+      FROM (SELECT unnest({_TOKS}) AS term FROM documents)
+      GROUP BY term)
+QUALIFY rank <= 20""",
         "postings_flat": f"""
 SELECT term, doc_id, count(*)::BIGINT AS tf
 FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)

@@ -785,3 +785,107 @@ def cardinality_hll(sf_dir: str, p: int | None = None) -> pd.DataFrame:
         }
     )
     return out
+
+
+def heavy_terms(sf_dir: str, k: int = 20, m: int = 4096) -> pd.DataFrame:
+    """rank, term, n — EXACT corpus-wide top-``k`` terms by occurrence
+    count, computed WITHOUT a vocabulary-sized shuffle (the heavy-hitter
+    path for corpora whose vocabulary no longer fits an exchange):
+
+    1. each block reduces to a Misra-Gries summary of at most ``m``
+       (term, count) rows (functions/heavyhitters.py) — the exchange is
+       O(blocks × m) regardless of vocabulary;
+    2. the driver folds the summaries, accumulating the universal
+       ``deficit`` bound (any dropped term's true count <= deficit);
+    3. ONE exact counting pass restricted to the O(m) candidate set
+       (broadcast sorted array, searchsorted membership per batch)
+       recovers exact counts — sketch-then-verify, the same
+       candidate-then-verify discipline as WAND and the trigram scans.
+
+    Exactness is CHECKED, not hoped: if the k-th candidate's exact count
+    does not strictly dominate the deficit, no proof exists that a
+    dropped term couldn't rank — fail loud with the m to retry with."""
+    import ray as _ray
+
+    from torchtrajectory_ray.functions.heavyhitters import mg_fold, mg_summary
+
+    def summarize(batch: pa.Table) -> pd.DataFrame:
+        import itertools
+
+        texts = batch["text"].to_pylist()
+        tok_lists = [t.split(" ") for t in texts]
+        total = sum(len(t) for t in tok_lists)
+        flat = np.fromiter(
+            itertools.chain.from_iterable(tok_lists), object, total
+        )
+        terms, counts = np.unique(flat, return_counts=True)
+        s, d = mg_summary(terms, counts, m)
+        return pd.DataFrame(
+            [{
+                "terms": list(s.keys()),
+                "counts": [int(v) for v in s.values()],
+                "d": int(d),
+            }]
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(summarize, batch_format="pyarrow")
+        .to_pandas()
+    )
+    summaries = [
+        dict(zip(ts, cs)) for ts, cs in zip(parts["terms"], parts["counts"])
+    ]
+    acc, deficit = mg_fold(summaries, m)
+    deficit += int(parts["d"].sum())
+    if not acc:
+        # near-uniform counts at a too-small m can cancel EVERY counter:
+        # nothing is provable, and there is nothing to verify
+        raise ValueError(
+            "heavy_terms: the summary fold cancelled every counter "
+            f"(deficit {deficit}); retry with m > {m}"
+        )
+    cand = np.sort(np.asarray(list(acc), dtype=object))
+    ref = _ray.put(cand)
+
+    def count_cand(batch: pa.Table) -> pd.DataFrame:
+        import itertools
+
+        c = _ray.get(ref)
+        texts = batch["text"].to_pylist()
+        tok_lists = [t.split(" ") for t in texts]
+        total = sum(len(t) for t in tok_lists)
+        flat = np.fromiter(
+            itertools.chain.from_iterable(tok_lists), object, total
+        )
+        terms, counts = np.unique(flat, return_counts=True)
+        idx = np.searchsorted(c, terms)
+        idx[idx >= len(c)] = 0
+        mask = c[idx] == terms
+        return pd.DataFrame(
+            {"term": terms[mask], "n": counts[mask].astype(np.int64)}
+        )
+
+    exact = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(count_cand, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term")["n"]
+        .sum()
+        .reset_index()
+        .sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    top = exact.head(k)
+    if deficit > 0 and (
+        len(exact) < k or int(top["n"].iloc[-1]) <= deficit
+    ):
+        raise ValueError(
+            f"heavy_terms: cannot prove exactness of the top-{k} "
+            f"(k-th candidate count {int(top['n'].iloc[-1]) if len(top) else 0}"
+            f" <= deficit {deficit}); retry with m > {m}"
+        )
+    out = top.copy()
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
