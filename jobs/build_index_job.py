@@ -37,7 +37,7 @@ def main() -> None:
     ap.add_argument("--input", default="", help="glob of raw-pages parquet files (unused with --compact-from)")
     ap.add_argument(
         "--input-format",
-        choices=["parquet", "warc", "jsonl"],
+        choices=["parquet", "warc", "jsonl", "csv"],
         default="parquet",
         help="warc/jsonl inputs are first converted to canonical pages "
         "shards under OUT/ingest/ (one resumable task per file), then "
@@ -160,6 +160,12 @@ def main() -> None:
             from torchtrajectory_ray.sources.warc import warc_to_parquet
 
             paths = warc_to_parquet(
+                paths, ingest_dir, bad_records=args.bad_rows
+            )
+        elif args.input_format == "csv":
+            from torchtrajectory_ray.sources.csvsrc import csv_to_parquet
+
+            paths = csv_to_parquet(
                 paths, ingest_dir, bad_records=args.bad_rows
             )
         else:

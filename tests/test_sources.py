@@ -160,3 +160,70 @@ def test_naive_timestamps_are_utc():
     assert _parse_warc_date("2024-01-01T09:00:00+09:00") == _parse_warc_date(
         "2024-01-01T00:00:00Z"
     )
+
+
+def test_csv_ingest_build_matches_parquet_build(ray_session, tmp_path):
+    from torchtrajectory_ray.sources.csvsrc import csv_to_parquet
+
+    c1 = fixtures.write_csv(str(tmp_path / "a.csv"), N // 2, 0)
+    c2 = fixtures.write_csv(
+        str(tmp_path / "b.tsv.gz"),
+        N - N // 2,
+        N // 2,
+        delimiter="\t",
+        gzipped=True,
+    )
+    shards = csv_to_parquet([c1, c2], str(tmp_path / "pages"))
+    # byte-identity: ingested text per url == the canonical corpus text
+    got = pq.read_table(shards[0]).to_pydict()
+    want = fixtures.webpages_table(N // 2).to_pydict()
+    by_url = dict(zip(want["url"], want["text"]))
+    assert all(by_url[u] == t for u, t in zip(got["url"], got["text"]))
+    d = str(tmp_path / "idx-csv")
+    build_index(shards, d, IndexConfig(**CFG))
+    eng = QueryEngine(d)
+    ref = _reference_engine(tmp_path)
+    for q in QUERIES:
+        res = ref.topk(q, k=10)
+        assert res, q
+        assert eng.topk(q, k=10) == res, q
+
+
+def test_csv_text_only_bad_rows_and_resume(ray_session, tmp_path):
+    from torchtrajectory_ray.sources.csvsrc import csv_to_parquet
+
+    p = str(tmp_path / "x.csv")
+    fixtures.write_csv(p, 30, 0, with_html=False)
+    with open(p, "a") as f:
+        f.write(",missing-url-text,,\n")  # empty url → malformed
+    with pytest.raises(Exception):
+        csv_to_parquet([p], str(tmp_path / "p1"))
+    shards = csv_to_parquet([p], str(tmp_path / "p2"), bad_records="drop")
+    t = pq.read_table(shards[0])
+    assert t.num_rows == 30 and "html" not in t.column_names
+    import json as _json
+
+    side = _json.load(open(shards[0] + ".src.json"))
+    assert side["n_bad"] == 1  # dropped rows are COUNTED, not silent
+    d = str(tmp_path / "idx")
+    build_index(shards, d, IndexConfig(**CFG))
+    assert QueryEngine(d).topk(["w0000"], k=5)
+    # resume: a rerun must skip the finished shard (file untouched)
+    mtime = os.path.getmtime(shards[0])
+    csv_to_parquet([p], str(tmp_path / "p2"), bad_records="drop")
+    assert os.path.getmtime(shards[0]) == mtime
+
+
+def test_csv_header_and_mixed_html_fail_loud(ray_session, tmp_path):
+    from torchtrajectory_ray.sources.csvsrc import csv_to_parquet
+
+    p = str(tmp_path / "h.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,2\n")
+    with pytest.raises(Exception, match="required columns"):
+        csv_to_parquet([p], str(tmp_path / "p1"))
+    m = str(tmp_path / "m.csv")
+    with open(m, "w") as f:
+        f.write("url,text,html_b64\nhttps://x/1,hello,aGk=\nhttps://x/2,bye,\n")
+    with pytest.raises(Exception, match="mixed html"):
+        csv_to_parquet([m], str(tmp_path / "p2"))

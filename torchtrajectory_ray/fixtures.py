@@ -256,3 +256,46 @@ def write_jsonl(
             f.write(_json.dumps(rec) + "\n")
     os.replace(out_path + ".tmp", out_path)
     return out_path
+
+
+def write_csv(
+    out_path: str,
+    n_docs: int,
+    start: int = 0,
+    *,
+    with_html: bool = True,
+    delimiter: str = ",",
+    gzipped: bool = False,
+) -> str:
+    """The deterministic corpus rows as CSV/TSV (html base64 in an
+    ``html_b64`` column when ``with_html``), for ``sources.csvsrc``."""
+    import base64
+    import csv as _csv
+    import gzip as _gzip
+    import io as _io
+
+    tbl = webpages_table(n_docs, start)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    buf = _io.StringIO()
+    fields = ["url", "warc_ts", "text", "lang"] + (
+        ["html_b64"] if with_html else []
+    )
+    w = _csv.DictWriter(buf, fieldnames=fields, delimiter=delimiter)
+    w.writeheader()
+    for i in range(tbl.num_rows):
+        rec = {
+            "url": tbl["url"][i].as_py(),
+            "warc_ts": tbl["warc_ts"][i].value,
+            "text": tbl["text"][i].as_py(),
+            "lang": tbl["lang"][i].as_py(),
+        }
+        if with_html:
+            rec["html_b64"] = base64.b64encode(tbl["html"][i].as_py()).decode()
+        w.writerow(rec)
+    data = buf.getvalue().encode("utf-8")
+    if gzipped:
+        data = _gzip.compress(data)
+    with open(out_path + ".tmp", "wb") as f:
+        f.write(data)
+    os.replace(out_path + ".tmp", out_path)
+    return out_path
