@@ -118,3 +118,16 @@ def test_cardinality_hll_tracks_exact_and_is_deterministic(ray_session):
     for lang, e in zip(est["lang"], est["n_terms_est"]):
         # tiny vocab => linear-counting regime, near exact
         assert abs(e / exact[lang] - 1.0) < 0.05, (lang, e, exact[lang])
+
+
+def test_hll_rho_exact_near_power_of_two():
+    # review regression: floor(log2) overstated bit_length for w just
+    # below 2^k (k >= 49); frexp must give the exact rho
+    p = DEFAULT_P
+    suffix_bits = 63 - p
+    for w in (2**50 - 1, 2**49 - 1, 2**50, 1, 2**51 - 1):
+        h = np.asarray([(w << p) | 5], dtype=np.uint64)
+        regs = hll_init(p)
+        hll_add_hashes(regs, h)
+        expected = suffix_bits - int(w).bit_length() + 1
+        assert int(regs[5]) == expected, (w, int(regs[5]), expected)

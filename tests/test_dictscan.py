@@ -178,3 +178,25 @@ def test_engine_scans_match_naive_on_gate_index(ray_session):
         assert eng.prefix_terms(prefix) == sorted(
             t for t in eng._terms if t.startswith(prefix)
         ), prefix
+
+
+def test_regex_escape_classes_are_sound(vocab_index):
+    # review regression: \x41-style multi-char escapes and \t must NOT be
+    # treated as "literal next char" — the planner either understands the
+    # escape or bails, never claims a wrong literal
+    vocab = ["abc", "a\tb", "x61bc", "tab"]
+    idx = DictScanIndex(vocab)
+    for pat in (r"\x61bc", r"a\tb", r"\N{BULLET}?abc", r"a\x20*b"):
+        rx = re.compile(pat)
+        assert idx.scan_regex(rx, analyze_regex(pat)) == _naive(vocab, rx), pat
+
+
+def test_prefix_range_handles_max_code_point():
+    hi_char = chr(0x10FFFF)
+    vocab = ["ab", "abc", f"ab{hi_char}", f"ab{hi_char}x", hi_char]
+    idx = DictScanIndex(vocab)
+    assert idx.scan_prefix("ab") == sorted(
+        t for t in vocab if t.startswith("ab")
+    )
+    assert idx.scan_prefix(hi_char) == [hi_char]
+    assert idx.scan_prefix("") == sorted(vocab)

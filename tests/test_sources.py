@@ -227,3 +227,28 @@ def test_csv_header_and_mixed_html_fail_loud(ray_session, tmp_path):
         f.write("url,text,html_b64\nhttps://x/1,hello,aGk=\nhttps://x/2,bye,\n")
     with pytest.raises(Exception, match="mixed html"):
         csv_to_parquet([m], str(tmp_path / "p2"))
+
+
+def test_csv_huge_field_and_mixed_extension_collision(ray_session, tmp_path):
+    from torchtrajectory_ray.sources.csvsrc import csv_to_parquet
+
+    # review regression 1: a >128 KiB cell (real html base64) must not
+    # trip stdlib csv's default field_size_limit
+    import base64
+
+    big = base64.b64encode(b"<html>" + b"x" * 200_000 + b"</html>").decode()
+    p = str(tmp_path / "big.csv")
+    with open(p, "w") as f:
+        f.write("url,text,html_b64\n")
+        f.write(f"https://x/1,hello world,{big}\n")
+    shards = csv_to_parquet([p], str(tmp_path / "out"))
+    t = pq.read_table(shards[0])
+    assert t.num_rows == 1 and len(t["html"][0].as_py()) > 200_000
+    # review regression 2: a.tsv.gz and a.csv.gz map to the same shard
+    # stem — must fail loud upfront, not silently overwrite
+    a = str(tmp_path / "a.tsv.gz")
+    b = str(tmp_path / "a.csv.gz")
+    fixtures.write_csv(a, 3, 0, delimiter="\t", gzipped=True)
+    fixtures.write_csv(b, 3, 0, gzipped=True)
+    with pytest.raises(ValueError, match="unique shard names"):
+        csv_to_parquet([a, b], str(tmp_path / "out2"))

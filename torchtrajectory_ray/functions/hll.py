@@ -42,11 +42,13 @@ def hll_add_hashes(regs: np.ndarray, hashes: np.ndarray) -> None:
     idx = (h & np.uint64(regs.size - 1)).astype(np.int64)
     w = h >> np.uint64(p)  # 63-p significant bits
     suffix_bits = _HASH_BITS - p
-    # bit_length via log2: w < 2^51 is exactly representable in float64,
-    # so floor(log2(w)) is exact for every nonzero w
+    # bit_length via frexp: w < 2^53 converts to float64 exactly and
+    # frexp returns the EXACT binary exponent (value = m·2^e, 0.5<=m<1,
+    # so e == bit_length).  floor(log2(w)) is NOT safe here — for w just
+    # below 2^k (k >= 49) log2 rounds up to k and overstates the length.
     bl = np.zeros(w.size, dtype=np.int64)
     nz = w > 0
-    bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    bl[nz] = np.frexp(w[nz].astype(np.float64))[1].astype(np.int64)
     rho = (suffix_bits - bl + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rho)
 

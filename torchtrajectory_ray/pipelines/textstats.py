@@ -665,17 +665,27 @@ def length_deciles(sf_dir: str) -> ray.data.Dataset:
 # --- cardinality aggregation (COUNT DISTINCT, exact + sketch) ---------------
 
 
+def _flat_tokens(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token array, per-doc token counts) for one batch — the ONE
+    tokenize-and-flatten used by every cardinality/heavy-hitter stage,
+    so the sketch pass and the exact-verify pass can never count a
+    different token stream (that would silently void the deficit
+    proof)."""
+    import itertools
+
+    tok_lists = [t.split(" ") for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    flat = np.fromiter(
+        itertools.chain.from_iterable(tok_lists), object, int(counts.sum())
+    )
+    return flat, counts
+
+
 def _lang_term_pairs(batch: pa.Table) -> pa.Table:
     """Distinct (lang, term) pairs of ONE batch — the dedup-before-shuffle
     combiner: only distinct pairs enter the exchange, exactly like the
     index build's per-batch tf combine (stages/postings.py)."""
-    import itertools
-
-    texts = batch["text"].to_pylist()
-    tok_lists = [t.split(" ") for t in texts]
-    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
-    total = int(counts.sum())
-    flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+    flat, counts = _flat_tokens(batch["text"].to_pylist())
     lang_codes, lang_uniq = pd.factorize(
         np.asarray(batch["lang"].to_pylist(), dtype=object), sort=False
     )
@@ -810,14 +820,7 @@ def heavy_terms(sf_dir: str, k: int = 20, m: int = 4096) -> pd.DataFrame:
     from torchtrajectory_ray.functions.heavyhitters import mg_fold, mg_summary
 
     def summarize(batch: pa.Table) -> pd.DataFrame:
-        import itertools
-
-        texts = batch["text"].to_pylist()
-        tok_lists = [t.split(" ") for t in texts]
-        total = sum(len(t) for t in tok_lists)
-        flat = np.fromiter(
-            itertools.chain.from_iterable(tok_lists), object, total
-        )
+        flat, _ = _flat_tokens(batch["text"].to_pylist())
         terms, counts = np.unique(flat, return_counts=True)
         s, d = mg_summary(terms, counts, m)
         return pd.DataFrame(
@@ -849,15 +852,8 @@ def heavy_terms(sf_dir: str, k: int = 20, m: int = 4096) -> pd.DataFrame:
     ref = _ray.put(cand)
 
     def count_cand(batch: pa.Table) -> pd.DataFrame:
-        import itertools
-
         c = _ray.get(ref)
-        texts = batch["text"].to_pylist()
-        tok_lists = [t.split(" ") for t in texts]
-        total = sum(len(t) for t in tok_lists)
-        flat = np.fromiter(
-            itertools.chain.from_iterable(tok_lists), object, total
-        )
+        flat, _ = _flat_tokens(batch["text"].to_pylist())
         terms, counts = np.unique(flat, return_counts=True)
         idx = np.searchsorted(c, terms)
         idx[idx >= len(c)] = 0

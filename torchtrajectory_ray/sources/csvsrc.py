@@ -44,6 +44,16 @@ def _parse_ts_str(v: str | None) -> int:
     return _parse_ts(s)
 
 
+def _csv_stem(path: str) -> str:
+    """Output shard stem for one input file — the suffix is derived PER
+    FILE (mixed .csv/.tsv inputs are allowed), so the uniqueness check
+    and the task must share this exact function."""
+    from torchtrajectory_ray.sources.warc import shard_stem
+
+    suffix = ".tsv" if ".tsv" in os.path.basename(path) else ".csv"
+    return shard_stem(path, suffix)
+
+
 def _delim_for(path: str, delimiter: str | None) -> str:
     if delimiter is not None:
         return delimiter
@@ -59,13 +69,16 @@ class _CsvShardTask:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from torchtrajectory_ray.pipelines.textstats import LangId
-        from torchtrajectory_ray.sources.warc import shard_stem
 
+        # stdlib csv caps fields at 128 KiB by default; a real page's
+        # base64 html routinely exceeds that, and the limit error is
+        # raised by the reader itself (outside any per-row policy) —
+        # lift it once per worker like WARC/JSONL, which have no cap
+        csv.field_size_limit(2**31 - 1)
         lang_of = LangId()
         rows = []
         for path in batch["path"]:
-            suffix = ".tsv" if ".tsv" in os.path.basename(path) else ".csv"
-            stem = shard_stem(path, suffix)
+            stem = _csv_stem(path)
             out = os.path.join(self.out_dir, f"pages-{stem}.parquet")
             sidecar = out + ".src.json"
             st = os.stat(path)
@@ -161,10 +174,15 @@ def csv_to_parquet(
     per file, resumable); returns the shard paths, build_index-ready."""
     import ray.data
 
-    from torchtrajectory_ray.sources.warc import check_unique_outputs
-
-    suffix = ".tsv" if all(".tsv" in os.path.basename(p) for p in csv_paths) else ".csv"
-    check_unique_outputs(list(csv_paths), suffix)
+    # per-file stems, the SAME derivation the shard task uses — a global
+    # suffix would miss a.tsv.gz vs a.csv.gz colliding on pages-a.parquet
+    stems = [_csv_stem(p) for p in csv_paths]
+    dups = sorted({s for s in stems if stems.count(s) > 1})
+    if dups:
+        raise ValueError(
+            f"input files must map to unique shard names; duplicates: {dups} "
+            "(rename the inputs — shards are named by basename stem)"
+        )
     os.makedirs(out_dir, exist_ok=True)
     res = (
         ray.data.from_pandas(pd.DataFrame({"path": sorted(csv_paths)}))

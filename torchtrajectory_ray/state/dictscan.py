@@ -82,8 +82,16 @@ def analyze_glob(pattern: str) -> PatternPlan:
     return PatternPlan(prefix, tuple(runs), True)
 
 
-# regex metacharacters whose escape is a plain literal (re.escape output)
-_CLASS_SHORTHAND = set("dDsSwWbBAZ0123456789")
+# Escape handling must be exact or absent: an escaped NON-alphanumeric
+# is a plain literal (the re.escape output shape); the named control
+# escapes map to their one known character; the class shorthands /
+# anchors match unknown text and just break the run.  EVERY other
+# alphanumeric escape (\x41, A, \N{...}, backrefs \1) consumes a
+# variable number of FOLLOWING characters this scanner does not parse —
+# continuing would misread those characters as literals, so the whole
+# analysis bails to the full scan instead.
+_CONTROL_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "v": "\v", "f": "\f", "a": "\a"}
+_SHORTHAND_ESCAPES = set("dDsSwWbBAZ")
 
 
 def analyze_regex(pattern: str) -> PatternPlan:
@@ -122,13 +130,21 @@ def analyze_regex(pattern: str) -> PatternPlan:
             if i + 1 >= n:
                 return _FULL_SCAN  # trailing backslash: not a valid regex
             nxt = pattern[i + 1]
-            if nxt in _CLASS_SHORTHAND:
-                # matches an unknown char (or is a backref / anchor):
-                # breaks the run, contributes nothing
+            if nxt in _CONTROL_ESCAPES:
+                cur.append(_CONTROL_ESCAPES[nxt])  # the one known char
+                i += 2
+                continue
+            if nxt in _SHORTHAND_ESCAPES:
+                # matches unknown text: breaks the run, contributes
+                # nothing
                 close_prefix(False)
                 flush()
                 i += 2
                 continue
+            if nxt.isalnum():
+                # variable-length escape (\x.., \u...., \N{..}, backref):
+                # see the escape note above — unparseable here, bail
+                return _FULL_SCAN
             cur.append(nxt)  # escaped punctuation is a literal char
             i += 2
             continue
@@ -217,9 +233,17 @@ class DictScanIndex:
     def prefix_range(self, prefix: str) -> tuple[int, int]:
         """Ordinal range [lo, hi) of terms starting with ``prefix``."""
         lo = bisect_left(self.terms, prefix)
-        # chr(0x10FFFF) is the max code point: prefix + it upper-bounds
-        # every extension of prefix in code-point order
-        hi = bisect_left(self.terms, prefix + chr(0x10FFFF), lo)
+        # upper bound = the string SUCCESSOR of the prefix (increment
+        # its last incrementable code point): every extension of prefix
+        # sorts strictly below it.  Appending chr(0x10FFFF) instead
+        # would wrongly exclude terms whose next char IS U+10FFFF.
+        succ = None
+        for i in range(len(prefix) - 1, -1, -1):
+            c = ord(prefix[i])
+            if c < 0x10FFFF:
+                succ = prefix[:i] + chr(c + 1)
+                break
+        hi = bisect_left(self.terms, succ, lo) if succ else len(self.terms)
         return lo, hi
 
     def candidates(self, plan: PatternPlan) -> np.ndarray | None:
