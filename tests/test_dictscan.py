@@ -200,3 +200,57 @@ def test_prefix_range_handles_max_code_point():
     )
     assert idx.scan_prefix(hi_char) == [hi_char]
     assert idx.scan_prefix("") == sorted(vocab)
+
+
+def test_fuzzy_candidates_qgram_filter_is_lossless():
+    from torchtrajectory_ray.functions.fuzzy import edit1_mask
+
+    rng = np.random.default_rng(13)
+    alphabet = list("abcdefg")
+    base = ["window", "windows", "widow", "wandow", "xwindow", "window",
+            "abcdefgh", "abcdefh", "zzzzzz"]
+    vocab = sorted(
+        set(base)
+        | {
+            "".join(rng.choice(alphabet, size=rng.integers(1, 10)))
+            for _ in range(500)
+        }
+    )
+    idx = DictScanIndex(vocab)
+    arr = np.asarray(vocab, dtype=object)
+    lens = np.fromiter((len(t) for t in vocab), np.int64, len(vocab))
+    for q in ("window", "abcdefgh", "qqqqqq", "abcdef", "banana"):
+        cand = idx.fuzzy_candidates(q)
+        assert cand is not None  # all length >= 6
+        full = sorted(arr[edit1_mask(q, arr, lens)])
+        sub = idx.terms_arr[cand]
+        pruned = sorted(sub[edit1_mask(q, sub, idx.lens_arr[cand])])
+        assert pruned == full, q
+    # short queries: no sound bound, full scan
+    assert idx.fuzzy_candidates("abc") is None
+
+
+def test_engine_fuzzy_pruned_matches_naive(ray_session):
+    eng = _engine(documents_index(SF))
+    # gate-index terms are short (w0000-style, len 5) — plant a long
+    # probe by checking both branches behave identically on the API
+    long_terms = [t for t in eng._terms if len(t) >= 6]
+    probe = long_terms[0] if long_terms else "w0000x"
+    got = eng.fuzzy_terms(probe)
+    naive = sorted(t for t in eng._terms if _edit1(probe, t))
+    assert got["term"].tolist() == naive
+
+
+def _edit1(a: str, b: str) -> bool:
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    s, t = (a, b) if la < lb else (b, a)
+    i = 0
+    while i < len(s) and s[i] == t[i]:
+        i += 1
+    return s[i:] == t[i + 1 :]

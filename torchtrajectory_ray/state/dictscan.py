@@ -220,6 +220,10 @@ class DictScanIndex:
 
     def __init__(self, terms: list[str]):
         self.terms: list[str] = sorted(terms)
+        self.terms_arr: np.ndarray = np.asarray(self.terms, dtype=object)
+        self.lens_arr: np.ndarray = np.fromiter(
+            (len(t) for t in self.terms), np.int64, len(self.terms)
+        )
         post: dict[str, list[int]] = {}
         for ordinal, t in enumerate(self.terms):
             for g in _trigrams(t):
@@ -271,6 +275,23 @@ class DictScanIndex:
             else:
                 cand = cand[(cand >= lo) & (cand < hi)]
         return cand
+
+    def fuzzy_candidates(self, term: str) -> np.ndarray | None:
+        """Sorted candidate ordinals for edit-distance-1 matches of
+        ``term``, or None when no sound pruning exists.  The q-gram
+        count filter (Gravano et al., "Approximate String Joins in a
+        Database (Almost) for Free", VLDB 2001 — public): strings within
+        edit distance k share at least max(|s|,|t|)−q+1−k·q q-grams, so
+        for q=3, k=1 and |term| >= 6 every match shares >= 1 trigram
+        with the query — candidates = the UNION of the query's trigram
+        postings.  Shorter queries (bound <= 0) full-scan; terms of
+        length < 3 have no trigrams but also can't be within one edit of
+        a length >= 6 query (length gap >= 3), so the union loses
+        nothing."""
+        if len(term) < 6:
+            return None
+        arrs = [self._post.get(g, _EMPTY) for g in _trigrams(term)]
+        return np.unique(np.concatenate(arrs)) if arrs else None
 
     # -- full scans (verification always runs the compiled pattern) -------
     def scan_regex(self, rx, plan: PatternPlan) -> list[str]:

@@ -1349,16 +1349,24 @@ class QueryEngine:
             raise NotImplementedError("only max_edits=1 is supported")
         from torchtrajectory_ray.functions.fuzzy import edit1_mask
 
-        if self._terms_arr is None:
-            self._terms_arr = np.asarray(self._terms, dtype=object)
-            self._terms_lens = np.fromiter(
-                (len(t) for t in self._terms), np.int64, len(self._terms)
+        scan = self._scan_index()
+        cand = scan.fuzzy_candidates(term)
+        if cand is not None:
+            # q-gram filter (dictscan.py): sub-linear for queries of
+            # length >= 6, verified by the SAME edit1 kernel — lossless
+            sub = scan.terms_arr[cand]
+            hits = sorted(sub[edit1_mask(term, sub, scan.lens_arr[cand])])
+        else:
+            if self._terms_arr is None:
+                self._terms_arr = np.asarray(self._terms, dtype=object)
+                self._terms_lens = np.fromiter(
+                    (len(t) for t in self._terms), np.int64, len(self._terms)
+                )
+            hits = sorted(
+                self._terms_arr[
+                    edit1_mask(term, self._terms_arr, self._terms_lens)
+                ]
             )
-        hits = sorted(
-            self._terms_arr[
-                edit1_mask(term, self._terms_arr, self._terms_lens)
-            ]
-        )
         return pd.DataFrame(
             {
                 "term": pd.array(hits, dtype=object),
