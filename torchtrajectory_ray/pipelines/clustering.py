@@ -336,6 +336,7 @@ def windowed_kmeans(
     window_us: int = 3_600_000_000,
     slide_us: int = 1_800_000_000,
     iters: int = 8,
+    concurrency: int = 4,
 ) -> pd.DataFrame:
     """Sliding-window re-clustering — the reference's StreamKpath loop
     (clustering/Streaming/StreamKpath.java): re-run k-means over the
@@ -381,22 +382,35 @@ def windowed_kmeans(
     lo = int(ts_of[ts_of >= 0].min())
     hi = int(ts_of.max())
     start0 = lo - (lo % slide_us)
-    out = []
-    w0 = start0
-    while w0 <= hi:
-        w1 = w0 + window_us
+    starts = list(range(start0, hi + 1, slide_us))
+
+    def run_window(w0: int) -> list[tuple[int, int, int]]:
         win = stream.filter(
-            expr=f"ts_us >= {w0} and ts_us < {w1}"
+            expr=f"ts_us >= {w0} and ts_us < {w0 + window_us}"
         )
-        n_win = win.count()
-        if n_win >= k:
-            assigns, _, _, _ = kmeans_dataset(
-                win.select_columns(["vec_id", "embedding"]), k, iters
-            )
-            g = assigns.groupby("cluster").size()
-            for c, n in g.items():
-                out.append((w0, int(c), int(n)))
-        w0 += slide_us
+        if win.count() < k:
+            return []
+        assigns, _, _, _ = kmeans_dataset(
+            win.select_columns(["vec_id", "embedding"]), k, iters
+        )
+        g = assigns.groupby("cluster").size()
+        return [(w0, int(c), int(n)) for c, n in g.items()]
+
+    # windows are INDEPENDENT deterministic runs, so they overlap freely:
+    # a thread per in-flight window keeps the cluster busy while another
+    # window's driver-side reduce runs (the GIL is released inside Ray
+    # waits).  Results are reassembled in window order, so the output is
+    # bit-identical to the sequential loop at any concurrency.
+    out: list[tuple[int, int, int]] = []
+    if concurrency <= 1 or len(starts) <= 1:
+        for w0 in starts:
+            out.extend(run_window(w0))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as ex:
+            for rows in ex.map(run_window, starts):
+                out.extend(rows)
     return pd.DataFrame(
         out, columns=["window_start_us", "cluster", "n"]
     ).astype("int64")
