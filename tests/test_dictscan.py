@@ -254,3 +254,23 @@ def _edit1(a: str, b: str) -> bool:
     while i < len(s) and s[i] == t[i]:
         i += 1
     return s[i:] == t[i + 1 :]
+
+
+def test_parallel_build_identical_to_inprocess(ray_session):
+    rng = np.random.default_rng(21)
+    vocab = sorted(
+        {
+            "".join(rng.choice(list("abcdef"), size=rng.integers(1, 9)))
+            for _ in range(3_000)
+        }
+    )
+    a = DictScanIndex(vocab, parallel=False)
+    b = DictScanIndex(vocab, parallel=True)
+    assert a.terms == b.terms
+    assert set(a._post) == set(b._post)
+    for g in a._post:
+        assert np.array_equal(a._post[g], b._post[g]), g
+    for pat in ("ab.*", ".*cde", "a?bcd"):
+        rx = re.compile(pat)
+        plan = analyze_regex(pat)
+        assert a.scan_regex(rx, plan) == b.scan_regex(rx, plan), pat

@@ -210,6 +210,50 @@ def _trigrams(s: str) -> set[str]:
     return {s[i : i + 3] for i in range(len(s) - 2)}
 
 
+def _trigram_postings(
+    terms: list[str], base: int
+) -> dict[str, np.ndarray]:
+    """trigram → sorted GLOBAL ordinal array for one slice of the sorted
+    dictionary starting at ordinal ``base``."""
+    post: dict[str, list[int]] = {}
+    for off, t in enumerate(terms):
+        for g in _trigrams(t):
+            post.setdefault(g, []).append(base + off)
+    # ordinals were appended in ascending order: arrays arrive sorted
+    return {g: np.asarray(o, dtype=np.int64) for g, o in post.items()}
+
+
+def _trigram_postings_parallel(
+    terms: list[str], slice_size: int = 250_000
+) -> dict[str, np.ndarray]:
+    """The same postings built as Ray tasks, one per dictionary slice —
+    slices of a SORTED list carry disjoint ascending ordinal ranges, so
+    the per-gram merge is a plain concatenate in slice order (already
+    sorted).  Identical output to the in-process loop by construction;
+    used when the vocabulary is large enough that the one-time build
+    would otherwise dominate the first pattern query."""
+    import ray
+
+    @ray.remote
+    def build_slice(slice_terms: list[str], base: int):
+        return _trigram_postings(slice_terms, base)
+
+    parts = ray.get(
+        [
+            build_slice.remote(terms[i : i + slice_size], i)
+            for i in range(0, len(terms), slice_size)
+        ]
+    )
+    merged: dict[str, list[np.ndarray]] = {}
+    for part in parts:  # slice order == ascending ordinal ranges
+        for g, arr in part.items():
+            merged.setdefault(g, []).append(arr)
+    return {
+        g: (arrs[0] if len(arrs) == 1 else np.concatenate(arrs))
+        for g, arrs in merged.items()
+    }
+
+
 class DictScanIndex:
     """Sorted dictionary + trigram postings for sub-linear pattern scans.
 
@@ -218,20 +262,23 @@ class DictScanIndex:
     entry per (term, distinct trigram) pair.
     """
 
-    def __init__(self, terms: list[str]):
+    # above this vocabulary size the trigram pass fans out as Ray tasks
+    # (one per ~250k-term slice); below it the in-process loop wins
+    PARALLEL_THRESHOLD = 500_000
+
+    def __init__(self, terms: list[str], *, parallel: bool | None = None):
         self.terms: list[str] = sorted(terms)
         self.terms_arr: np.ndarray = np.asarray(self.terms, dtype=object)
         self.lens_arr: np.ndarray = np.fromiter(
             (len(t) for t in self.terms), np.int64, len(self.terms)
         )
-        post: dict[str, list[int]] = {}
-        for ordinal, t in enumerate(self.terms):
-            for g in _trigrams(t):
-                post.setdefault(g, []).append(ordinal)
-        # ordinals were appended in ascending order: arrays arrive sorted
-        self._post: dict[str, np.ndarray] = {
-            g: np.asarray(o, dtype=np.int64) for g, o in post.items()
-        }
+        if parallel is None:
+            parallel = len(self.terms) >= self.PARALLEL_THRESHOLD
+        self._post: dict[str, np.ndarray] = (
+            _trigram_postings_parallel(self.terms)
+            if parallel
+            else _trigram_postings(self.terms, 0)
+        )
 
     # -- candidate generation (lossless) ----------------------------------
     def prefix_range(self, prefix: str) -> tuple[int, int]:
