@@ -158,8 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_topk": analytics.revenue_topk,   # de-drivered this round
         "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
         "clean_summary": clean.clean_corpus_summary,
-        "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "events_sessions": events.session_windows,
+        # substring-level duplication (Lee et al. 2022): per-doc counts
+        # of k-token windows whose gram repeats anywhere in the corpus —
+        # two-pass hash pipeline (gram-frequency groupby -> broadcast
+        # dup set -> streaming membership count)
+        "kgram_dup_stats": dedup.kgram_dup_stats,
         # cardinality aggregation: exact COUNT(DISTINCT) per lang (one
         # vocabulary-sized groupby), and its HyperLogLog sketch scale
         # path (fixed 4 KiB registers per group, max-merge fold — the
@@ -192,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_exact": knn.knn_ivf_exact,
         # ---------------- end of the driver's 50-key window ----------------
         # (driver-green in r1/r2, rotated out for the round-4 gates)
+        "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
         # (driver-green in r1/r2, rotated out to make window room for the
@@ -1215,6 +1220,17 @@ FROM (SELECT term, count(*)::BIGINT AS n
       FROM (SELECT unnest({_TOKS}) AS term FROM documents)
       GROUP BY term)
 QUALIFY rank <= 20""",
+        # substring-level duplication: every k-token window, grams
+        # counted corpus-wide, dup = window whose gram occurs >= 2 times
+        "kgram_dup_stats": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+win AS (SELECT doc_id, array_to_string(list_slice(ts, i, i + 7), ' ') AS g
+        FROM tok, UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+cnt AS (SELECT g, count(*) AS c FROM win GROUP BY g)
+SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+FROM win w JOIN cnt c USING (g)
+GROUP BY w.doc_id""",
         "postings_flat": f"""
 SELECT term, doc_id, count(*)::BIGINT AS tf
 FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)

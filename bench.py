@@ -442,6 +442,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from torchtrajectory_ray.pipelines import lines, scrub
 
     timed("line_dedup", lambda: lines.line_dedup(sf_dir).materialize())
+    timed("kgram_dup_stats", lambda: dedup.kgram_dup_stats(sf_dir).materialize())
     timed("pii_scrub", lambda: scrub.pii_scrub(sf_dir).materialize())
     timed("chunk_documents", lambda: pack.chunk_documents(sf_dir).materialize())
     timed(

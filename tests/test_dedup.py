@@ -4,6 +4,7 @@ signature determinism, jaccard estimation quality."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -351,3 +352,96 @@ def test_minhash_simhash_ds_paths_match_collected(ray_session, tmp_path):
     )
     sh = dedup.simhash_dedup_pairs(str(tmp_path), max_hamming=10)
     assert sh_ds[["doc_a", "doc_b", "hamming"]].equals(sh)
+
+
+# --- substring-level duplication (kgram_dup_stats) ---------------------------
+
+
+def test_window_hashes_never_straddle_docs():
+    from torchtrajectory_ray.pipelines.dedup import _window_hashes
+
+    # doc0's tail + doc1's head would form a window iff boundaries leaked
+    h, local = _window_hashes(["a b c d", "e f g h"], k=4)
+    assert local.tolist() == [0, 1] and h[0] != h[1]
+    # identical docs yield identical window hashes
+    h2, _ = _window_hashes(["a b c d", "a b c d"], k=4)
+    assert h2[0] == h2[1]
+    # shorter-than-k docs contribute nothing
+    h3, l3 = _window_hashes(["a b", "a b c d e"], k=4)
+    assert l3.tolist() == [1, 1]
+
+
+def test_kgram_dup_stats_matches_bruteforce(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines.dedup import kgram_dup_stats
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(4, 40)))
+        for _ in range(120)
+    ]
+    texts += texts[:10]          # full copies: every window duplicated
+    texts += ["w1 w2"]           # shorter than k: no windows
+    d = tmp_path / "kg"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    k = 8
+    got = (
+        kgram_dup_stats(str(d), k=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # brute force
+    from collections import Counter
+
+    grams: Counter = Counter()
+    per_doc: list[list[str]] = []
+    for t in texts:
+        toks = t.split(" ")
+        gs = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        per_doc.append(gs)
+        grams.update(gs)
+    exp_rows = [
+        (i, len(gs), sum(1 for g in gs if grams[g] >= 2))
+        for i, gs in enumerate(per_doc)
+        if gs
+    ]
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "n_windows", "n_dup"])
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+    # the planted full copies are fully duplicated
+    copies = got[got["doc_id"] >= 120]
+    assert (copies["n_dup"] == copies["n_windows"]).all()
+
+
+def test_kgram_dup_stats_broadcast_bound_fails_loud(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines.dedup import kgram_dup_stats
+
+    texts = ["x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"] * 4  # every gram duplicated
+    d = tmp_path / "kg2"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    with pytest.raises(ValueError, match="broadcast bound"):
+        kgram_dup_stats(str(d), k=8, max_dup_hashes=1)

@@ -1417,3 +1417,138 @@ def fingerprints(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(f, batch_format="pyarrow")
+
+
+# --- substring-level duplication (k-token windows) ---------------------------
+
+_KGRAM_POLY = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _window_hashes(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(window hash, local doc index) for every k-token window of the
+    batch, vectorized: one flat token-id array + one stride-tricks view,
+    no per-window Python.  Window identity = a degree-k polynomial in the
+    63-bit blake term ids (uint64 wraparound) — deterministic and
+    collision-free for practical purposes (the same trade as the 63-bit
+    term ids themselves); windows never straddle a doc boundary (masked
+    by comparing the doc index at both window ends)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from torchtrajectory_ray.functions.text import term_hash
+
+    tok_lists = [t.split(" ") for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    total = int(counts.sum())
+    import itertools
+
+    flat = np.fromiter(itertools.chain.from_iterable(tok_lists), object, total)
+    codes, uniq = pd.factorize(flat, sort=False)
+    tids = np.fromiter(
+        (term_hash(t) for t in uniq), np.uint64, len(uniq)
+    )[codes]
+    doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), counts)
+    if total < k:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    w = sliding_window_view(tids, k)  # (total-k+1, k)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = 1
+    if k > 1:
+        np.multiply.accumulate(
+            np.full(k - 1, _KGRAM_POLY, dtype=np.uint64), out=powers[1:]
+        )
+    h = (w * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    in_doc = doc_idx[: total - k + 1] == doc_idx[k - 1 :]
+    return (h[in_doc] >> np.uint64(1)).astype(np.int64), doc_idx[
+        : total - k + 1
+    ][in_doc]
+
+
+def kgram_dup_stats(
+    sf_dir: str, k: int = 8, max_dup_hashes: int = 2_000_000
+) -> "ray.data.Dataset":
+    """(doc_id, n_windows, n_dup) — per-doc counts of k-token windows
+    whose window-gram occurs at least twice in the WHOLE corpus: the
+    substring-level duplication signal of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (ACL 2022, public),
+    here as a two-pass hash pipeline instead of a suffix array:
+
+    1. per-batch pre-aggregated (hash, n) partials → ONE groupby →
+       the global gram-frequency table, filtered to hashes with
+       count >= 2 (the dup set — small when duplication is rare);
+    2. the dup-hash set broadcasts (``ray.put`` of one sorted int64
+       array) and a second streaming pass counts each doc's windows
+       and dup-windows by searchsorted membership — no per-doc state
+       leaves the batch except its two counters.
+
+    The broadcast is the scale knob: ``max_dup_hashes`` fails loud when
+    the corpus is so duplicated that the dup set itself outgrows a
+    broadcast (at that point dedup the corpus first, or shuffle
+    (doc, hash) pairs instead — the line_dedup exchange shape).  Docs
+    shorter than ``k`` tokens have no windows and emit nothing, matching
+    the SQL oracle."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        h, _ = _window_hashes(batch["text"].to_pylist(), k)
+        hu, n = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "hash": pa.array(hu, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    freq = (
+        read()
+        .map_batches(hash_partial, batch_format="pyarrow")
+        .groupby("hash")
+        .aggregate(Sum("n", alias_name="c"))
+        .filter(expr="c >= 2")
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["hash"])
+
+    dup_tbl = freq.map_batches(strip, batch_format="pyarrow").to_pandas()
+    if len(dup_tbl) > max_dup_hashes:
+        raise ValueError(
+            f"kgram_dup_stats: {len(dup_tbl)} duplicated grams exceed the "
+            f"broadcast bound {max_dup_hashes} — dedup the corpus first or "
+            "raise max_dup_hashes"
+        )
+    dup_ref = _ray.put(np.sort(dup_tbl["hash"].to_numpy().astype(np.int64)))
+
+    def count_dups(batch: pa.Table) -> pa.Table:
+        dup = _ray.get(dup_ref)
+        texts = batch["text"].to_pylist()
+        h, local = _window_hashes(texts, k)
+        n_win = np.bincount(local, minlength=len(texts))
+        if len(dup):
+            idx = np.searchsorted(dup, h)
+            idx[idx >= len(dup)] = 0
+            is_dup = dup[idx] == h
+        else:
+            is_dup = np.zeros(len(h), bool)
+        n_dup = np.bincount(
+            local, weights=is_dup.astype(np.float64), minlength=len(texts)
+        ).astype(np.int64)
+        keep = n_win > 0  # docs shorter than k have no windows (oracle rule)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.asarray(batch["doc_id"])[keep], pa.int64()
+                ),
+                "n_windows": pa.array(n_win[keep].astype(np.int64), pa.int64()),
+                "n_dup": pa.array(n_dup[keep], pa.int64()),
+            }
+        )
+
+    return read().map_batches(count_dups, batch_format="pyarrow")
