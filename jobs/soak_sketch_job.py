@@ -70,6 +70,23 @@ def main() -> None:
     out["hll_rel_err"] = round(rel, 5)
     assert rel < 0.05, f"HLL estimate outside the 3-sigma bound: {rel}"
 
+    from torchtrajectory_ray.pipelines import dedup as _dedup
+
+    # the ~8% planted dup docs yield ~4.1M distinct duplicated grams —
+    # above the conservative default broadcast bound (which correctly
+    # fails loud; verified by hand), and a 33 MB int64 broadcast here
+    kg = timed(
+        "kgram_dup_stats",
+        lambda: _dedup.kgram_dup_stats(soak_dir, max_dup_hashes=8_000_000)
+        .to_pandas(),
+    )
+    dup_frac = float(kg["n_dup"].sum() / kg["n_windows"].sum())
+    out["kgram_dup_frac"] = round(dup_frac, 4)
+    # the corpus plants ~4% exact-dup docs (every window duplicated) plus
+    # ~4% two-token-mutated near dups (most windows still duplicated):
+    # the measured corpus-wide dup fraction must reflect them
+    assert 0.04 < dup_frac < 0.6, dup_frac
+
     hh_exact = timed(
         "heavy_terms_m4096", lambda: textstats.heavy_terms(soak_dir, m=4096)
     )
