@@ -1428,13 +1428,12 @@ def _window_hashes(
     texts: list[str], k: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """(window hash, local doc index) for every k-token window of the
-    batch, vectorized: one flat token-id array + one stride-tricks view,
-    no per-window Python.  Window identity = a degree-k polynomial in the
+    batch, vectorized: one flat token-id array + a k-pass Horner
+    accumulation, no per-window Python.  Window identity = a degree-k polynomial in the
     63-bit blake term ids (uint64 wraparound) — deterministic and
     collision-free for practical purposes (the same trade as the 63-bit
     term ids themselves); windows never straddle a doc boundary (masked
     by comparing the doc index at both window ends)."""
-    from numpy.lib.stride_tricks import sliding_window_view
 
     from torchtrajectory_ray.functions.text import term_hash
 
@@ -1451,14 +1450,15 @@ def _window_hashes(
     doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), counts)
     if total < k:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    w = sliding_window_view(tids, k)  # (total-k+1, k)
-    powers = np.empty(k, dtype=np.uint64)
-    powers[0] = 1
-    if k > 1:
-        np.multiply.accumulate(
-            np.full(k - 1, _KGRAM_POLY, dtype=np.uint64), out=powers[1:]
-        )
-    h = (w * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # Horner accumulation: k passes over ONE n_windows-sized array
+    # (peak memory O(n_windows)) instead of materializing the
+    # (n_windows × k) product matrix — bit-deterministic like any other
+    # fixed evaluation order under uint64 wraparound
+    n_win = total - k + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):
+        h *= _KGRAM_POLY
+        h += tids[j : j + n_win]
     in_doc = doc_idx[: total - k + 1] == doc_idx[k - 1 :]
     return (h[in_doc] >> np.uint64(1)).astype(np.int64), doc_idx[
         : total - k + 1

@@ -273,7 +273,15 @@ class DictScanIndex:
             (len(t) for t in self.terms), np.int64, len(self.terms)
         )
         if parallel is None:
-            parallel = len(self.terms) >= self.PARALLEL_THRESHOLD
+            # auto-parallel only inside an ACTIVE Ray session: this
+            # constructor must stay pure in-process for non-Ray callers
+            # (implicit ray.init() here would be a surprise contract)
+            import ray
+
+            parallel = (
+                len(self.terms) >= self.PARALLEL_THRESHOLD
+                and ray.is_initialized()
+            )
         self._post: dict[str, np.ndarray] = (
             _trigram_postings_parallel(self.terms)
             if parallel
@@ -337,8 +345,9 @@ class DictScanIndex:
         nothing."""
         if len(term) < 6:
             return None
+        # len >= 6 guarantees >= 4 trigrams, so arrs is never empty
         arrs = [self._post.get(g, _EMPTY) for g in _trigrams(term)]
-        return np.unique(np.concatenate(arrs)) if arrs else None
+        return np.unique(np.concatenate(arrs))
 
     # -- full scans (verification always runs the compiled pattern) -------
     def scan_regex(self, rx, plan: PatternPlan) -> list[str]:

@@ -1349,13 +1349,22 @@ class QueryEngine:
             raise NotImplementedError("only max_edits=1 is supported")
         from torchtrajectory_ray.functions.fuzzy import edit1_mask
 
-        scan = self._scan_index()
-        cand = scan.fuzzy_candidates(term)
-        if cand is not None:
-            # q-gram filter (dictscan.py): sub-linear for queries of
-            # length >= 6, verified by the SAME edit1 kernel — lossless
+        # the q-gram bound only exists for len >= 6 (dictscan.py), so a
+        # short query must not trigger the one-time trigram build at all
+        if len(term) >= 6:
+            scan = self._scan_index()
+            cand = scan.fuzzy_candidates(term)
+            # q-gram filter (dictscan.py): sub-linear, verified by the
+            # SAME edit1 kernel — lossless
             sub = scan.terms_arr[cand]
             hits = sorted(sub[edit1_mask(term, sub, scan.lens_arr[cand])])
+        elif self._dictscan is not None:
+            # the scan index already holds the vocab arrays — no second
+            # vocabulary-sized copy (order is immaterial: sorted() below)
+            arr = self._dictscan.terms_arr
+            hits = sorted(
+                arr[edit1_mask(term, arr, self._dictscan.lens_arr)]
+            )
         else:
             if self._terms_arr is None:
                 self._terms_arr = np.asarray(self._terms, dtype=object)
