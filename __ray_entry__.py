@@ -158,7 +158,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_topk": analytics.revenue_topk,   # de-drivered this round
         "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
         "clean_summary": clean.clean_corpus_summary,
-        "events_sessions": events.session_windows,
         # substring-level duplication (Lee et al. 2022): per-doc counts
         # of k-token windows whose gram repeats anywhere in the corpus —
         # two-pass hash pipeline (gram-frequency groupby -> broadcast
@@ -191,11 +190,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the O(m) candidates — provably-exact top-k, fail-loud when the
         # deficit bound can't prove it
         "heavy_terms": textstats.heavy_terms,
+        "heavy_terms_per_lang": textstats.heavy_terms_per_lang,
         # exact ANN with branch-and-bound termination: the bruteforce
         # oracle gates that the pruned probe loses NOTHING
         "knn_ivf_exact": knn.knn_ivf_exact,
         # ---------------- end of the driver's 50-key window ----------------
         # (driver-green in r1/r2, rotated out for the round-4 gates)
+        "events_sessions": events.session_windows,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -1220,6 +1221,13 @@ FROM (SELECT term, count(*)::BIGINT AS n
       FROM (SELECT unnest({_TOKS}) AS term FROM documents)
       GROUP BY term)
 QUALIFY rank <= 20""",
+        "heavy_terms_per_lang": f"""
+SELECT lang, row_number() OVER (PARTITION BY lang
+       ORDER BY n DESC, term ASC) AS rank, term, n
+FROM (SELECT lang, term, count(*)::BIGINT AS n
+      FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
+      GROUP BY lang, term)
+QUALIFY rank <= 10""",
         # substring-level duplication: every k-token window, grams
         # counted corpus-wide, dup = window whose gram occurs >= 2 times
         "kgram_dup_stats": f"""

@@ -384,6 +384,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("distinct_terms", lambda: textstats.distinct_terms(sf_dir))
     timed("cardinality_hll", lambda: textstats.cardinality_hll(sf_dir))
     timed("heavy_terms", lambda: textstats.heavy_terms(sf_dir))
+    timed(
+        "heavy_terms_per_lang",
+        lambda: textstats.heavy_terms_per_lang(sf_dir),
+    )
     timed("exact_dedup", lambda: textstats.exact_dedup(sf_dir).to_pandas())
     timed("minhash_dedup", lambda: dedup.minhash_dedup_pairs(sf_dir))
     timed("minhash_recall", lambda: dedup.minhash_recall_pairs(sf_dir))

@@ -129,3 +129,50 @@ def test_heavy_terms_fails_loud_on_unprovable_kth(ray_session, tmp_path):
     got = heavy_terms(sf, k=2, m=2048)
     assert got["term"].tolist() == ["big1", "big2"]
     assert got["n"].tolist() == [3000, 2500]
+
+
+def test_heavy_terms_per_lang_exact_and_fail_loud(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines.textstats import heavy_terms_per_lang
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for lang, seed in (("en", 1), ("de", 2)):
+        stream = _zipf_stream(40_000, 5_000, seed=seed)
+        for chunk in np.array_split(stream, 80):
+            rows.append((lang, " ".join(chunk)))
+    d = tmp_path / "hhg"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "lang": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = heavy_terms_per_lang(str(d), k=5, m=512)  # vocab >> m per lang
+    for lang, seed in (("en", 1), ("de", 2)):
+        true = _true_counts(_zipf_stream(40_000, 5_000, seed=seed))
+        exp = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        g = got[got["lang"] == lang]
+        assert list(zip(g["term"], g["n"])) == exp, lang
+        assert g["rank"].tolist() == [1, 2, 3, 4, 5]
+    # per-group fail-loud: a uniform lang cannot be proven at tiny m
+    uni = [("fr", " ".join(f"u{i}" for i in range(300))) for _ in range(20)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(uni)), pa.int64()),
+                "lang": pa.array([r[0] for r in uni], pa.string()),
+                "text": pa.array([r[1] for r in uni], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    with pytest.raises(ValueError, match=r"heavy_terms_per_lang\[fr\]"):
+        heavy_terms_per_lang(str(d), k=5, m=8)

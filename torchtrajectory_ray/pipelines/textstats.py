@@ -885,3 +885,115 @@ def heavy_terms(sf_dir: str, k: int = 20, m: int = 4096) -> pd.DataFrame:
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     out["n"] = out["n"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def heavy_terms_per_lang(
+    sf_dir: str, k: int = 10, m: int = 4096
+) -> pd.DataFrame:
+    """lang, rank, term, n — EXACT top-``k`` terms per language, the
+    grouped form of :func:`heavy_terms` (top terms per language/source
+    is the per-group vocabulary profile a mixture-weighting pipeline
+    reads).  Same sketch-then-verify machinery per group: per-batch
+    per-lang Misra-Gries summaries (≤ m rows per (block, lang)), per-lang
+    folds with per-lang deficits, ONE exact counting pass over the union
+    of the per-lang candidate sets, per-lang exactness proofs (fail loud
+    naming the first unprovable group)."""
+    import ray as _ray
+
+    from torchtrajectory_ray.functions.heavyhitters import mg_fold, mg_summary
+
+    def summarize(batch: pa.Table) -> pd.DataFrame:
+        flat, counts = _flat_tokens(batch["text"].to_pylist())
+        langs = np.repeat(
+            np.asarray(batch["lang"].to_pylist(), dtype=object), counts
+        )
+        rows = []
+        for lang in np.unique(langs):
+            terms, n = np.unique(flat[langs == lang], return_counts=True)
+            s, d = mg_summary(terms, n, m)
+            rows.append(
+                {
+                    "lang": str(lang),
+                    "terms": list(s.keys()),
+                    "counts": [int(v) for v in s.values()],
+                    "d": int(d),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(summarize, batch_format="pyarrow")
+        .to_pandas()
+    )
+    folds: dict[str, tuple[dict, int]] = {}
+    for lang, grp in parts.groupby("lang"):
+        summaries = [
+            dict(zip(ts, cs)) for ts, cs in zip(grp["terms"], grp["counts"])
+        ]
+        acc, deficit = mg_fold(summaries, m)
+        deficit += int(grp["d"].sum())
+        if not acc:
+            raise ValueError(
+                f"heavy_terms_per_lang[{lang}]: the summary fold cancelled "
+                f"every counter (deficit {deficit}); retry with m > {m}"
+            )
+        folds[lang] = (acc, deficit)
+    # one exact pass over the union of candidate sets, keyed (lang, term)
+    cand_by_lang = {
+        lang: np.sort(np.asarray(list(acc), dtype=object))
+        for lang, (acc, _) in folds.items()
+    }
+    ref = _ray.put(cand_by_lang)
+
+    def count_cand(batch: pa.Table) -> pd.DataFrame:
+        cands = _ray.get(ref)
+        flat, counts = _flat_tokens(batch["text"].to_pylist())
+        lang_arr = np.repeat(
+            np.asarray(batch["lang"].to_pylist(), dtype=object), counts
+        )
+        out_lang, out_term, out_n = [], [], []
+        for lang in np.unique(lang_arr):
+            c = cands.get(str(lang))
+            if c is None or not len(c):
+                continue
+            terms, n = np.unique(flat[lang_arr == lang], return_counts=True)
+            idx = np.searchsorted(c, terms)
+            idx[idx >= len(c)] = 0
+            mask = c[idx] == terms
+            out_lang.extend([str(lang)] * int(mask.sum()))
+            out_term.extend(terms[mask])
+            out_n.extend(n[mask].astype(np.int64))
+        return pd.DataFrame({"lang": out_lang, "term": out_term, "n": out_n})
+
+    exact = (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(count_cand, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["lang", "term"])["n"]
+        .sum()
+        .reset_index()
+    )
+    frames = []
+    for lang, (_, deficit) in sorted(folds.items()):
+        grp = (
+            exact[exact["lang"] == lang]
+            .sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        top = grp.head(k)
+        if deficit > 0 and (
+            len(grp) < k or int(top["n"].iloc[-1]) <= deficit
+        ):
+            raise ValueError(
+                f"heavy_terms_per_lang[{lang}]: cannot prove exactness of "
+                f"the top-{k} (k-th count "
+                f"{int(top['n'].iloc[-1]) if len(top) else 0} <= deficit "
+                f"{deficit}); retry with m > {m}"
+            )
+        top = top.copy()
+        top.insert(1, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+        frames.append(top)
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["lang", "rank", "term", "n"]]
