@@ -64,8 +64,14 @@ def _ivf_probe_stats(sf_dir: str) -> Any:
 def _index_check(sf_dir: str) -> Any:
     """One audit row from the distributed CheckIndex pass over the gate
     index: every payload decoded, WAND block bounds re-derived,
-    dictionary and manifest stats cross-checked (rows-only — integrity
-    verification has no SQL analog)."""
+    dictionary and manifest stats cross-checked.  ORACLE-GATED (round
+    5): ``n_terms`` must equal SQL ``count(DISTINCT term)`` and
+    ``n_postings`` the distinct (doc, term) pair count — the index's
+    own integrity pass re-derives corpus ground truth, so a build that
+    dropped/duplicated a term or posting, or any violation at all
+    (ok=0 / n_violations>0 vs the oracle's constants), hash-mismatches.
+    (``n_segments`` is layout config, not corpus truth — reported by
+    ``check_index`` itself, excluded here.)"""
     import pandas as pd
 
     from torchtrajectory_ray.pipelines.checkindex import check_index
@@ -75,10 +81,9 @@ def _index_check(sf_dir: str) -> Any:
     return pd.DataFrame(
         [
             {
-                "ok": rep["ok"],
-                "n_segments": rep["n_segments"],
-                "n_terms": rep["n_terms"],
-                "n_postings": rep["n_postings"],
+                "ok": int(bool(rep["ok"])),
+                "n_terms": int(rep["n_terms"]),
+                "n_postings": int(rep["n_postings"]),
                 "n_violations": len(rep["violations"]),
             }
         ]
@@ -107,14 +112,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # KEY ORDER IS THE DRIVER'S CHECK WINDOW: the driver hash-checks the
-    # FIRST 50 keys per round.  Rounds 1-3 green-checked the whole
-    # inverted-index core (see CORRECTNESS_r01..r03); round 4 rotates the
-    # 28 oracle-bearing operators that had never been in a driver window
-    # (DSIR / packing / hygiene / sampling / exact-Jaccard / KNN-exactness)
-    # into slots 1-28, keeps 5 core canaries as regression tripwires, and
-    # fills the tail of the window with this round's new oracle gates.
+    # FIRST 50 keys per round.  Rounds 1-4 green-checked 110 of the 125
+    # entries (see CORRECTNESS_r01..r04).  Round 5 puts the last 13
+    # never-driver-run rows-only entries under the driver (their exact
+    # surrogates are all hash-green from r4), adds three NEW oracle
+    # gates (the HLL 3σ check that closes r4's one no_oracle hole, the
+    # fingerprint-collision gate, and the upgraded CheckIndex corpus
+    # cross-check), and fills the window with the oracle entries of
+    # every module touched this round so any regression trips a hash.
     return {
-        # --- slots 1-28: previously builder-only oracles (VERDICT r3 §1) ---
+        # --- (a) rows-only entries, never driver-run before (13) ---
+        # each is the ITERATIVE / probabilistic / heuristic form of an
+        # operator whose deterministic surrogate is already hash-green:
+        # lang_id (heuristic), fingerprints→fingerprint_dups,
+        # minhash/simhash_neardup→*_recall, knn_ivf*→knn_ivf_*fullprobe
+        # + knn_ivf_exact, kmeans/window_kmeans→kmeans_onestep,
+        # doc_embedding*→embedding_dedup_groups
+        "lang_id": textstats.lang_id,             # n-gram LID (heuristic)
+        "fingerprints": textstats.fingerprints,   # rolling-hash content id
+        "minhash_neardup": dedup.minhash_dedup_pairs,
+        "simhash_neardup": dedup.simhash_dedup_pairs,
+        "knn_ivf": knn.knn_ivf,                   # IVF scale path
+        "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
+        "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe
+        "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit
+        "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (iterative)
+        "window_kmeans": lambda sf: clustering.windowed_kmeans(
+            sf, k=3, window_us=21_600_000_000, slide_us=21_600_000_000, iters=6
+        ),
+        "semantic_rerank": semantic.semantic_rerank,  # BM25→cosine hybrid
+        "doc_embeddings": embed.doc_embeddings,       # feature hashing
+        "doc_embedding_neardup": embed.doc_embedding_neardup,
+        # --- (b) NEW round-5 oracle gates (3) ---
+        # HLL within-3σ flag: exact COUNT(DISTINCT) columns + a bound
+        # assertion the SQL oracle emits as the constant 1 — a broken
+        # sketch flips the flag and hash-mismatches (closes the one
+        # no_oracle row of CORRECTNESS_r04)
+        "cardinality_hll_check": textstats.cardinality_hll_check,
+        # rolling-hash fingerprint collisions == identical-text pairs
+        # (Karp-Rabin is injective on token streams mod 2^-63): the
+        # text-equality self-join oracle gates the fingerprint kernel
+        "fingerprint_dups": dedup.fingerprint_dups,
+        # CheckIndex now cross-checks corpus ground truth: n_terms ==
+        # count(DISTINCT term), n_postings == distinct (doc,term) pairs
+        "index_check": _index_check,
+        # --- (c) oracle gates over every module touched this round (31) ---
+        "revenue_topk": analytics.revenue_topk,   # rename-by-name fix r5
+        "image_dhash_dups": media.image_dhash_dups,   # capped-flag plumbing r5
+        "audio_fp_dups": media.audio_fp_dups,
+        "video_dhash_dups": media.video_dhash_dups,
+        "minhash_recall": dedup.minhash_recall_pairs,
+        "simhash_recall": dedup.simhash_recall_pairs,
+        "distinct_terms": textstats.distinct_terms,
+        "kgram_dup_stats": dedup.kgram_dup_stats,
+        # EXACT all-pairs Jaccard (prefix filter + r5 minhash pre-rank)
+        # — oracle-gated against the quadratic SQL self-join
+        "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
+        "neardup_components": dedup.neardup_components,
+        "decontaminate": decontaminate.decontaminate,  # bounded broadcast r5
+        "knn_ivf_exact": knn.knn_ivf_exact,       # branch-and-bound exactness
+        "kmeans_onestep": clustering.kmeans_onestep,
+        "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
+        "clean_summary": clean.clean_corpus_summary,
+        "explain_topk": corpus.explain_topk,      # Lucene explain() decomposition
+        "heavy_terms": textstats.heavy_terms,
+        "heavy_terms_per_lang": textstats.heavy_terms_per_lang,
+        # core canaries (driver-green r1-r4) — regression tripwires
+        "term_df": corpus.term_df,                # A8/J5: dictionary df
+        "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
+        "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
+        "phrase_match_pos": corpus.phrase_match_pos,  # positional-index route
+        "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
+        "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
+        "knn_filtered": knn.knn_filtered,         # metadata-filtered ANN
+        "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
+        "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
+        "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
+        "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
+        "range_search": knn.range_search_bruteforce,  # radius query (exact)
+        "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
+        # --- (d) window fillers: high-traffic hygiene oracles (3) ---
+        "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
+        "pii_scrub": scrub.pii_scrub,             # regex PII redaction
+        "top_per_lang": sampling.top_per_lang,    # group-wise top-k
+        # ---------------- end of the driver's 50-key window ----------------
+        # (driver-green r1-r4, rotated out; their oracles still run in
+        # test_driver_gate.py every session)
         "source_quality": textstats.source_quality,    # domain-level gate
         "source_filtered": textstats.source_filtered,  # gate applied
         "bigram_pmi": textstats.bigram_pmi,       # PMI association scores
@@ -128,81 +211,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": sampling.stratified_sample,
         "shuffled_ids": sampling.shuffled_ids,    # seeded global shuffle order
         "shuffle_shards": sampling.shuffle_shards,  # export shard placement
-        "top_per_lang": sampling.top_per_lang,    # group-wise top-k
-        "decontaminate": decontaminate.decontaminate,  # broadcast n-gram overlap
-        "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
-        "pii_scrub": scrub.pii_scrub,             # regex PII redaction
         "chunk_documents": pack.chunk_documents,  # sliding-window chunking
         "source_mix_sample": sampling.source_mix_sample,  # mixture re-weighting
-        # EXACT all-pairs Jaccard (prefix filter) — oracle-gated against
-        # the quadratic SQL self-join
-        "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
-        # near-dup GROUPS: exact pairs -> hash-to-min connected
-        # components -> canonical-keeper assignment (oracle: recursive
-        # CTE transitive closure)
-        "neardup_components": dedup.neardup_components,
-        "knn_filtered": knn.knn_filtered,         # metadata-filtered ANN
-        "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
-        "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
-        "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
-        "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
-        "range_search": knn.range_search_bruteforce,  # radius query (exact)
-        "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
-        # --- slots 29-33: core canaries (driver-green r1/r2/r3) ---
-        "term_df": corpus.term_df,                # A8/J5: dictionary df
-        "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
-        "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
-        "phrase_match_pos": corpus.phrase_match_pos,  # positional-index route
-        "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
-        # --- slots 34-50: this round's work under the gate ---
-        "revenue_topk": analytics.revenue_topk,   # de-drivered this round
-        "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
-        "clean_summary": clean.clean_corpus_summary,
-        # substring-level duplication (Lee et al. 2022): per-doc counts
-        # of k-token windows whose gram repeats anywhere in the corpus —
-        # two-pass hash pipeline (gram-frequency groupby -> broadcast
-        # dup set -> streaming membership count)
-        "kgram_dup_stats": dedup.kgram_dup_stats,
-        # cardinality aggregation: exact COUNT(DISTINCT) per lang (one
-        # vocabulary-sized groupby), and its HyperLogLog sketch scale
-        # path (fixed 4 KiB registers per group, max-merge fold — the
-        # COUNT DISTINCT that still works when the vocabulary itself no
-        # longer fits a shuffle); the sketch entry is rows-only by
-        # nature (no SQL reproduces the register fold)
-        "distinct_terms": textstats.distinct_terms,
+        # the raw HLL estimates (rows-only by nature — no SQL reproduces
+        # the register fold; its 3σ gate is cardinality_hll_check above)
         "cardinality_hll": textstats.cardinality_hll,
-        # NEW r4 gates: deterministic reductions of the rows-only /
-        # media operators (LSH recall on the identical-text subset; one
-        # fixed Lloyd assignment; planted-duplicate media discovery —
-        # the corpus generators are deterministic, so the ground-truth
-        # pair sets ARE the oracles and the pipelines must rediscover
-        # them from pixels / PCM samples)
-        "image_dhash_dups": media.image_dhash_dups,
-        "audio_fp_dups": media.audio_fp_dups,
-        "video_dhash_dups": media.video_dhash_dups,
-        "minhash_recall": dedup.minhash_recall_pairs,
-        "simhash_recall": dedup.simhash_recall_pairs,
-        "kmeans_onestep": clustering.kmeans_onestep,
-        "explain_topk": corpus.explain_topk,      # Lucene explain() decomposition
-        "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
-        # heavy hitters WITHOUT a vocabulary shuffle: Misra-Gries block
-        # summaries (O(blocks×m) exchange) + exact counting pass over
-        # the O(m) candidates — provably-exact top-k, fail-loud when the
-        # deficit bound can't prove it
-        "heavy_terms": textstats.heavy_terms,
-        "heavy_terms_per_lang": textstats.heavy_terms_per_lang,
-        # exact ANN with branch-and-bound termination: the bruteforce
-        # oracle gates that the pruned probe loses NOTHING
-        "knn_ivf_exact": knn.knn_ivf_exact,
-        # ---------------- end of the driver's 50-key window ----------------
-        # (driver-green in r1/r2, rotated out for the round-4 gates)
         "events_sessions": events.session_windows,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
-        # (driver-green in r1/r2, rotated out to make window room for the
-        # round-4 cardinality gates; their oracles still run in
-        # test_driver_gate.py every session)
         "events_sliding_hour": events.sliding_hour_agg,
         "bpe_token_count": textstats.bpe_token_count,
         "events_tumbling_hour": events.tumbling_hour_agg,
@@ -258,31 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_doc_count": textstats.source_doc_count,
         "quality_score": textstats.quality_score,
         "token_count": textstats.token_count,
-        "lang_id": textstats.lang_id,             # n-gram LID (rows-only)
-        "fingerprints": textstats.fingerprints,   # rolling hash (rows-only)
-        # LSH near-dup pipelines (rows-only: the candidate set is
-        # probabilistic, so no SQL oracle — planted-pair recall is
-        # pytest-gated in test_dedup.py)
-        "minhash_neardup": dedup.minhash_dedup_pairs,
-        "simhash_neardup": dedup.simhash_dedup_pairs,
         # --- similarity search / embeddings ---
         "knn_bruteforce": knn.knn_bruteforce,     # exact cosine top-k
-        "knn_ivf": knn.knn_ivf,                   # IVF scale path (rows-only)
-        "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
-        "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe (rows-only)
-        "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit (rows-only)
-        "index_check": _index_check,              # CheckIndex audit (rows-only)
         "embedding_neardup": knn.embedding_neardup,
-        "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (rows-only)
-        # sliding-window re-clustering (StreamKpath shape; rows-only —
-        # iterative, window-identity pytest-gated); tumbling 6h windows
-        # keep the gate-scale round count bounded
-        "window_kmeans": lambda sf: clustering.windowed_kmeans(
-            sf, k=3, window_us=21_600_000_000, slide_us=21_600_000_000, iters=6
-        ),
-        "semantic_rerank": semantic.semantic_rerank,  # BM25→cosine hybrid
-        "doc_embeddings": embed.doc_embeddings,       # feature hashing (rows-only)
-        "doc_embedding_neardup": embed.doc_embedding_neardup,
         # --- generic analytics (partial agg / broadcast join / top-k) ---
         "part_type_stats": analytics.part_type_stats,
         "supplier_nation_balance": analytics.supplier_nation_balance,
@@ -1215,6 +1210,29 @@ GROUP BY term""",
 SELECT lang, count(DISTINCT term)::BIGINT AS n_terms
 FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
 GROUP BY lang""",
+        # the HLL 3σ gate: exact counts are SQL truth, the flag is the
+        # oracle's ASSERTION that the sketch estimate lands within the
+        # published bound — the Ray side computes the actual flag, so a
+        # broken sketch hash-mismatches (see textstats.cardinality_hll_check)
+        "cardinality_hll_check": f"""
+SELECT lang, count(DISTINCT term)::BIGINT AS n_terms, 1::BIGINT AS within_3sigma
+FROM (SELECT lang, unnest({_TOKS}) AS term FROM documents)
+GROUP BY lang ORDER BY lang""",
+        # fingerprint collisions ⟺ identical text (Karp-Rabin on the
+        # token stream is injective mod 2^-63): same oracle as the LSH
+        # recall gates
+        "fingerprint_dups": _recall_sql(),
+        # CheckIndex corpus cross-check: the index audit must re-derive
+        # the corpus's distinct-term and distinct-(doc,term) counts with
+        # zero violations
+        "index_check": f"""
+SELECT 1::BIGINT AS ok,
+  (SELECT count(DISTINCT term)
+     FROM (SELECT unnest({_TOKS}) AS term FROM documents))::BIGINT AS n_terms,
+  (SELECT count(*)
+     FROM (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term
+           FROM documents))::BIGINT AS n_postings,
+  0::BIGINT AS n_violations""",
         "heavy_terms": f"""
 SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS rank, term, n
 FROM (SELECT term, count(*)::BIGINT AS n

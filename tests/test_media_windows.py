@@ -483,6 +483,67 @@ def test_yinyang_matches_plain_lloyd_and_skips(ray_session):
     assert stats["dist_rows_computed"] < stats["rows_seen"]
 
 
+def test_kmeans_local_bit_identical_to_dataset(ray_session):
+    """The in-task local Lloyd (_kmeans_local) reproduces
+    kmeans_dataset's final cluster sizes exactly for a single-batch
+    window — the identity the window fan-out relies on."""
+    import numpy as np
+
+    from torchtrajectory_ray.pipelines import clustering
+
+    ds = _clustered_emb_ds(n=500, k=4)
+    tbl = ds.to_arrow_refs()
+    import ray as _ray
+
+    tbl = _ray.get(tbl[0]) if len(tbl) == 1 else None
+    if tbl is None:  # multi-block: concat
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(_ray.get(ds.to_arrow_refs()))
+    local = dict(clustering._kmeans_local(tbl, 4, 8))
+    assigns, _, _, _ = clustering.kmeans_dataset(ds, k=4, iters=8)
+    want = assigns.groupby("cluster").size().to_dict()
+    assert local == {int(c): int(n) for c, n in want.items()}
+
+
+def test_windowed_kmeans_defer_marker():
+    """A window above the single-batch identity bound defers (marker
+    row cluster=-1) instead of running a silently-different local
+    path."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import clustering
+
+    n = clustering._LOCAL_WINDOW_MAX + 10
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [r.tolist() for r in rng.normal(size=(n, 4)).astype("float32")],
+                pa.list_(pa.float32()),
+            ),
+            "ts_us": pa.array([5] * n, pa.int64()),
+        }
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="ttray_defer_", dir="/tmp")
+    p = os.path.join(d, "w.parquet")
+    pq.write_table(t, p)
+    task = clustering._WindowKMeansTask(k=3, iters=2, window_us=10)
+    out = task(pd.DataFrame({"w0": [0], "paths": [json.dumps([p])]}))
+    assert list(out["cluster"]) == [-1] and int(out["n"].iloc[0]) == n
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_windowed_kmeans_identity_per_window(ray_session):
     """Each sliding window's clustering equals an independent batch
     k-means over exactly that window's vectors (StreamKpath shape)."""

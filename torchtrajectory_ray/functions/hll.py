@@ -24,7 +24,18 @@ DEFAULT_P = 12  # 4096 registers: rel. std error 1.04/sqrt(m) ~= 1.6 %
 _HASH_BITS = 63  # term_hash is 63-bit positive
 
 
+def _check_p(p: int) -> None:
+    """The frexp bit-length trick below is only exact while the hash
+    suffix fits float64's 53-bit mantissa (63-p <= 53 → p >= 10); for
+    smaller p a suffix just below a power of two rounds UP and
+    overstates the bit length (rho as low as 0), biasing the estimate
+    and corrupting the regs==0 linear-counting branch."""
+    if not 10 <= p <= 18:
+        raise ValueError(f"hll: p must be in [10, 18] (got {p}); p<10 breaks the exact float64 bit-length computation")
+
+
 def hll_init(p: int = DEFAULT_P) -> np.ndarray:
+    _check_p(p)
     return np.zeros(1 << p, dtype=np.uint8)
 
 
@@ -38,6 +49,7 @@ def hll_add_hashes(regs: np.ndarray, hashes: np.ndarray) -> None:
     if hashes.size == 0:
         return
     p = int(np.log2(regs.size))
+    _check_p(p)
     h = hashes.astype(np.uint64)
     idx = (h & np.uint64(regs.size - 1)).astype(np.int64)
     w = h >> np.uint64(p)  # 63-p significant bits

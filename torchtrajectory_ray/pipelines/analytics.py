@@ -149,7 +149,13 @@ def revenue_topk(
         # (6-dp-rounded revenue desc, orderkey asc): every global winner
         # is a local winner, so this is lossless for the final head(k)
         df = batch.to_pandas()
-        df.columns = ["l_orderkey", "revenue"]
+        # rename BY NAME so a Ray Data aggregate-output schema change
+        # fails loud here instead of silently mislabeling columns
+        df = df.rename(columns={"sum(revenue)": "revenue"})
+        if list(df.columns) != ["l_orderkey", "revenue"]:
+            raise ValueError(
+                f"block_topk: unexpected aggregate schema {list(df.columns)}"
+            )
         df["revenue"] = df["revenue"].round(6)
         df = df.sort_values(
             ["revenue", "l_orderkey"], ascending=[False, True]

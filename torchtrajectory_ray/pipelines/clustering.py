@@ -17,6 +17,9 @@ Only per-cluster partial sums travel — never the vectors.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -330,6 +333,207 @@ def kmeans_dataset(
     return assigns, centroids, history, stats
 
 
+N_STAMP_PARTS = 64  # hash-join partitions for the vec_id==event_id stamp
+
+
+def _stamped_window_layout(
+    sf_dir: str, slide_us: int, scratch: str
+) -> list[int]:
+    """Stamp every embedding with its event time via a DISTRIBUTED
+    hash join (vec_id == event_id) and write the stamped stream to
+    ``scratch`` as parquet hive-partitioned by the tumbling slide
+    bucket (``slide_idx = ts_us // slide_us``).  Returns the sorted
+    slide-bucket ids present.
+
+    Nothing corpus-sized ever touches the driver: both sides ship
+    through one bounded-partition exchange (the union∪groupby join
+    shape), and per-window consumers later read ONLY their buckets
+    back (partition-pruned).  The bucket list is directory metadata,
+    not data — O(windows), the same scale as the result itself."""
+    import pyarrow.parquet as pq
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    emb_type = (
+        pq.read_schema(f"{sf_dir}/embeddings.parquet")
+        .field("embedding")
+        .type
+    )
+
+    def emb_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["vec_id"].cast(pa.int64()),
+                "embedding": t["embedding"],
+                "ts_us": pa.nulls(len(t), pa.int64()),
+                "side": pa.array(
+                    np.zeros(len(t), np.int8), pa.int8()
+                ),
+            }
+        )
+
+    def ev_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["event_id"].cast(pa.int64()),
+                "embedding": pa.nulls(len(t), emb_type),
+                "ts_us": t["ts"].cast(pa.int64()),
+                "side": pa.array(np.ones(len(t), np.int8), pa.int8()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    both = emb.map_batches(emb_side, batch_format="pyarrow").union(
+        ev.map_batches(ev_side, batch_format="pyarrow")
+    )
+
+    def add_jb(t: pa.Table) -> pa.Table:
+        jb = (
+            t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % N_STAMP_PARTS
+        ).astype(np.int32)
+        return t.append_column("jb", pa.array(jb, pa.int32()))
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_ev = side == 1
+        ev_ids = ids[is_ev]
+        ev_ts = t["ts_us"].to_numpy(zero_copy_only=False)[is_ev].astype(
+            np.int64
+        )
+        order = np.argsort(ev_ids, kind="stable")
+        ev_ids, ev_ts = ev_ids[order], ev_ts[order]
+        emb_rows = np.flatnonzero(~is_ev)
+        if len(ev_ids) == 0 or len(emb_rows) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.nulls(0, emb_type),
+                    "ts_us": pa.array([], pa.int64()),
+                    "slide_idx": pa.array([], pa.int64()),
+                }
+            )
+        vids = ids[emb_rows]
+        j = np.searchsorted(ev_ids, vids)
+        j = np.clip(j, 0, len(ev_ids) - 1)
+        hit = ev_ids[j] == vids
+        keep = emb_rows[hit]
+        ts = ev_ts[j[hit]]
+        sub = t.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "vec_id": sub["id"],
+                "embedding": sub["embedding"],
+                "ts_us": pa.array(ts, pa.int64()),
+                "slide_idx": pa.array(ts // slide_us, pa.int64()),
+            }
+        )
+
+    (
+        both.map_batches(add_jb, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(join_group, batch_format="pyarrow")
+        .write_parquet(scratch, partition_cols=["slide_idx"])
+    )
+    buckets = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(scratch)
+        if name.startswith("slide_idx=")
+    )
+    return buckets
+
+
+# Identity bound for the in-task local Lloyd: kmeans_dataset slices its
+# input into ≤4096-row batches, so a window at or under that size runs
+# as EXACTLY ONE batch there — the driver fold over one partial is the
+# identity, and the local single-batch loop reproduces the distributed
+# result bit for bit (same kernels, same float64 summation order).
+_LOCAL_WINDOW_MAX = 4096
+
+
+def _kmeans_local(
+    tbl: pa.Table, k: int, iters: int
+) -> list[tuple[int, int]]:
+    """Single-batch mirror of :func:`kmeans_dataset`'s plain path —
+    SAME init (min-id), SAME assignment kernel (_assign_partials), SAME
+    driver fold and convergence breaks, run on one in-task table.
+    Returns (cluster, n) for the final assignment."""
+    from torchtrajectory_ray.pipelines.knn import _batch_matrix
+
+    ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    sel = np.argsort(ids)[:k]
+    e64 = np.asarray(_batch_matrix(tbl), dtype=np.float64)
+    centroids = e64[sel].copy()
+    history: list[float] = []
+    for _ in range(iters):
+        parts = _assign_partials(tbl, centroids).to_pandas()
+        agg = parts.groupby("cluster").agg(
+            count=("count", "sum"),
+            inertia=("inertia", "sum"),
+            vec_sum=(
+                "vec_sum",
+                lambda s: np.sum(np.stack(s.to_numpy()), axis=0),
+            ),
+        )
+        history.append(float(agg["inertia"].sum()))
+        new_c = centroids.copy()
+        for c, row in agg.iterrows():
+            new_c[int(c)] = np.asarray(row["vec_sum"]) / row["count"]
+        if np.allclose(new_c, centroids, atol=1e-12):
+            break
+        centroids = new_c
+        if len(history) >= 2 and abs(history[-1] - history[-2]) < 1e-9:
+            break
+    e = _batch_matrix(tbl)
+    d = -2.0 * (e @ centroids.T) + (centroids**2).sum(axis=1)[None, :]
+    cl, n = np.unique(np.argmin(d, axis=1), return_counts=True)
+    return [(int(c), int(m)) for c, m in zip(cl, n)]
+
+
+class _WindowKMeansTask:
+    """One window per input row: pushdown-read the window's slide
+    buckets, residual-filter to the window span, run the local Lloyd.
+    Windows over the single-batch identity bound emit a DEFER marker
+    row (cluster = -1) for the caller's distributed path."""
+
+    def __init__(self, k: int, iters: int, window_us: int):
+        self.k = k
+        self.iters = iters
+        self.window_us = window_us
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        rows: list[tuple[int, int, int]] = []
+        for w0, paths_json in zip(batch["w0"], batch["paths"]):
+            w0 = int(w0)
+            tbl = pads.dataset(
+                json.loads(paths_json), format="parquet"
+            ).to_table(columns=["vec_id", "embedding", "ts_us"])
+            mask = pc.and_(
+                pc.greater_equal(tbl["ts_us"], w0),
+                pc.less(tbl["ts_us"], w0 + self.window_us),
+            )
+            tbl = tbl.filter(mask).select(["vec_id", "embedding"])
+            if tbl.num_rows < self.k:
+                continue
+            if tbl.num_rows > _LOCAL_WINDOW_MAX:
+                rows.append((w0, -1, tbl.num_rows))
+                continue
+            rows.extend(
+                (w0, c, n)
+                for c, n in _kmeans_local(tbl, self.k, self.iters)
+            )
+        return pd.DataFrame(
+            rows, columns=["window_start_us", "cluster", "n"]
+        ).astype("int64")
+
+
 def windowed_kmeans(
     sf_dir: str,
     k: int = 4,
@@ -342,78 +546,113 @@ def windowed_kmeans(
     (clustering/Streaming/StreamKpath.java): re-run k-means over the
     vectors inside each sliding event-time window.
 
-    The sf fixture stream is embeddings joined to their event times
-    (``vec_id == event_id``, a broadcast lookup — GATE-SCALE plumbing
-    only: a real vector stream already carries its timestamps, and at
-    cluster scale the stamp would be a hash join, not a driver-built
-    lookup array).  Each window's run is an INDEPENDENT deterministic
-    k-means (min-id init), so a window's result equals a batch run over
-    that window's slice — the window-identity property the tests
-    assert; windows are also independent of each other, so a cluster
-    deployment can process them concurrently.  Returns one row per
-    (window_start_us, cluster): member count."""
-    import pyarrow.parquet as pq
-    import pyarrow.dataset as pads
+    Scale shape (de-drivered in round 5): the event-time stamp is a
+    DISTRIBUTED hash join (``vec_id == event_id`` through a bounded
+    partition exchange — never a driver-built lookup array), the
+    stamped stream lands on disk partitioned by slide bucket, and each
+    window's k-means consumes a PARTITION-PRUNED read of just its
+    buckets (window working set in the object store; the corpus never
+    materializes whole anywhere).  Each window's run is an INDEPENDENT
+    deterministic k-means (min-id init), so a window's result equals a
+    batch run over that window's slice — the window-identity property
+    the tests assert.  Windows fan out as ONE RAY TASK EACH (the local
+    Lloyd is a bit-identical single-batch mirror of kmeans_dataset);
+    only a window too large for one batch falls back to a distributed
+    per-window run.  Returns one row per (window_start_us, cluster):
+    member count.  ``concurrency`` is accepted for API compatibility
+    (the task fan-out parallelizes windows natively now)."""
+    import shutil
+    import tempfile
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    n_vec = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    ev = pads.dataset(
-        f"{sf_dir}/events.parquet", format="parquet"
-    ).to_table(
-        columns=["event_id", "ts"],
-        filter=pads.field("event_id") < n_vec,
-    )
-    ts_of = np.full(n_vec, -1, np.int64)
-    ts_of[ev["event_id"].to_numpy()] = ev["ts"].to_numpy().astype(np.int64)
+    scratch = tempfile.mkdtemp(prefix="ttray_wkm_", dir="/tmp")
+    try:
+        buckets = _stamped_window_layout(sf_dir, slide_us, scratch)
+        if not buckets:
+            # no event joins any embedding: an empty windowed result,
+            # not a reduction crash
+            return pd.DataFrame(
+                columns=["window_start_us", "cluster", "n"]
+            ).astype("int64")
+        # min-bucket × slide == lo - lo % slide: the bucket ids ARE the
+        # aligned window starts, no timestamp scan needed
+        starts = [
+            b * slide_us for b in range(buckets[0], buckets[-1] + 1)
+        ]
 
-    def stamp(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy().astype(np.int64)
-        return t.append_column("ts_us", pa.array(ts_of[ids], pa.int64()))
+        bucket_set = set(buckets)
 
-    stream = emb.map_batches(stamp, batch_format="pyarrow").materialize()
-    if not (ts_of >= 0).any():
-        # no event joins any embedding: an empty windowed result, not a
-        # reduction crash
-        return pd.DataFrame(
-            columns=["window_start_us", "cluster", "n"]
-        ).astype("int64")
-    lo = int(ts_of[ts_of >= 0].min())
-    hi = int(ts_of.max())
-    start0 = lo - (lo % slide_us)
-    starts = list(range(start0, hi + 1, slide_us))
+        def window_paths(w0: int) -> list[str]:
+            b0 = w0 // slide_us
+            b1 = (w0 + window_us - 1) // slide_us
+            # partition pruning by PATH: only this window's slide-bucket
+            # directories are opened (the hive layout is the prune)
+            return [
+                f"{scratch}/slide_idx={b}/{f}"
+                for b in range(b0, b1 + 1)
+                if b in bucket_set
+                for f in sorted(os.listdir(f"{scratch}/slide_idx={b}"))
+                if f.endswith(".parquet")
+            ]
 
-    def run_window(w0: int) -> list[tuple[int, int, int]]:
-        win = stream.filter(
-            expr=f"ts_us >= {w0} and ts_us < {w0 + window_us}"
+        # WINDOWS are the parallelism unit: one Ray task per window does
+        # its own pushdown read + the single-batch local Lloyd (exact
+        # mirror of kmeans_dataset — see _kmeans_local).  Driving each
+        # tiny window through its own multi-round Dataset execution pays
+        # ~10 executor round-trips per window; one task per window pays
+        # one.  A window too big for the single-batch identity bound
+        # emits a DEFER marker and runs on the distributed path below —
+        # at scale those few windows each saturate the cluster anyway.
+        specs = pd.DataFrame(
+            {
+                "w0": pd.array(
+                    [w for w in starts if window_paths(w)], dtype="int64"
+                ),
+            }
         )
-        if win.count() < k:
-            return []
-        assigns, _, _, _ = kmeans_dataset(
-            win.select_columns(["vec_id", "embedding"]), k, iters
+        specs["paths"] = [
+            json.dumps(window_paths(int(w))) for w in specs["w0"]
+        ]
+        if specs.empty:
+            return pd.DataFrame(
+                columns=["window_start_us", "cluster", "n"]
+            ).astype("int64")
+        res = (
+            ray.data.from_pandas(specs)
+            .repartition(len(specs))
+            .map_batches(
+                _WindowKMeansTask(k, iters, window_us),
+                batch_format="pandas",
+                batch_size=None,
+            )
+            .to_pandas()  # O(windows × k) rows
         )
-        g = assigns.groupby("cluster").size()
-        return [(w0, int(c), int(n)) for c, n in g.items()]
-
-    # windows are INDEPENDENT deterministic runs, so they overlap freely:
-    # a thread per in-flight window keeps the cluster busy while another
-    # window's driver-side reduce runs (the GIL is released inside Ray
-    # waits).  Results are reassembled in window order, so the output is
-    # bit-identical to the sequential loop at any concurrency.
-    out: list[tuple[int, int, int]] = []
-    if concurrency <= 1 or len(starts) <= 1:
-        for w0 in starts:
-            out.extend(run_window(w0))
-    else:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=concurrency) as ex:
-            for rows in ex.map(run_window, starts):
-                out.extend(rows)
-    return pd.DataFrame(
-        out, columns=["window_start_us", "cluster", "n"]
-    ).astype("int64")
+        deferred = res[res["cluster"] < 0]
+        out = res[res["cluster"] >= 0]
+        rows: list[tuple[int, int, int]] = []
+        for w0 in deferred["window_start_us"]:
+            w0 = int(w0)
+            win = (
+                ray.data.read_parquet(window_paths(w0))
+                .filter(
+                    expr=f"ts_us >= {w0} and ts_us < {w0 + window_us}"
+                )
+                .select_columns(["vec_id", "embedding"])
+                .materialize()  # ONE window's working set, not the corpus
+            )
+            assigns, _, _, _ = kmeans_dataset(win, k, iters)
+            g = assigns.groupby("cluster").size()
+            rows.extend((w0, int(c), int(n)) for c, n in g.items())
+        out = pd.concat(
+            [out, pd.DataFrame(rows, columns=out.columns)],
+            ignore_index=True,
+        )
+        return (
+            out.astype("int64")
+            .sort_values(["window_start_us", "cluster"])
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def kmeans_onestep(sf_dir: str, k: int = 8) -> pd.DataFrame:

@@ -1252,13 +1252,43 @@ def _planted_dup_docs(sf_dir: str) -> list[str]:
     return [os.path.join(d, "base.parquet"), os.path.join(d, "plant.parquet")]
 
 
+def _keyed_pairs_ds(
+    docs_paths: list[str], key_rows, max_group: int = 4096
+) -> ray.data.Dataset:
+    """(doc_a, doc_b) pairs of docs sharing a 63-bit content key
+    (doc_a < doc_b): ``key_rows`` maps a (doc_id, text) Arrow batch to
+    (h, doc_id) rows, then a key groupby expands all in-group pairs
+    (groups past ``max_group`` fail loud — the pair answer there is
+    inherently quadratic)."""
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+            )
+        if n > max_group:
+            raise ValueError(
+                f"identical-key group of {n} docs exceeds max_group="
+                f"{max_group}"
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    return (
+        ray.data.read_parquet(docs_paths, columns=["doc_id", "text"])
+        .map_batches(key_rows, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+
+
 def exact_text_pairs_ds(
     docs_paths: list[str], max_group: int = 4096
 ) -> ray.data.Dataset:
     """(doc_a, doc_b) pairs of IDENTICAL text (doc_a < doc_b) over the
-    given parquet files: sha-keyed groupby, all in-group pairs (groups
-    past ``max_group`` fail loud — the pair answer there is inherently
-    quadratic)."""
+    given parquet files: sha-keyed groupby via :func:`_keyed_pairs_ds`."""
     import hashlib
 
     def key_rows(t: pa.Table) -> pa.Table:
@@ -1277,27 +1307,37 @@ def exact_text_pairs_ds(
             }
         )
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame(
-                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
-            )
-        if n > max_group:
-            raise ValueError(
-                f"identical-text group of {n} docs exceeds max_group="
-                f"{max_group}"
-            )
-        ia, ib = np.triu_indices(n, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    return _keyed_pairs_ds(docs_paths, key_rows, max_group)
 
-    return (
-        ray.data.read_parquet(docs_paths, columns=["doc_id", "text"])
-        .map_batches(key_rows, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(group_pairs, batch_format="pandas")
-    )
+
+def fingerprint_dups(sf_dir: str) -> pd.DataFrame:
+    """(doc_a, doc_b) pairs whose ROLLING-HASH document fingerprints
+    collide, over documents ∪ the planted duplicated head — the driver
+    gate for the fingerprint operator (:func:`fingerprints`).  The
+    Karp-Rabin polynomial is a deterministic function of the token
+    stream and text → token stream is injective (``' '.join ∘ split``
+    is the identity), so equal fingerprint ⟺ equal text up to 2⁻⁶³
+    collision odds — the SQL text-equality self-join (the recall-gate
+    oracle) reproduces the pair set exactly; a fingerprint kernel that
+    dropped tokens, ignored order, or truncated would break the match."""
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        fps = fingerprint_batch(
+            [s.split(" ") for s in t["text"].to_pylist()]
+        )
+        return pa.table(
+            {
+                "h": pa.array(fps, pa.int64()),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    pairs = _keyed_pairs_ds(_planted_dup_docs(sf_dir), key_rows).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+        )
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def _lsh_exact_recall(

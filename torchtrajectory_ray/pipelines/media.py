@@ -266,7 +266,7 @@ def _hash_band_pairs(
         change = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
         heads = np.concatenate(([0], np.flatnonzero(change) + 1))
         ends = np.concatenate((heads[1:], [len(ids)]))
-        a, b, ha, hb = [], [], [], []
+        a, b, ha, hb, cap = [], [], [], [], []
         for s, e in zip(heads, ends):
             u, first = np.unique(ids[s:e], return_index=True)
             if len(u) < 2:
@@ -275,14 +275,20 @@ def _hash_band_pairs(
             if len(u) > MAX_BUCKET:
                 # degenerate bucket (mass-duplicated asset): star
                 # expansion keeps connectivity at O(n) pairs instead of
-                # a quadratic blowup — same policy as the text LSH
+                # a quadratic blowup — same policy as the text LSH.
+                # Spoke↔spoke pairs are NOT emitted, so (like the text
+                # chain) these rows carry capped=True: two spokes within
+                # max_hamming of each other but both beyond it from the
+                # hub would otherwise be lost invisibly.
                 a.append(np.full(len(u) - 1, u[0]))
                 b.append(u[1:])
                 ha.append(np.full(len(u) - 1, uh[0]))
                 hb.append(uh[1:])
+                cap.append(np.full(len(u) - 1, True))
                 continue
             ia, ib = np.triu_indices(len(u), k=1)
             a.append(u[ia]); b.append(u[ib]); ha.append(uh[ia]); hb.append(uh[ib])
+            cap.append(np.full(len(ia), False))
         if not a:
             return pd.DataFrame(
                 {
@@ -290,6 +296,7 @@ def _hash_band_pairs(
                     "doc_b": np.array([], np.int64),
                     "h_a": np.array([], np.int64),
                     "h_b": np.array([], np.int64),
+                    "capped": np.array([], bool),
                 }
             )
         return pd.DataFrame(
@@ -298,19 +305,27 @@ def _hash_band_pairs(
                 "doc_b": np.concatenate(b),
                 "h_a": np.concatenate(ha),
                 "h_b": np.concatenate(hb),
+                "capped": np.concatenate(cap),
             }
         )
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["pp"]).drop_duplicates(["doc_a", "doc_b"])
+        empty = pd.DataFrame(
+            {
+                "doc_a": np.array([], np.int64),
+                "doc_b": np.array([], np.int64),
+                "hamming": np.array([], np.int64),
+                "capped": np.array([], bool),
+            }
+        )
+        g = g.drop(columns=["pp"])
         if g.empty:
-            return pd.DataFrame(
-                {
-                    "doc_a": np.array([], np.int64),
-                    "doc_b": np.array([], np.int64),
-                    "hamming": np.array([], np.int64),
-                }
-            )
+            return empty
+        # OR capped across duplicate copies of a pair (a pair can appear
+        # from both a normal band and a star-expanded one)
+        g = g.groupby(["doc_a", "doc_b", "h_a", "h_b"], as_index=False).agg(
+            capped=("capped", "max")
+        )
         x = g["h_a"].to_numpy().astype(np.uint64) ^ g["h_b"].to_numpy().astype(
             np.uint64
         )
@@ -321,7 +336,7 @@ def _hash_band_pairs(
         )
         out = g.assign(hamming=ham)
         return out[out["hamming"] <= max_hamming][
-            ["doc_a", "doc_b", "hamming"]
+            ["doc_a", "doc_b", "hamming", "capped"]
         ].reset_index(drop=True)
 
     out = (
@@ -334,7 +349,7 @@ def _hash_band_pairs(
         .map_groups(finish, batch_format="pandas")
         .to_pandas()
     )
-    return _collect_pairs(out, ["doc_a", "doc_b", "hamming"])
+    return _collect_pairs(out, ["doc_a", "doc_b", "hamming", "capped"])
 
 
 def image_dhash_dups(sf_dir: str | None = None, max_hamming: int = 3) -> pd.DataFrame:

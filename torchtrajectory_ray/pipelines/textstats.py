@@ -797,6 +797,40 @@ def cardinality_hll(sf_dir: str, p: int | None = None) -> pd.DataFrame:
     return out
 
 
+def cardinality_hll_check(sf_dir: str, p: int | None = None) -> pd.DataFrame:
+    """lang, n_terms, within_3sigma — the DRIVER-CHECKABLE cardinality
+    gate.  ``n_terms`` is the exact per-language distinct-token count
+    (COUNT(DISTINCT) — SQL-reproducible) and ``within_3sigma`` asserts
+    the HyperLogLog estimate lands inside the published 3σ error bound
+    (σ = 1.04/√m, Flajolet et al. 2007 §4): the SQL oracle emits the
+    constant 1, so a broken sketch (wrong rho, bad merge, biased
+    estimator) flips the Ray side to 0 and the value hash mismatches.
+    This closes the one ``no_oracle`` window row from round 4 — the
+    sketch itself is deterministic (blake2b hashes, fixed p), so the
+    flag is a pure function of the corpus."""
+    from torchtrajectory_ray.functions.hll import DEFAULT_P
+
+    p = DEFAULT_P if p is None else int(p)
+    exact = distinct_terms(sf_dir)
+    est = cardinality_hll(sf_dir, p=p)
+    bound = 3.0 * 1.04 / float(np.sqrt(1 << p))
+    merged = exact.merge(est, on="lang", how="outer", sort=True)
+    # a lang present on one side only is an outright failure, not noise
+    ratio_err = np.abs(
+        merged["n_terms_est"].to_numpy(dtype=np.float64)
+        / merged["n_terms"].to_numpy(dtype=np.float64)
+        - 1.0
+    )
+    within = np.where(np.isfinite(ratio_err) & (ratio_err <= bound), 1, 0)
+    return pd.DataFrame(
+        {
+            "lang": merged["lang"],
+            "n_terms": merged["n_terms"].fillna(-1).astype(np.int64),
+            "within_3sigma": within.astype(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
 def heavy_terms(sf_dir: str, k: int = 20, m: int = 4096) -> pd.DataFrame:
     """rank, term, n — EXACT corpus-wide top-``k`` terms by occurrence
     count, computed WITHOUT a vocabulary-sized shuffle (the heavy-hitter

@@ -50,7 +50,11 @@ def _csv_stem(path: str) -> str:
     and the task must share this exact function."""
     from torchtrajectory_ray.sources.warc import shard_stem
 
-    suffix = ".tsv" if ".tsv" in os.path.basename(path) else ".csv"
+    # Same suffix rule as _delim_for (endswith after stripping .gz) so
+    # the shard name and the parser never disagree on the same file —
+    # e.g. x.tsv.backup.csv is a CSV to both.
+    stem = path[:-3] if path.endswith(".gz") else path
+    suffix = ".tsv" if stem.endswith(".tsv") else ".csv"
     return shard_stem(path, suffix)
 
 
