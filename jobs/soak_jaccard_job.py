@@ -95,6 +95,28 @@ def main() -> None:
         soak_dir, threshold=args.threshold, freq_topk=args.freq_topk
     ).write_parquet(pairs_dir)
     out["jaccard_s"] = round(time.monotonic() - t0, 1)
+    # candidate economy of the pair stage itself (re-derived; the
+    # in-line chain streams candidates straight into verification)
+    src = os.path.join(soak_dir, "documents.parquet")
+    docs2 = ray.data.read_parquet(src, columns=["doc_id", "text"])
+    rank2 = dedup._frequent_shingle_ranks(docs2, 3, args.freq_topk)
+    expand = dedup._PrefixGroupPairs(args.threshold, 4096)
+    out["n_candidates"] = int(
+        docs2.map_batches(
+            dedup._prefix_rows_task,
+            fn_kwargs=dict(
+                threshold=args.threshold, k=3, freq_rank=rank2
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(dedup._prefix_pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lambda t: expand(t), batch_format="pyarrow")
+        .map_batches(dedup._add_pair_part, batch_format="pandas")
+        .groupby("pp")
+        .map_groups(dedup._dedupe_pairs_group, batch_format="pandas")
+        .count()
+    )
     pairs_ds = ray.data.read_parquet(pairs_dir)
 
     def pair_stats(t):

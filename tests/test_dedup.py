@@ -185,11 +185,12 @@ def test_ngram_prefix_rows_prune(ray_session):
     )  # t=0 -> prefix = whole set
     pruned = dedup._prefix_rows_task(tbl, threshold=0.8, k=3, freq_rank={})
     assert 0 < pruned.num_rows < 0.4 * full.num_rows
-    # mark one shingle of doc 0 frequent: it must leave doc 0's prefix
+    # mark one shingle of doc 0 frequent (by its 64-bit exchange key):
+    # it must leave doc 0's prefix
     s0 = [
-        s
-        for s, d in zip(
-            pruned["shingle"].to_pylist(), pruned["doc_id"].to_pylist()
+        h
+        for h, d in zip(
+            pruned["sh64"].to_pylist(), pruned["doc_id"].to_pylist()
         )
         if d == 0
     ]
@@ -197,9 +198,9 @@ def test_ngram_prefix_rows_prune(ray_session):
         tbl, threshold=0.8, k=3, freq_rank={s0[0]: 0}
     )
     s0b = {
-        s
-        for s, d in zip(
-            again["shingle"].to_pylist(), again["doc_id"].to_pylist()
+        h
+        for h, d in zip(
+            again["sh64"].to_pylist(), again["doc_id"].to_pylist()
         )
         if d == 0
     }

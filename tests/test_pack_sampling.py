@@ -92,6 +92,20 @@ def test_top_per_lang_matches_single_partition(ray_session):
     )
 
 
+def test_decontaminate_bench_set_bound_fails_loud(ray_session):
+    """A benchmark gram set over max_grams raises instead of OOMing a
+    worker via an unbounded broadcast (the kgram max_dup_hashes
+    discipline)."""
+    import pytest
+
+    from torchtrajectory_ray.pipelines import decontaminate
+
+    with pytest.raises(ValueError, match="max_grams"):
+        decontaminate.benchmark_grams(SF, n=3, max_grams=2)
+    # and the ordinary path is untouched by the default bound
+    assert decontaminate.benchmark_grams(SF, n=3).size > 2
+
+
 def test_decontaminate_self_and_cross(ray_session):
     """Every benchmark doc with a full window flags itself with exactly
     its own distinct-gram count; flags are >= min_shared."""

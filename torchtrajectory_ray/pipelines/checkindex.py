@@ -342,3 +342,307 @@ def ttf_table(index_dir: str, *, distributed: bool = True) -> pd.DataFrame:
         .sort_values("term")
         .reset_index(drop=True)
     )
+
+
+# --- CheckIndex for the IVF vector layout ------------------------------------
+
+
+class _IvfPartCheckTask:
+    """map_batches task: one bucket part file per input row → violations
+    + per-bucket/per-centroid partials.  Pure per-file reads — the same
+    embarrassingly-parallel shape as the segment checker."""
+
+    def __init__(self, out_dir: str, centroids, id_col: str, sq8: bool):
+        self.out_dir = out_dir
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.id_col = id_col
+        self.sq8 = sq8
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from torchtrajectory_ray.pipelines.ivf import (
+            _batch_matrix,
+            _norm_rows,
+            _sq8_error_bound,
+            _sq8_matrix,
+        )
+
+        Cn = (
+            _norm_rows(self.centroids)
+            if len(self.centroids)
+            else self.centroids
+        )
+        rows = []
+        for rel, want_bucket, cent_idx in zip(
+            batch["path"], batch["bucket_id"], batch["centroid_idx"]
+        ):
+            violations: list[str] = []
+            n = 0
+            min_cos = 1.0
+            max_ang = 0.0
+            p = os.path.join(self.out_dir, rel)
+            if not os.path.exists(p):
+                rows.append(
+                    {
+                        "bucket": int(want_bucket),
+                        "centroid": int(cent_idx),
+                        "n": 0,
+                        "min_cos": 1.0,
+                        "max_ang": 0.0,
+                        "violations": json.dumps(
+                            [f"{rel}: referenced by meta but missing on disk"]
+                        ),
+                    }
+                )
+                continue
+            try:
+                tbl = pq.read_table(p)
+                n = tbl.num_rows
+                got_buckets = np.unique(
+                    tbl["bucket"].to_numpy().astype(np.int64)
+                )
+                if len(got_buckets) and (
+                    len(got_buckets) != 1 or got_buckets[0] != int(want_bucket)
+                ):
+                    violations.append(
+                        f"{rel}: bucket column {got_buckets.tolist()} != "
+                        f"directory bucket {int(want_bucket)}"
+                    )
+                if n and len(Cn):
+                    en = _norm_rows(_batch_matrix(tbl))
+                    cs = en @ Cn[int(cent_idx)]
+                    min_cos = float(cs.min())
+                    max_ang = float(
+                        np.arccos(np.clip(cs, -1.0, 1.0)).max()
+                    )
+                if self.sq8:
+                    if "embedding_sq8" not in tbl.column_names:
+                        violations.append(
+                            f"{rel}: params.sq8 set but embedding_sq8 "
+                            "column missing"
+                        )
+                    elif n:
+                        approx = _sq8_matrix(tbl)
+                        en = _norm_rows(_batch_matrix(tbl))
+                        err = float(
+                            np.linalg.norm(approx - en, axis=1).max()
+                        )
+                        bound = _sq8_error_bound(en.shape[1])
+                        if err > bound + 1e-12:
+                            violations.append(
+                                f"{rel}: sq8 dequantization error {err:.3g} "
+                                f"exceeds the provable bound {bound:.3g}"
+                            )
+            except Exception as e:  # garbled parquet → violation, not crash
+                violations.append(f"{rel}: unreadable ({e})")
+            rows.append(
+                {
+                    "bucket": int(want_bucket),
+                    "centroid": int(cent_idx),
+                    "n": int(n),
+                    "min_cos": min_cos,
+                    "max_ang": max_ang,
+                    "violations": json.dumps(violations),
+                }
+            )
+        return pd.DataFrame(rows)
+
+
+def check_ivf(out_dir: str, *, distributed: bool = True) -> dict:
+    """Integrity verification of an IVF bucket layout (the vector-side
+    CheckIndex): ``{"ok", "violations", "n_buckets", "n_vectors"}``.
+
+    Verified against ``meta.json``:
+    - structural: nlist == len(centroids), n_vectors / total_bytes equal
+      the bucket-table sums, every bucket's centroid index is in range;
+    - filesystem: every referenced part exists with the recorded size;
+      no ORPHAN part files under bucket-*/ that meta doesn't reference
+      (the crashed-superseded-parent class);
+    - per part (distributed): the ``bucket`` column matches the
+      directory, per-bucket row totals == meta ``n``, members satisfy
+      cos(member, centroid) >= meta ``min_cos`` (admissible — deletes
+      may leave the recorded bound conservatively low), sq8 codes
+      dequantize within the provable error bound;
+    - global: vector ids are unique across the whole layout;
+    - sidecars: a radii cache for the CURRENT meta fingerprint must
+      dominate the recomputed per-centroid member angles; tombstones
+      must be sorted unique ints.
+    """
+    import hashlib
+
+    import ray.data
+
+    violations: list[str] = []
+    meta_path = os.path.join(out_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        return {
+            "ok": False,
+            "violations": [f"{meta_path} missing"],
+            "n_buckets": 0,
+            "n_vectors": 0,
+        }
+    with open(meta_path) as f:
+        meta = json.load(f)
+    buckets: dict = meta.get("buckets", {})
+    centroids = meta.get("centroids", [])
+    if int(meta.get("nlist", -1)) != len(centroids):
+        violations.append(
+            f"meta.nlist={meta.get('nlist')} != {len(centroids)} centroids"
+        )
+    n_sum = sum(int(v["n"]) for v in buckets.values())
+    if int(meta.get("n_vectors", -1)) != n_sum:
+        violations.append(
+            f"meta.n_vectors={meta.get('n_vectors')} != bucket sum {n_sum}"
+        )
+    bytes_sum = sum(int(v["bytes"]) for v in buckets.values())
+    if int(meta.get("total_bytes", -1)) != bytes_sum:
+        violations.append(
+            f"meta.total_bytes={meta.get('total_bytes')} != bucket sum "
+            f"{bytes_sum}"
+        )
+    referenced: set[str] = set()
+    spec_rows = []
+    for key, info in buckets.items():
+        if not 0 <= int(info["centroid"]) < max(len(centroids), 1):
+            violations.append(
+                f"bucket {key}: centroid index {info['centroid']} out of "
+                f"range [0, {len(centroids)})"
+            )
+            continue
+        got_bytes = 0
+        for rel in info["paths"]:
+            referenced.add(rel)
+            p = os.path.join(out_dir, rel)
+            if os.path.exists(p):
+                got_bytes += os.path.getsize(p)
+            spec_rows.append(
+                {
+                    "path": rel,
+                    "bucket_id": int(key),
+                    "centroid_idx": int(info["centroid"]),
+                }
+            )
+        if got_bytes != int(info["bytes"]):
+            violations.append(
+                f"bucket {key}: on-disk bytes {got_bytes} != meta "
+                f"{info['bytes']}"
+            )
+    for name in sorted(os.listdir(out_dir)):
+        if not name.startswith("bucket-"):
+            continue
+        bdir = os.path.join(out_dir, name)
+        if not os.path.isdir(bdir):
+            continue
+        for f_ in sorted(os.listdir(bdir)):
+            if f_.endswith(".parquet"):
+                rel = os.path.join(name, f_)
+                if rel not in referenced:
+                    violations.append(
+                        f"{rel}: on disk but not referenced by meta "
+                        "(orphan part)"
+                    )
+
+    res = pd.DataFrame(
+        columns=["bucket", "centroid", "n", "min_cos", "max_ang", "violations"]
+    )
+    if spec_rows:
+        spec = pd.DataFrame(spec_rows)
+        task = _IvfPartCheckTask(
+            out_dir,
+            centroids,
+            meta["params"]["id_col"],
+            bool(meta["params"].get("sq8")),
+        )
+        if distributed:
+            res = (
+                ray.data.from_pandas(spec)
+                .repartition(len(spec))
+                .map_batches(task, batch_format="pandas", batch_size=None)
+                .to_pandas()
+            )
+        else:
+            res = task(spec)
+        for v in res["violations"]:
+            violations.extend(json.loads(v))
+        fold = res.groupby("bucket").agg(
+            n=("n", "sum"), min_cos=("min_cos", "min")
+        )
+        for key, info in buckets.items():
+            got = fold.loc[int(key)] if int(key) in fold.index else None
+            if got is None:
+                continue
+            if int(got["n"]) != int(info["n"]):
+                violations.append(
+                    f"bucket {key}: rows {int(got['n'])} != meta n "
+                    f"{info['n']}"
+                )
+            if float(got["min_cos"]) < float(info["min_cos"]) - 1e-9:
+                violations.append(
+                    f"bucket {key}: member cos {got['min_cos']:.6g} below "
+                    f"meta min_cos {info['min_cos']:.6g} (bound not "
+                    "admissible)"
+                )
+
+    # global id uniqueness (ids only — a key-sized exchange, never vectors)
+    files = [
+        os.path.join(out_dir, r["path"])
+        for r in spec_rows
+        if os.path.exists(os.path.join(out_dir, r["path"]))
+    ]
+    if files and n_sum:
+        id_col = meta["params"]["id_col"]
+        dup = (
+            ray.data.read_parquet(files, columns=[id_col])
+            .groupby(id_col)
+            .count()
+            .map_batches(
+                lambda t: pd.DataFrame(
+                    {"dups": [int((t["count()"].to_numpy() > 1).sum())]}
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["dups"]
+            .sum()
+        )
+        if int(dup):
+            violations.append(
+                f"{int(dup)} vector ids appear in more than one layout row"
+            )
+
+    # radii sidecar for the CURRENT meta (stale fingerprints are unused)
+    fp = hashlib.md5(json.dumps(meta, sort_keys=True).encode()).hexdigest()[
+        :10
+    ]
+    radii_path = os.path.join(out_dir, f"radii-{fp}.json")
+    if os.path.exists(radii_path) and len(res):
+        with open(radii_path) as f:
+            radii = np.asarray(json.load(f)["radii"], dtype=np.float64)
+        if len(radii) != len(centroids):
+            violations.append(
+                f"radii sidecar has {len(radii)} entries != nlist "
+                f"{len(centroids)}"
+            )
+        else:
+            actual = res.groupby("centroid")["max_ang"].max()
+            for c, ang in actual.items():
+                if radii[int(c)] < float(ang) - 1e-9:
+                    violations.append(
+                        f"radii[{int(c)}]={radii[int(c)]:.6g} below actual "
+                        f"member angle {ang:.6g} (probe bound inadmissible)"
+                    )
+
+    tomb_path = os.path.join(out_dir, "tombstones.json")
+    if os.path.exists(tomb_path):
+        with open(tomb_path) as f:
+            tombs = json.load(f)
+        arr = np.asarray(tombs, dtype=np.int64)
+        if len(arr) and (
+            not np.all(np.diff(arr) > 0)
+        ):
+            violations.append("tombstones.json not sorted strictly ascending")
+
+    return {
+        "ok": not violations,
+        "violations": violations,
+        "n_buckets": len(buckets),
+        "n_vectors": n_sum,
+    }

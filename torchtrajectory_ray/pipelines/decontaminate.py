@@ -36,6 +36,15 @@ import ray.data
 
 BENCH_MOD = 97
 
+# Fail-loud ceiling on the broadcast benchmark-gram set (the same
+# discipline as kgram_dup_stats' max_dup_hashes): ~5M distinct gram
+# strings ≈ a few hundred MB in every worker's heap — beyond that the
+# broadcast-small-side assumption this operator is built on no longer
+# holds, and silently OOMing a worker is the worst failure mode.  A
+# benchmark set that big should go through an exchange (the line_dedup
+# join shape) instead; raising the ceiling is a conscious opt-in.
+MAX_BENCH_GRAMS = 5_000_000
+
 
 def _doc_grams(tokens: list[str], n: int) -> list[str]:
     if len(tokens) < n:
@@ -43,9 +52,12 @@ def _doc_grams(tokens: list[str], n: int) -> list[str]:
     return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
 
 
-def benchmark_grams(sf_dir: str, n: int = 3) -> np.ndarray:
+def benchmark_grams(
+    sf_dir: str, n: int = 3, max_grams: int = MAX_BENCH_GRAMS
+) -> np.ndarray:
     """Sorted distinct n-gram strings of the benchmark slice — the small
-    side (pruned read; distinct-per-batch before the driver fold)."""
+    side (pruned read; distinct-per-batch before the driver fold).
+    Raises when the set exceeds ``max_grams`` (see MAX_BENCH_GRAMS)."""
 
     def grams_of(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
@@ -62,14 +74,27 @@ def benchmark_grams(sf_dir: str, n: int = 3) -> np.ndarray:
         .map_batches(grams_of, batch_format="pyarrow")
         .to_pandas()  # distinct grams per block only — the benchmark is tiny
     )
-    return np.unique(parts["gram"].to_numpy())
+    out = np.unique(parts["gram"].to_numpy())
+    if out.size > max_grams:
+        raise ValueError(
+            f"benchmark gram set has {out.size} distinct {n}-grams > "
+            f"max_grams={max_grams}: too large to broadcast to every "
+            "worker.  Route the benchmark through an exchange (the "
+            "line_dedup join shape) or raise max_grams explicitly."
+        )
+    return out
 
 
-def decontaminate(sf_dir: str, n: int = 3, min_shared: int = 1) -> ray.data.Dataset:
+def decontaminate(
+    sf_dir: str,
+    n: int = 3,
+    min_shared: int = 1,
+    max_grams: int = MAX_BENCH_GRAMS,
+) -> ray.data.Dataset:
     """Docs sharing ≥ ``min_shared`` DISTINCT ``n``-grams with the
     benchmark slice: ``doc_id, n_shared`` (benchmark docs flag
     themselves — exact leakage is the base case)."""
-    ref = ray.put(benchmark_grams(sf_dir, n))
+    ref = ray.put(benchmark_grams(sf_dir, n, max_grams))
 
     def flag(batch: pa.Table) -> pa.Table:
         bench = ray.get(ref)

@@ -257,7 +257,12 @@ def _partition_pairs(tbl: pa.Table) -> pd.DataFrame:
 def _add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
     """Partition key over the PAIR space: all copies of a (doc_a, doc_b)
     candidate land in one partition, so pair-level dedupe can run
-    distributed instead of as a driver-side pandas groupby."""
+    distributed instead of as a driver-side pandas groupby.
+
+    (A doc_a-only key was tried for verify-read locality and REJECTED:
+    dup-cluster structure skews pairs-per-doc_a, and the straggler
+    blocks cost more than the saved reads — measured 2× slower verify
+    at 1M docs.)"""
     a = df["doc_a"].to_numpy().astype(np.int64)
     b = df["doc_b"].to_numpy().astype(np.int64)
     pp = (((a * np.int64(1_000_003)) ^ b) % N_BUCKET_PARTS).astype(np.int32)
@@ -390,36 +395,69 @@ class _VerifyPairsTask:
             columns=["doc_id", "text"],
             filter=pads.field("doc_id").isin(involved),
         )
+        doc_ids = tbl["doc_id"].to_pylist()
+        texts = tbl["text"].to_pylist()
         if self.exact_strings:
-            shingles = {
-                int(d): np.unique(
+            # one factorize over the BLOCK's shingles → int codes.
+            # pd.factorize is COLLISION-FREE (equal strings ⇔ equal
+            # codes), so intersections over the codes are bit-identical
+            # to string-set intersections — exactness preserved, object
+            # comparisons replaced by int64 kernels (the round-4 verify
+            # re-sorted object arrays per PAIR; this pays the string
+            # work once per block)
+            per_doc = [
+                np.unique(
                     np.asarray(_shingle_strings(t.split(" "), self.k), object)
                 )
-                for d, t in zip(
-                    tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+                for t in texts
+            ]
+            sizes = np.fromiter(
+                (len(s) for s in per_doc), np.int64, len(per_doc)
+            )
+            if sizes.sum():
+                codes, _ = pd.factorize(
+                    np.concatenate([s for s in per_doc if len(s)]),
+                    sort=False,
                 )
+            else:
+                codes = np.array([], np.int64)
+            bounds = np.concatenate(([0], np.cumsum(sizes)))
+            shingles = {
+                int(d): np.sort(codes[bounds[i] : bounds[i + 1]])
+                for i, d in enumerate(doc_ids)
             }
         else:
             shingles = {
                 int(d): np.unique(_shingle_hashes(t.split(" "), self.k))
-                for d, t in zip(
-                    tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
-                )
+                for d, t in zip(doc_ids, texts)
             }
-        rows = []
+        out_a, out_b, out_j = [], [], []
         for x, y in zip(a, b):
             sa, sb = shingles[int(x)], shingles[int(y)]
             union = len(sa) + len(sb)
             if union == 0:
                 j = 1.0
             else:
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                if len(sa) > len(sb):
+                    sa, sb = sb, sa
+                # merge-count on the pre-sorted arrays (no per-pair sort)
+                pos = np.searchsorted(sb, sa)
+                pos[pos == len(sb)] = 0 if len(sb) else 0
+                inter = int(np.count_nonzero(sb[pos] == sa)) if len(sb) else 0
                 j = inter / (union - inter)
             if j >= self.threshold:
-                rows.append((int(x), int(y), round(j, 6)))
-        if not rows:
+                out_a.append(int(x))
+                out_b.append(int(y))
+                out_j.append(round(j, 6))
+        if not out_a:
             return self._EMPTY.copy()
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, np.int64),
+                "doc_b": np.array(out_b, np.int64),
+                "jaccard": np.array(out_j, np.float64),
+            }
+        )
 
 
 def _expand_parquet(path: str) -> list[str]:
@@ -468,19 +506,26 @@ def verify_pairs_ds(
     """Exact n-gram-Jaccard verification of a candidate-pair DATASET:
     each BLOCK of pairs is one task doing ONE predicate-pushdown read of
     its involved docs, then vectorized verification.  Per-task memory is
-    bounded by the candidate partitioning (the pair-hash groupby yields
-    N_BUCKET_PARTS blocks; repartition the candidates for tighter
-    bounds) — NOT by sub-batching, which would repeat the pushdown read
-    per sub-batch (measured 6× the whole chain's wall at 1M docs).
-    Pairs stream through — candidate and confirmed lists never touch the
-    driver; chain ``write_parquet`` or ``connected_components_ds`` on
-    the result."""
+    bounded by the candidate partitioning — NOT by sub-batching, which
+    would repeat the pushdown read per sub-batch (measured 6× the whole
+    chain's wall at 1M docs).  Pairs stream through — candidate and
+    confirmed lists never touch the driver; chain ``write_parquet`` or
+    ``connected_components_ds`` on the result.
+
+    The candidates are RANGE-SORTED by ``doc_a`` first: each verify
+    task then holds a contiguous doc_a slice, so its pushdown read is
+    a narrow id range instead of a scatter over the whole corpus and a
+    doc's shingle set is built in ~1 task instead of ~min(pairs, tasks)
+    — a controlled fresh-process A/B at 1M docs (3.02M candidates)
+    measured 120–156 s unsorted vs 30–40 s sorted (sort included),
+    identical pair output.  The pair-row sort itself is a key-only
+    exchange (16 B/row), negligible beside the verification."""
     task = _VerifyPairsTask(docs_paths, threshold, shingle_k, exact_strings)
 
     def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
         return task(g[["doc_a", "doc_b"]])
 
-    return cand.map_batches(
+    return cand.sort("doc_a").map_batches(
         verify_chunk, batch_format="pandas", batch_size=pairs_per_task
     )
 
@@ -592,16 +637,31 @@ def minhash_dedup_pairs(
 # quadratic — dedupe exact copies first or raise ``freq_topk``).
 
 
+def _shingle_hash64(uniq: np.ndarray) -> np.ndarray:
+    """uint64→int64 content hash of shingle strings (pd.util.hash_array
+    — vectorized siphash, deterministic within a run).  Used ONLY as a
+    grouping/partitioning/ordering key in the exact-Jaccard chain: a
+    collision can merely MERGE two shingles' groups, which adds
+    spurious candidate pairs that exact verification removes — never
+    drops a true pair (equal strings always share the hash).  The
+    filters' set SIZES stay string-derived, so the chain stays exact
+    while the exchange rows shrink from ~49 B (strings) to fixed ints
+    and the shuffle sorts ints instead of strings."""
+    if len(uniq) == 0:
+        return np.array([], np.int64)
+    return pd.util.hash_array(np.asarray(uniq, dtype=object)).view(np.int64)
+
+
 def _frequent_shingle_ranks(
     docs: ray.data.Dataset, k: int, top: int
-) -> dict[str, int]:
-    """Top-``top`` most document-frequent shingles → rank ascending by
-    df (rank 0 = least frequent of the top set).  Partial counts inside
-    ``map_batches``, small groupby, per-block top-K then driver merge —
-    the full df table never reaches the driver."""
+) -> dict[int, int]:
+    """Top-``top`` most document-frequent shingle HASHES → rank
+    ascending by df (rank 0 = least frequent of the top set).  Partial
+    counts inside ``map_batches``, small groupby, per-block top-K then
+    driver merge — the full df table never reaches the driver."""
 
     empty = pa.table(
-        {"shingle": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        {"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -611,19 +671,25 @@ def _frequent_shingle_ranks(
         ]
         if not allsh:
             return empty
-        vc = pd.Series(np.concatenate(allsh)).value_counts()
+        flat_s = np.concatenate(allsh)
+        if not len(flat_s):
+            return empty
+        # ONE vectorized hash over the batch's flattened per-doc-unique
+        # shingles (a per-doc hash_array call costs more in call
+        # overhead than the hashing itself)
+        uniq, counts = np.unique(_shingle_hash64(flat_s), return_counts=True)
         # shuffle-row economy: shingles unique WITHIN this batch are
         # overwhelmingly df≈1 globally and can never be top-K hot — drop
         # them before the exchange (makes the df ranks approximate for
         # borderline shingles, which only shifts the prefix ORDER, never
         # the result: any consistent global order is correct)
-        vc = vc[vc >= 2]
-        if vc.empty:
+        hot = counts >= 2
+        if not hot.any():
             return empty
         return pa.table(
             {
-                "shingle": pa.array(vc.index, pa.string()),
-                "n": pa.array(vc.to_numpy(), pa.int64()),
+                "h": pa.array(uniq[hot], pa.int64()),
+                "n": pa.array(counts[hot].astype(np.int64), pa.int64()),
             }
         )
 
@@ -635,7 +701,7 @@ def _frequent_shingle_ranks(
     # 64-shard soak corpus still gets 64 lean per-shard prunes)
     agg = (
         docs.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("shingle")
+        .groupby("h")
         .sum("n")
         .map_batches(block_topk, batch_format="pandas")
         .to_pandas()
@@ -643,22 +709,25 @@ def _frequent_shingle_ranks(
     if agg.empty:
         return {}
     head = agg.nlargest(top, "sum(n)").sort_values(
-        ["sum(n)", "shingle"]
-    )  # ascending df; ties broken by string for determinism
-    return {s: i for i, s in enumerate(head["shingle"])}
+        ["sum(n)", "h"]
+    )  # ascending df; ties broken by hash for determinism
+    return {int(h): i for i, h in enumerate(head["h"])}
 
 
 def _prefix_rows_task(
-    batch: pa.Table, *, threshold: float, k: int, freq_rank: dict[str, int]
+    batch: pa.Table, *, threshold: float, k: int, freq_rank: dict[int, int]
 ) -> pa.Table:
-    """Docs batch → (shingle, doc_id, size) PREFIX rows only.
+    """Docs batch → (sh64, doc_id, size, pos) PREFIX rows only.
 
-    Global shingle order: non-frequent shingles first (by crc32 then
-    string — arbitrary but fixed), then the broadcast top-K frequents by
-    ascending df.  One flattened lexsort ranks every doc's shingles in a
-    single pass; position-within-doc < prefix length selects the rows.
-    ``freq_rank`` is tiny (top-K entries) — at cluster scale it ships
-    once per task via ``ray.put`` semantics, not per batch."""
+    Global shingle order: non-frequent shingles first (by content hash
+    — arbitrary but fixed), then the broadcast top-K frequents by
+    ascending df.  One flattened lexsort ranks every doc's shingles in
+    a single pass; position-within-doc < prefix length selects the
+    rows.  Set SIZES and prefix lengths come from the exact STRING
+    sets; only the exchanged key is the 64-bit hash (lossless — see
+    :func:`_shingle_hash64`).  ``freq_rank`` is tiny (top-K entries) —
+    at cluster scale it ships once per task via ``ray.put`` semantics,
+    not per batch."""
     doc_ids = batch["doc_id"].to_numpy().astype(np.int64)
     sh_lists = [
         np.unique(np.asarray(_shingle_strings(t.split(" "), k), object))
@@ -668,7 +737,7 @@ def _prefix_rows_task(
     total = int(sizes.sum())
     empty = pa.table(
         {
-            "shingle": pa.array([], pa.string()),
+            "sh64": pa.array([], pa.int64()),
             "doc_id": pa.array([], pa.int64()),
             "size": pa.array([], pa.int64()),
             "pos": pa.array([], pa.int64()),
@@ -678,14 +747,15 @@ def _prefix_rows_task(
         return empty
     flat = np.concatenate([s for s in sh_lists if len(s)])
     doc_idx = np.repeat(np.arange(len(sh_lists), dtype=np.int64), sizes)
-    codes, uniq = pd.factorize(flat, sort=True)  # code = lexicographic tiebreak
-    u_rank = np.fromiter((freq_rank.get(s, -1) for s in uniq), np.int64, len(uniq))
-    u_crc = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in uniq), np.int64, len(uniq)
+    codes, uniq = pd.factorize(flat, sort=False)
+    u_h = _shingle_hash64(uniq)
+    u_rank = np.fromiter(
+        (freq_rank.get(int(h), -1) for h in u_h), np.int64, len(uniq)
     )
     key1 = (u_rank >= 0).astype(np.int64)[codes]  # frequents last
-    key2 = np.where(u_rank >= 0, u_rank, u_crc)[codes]
-    order = np.lexsort((codes, key2, key1, doc_idx))
+    key2 = np.where(u_rank >= 0, u_rank, u_h)[codes]
+    h_flat = u_h[codes]
+    order = np.lexsort((h_flat, key2, key1, doc_idx))
     # prefix length p = |S| - ceil(t|S|) + 1 (0 for empty docs)
     p = np.minimum(
         sizes - np.ceil(threshold * sizes).astype(np.int64) + 1, sizes
@@ -697,7 +767,7 @@ def _prefix_rows_task(
     # for the PPJoin POSITIONAL filter at pair-expansion time
     return pa.table(
         {
-            "shingle": pa.array(flat[order][keep], pa.string()),
+            "sh64": pa.array(h_flat[order][keep], pa.int64()),
             "doc_id": pa.array(doc_ids[doc_idx][keep], pa.int64()),
             "size": pa.array(sizes[doc_idx][keep], pa.int64()),
             "pos": pa.array(pos[keep], pa.int64()),
@@ -709,11 +779,8 @@ def _prefix_pair_part(batch: pa.Table) -> pa.Table:
     """Coarse bounded partition key over the prefix-shingle space (same
     rationale as ``_add_bucket_part``: millions of tiny per-shingle
     groups → per-group overhead dominates)."""
-    codes, uniq = pd.factorize(batch["shingle"].to_numpy(zero_copy_only=False))
-    u_crc = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in uniq), np.int64, len(uniq)
-    )
-    part = (u_crc[codes] % N_BUCKET_PARTS).astype(np.int32)
+    h = batch["sh64"].to_numpy().astype(np.int64)
+    part = (h % N_BUCKET_PARTS).astype(np.int32)
     return batch.append_column("part", pa.array(part, pa.int32()))
 
 
@@ -740,7 +807,7 @@ class _PrefixGroupPairs:
         ids = tbl["doc_id"].to_numpy().astype(np.int64)
         sz = tbl["size"].to_numpy().astype(np.int64)
         pos = tbl["pos"].to_numpy().astype(np.int64)
-        codes, _ = pd.factorize(tbl["shingle"].to_numpy(zero_copy_only=False))
+        codes = tbl["sh64"].to_numpy().astype(np.int64)
         order = np.lexsort((ids, codes))
         ids, sz, codes, pos = ids[order], sz[order], codes[order], pos[order]
         heads = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
