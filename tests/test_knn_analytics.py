@@ -266,6 +266,60 @@ def test_doc_embeddings_deterministic_and_dup_detecting(ray_session, tmp_path):
     assert (1, 3) not in set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
 
 
+def test_model_actor_embeddings_identity_and_load_once(ray_session, tmp_path):
+    """The actor-pool model stage (ModelDocEmbedder — the ST1
+    constructor-state shape) produces vectors IDENTICAL to the inline
+    function path, and the model file is loaded once PER ACTOR, not per
+    batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import embed
+
+    rng = np.random.default_rng(21)
+    n = 2000  # many batches at batch_size=256 so reuse is observable
+    texts = [
+        " ".join(f"t{rng.integers(0, 300)}" for _ in range(25))
+        for _ in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    model = str(tmp_path / "model.npz")
+    embed.export_dummy_model(model, dim_in=embed.DIM, dim_out=24)
+    log = str(tmp_path / "loads.log")
+
+    got = (
+        embed.doc_embeddings_model(
+            str(d), model_path=model, concurrency=2, load_log=log
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # inline function path: same hashed vectors, same projection
+    w = embed.ModelDocEmbedder._load(model)
+    h = embed.DocEmbedder().vectors([t.split(" ") for t in texts])
+    want = h @ w
+    norms = np.linalg.norm(want, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    want = (want / norms).astype(np.float32)
+    a = np.stack(got["embedding"].to_numpy())
+    assert a.shape == (n, 24)
+    assert np.allclose(a, want, atol=1e-6)
+    # load-once-per-actor: one log line per actor in the pool, far
+    # fewer than the ~8 batches the run processed
+    with open(log) as f:
+        loads = f.read().splitlines()
+    assert 1 <= len(loads) <= 2, loads
+
+
 def test_ivf_build_is_resumable_and_input_aware(ray_session, tmp_path):
     """Same inputs → second build returns the cached meta without
     rewriting files; changed inputs → stale layout is wiped and rebuilt

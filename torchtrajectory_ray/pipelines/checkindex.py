@@ -634,11 +634,14 @@ def check_ivf(out_dir: str, *, distributed: bool = True) -> dict:
     if os.path.exists(tomb_path):
         with open(tomb_path) as f:
             tombs = json.load(f)
-        arr = np.asarray(tombs, dtype=np.int64)
-        if len(arr) and (
-            not np.all(np.diff(arr) > 0)
-        ):
+        arr = np.asarray(tombs.get("ids", []), dtype=np.int64)
+        if len(arr) and not np.all(np.diff(arr) > 0):
             violations.append("tombstones.json not sorted strictly ascending")
+        if int(tombs.get("n_deleted", len(arr))) != len(arr):
+            violations.append(
+                f"tombstones.json n_deleted={tombs.get('n_deleted')} != "
+                f"{len(arr)} ids"
+            )
 
     return {
         "ok": not violations,

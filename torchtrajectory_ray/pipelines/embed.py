@@ -83,6 +83,109 @@ def doc_embeddings(sf_dir: str, dim: int = DIM) -> ray.data.Dataset:
     ).map_batches(_embed_task, fn_kwargs={"dim": dim}, batch_format="pyarrow")
 
 
+# --- model-backed embedding stage (the ST1 constructor-state shape) ----------
+
+
+def export_dummy_model(
+    path: str, dim_in: int = DIM, dim_out: int = 32, seed: int = 1234
+) -> str:
+    """Write a deterministic 'model' artifact — a seeded projection
+    matrix — to ``path`` (.npz).  Stands in for a real encoder
+    checkpoint so the actor-pool load-once pattern below is exercised
+    end to end; swap the file (and ``ModelDocEmbedder._load``) for a
+    real model without touching the Ray plumbing."""
+    rng = np.random.default_rng(seed)
+    w = (rng.standard_normal((dim_in, dim_out)) / np.sqrt(dim_in)).astype(
+        np.float32
+    )
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, w=w)
+    os.replace(tmp, path)
+    return path
+
+
+class ModelDocEmbedder:
+    """ACTOR-POOL map_batches stage: text → model-projected embedding.
+
+    The reference's TorGraph singleton shape (ST1,
+    mapMatching/TorGraph.java:37-97 — heavyweight state constructed once
+    per worker, reused across every batch): the 'model' (projection
+    matrix) is LOADED FROM DISK IN ``__init__`` — once per actor, never
+    per batch — and ``__call__`` runs batched inference (hashed count
+    vector → W projection → L2 norm).  Pass the CLASS to
+    ``map_batches(ModelDocEmbedder, fn_constructor_kwargs=...,
+    concurrency=N)`` so Ray builds an actor pool; this is the stage a
+    user swaps a real encoder into (load the checkpoint in ``_load``,
+    batch the forward pass in ``__call__``).
+
+    ``load_log``: optional path; each LOAD appends one line — the
+    actor-reuse test asserts #lines == #actors, not #batches."""
+
+    def __init__(
+        self,
+        model_path: str,
+        dim: int = DIM,
+        load_log: str | None = None,
+    ):
+        self.base = DocEmbedder(dim)
+        self.w = self._load(model_path)
+        if load_log:
+            with open(load_log, "a") as f:
+                f.write(f"{os.getpid()}\n")
+
+    @staticmethod
+    def _load(model_path: str) -> np.ndarray:
+        with np.load(model_path) as z:
+            return z["w"].astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = self.base.vectors(
+            [t.split(" ") for t in batch["text"].to_pylist()]
+        )
+        out = h @ self.w
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        out = out / norms
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in out],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+
+def doc_embeddings_model(
+    sf_dir: str,
+    model_path: str | None = None,
+    dim: int = DIM,
+    concurrency: int = 2,
+    load_log: str | None = None,
+) -> ray.data.Dataset:
+    """doc_id, embedding through the ACTOR-POOL model stage.  With
+    ``model_path=None`` a deterministic dummy model is exported to a
+    content-keyed /tmp path first (hermetic default); pass a real
+    checkpoint path in production."""
+    if model_path is None:
+        model_path = os.path.join("/tmp/ttray_cache", f"dummy-model-{dim}.npz")
+        os.makedirs(os.path.dirname(model_path), exist_ok=True)
+        if not os.path.exists(model_path):
+            export_dummy_model(model_path, dim_in=dim)
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        ModelDocEmbedder,
+        fn_constructor_kwargs=dict(
+            model_path=model_path, dim=dim, load_log=load_log
+        ),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
 def _staged_doc_embeddings(sf_dir: str, dim: int) -> list[str]:
     """One embedding pass staged to parquet shards (content-keyed /tmp
     cache) — the IVF build and any other embedding consumer read these
