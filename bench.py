@@ -383,6 +383,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("lang_id", lambda: textstats.lang_id(sf_dir).to_pandas())
     timed("distinct_terms", lambda: textstats.distinct_terms(sf_dir))
     timed("cardinality_hll", lambda: textstats.cardinality_hll(sf_dir))
+    timed(
+        "cardinality_hll_check",
+        lambda: textstats.cardinality_hll_check(sf_dir),
+    )
+    timed("fingerprint_dups", lambda: dedup.fingerprint_dups(sf_dir))
     timed("heavy_terms", lambda: textstats.heavy_terms(sf_dir))
     timed(
         "heavy_terms_per_lang",
@@ -418,6 +423,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("range_search_ivf", lambda: knn.range_search_ivf(sf_dir))
     timed("knn_ivf_sq8", lambda: knn.knn_ivf_sq8(sf_dir))
     timed("knn_ivf_batch", lambda: knn.knn_ivf_batch(sf_dir))
+    # vector-side CheckIndex over the layout knn_ivf just built/used
+    from torchtrajectory_ray.pipelines.checkindex import check_ivf
+
+    _ivf_dirs = sorted(_glob.glob("/tmp/ttray_cache/ivf-emb-*"))
+    if _ivf_dirs:
+        timed("ivf_check", lambda: check_ivf(_ivf_dirs[0]))
     from torchtrajectory_ray.pipelines import semantic
 
     timed("semantic_rerank", lambda: semantic.semantic_rerank(sf_dir))
