@@ -544,6 +544,46 @@ def test_windowed_kmeans_defer_marker():
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_windowed_kmeans_no_join_is_empty(ray_session, tmp_path):
+    """No event id matches any embedding id → empty typed result, not a
+    crash in the join/layout/write path."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from torchtrajectory_ray.pipelines import clustering
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    rng = np.random.default_rng(4)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(10, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.tolist() for r in rng.normal(size=(10, 4)).astype("float32")],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(1000, 1010, dtype=np.int64)),
+                "ts": pa.array(np.full(10, 5_000_000, np.int64)),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = clustering.windowed_kmeans(
+        str(d), k=2, window_us=1_000_000, slide_us=1_000_000, iters=2
+    )
+    assert out.empty
+    assert list(out.columns) == ["window_start_us", "cluster", "n"]
+
+
 def test_windowed_kmeans_identity_per_window(ray_session):
     """Each sliding window's clustering equals an independent batch
     k-means over exactly that window's vectors (StreamKpath shape)."""

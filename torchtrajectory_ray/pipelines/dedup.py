@@ -440,10 +440,11 @@ class _VerifyPairsTask:
             else:
                 if len(sa) > len(sb):
                     sa, sb = sb, sa
-                # merge-count on the pre-sorted arrays (no per-pair sort)
+                # merge-count on the pre-sorted arrays (no per-pair
+                # sort); sb is the longer side, nonempty since union>0
                 pos = np.searchsorted(sb, sa)
-                pos[pos == len(sb)] = 0 if len(sb) else 0
-                inter = int(np.count_nonzero(sb[pos] == sa)) if len(sb) else 0
+                pos[pos == len(sb)] = 0  # off-end → compare against sb[0]
+                inter = int(np.count_nonzero(sb[pos] == sa))
                 j = inter / (union - inter)
             if j >= self.threshold:
                 out_a.append(int(x))
