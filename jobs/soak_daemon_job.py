@@ -67,6 +67,24 @@ def main() -> None:
     files_per_wave = max(4, args.cpus // 4)
     per_file = -(-args.docs_per_wave // files_per_wave)
     n_total = 0
+
+    # serve-during-extend probe (the commit-point property at soak
+    # scale, round-5): from wave 2 on, a thread opens FRESH engines and
+    # records (n_docs, OR-match count) while the tick appends its
+    # generation.  Every sample must equal the pre-tick or post-tick
+    # snapshot IN FULL — a torn manifest/dictionary/segment update
+    # would disagree between the two facts.
+    import threading
+
+    probe_terms: list[str] | None = None
+    gen_snapshots: list[tuple] = []
+    torn_samples: list[tuple] = []
+    n_probe_samples = 0
+
+    def observe() -> tuple:
+        eng = QueryEngine(idx)
+        return (int(eng.n_docs), int(len(eng.bool_or(probe_terms))))
+
     for w in range(args.waves):
         # the wave "arrives": several WARC files drop into the watch dir
         t0 = time.monotonic()
@@ -79,9 +97,37 @@ def main() -> None:
             )
         gen_s = round(time.monotonic() - t0, 1)
         n_total += files_per_wave * per_file
+
+        samples: list[tuple] = []
+        stop = threading.Event()
+
+        def prober() -> None:
+            while not stop.is_set():
+                samples.append(observe())
+                time.sleep(0.05)
+
+        th = None
+        if probe_terms is not None:
+            th = threading.Thread(target=prober)
+            th.start()
         t0 = time.monotonic()
         res = ingest.ingest_tick(watch, work, idx)
         tick_s = max(round(time.monotonic() - t0, 1), 0.1)
+        if th is not None:
+            stop.set()
+            th.join()
+        if probe_terms is None:
+            # derive a stable probe workload from the first generation
+            import pyarrow.parquet as _pq
+
+            eng0 = QueryEngine(idx)
+            t = _pq.read_table(eng0.docs_paths[0], columns=["text"])
+            probe_terms = t["text"][0].as_py().split(" ")[:2]
+        post = observe()
+        valid = {post} | ({gen_snapshots[-1]} if gen_snapshots else set())
+        torn_samples.extend(s for s in samples if s not in valid)
+        n_probe_samples += len(samples)
+        gen_snapshots.append(post)
         out["ticks"].append(
             {
                 "wave": w,
@@ -90,8 +136,12 @@ def main() -> None:
                 "n_new_shards": res["n_new"],
                 "generation": res["generation"],
                 "docs_per_s": round(files_per_wave * per_file / tick_s, 0),
+                "probe_samples": len(samples),
             }
         )
+    out["n_probe_samples"] = n_probe_samples
+    out["n_torn_samples"] = len(torn_samples)
+    assert not torn_samples, f"mixed-generation reads: {torn_samples[:5]}"
 
     # identity gate: live index == one-shot rebuild over the same shards
     shards = sorted(glob.glob(os.path.join(work, "pages", "*.parquet")))
