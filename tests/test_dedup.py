@@ -446,3 +446,27 @@ def test_kgram_dup_stats_broadcast_bound_fails_loud(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="broadcast bound"):
         kgram_dup_stats(str(d), k=8, max_dup_hashes=1)
+
+
+def test_components_local_matches_distributed(ray_session, monkeypatch):
+    """The single-task union-find fast path produces the identical
+    (doc_id, rep_id) labels as the hash-to-min exchange rounds."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    # several chains + stars + singletons-by-absence
+    pairs = []
+    base = 0
+    for size in (2, 3, 5, 9, 17):
+        ids = base + rng.permutation(size) * 7
+        pairs += [(int(min(a, b)), int(max(a, b))) for a, b in zip(ids, ids[1:])]
+        base += 1000
+    df = pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    local = dedup.connected_components(df)
+    monkeypatch.setattr(dedup, "LOCAL_CC_MAX_ROWS", 0)
+    dist = dedup.connected_components(df)
+    pd.testing.assert_frame_equal(local, dist)
+    # rep is the component minimum
+    assert (local.groupby("rep_id")["doc_id"].min().to_numpy()
+            == local["rep_id"].unique()).all()

@@ -903,6 +903,48 @@ def ngram_jaccard_pairs(
 
 # --- Near-dup connected components (hash-to-min) -----------------------------
 
+# directed edge rows that still fit one worker's heap comfortably
+# (16 B/row → ~64 MB at the bound): below this the single-task
+# union-find path replaces the exchange rounds
+LOCAL_CC_MAX_ROWS = 4_000_000
+
+
+def _components_local(t: pa.Table) -> pa.Table:
+    """ONE task: path-compressed union-find over the whole (node,
+    member) edge list → the identical (doc_id, rep_id = component min)
+    label table the hash-to-min rounds converge to."""
+    node = t["node"].to_numpy().astype(np.int64)
+    member = t["member"].to_numpy().astype(np.int64)
+    ids, inv = np.unique(np.concatenate((node, member)), return_inverse=True)
+    ea, eb = inv[: len(node)], inv[len(node) :]
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(ea, eb):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union toward the smaller ORDINAL: ids is sorted, so the
+            # smaller ordinal is the smaller doc_id — the root IS the
+            # component minimum, matching hash-to-min's fixpoint
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(int(i)) for i in range(len(ids))), np.int64, len(ids))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "rep_id": pa.array(ids[roots], pa.int64()),
+        }
+    )
+
 
 def connected_components_ds(
     pairs: "ray.data.Dataset", max_iters: int = 64
@@ -920,7 +962,12 @@ def connected_components_ds(
     rounds — no joins, no driver-side union-find.  Convergence is
     detected by a (count, checksum) signature computed as a streaming
     aggregate; ``max_iters`` fails loud (the proven bound is ~log₂ of
-    the largest component, far under 64)."""
+    the largest component, far under 64).
+
+    Size-aware dispatch (round 5): an edge list under
+    ``LOCAL_CC_MAX_ROWS`` runs as ONE union-find task instead (identical
+    labels, none of the exchange rounds); the rounds remain the path for
+    pair graphs that outgrow a worker."""
     _empty = pa.table(
         {"doc_id": pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
     )
@@ -938,6 +985,16 @@ def connected_components_ds(
     n_rows = init.count()
     if n_rows == 0:
         return ray.data.from_arrow(_empty)
+    if n_rows <= LOCAL_CC_MAX_ROWS:
+        # the whole edge list fits ONE worker: a single union-find task
+        # produces the IDENTICAL (doc_id, min-id rep) label table while
+        # skipping every O(log diameter) exchange round — the same
+        # size-aware dispatch as the windowed-kmeans fan-out.  The
+        # distributed rounds below remain the path for pair graphs
+        # that outgrow a worker.
+        return init.repartition(1).map_batches(
+            _components_local, batch_format="pyarrow", batch_size=None
+        )
     n_parts = int(max(2, min(64, n_rows // 4096 + 2)))
     rows = init.repartition(n_parts)
 
