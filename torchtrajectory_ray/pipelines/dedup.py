@@ -311,10 +311,19 @@ def candidates_from_band_rows_ds(rows: ray.data.Dataset) -> ray.data.Dataset:
     partitioning, one vectorized pair expansion per partition, then a
     pair-partitioned distributed dedupe — the pair list stays on the
     cluster end to end (at 100 TB it is written to parquet, never
-    collected)."""
+    collected).
+
+    The band rows are MATERIALIZED before the exchange: Ray's
+    sort-based groupby SAMPLES its input to pick partition boundaries,
+    and over a lazy upstream that re-executes the expensive sketch map
+    for the sample (measured 38 s staged vs 53–103 s fused at 1M docs,
+    identical output).  The band rows are a bounded ~40 B/row
+    object-store intermediate the shuffle would hold anyway."""
+    staged = rows.map_batches(
+        _add_bucket_part, batch_format="pyarrow"
+    ).materialize()
     return (
-        rows.map_batches(_add_bucket_part, batch_format="pyarrow")
-        .groupby("part")
+        staged.groupby("part")
         .map_groups(_partition_pairs, batch_format="pyarrow")
         .map_batches(_add_pair_part, batch_format="pandas")
         .groupby("pp")
@@ -503,6 +512,7 @@ def verify_pairs_ds(
     shingle_k: int = 3,
     exact_strings: bool = False,
     pairs_per_task: int | None = None,
+    sort_candidates: bool = False,
 ) -> ray.data.Dataset:
     """Exact n-gram-Jaccard verification of a candidate-pair DATASET:
     each BLOCK of pairs is one task doing ONE predicate-pushdown read of
@@ -513,20 +523,26 @@ def verify_pairs_ds(
     confirmed lists never touch the driver; chain ``write_parquet`` or
     ``connected_components_ds`` on the result.
 
-    The candidates are RANGE-SORTED by ``doc_a`` first: each verify
-    task then holds a contiguous doc_a slice, so its pushdown read is
-    a narrow id range instead of a scatter over the whole corpus and a
-    doc's shingle set is built in ~1 task instead of ~min(pairs, tasks)
-    — a controlled fresh-process A/B at 1M docs (3.02M candidates)
-    measured 120–156 s unsorted vs 30–40 s sorted (sort included),
-    identical pair output.  The pair-row sort itself is a key-only
-    exchange (16 B/row), negligible beside the verification."""
+    ``sort_candidates=True`` RANGE-SORTS the pairs by ``doc_a`` first:
+    each verify task then holds a contiguous doc_a slice, so its
+    pushdown read is a narrow id range instead of a scatter over the
+    whole corpus and a doc's shingle set is built in ~1 task instead of
+    ~min(pairs, tasks) — a controlled fresh-process A/B at 1M docs with
+    3.02M candidates measured 120–156 s unsorted vs 30–40 s sorted
+    (sort included), identical pair output.  It is OFF by default
+    because the sort is a pipeline BARRIER: when candidates are few
+    (the LSH chains emit ~0.1 M pairs at 1M docs), verification no
+    longer overlaps the upstream sketch/bucket stages and the chain
+    measured ~5× slower — turn it on when candidates are plentiful
+    relative to docs (the exact all-pairs join does)."""
     task = _VerifyPairsTask(docs_paths, threshold, shingle_k, exact_strings)
 
     def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
         return task(g[["doc_a", "doc_b"]])
 
-    return cand.sort("doc_a").map_batches(
+    if sort_candidates:
+        cand = cand.sort("doc_a")
+    return cand.map_batches(
         verify_chunk, batch_format="pandas", batch_size=pairs_per_task
     )
 
@@ -883,7 +899,14 @@ def ngram_jaccard_pairs_ds(
         .map_groups(_dedupe_pairs_group, batch_format="pandas")
     )
     return verify_pairs_ds(
-        _expand_parquet(src), cand, threshold, shingle_k, exact_strings=True
+        _expand_parquet(src),
+        cand,
+        threshold,
+        shingle_k,
+        exact_strings=True,
+        # the prefix filter emits ~3 candidates per doc at 1M — the
+        # range-sort's read locality far outweighs its barrier here
+        sort_candidates=True,
     )
 
 
