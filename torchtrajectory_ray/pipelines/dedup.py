@@ -1688,7 +1688,8 @@ def kgram_dup_stats(
     shorter than ``k`` tokens have no windows and emit nothing, matching
     the SQL oracle."""
     import ray as _ray
-    from ray.data.aggregate import Sum
+
+    N_GRAM_PARTS = 256
 
     def hash_partial(batch: pa.Table) -> pa.Table:
         h, _ = _window_hashes(batch["text"].to_pylist(), k)
@@ -1697,8 +1698,22 @@ def kgram_dup_stats(
             {
                 "hash": pa.array(hu, pa.int64()),
                 "n": pa.array(n.astype(np.int64), pa.int64()),
+                # hash-partition key: the global count of a gram only
+                # needs its rows CO-LOCATED, not globally sorted — a
+                # 256-way hash exchange replaces the full sort-based
+                # groupby of the ~1-row-per-window partial table
+                # (~105 M rows at 1M docs; measured 2.2× on the soak)
+                "part": pa.array(
+                    (hu & np.int64(N_GRAM_PARTS - 1)).astype(np.int32),
+                    pa.int32(),
+                ),
             }
         )
+
+    def dup_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        hu, inv = np.unique(g["hash"].to_numpy(), return_inverse=True)
+        tot = np.bincount(inv, weights=g["n"].to_numpy().astype(np.float64))
+        return pd.DataFrame({"hash": hu[tot >= 2]})
 
     def read():
         return ray.data.read_parquet(
@@ -1708,15 +1723,11 @@ def kgram_dup_stats(
     freq = (
         read()
         .map_batches(hash_partial, batch_format="pyarrow")
-        .groupby("hash")
-        .aggregate(Sum("n", alias_name="c"))
-        .filter(expr="c >= 2")
+        .groupby("part")
+        .map_groups(dup_in_part, batch_format="pandas")
     )
 
-    def strip(batch: pa.Table) -> pa.Table:
-        return batch.select(["hash"])
-
-    dup_tbl = freq.map_batches(strip, batch_format="pyarrow").to_pandas()
+    dup_tbl = freq.to_pandas()
     if len(dup_tbl) > max_dup_hashes:
         raise ValueError(
             f"kgram_dup_stats: {len(dup_tbl)} duplicated grams exceed the "
