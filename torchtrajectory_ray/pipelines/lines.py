@@ -8,9 +8,11 @@ Shape at 100 TB (two streaming passes + one small broadcast):
 1. **df pass** — one read; each batch splits its docs into lines,
    dedupes lines WITHIN each doc (df counts documents, not
    occurrences), and pre-aggregates (line, partial_count) before the
-   shuffle, so the ``groupby(line)`` exchange moves at most one row per
-   distinct line per block.  Only lines with df ≥ ``min_df`` leave the
-   aggregate — the boilerplate set, which is tiny relative to the
+   shuffle, so the exchange moves at most one row per distinct line
+   per block — a 256-way HASH exchange on the line's content hash
+   (global df needs co-location, not order; nothing string-sorts the
+   lines).  Only lines with df ≥ ``min_df`` leave the per-partition
+   reduce — the boilerplate set, which is tiny relative to the
    corpus by construction (a line must repeat across documents to
    qualify).  A ``max_boilerplate`` cap fails loud instead of letting a
    degenerate corpus (every line shared) swamp the driver.
@@ -41,10 +43,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def boilerplate_lines(
@@ -60,25 +60,44 @@ def boilerplate_lines(
         flat: list[str] = [ln for s in per_doc for ln in s]
         if not flat:
             return pa.table(
-                {"line": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+                {
+                    "line": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
             )
         codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
         counts = np.bincount(codes)
+        # hash-partition key: the global df of a line only needs its
+        # rows CO-LOCATED, not ordered — a 256-way hash exchange on the
+        # line's content hash replaces Ray's sort-based groupby over
+        # the (potentially ~1 KB) line STRINGS.  The strings still ride
+        # the exchange once (the surviving boilerplate text is the
+        # output), but nothing string-sorts them, and the low-key-count
+        # exchange skips the expensive boundary sampling.  Comparison
+        # semantics stay exact-string (the hash only places rows).
+        part = (
+            pd.util.hash_array(uniq) & np.uint64(255)
+        ).astype(np.int32)
         return pa.table(
             {
                 "line": pa.array(uniq, pa.string()),
                 "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "part": pa.array(part, pa.int32()),
             }
         )
 
+    def df_filter(g: pd.DataFrame) -> pa.Table:
+        df = g.groupby("line", sort=False)["n"].sum()
+        # explicit Arrow string schema: an empty object-dtype pandas
+        # frame trips Ray's block-size estimator (harmless but noisy)
+        keep = df.index[df.to_numpy() >= min_df]
+        return pa.table({"line": pa.array(list(keep), pa.string())})
+
     boiler = (
         docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("line")
-        .aggregate(Sum("n", alias_name="df"))
-        .map_batches(
-            lambda b: b.filter(pc.greater_equal(b["df"], min_df)),
-            batch_format="pyarrow",
-        )
+        .groupby("part")
+        .map_groups(df_filter, batch_format="pandas")
         .to_pandas()
     )
     if len(boiler) > max_boilerplate:

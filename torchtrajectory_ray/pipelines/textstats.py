@@ -170,18 +170,60 @@ def text_sha1(batch: pa.Table) -> pa.Table:
     return batch.append_column("text_sha", pa.array(sha, pa.string()))
 
 
+_N_SHA_PARTS = 256
+
+
 def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact duplicate groups: keep the min doc_id per distinct text +
     group size (hash-partition + per-group first — U5's
     `groupby(key).first()` shape at scale: the shuffle key is the content
-    hash, never the text itself)."""
+    hash, never the text itself).
+
+    Exchange shape: the global (min, count) per sha only needs the
+    sha's rows CO-LOCATED, not globally ORDERED — a 256-way hash
+    exchange on the sha's leading bits replaces the sort-based
+    ``groupby("text_sha")`` over N 40-byte hex strings (the kgram
+    lesson: Ray's sort groupby pays boundary sampling + a full string
+    sort for ordering nobody consumes).  Each batch pre-aggregates its
+    own duplicates first, so the exchange carries one row per distinct
+    sha per batch."""
+
+    def sha_partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        sha = np.array(
+            [
+                hashlib.sha1(t.encode("utf-8")).digest()
+                for t in batch["text"].to_pylist()
+            ],
+            dtype=object,
+        )
+        uniq, inv = np.unique(sha, return_inverse=True)
+        min_id = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_id, inv, ids)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        part = np.fromiter(
+            (s[0] for s in uniq), np.uint8, len(uniq)
+        ).astype(np.int32) % _N_SHA_PARTS
+        return pa.table(
+            {
+                "sha": pa.array(list(uniq), pa.binary(20)),
+                "doc_id": pa.array(min_id, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("sha", sort=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n", "sum")
+        )
+        return out.reset_index(drop=True)
+
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(text_sha1, batch_format="pyarrow")
-        .select_columns(["doc_id", "text_sha"])
-        .groupby("text_sha")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
-        .select_columns(["doc_id", "n_dups"])
+        .map_batches(sha_partials, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
     )
 
 
