@@ -381,6 +381,7 @@ def _bigram_partial(batch: pa.Table) -> pa.Table:
             {
                 "bigram": pa.array([], pa.string()),
                 "n": pa.array([], pa.int64()),
+                "part": pa.array([], pa.int32()),
             }
         )
     flat = np.fromiter(
@@ -392,23 +393,57 @@ def _bigram_partial(batch: pa.Table) -> pa.Table:
     )
     codes, uniq = pd.factorize(flat, sort=False)
     n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    # hash-partition key: all global counting/top-k over bigrams only
+    # needs each bigram's rows CO-LOCATED — the consumers run a 256-way
+    # hash exchange instead of a sort groupby over bigram STRINGS, and
+    # because partitions are DISJOINT by bigram, per-partition exact
+    # top-k under the same strict total order (n desc, bigram asc) is
+    # globally exact: a global top-k row ranks at least as high inside
+    # its own partition.
+    part = (pd.util.hash_array(uniq) & np.uint64(255)).astype(np.int32)
     return pa.table(
         {
             "bigram": pa.array(uniq, pa.string()),
             "n": pa.array(n, pa.int64()),
+            "part": pa.array(part, pa.int32()),
+        }
+    )
+
+
+def _bigram_sum_part(g: pd.DataFrame) -> pa.Table:
+    """One hash partition of bigram partials → one exact (bigram, n)
+    row per distinct bigram (the distributed reduced table)."""
+    s = g.groupby("bigram", sort=False)["n"].sum()
+    return pa.table(
+        {
+            "bigram": pa.array(list(s.index), pa.string()),
+            "n": pa.array(s.to_numpy(np.int64), pa.int64()),
         }
     )
 
 
 def top_bigrams(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """bigram, n — corpus-wide top-k token bigrams: vectorized bigram
-    explode per batch + in-batch partial counts, small groupby, driver
-    top-k on the reduced table."""
+    explode per batch + in-batch partial counts, 256-way hash exchange,
+    EXACT per-partition top-k (partitions are disjoint by bigram — see
+    ``_bigram_partial``), driver merge of ≤ 256·k rows.  The full
+    reduced bigram table never reaches the driver."""
+
+    def topk_in_part(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("bigram", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+        return pa.table(
+            {
+                "bigram": pa.array(list(s["bigram"]), pa.string()),
+                "n": pa.array(s["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
     agg = (
         _read_docs(sf_dir, ["text"])
         .map_batches(_bigram_partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("part")
+        .map_groups(topk_in_part, batch_format="pandas")
         .to_pandas()
     )
     agg = agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
@@ -437,8 +472,8 @@ def bigram_pmi(sf_dir: str, k: int = 20, min_n: int = 5) -> pd.DataFrame:
     bg = (
         _read_docs(sf_dir, ["text"])
         .map_batches(_bigram_partial, batch_format="pyarrow")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("part")
+        .map_groups(_bigram_sum_part, batch_format="pandas")
         .materialize()  # the reduced table feeds two consumers below
     )
 
@@ -453,18 +488,30 @@ def bigram_pmi(sf_dir: str, k: int = 20, min_n: int = 5) -> pd.DataFrame:
         ry = np.zeros(len(uniq), np.int64)
         np.add.at(lx, codes[:m], n)
         np.add.at(ry, codes[m:], n)
+        tpart = (pd.util.hash_array(uniq) & np.uint64(255)).astype(np.int32)
         return pa.table(
             {
                 "tok": pa.array(uniq, pa.string()),
                 "lx": pa.array(lx, pa.int64()),
                 "ry": pa.array(ry, pa.int64()),
+                "tpart": pa.array(tpart, pa.int32()),
+            }
+        )
+
+    def marg_sum_part(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("tok", sort=False)[["lx", "ry"]].sum().reset_index()
+        return pa.table(
+            {
+                "tok": pa.array(list(s["tok"]), pa.string()),
+                "lx": pa.array(s["lx"].to_numpy(np.int64), pa.int64()),
+                "ry": pa.array(s["ry"].to_numpy(np.int64), pa.int64()),
             }
         )
 
     m = (
         bg.map_batches(marg, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("lx", alias_name="lx"), Sum("ry", alias_name="ry"))
+        .groupby("tpart")
+        .map_groups(marg_sum_part, batch_format="pandas")
         .to_pandas()  # vocab-sized (same order as the term dictionary)
     )
     total = float(m["lx"].sum())  # == total bigram occurrences
@@ -735,10 +782,21 @@ def _lang_term_pairs(batch: pa.Table) -> pa.Table:
     term_codes, term_uniq = pd.factorize(flat, sort=False)
     key = tok_lang.astype(np.int64) * len(term_uniq) + term_codes
     uk = np.unique(key)
+    # hash-partition key over the PAIR: global (lang, term) dedupe only
+    # needs every copy of a pair co-located (the kgram exchange shape) —
+    # the consumers hash-exchange on ``part`` instead of string-sorting
+    # the vocabulary-sized pair table
+    h_term = pd.util.hash_array(term_uniq)
+    h_lang = pd.util.hash_array(np.asarray(lang_uniq, dtype=object))
+    part = (
+        (h_term[uk % len(term_uniq)] ^ h_lang[uk // len(term_uniq)])
+        & np.uint64(255)
+    ).astype(np.int32)
     return pa.table(
         {
             "lang": pa.array(lang_uniq[uk // len(term_uniq)], pa.string()),
             "term": pa.array(term_uniq[uk % len(term_uniq)], pa.string()),
+            "part": pa.array(part, pa.int32()),
         }
     )
 
@@ -747,32 +805,31 @@ def distinct_terms(sf_dir: str) -> pd.DataFrame:
     """lang, n_terms — EXACT per-language distinct-token counts (the
     cardinality aggregation; ES ``cardinality`` at exact precision / SQL
     COUNT(DISTINCT)).  Exchange economy: each batch ships only its
-    DISTINCT (lang, term) pairs into ONE (lang, term) groupby (the same
-    vocabulary-sized shuffle the dictionary build A8 already pays), then
-    per-block partial counts per lang feed a lang-sized groupby — the
-    driver never sees a vocabulary-sized table.  The sketch counterpart
-    for vocabularies too large to shuffle is ``cardinality_hll``."""
+    DISTINCT (lang, term) pairs into a 256-way hash exchange on the
+    pair's content hash (global pair-dedupe needs co-location, not the
+    string sort a (lang, term) groupby would pay), each partition
+    counts its distinct pairs per lang, and a lang-sized groupby sums —
+    the driver never sees a vocabulary-sized table.  The sketch
+    counterpart for vocabularies too large to shuffle is
+    ``cardinality_hll``."""
     from ray.data.aggregate import Sum
 
     pairs = _read_docs(sf_dir, ["text", "lang"]).map_batches(
         _lang_term_pairs, batch_format="pyarrow"
     )
-    deduped = pairs.groupby(["lang", "term"]).count()
 
-    def partial(batch: pa.Table) -> pa.Table:
-        langs, counts = np.unique(
-            np.asarray(batch["lang"].to_pylist(), dtype=object),
-            return_counts=True,
-        )
+    def count_in_part(g: pd.DataFrame) -> pa.Table:
+        s = g.drop_duplicates(["lang", "term"])["lang"].value_counts()
         return pa.table(
             {
-                "lang": pa.array(langs, pa.string()),
-                "n_terms": pa.array(counts.astype(np.int64), pa.int64()),
+                "lang": pa.array(list(s.index), pa.string()),
+                "n_terms": pa.array(s.to_numpy(np.int64), pa.int64()),
             }
         )
 
     out = (
-        deduped.map_batches(partial, batch_format="pyarrow")
+        pairs.groupby("part")
+        .map_groups(count_in_part, batch_format="pandas")
         .groupby("lang")
         .aggregate(Sum("n_terms", alias_name="n_terms"))
         .to_pandas()
