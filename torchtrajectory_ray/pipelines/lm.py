@@ -60,6 +60,27 @@ def _token_count_partial(batch: pa.Table) -> pa.Table:
     )
 
 
+def _with_tok_part(tbl: pa.Table) -> pa.Table:
+    """Append the 256-way hash-partition key over ``tok``: the global
+    sum per token only needs its rows CO-LOCATED (the kgram exchange
+    shape) — a hash exchange replaces the string sort a
+    ``groupby("tok")`` would pay over the vocabulary-sized partials."""
+    toks = np.asarray(tbl["tok"].to_pylist(), dtype=object)
+    part = (pd.util.hash_array(toks) & np.uint64(255)).astype(np.int32)
+    return tbl.append_column("part", pa.array(part, pa.int32()))
+
+
+def _sum_tok_part(g: pd.DataFrame) -> pa.Table:
+    """One hash partition of (tok, n) partials → exact per-token sums."""
+    s = g.groupby("tok", sort=False)["n"].sum()
+    return pa.table(
+        {
+            "tok": pa.array(list(s.index), pa.string()),
+            "n": pa.array(s.to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def unigram_counts(
     docs: ray.data.Dataset, min_count: int = 1
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
@@ -69,8 +90,9 @@ def unigram_counts(
     ``min_count=1``)."""
     freqs = (
         docs.map_batches(_token_count_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_with_tok_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_sum_tok_part, batch_format="pandas")
         .to_pandas()
     )
     if freqs.empty:
@@ -421,9 +443,11 @@ def doc_keywords_ds(
     df_tbl = (
         docs_factory()
         .map_batches(_doc_df_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("n", alias_name="df"))
+        .map_batches(_with_tok_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_sum_tok_part, batch_format="pandas")
         .to_pandas()
+        .rename(columns={"n": "df"})
     )
     df_tbl = df_tbl[df_tbl["df"] >= min_df]
     order = np.argsort(df_tbl["tok"].to_numpy())
