@@ -134,10 +134,22 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 def session_windows(sf_dir: str) -> ray.data.Dataset:
     """Per-user session windows (gap > 30 min splits): the per-key ordered
-    stateful op — ``groupby(user_id).map_groups`` with a vectorized
-    sessionizer (sort, diff, cumsum) per group.  The analog of the
-    reference's per-car windowed index state (clustering/Streaming/
+    stateful op — a 256-way hash exchange on ``user_id`` with a
+    vectorized sessionizer (sort, diff, cumsum) per partition.  The
+    sessionizer orders its own rows, so the exchange only needs each
+    user's events CO-LOCATED — a sort-based ``groupby(user_id)``'s
+    global order would be thrown away.  The analog of the reference's
+    per-car windowed index state (clustering/Streaming/
     Streaming.java:25-46) keyed by user instead of car."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        # Fibonacci-hash the key so consecutive user_ids spread across
+        # partitions (the partition key only places rows)
+        part = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+        ).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized over EVERY user present (one call may carry many
@@ -165,6 +177,7 @@ def session_windows(sf_dir: str) -> ray.data.Dataset:
 
     return (
         ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-        .groupby("user_id")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(sessionize, batch_format="pandas")
     )
