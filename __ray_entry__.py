@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # KEY ORDER IS THE DRIVER'S CHECK WINDOW: the driver hash-checks the
     # FIRST 50 keys per round.  Rounds 1-4 green-checked 110 of the 125
+    # pre-round-5 entries (129 now, with the two as-of gates below).
     # entries (see CORRECTNESS_r01..r04).  Round 5 puts the last 13
     # never-driver-run rows-only entries under the driver (their exact
     # surrogates are all hash-green from r4), adds three NEW oracle
@@ -191,13 +192,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
         "range_search": knn.range_search_bruteforce,  # radius query (exact)
         "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
-        # --- (d) window fillers: high-traffic hygiene oracles (3) ---
+        # --- (d) NEW round-5 operators: point-in-time joins (2) ---
+        # as-of join (latest prior RIGHT-type event per LEFT-type event,
+        # per user) gated against DuckDB's native ASOF LEFT JOIN, plain
+        # and trailing-window (tolerance) flavors — the hash-exchange +
+        # merge_asof pattern
+        "events_asof": events.asof_join,
+        "events_asof_tol": lambda sf: events.asof_join(
+            sf, tolerance_us=events.DAY_US
+        ),
+        # --- (e) window filler: high-traffic hygiene oracle (1) ---
         "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
-        "pii_scrub": scrub.pii_scrub,             # regex PII redaction
-        "top_per_lang": sampling.top_per_lang,    # group-wise top-k
         # ---------------- end of the driver's 50-key window ----------------
         # (driver-green r1-r4, rotated out; their oracles still run in
         # test_driver_gate.py every session)
+        "pii_scrub": scrub.pii_scrub,             # regex PII redaction
+        "top_per_lang": sampling.top_per_lang,    # group-wise top-k
         "source_quality": textstats.source_quality,    # domain-level gate
         "source_filtered": textstats.source_filtered,  # gate applied
         "bigram_pmi": textstats.bigram_pmi,       # PMI association scores
@@ -331,6 +341,33 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM docs2 a JOIN docs2 b
   ON a.text = b.text AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b"""
+
+
+def _asof_sql(tolerance_us: int | None) -> str:
+    """DuckDB's native ASOF LEFT JOIN as the oracle for events.asof_join
+    (plain and trailing-window flavors).  The b-side QUALIFY dedupe pins
+    the tie-break — largest event_id at an equal (user_id, ts) — to the
+    kernel's sort-last-wins convention; COALESCE/CASE mirror the
+    null-free -1/0.0 unmatched encoding."""
+    if tolerance_us is None:
+        sel = """coalesce(b.event_id, -1)::BIGINT AS match_event_id,
+       coalesce(b.t, -1)::BIGINT AS match_ts_us,
+       coalesce(b.value, 0.0)::DOUBLE AS match_value"""
+    else:
+        hit = f"b.t IS NOT NULL AND a.t - b.t <= {tolerance_us}"
+        sel = f"""CASE WHEN {hit} THEN b.event_id ELSE -1 END::BIGINT
+         AS match_event_id,
+       CASE WHEN {hit} THEN b.t ELSE -1 END::BIGINT AS match_ts_us,
+       CASE WHEN {hit} THEN b.value ELSE 0.0 END::DOUBLE AS match_value"""
+    return f"""
+WITH a AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'click'),
+     b AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events
+           WHERE event_type = 'purchase'
+           QUALIFY row_number() OVER (PARTITION BY user_id, t
+                                      ORDER BY event_id DESC) = 1)
+SELECT a.event_id, a.user_id, a.t AS ts_us, {sel}
+FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.t >= b.t"""
 
 
 def _planted_pairs_sql(base: int, n_const: str) -> str:
@@ -1812,6 +1849,11 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        count(*)::BIGINT AS n_events,
        min(t) AS session_start_us, max(t) AS session_end_us
 FROM s GROUP BY user_id, sid""",
+        # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle; the
+        # b-side QUALIFY dedupe pins the tie-break (largest event_id at
+        # an equal (user, ts)) to the kernel's last-row-wins convention
+        "events_asof": _asof_sql(None),
+        "events_asof_tol": _asof_sql(86_400_000_000),
         "part_type_stats": """
 SELECT p_type, count(*)::BIGINT AS n_parts,
        round(avg(p_retailprice), 6) AS avg_retail

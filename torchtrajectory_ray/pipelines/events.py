@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.dataset as pads
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -180,4 +181,111 @@ def session_windows(sf_dir: str) -> ray.data.Dataset:
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+DAY_US = 86_400_000_000
+
+
+def asof_join(
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    tolerance_us: int | None = None,
+) -> ray.data.Dataset:
+    """Point-in-time (as-of) join: for every LEFT-type event, the same
+    user's most recent RIGHT-type event at-or-before it — the "state of
+    the world when X happened" lookup (here: the purchase each click
+    follows).  With ``tolerance_us`` set, the match must additionally
+    fall inside the trailing window (the range-join flavor); since the
+    latest prior match is unique, tolerance only BLANKS a match that is
+    too old, it never changes which row matches.
+
+    Shape: both sides live in the same stream, so ONE pruned read + a
+    256-way hash exchange on ``user_id`` co-locates each user's events,
+    and a vectorized ``pd.merge_asof`` per partition does the backward
+    search (two sorts + one galloping merge — no per-row Python, no
+    sort-based shuffle: the merge re-derives the per-user order itself,
+    a global sort would be paid and thrown away).  At 100 TB the
+    exchange is the only wide step and its key count is bounded at 256;
+    skew is bounded by the largest single user.
+
+    Ties (two RIGHT rows at the same (user_id, ts)) are broken toward
+    the largest event_id on BOTH sides of the gate: the kernel sorts
+    the right side by (ts, event_id) and merge_asof takes the last
+    qualifying row; the SQL oracle dedupes with a row_number() window
+    before its ASOF JOIN.  Unmatched rows keep the schema null-free via
+    the COALESCE convention (-1 ids / 0.0 value).
+
+    Analog of the reference's time-constrained result filtering
+    (queryEngine/query/TrajectoryResolver.java:116 meetTimeConstrain —
+    a per-trajectory temporal predicate against a reference span),
+    generalized to the per-key temporal JOIN the reference's windowed
+    streaming state implies (clustering/Streaming/Streaming.java:25-46).
+    """
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        # Fibonacci-hash the key so consecutive user_ids spread across
+        # partitions (the partition key only places rows)
+        part = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+        ).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # normalize to epoch microseconds whatever the source unit
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        base = pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "t": t,
+                "value": g["value"].to_numpy(),
+            }
+        )
+        a = base.loc[et == left_type, ["event_id", "user_id", "t"]]
+        b = base.loc[et == right_type].rename(
+            columns={"event_id": "match_event_id", "value": "match_value"}
+        )
+        b["match_ts_us"] = b["t"]
+        # merge_asof requires the on-key sorted on both sides; sorting b
+        # by (t, event_id) makes the largest event_id the LAST row at a
+        # tied timestamp, which backward-search then picks
+        a = a.sort_values("t", kind="mergesort")
+        b = b.sort_values(["t", "match_event_id"], kind="mergesort")
+        j = pd.merge_asof(
+            a,
+            b,
+            on="t",
+            by="user_id",
+            direction="backward",
+            tolerance=None if tolerance_us is None else int(tolerance_us),
+        )
+        miss = j["match_event_id"].isna().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": j["event_id"].to_numpy().astype(np.int64),
+                "user_id": j["user_id"].to_numpy().astype(np.int64),
+                "ts_us": j["t"].to_numpy().astype(np.int64),
+                "match_event_id": np.where(
+                    miss, -1, j["match_event_id"].to_numpy()
+                ).astype(np.int64),
+                "match_ts_us": np.where(
+                    miss, -1, j["match_ts_us"].to_numpy()
+                ).astype(np.int64),
+                "match_value": np.where(miss, 0.0, j["match_value"].to_numpy()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+            filter=pads.field("event_type").isin([left_type, right_type]),
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
     )
