@@ -201,13 +201,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_tol": lambda sf: events.asof_join(
             sf, tolerance_us=events.DAY_US
         ),
-        # --- (e) window filler: high-traffic hygiene oracle (1) ---
-        "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
+        # --- (e) NEW round-5 sketch gate (1) ---
+        # KMV bottom-k quantile sketch, certified by an exact two-sided
+        # rank-bracket pass (the cardinality_hll_check pattern: the SQL
+        # oracle emits the constant flag, a sketch break flips it)
+        "value_quantiles_check": events.value_quantiles_check,
         # ---------------- end of the driver's 50-key window ----------------
         # (driver-green r1-r4, rotated out; their oracles still run in
         # test_driver_gate.py every session)
+        "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
         "pii_scrub": scrub.pii_scrub,             # regex PII redaction
         "top_per_lang": sampling.top_per_lang,    # group-wise top-k
+        # the raw KMV quantile estimates (rows-only by nature — no SQL
+        # reproduces the hash sample; its rank gate is
+        # value_quantiles_check above)
+        "value_quantiles": events.value_quantiles,
         "source_quality": textstats.source_quality,    # domain-level gate
         "source_filtered": textstats.source_filtered,  # gate applied
         "bigram_pmi": textstats.bigram_pmi,       # PMI association scores
@@ -1854,6 +1862,14 @@ FROM s GROUP BY user_id, sid""",
         # an equal (user, ts)) to the kernel's last-row-wins convention
         "events_asof": _asof_sql(None),
         "events_asof_tol": _asof_sql(86_400_000_000),
+        # KMV quantile-sketch gate: the Ray side re-derives the exact
+        # rank bracket of each estimate in a second streaming pass and
+        # asserts the 3-sigma sampling bound; SQL emits the constant
+        # flag (the cardinality_hll_check pattern)
+        "value_quantiles_check": """
+WITH n AS (SELECT count(*) AS c FROM events)
+SELECT i::DOUBLE / 10 AS q, c::BIGINT AS n_rows, 1::BIGINT AS within_bound
+FROM range(1, 10) t(i), n""",
         "part_type_stats": """
 SELECT p_type, count(*)::BIGINT AS n_parts,
        round(avg(p_retailprice), 6) AS avg_retail

@@ -289,3 +289,122 @@ def asof_join(
         .groupby("part")
         .map_groups(kernel, batch_format="pandas")
     )
+
+
+QUANTILE_PS = tuple(p / 10.0 for p in range(1, 10))
+KMV_K = 4096
+
+
+def value_quantiles(
+    sf_dir: str, k: int = KMV_K, ps=QUANTILE_PS
+) -> "pd.DataFrame":
+    """Streaming quantile sketch over the continuous ``value`` column:
+    a bottom-k (KMV) hash sample keyed on ``mix64(event_id)`` — the
+    deterministic, mergeable, fixed-size uniform sample
+    (functions/kmv.py) — then ``quantile_disc`` over the sampled
+    values.  Rank error is O(1/sqrt(k)) for ANY value distribution; at
+    k >= n the sample is the whole column and the estimate is EXACT.
+
+    Scale shape: one pruned read; each batch emits at most k (hash,
+    value) partial rows; a 256-way exchange keyed on the hash's top
+    byte reduces each bucket to its own bottom-k (the union of
+    per-bucket bottom-k always contains the global bottom-k, since a
+    globally-minimal hash is minimal within its bucket too); the driver
+    folds at most 256·k rows — bounded at ANY corpus size, the
+    cardinality_hll discipline.  One pass, no sort of the corpus.
+    """
+    from torchtrajectory_ray.functions.kmv import bottom_k, mix64, quantile_disc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = mix64(batch["event_id"].to_numpy())
+        h, v = bottom_k(h, batch["value"].to_numpy(), k)
+        part = (h >> np.uint64(56)).astype(np.int32)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int32()),
+                "h": pa.array(h, pa.uint64()),
+                "value": pa.array(v, pa.float64()),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        h, v = bottom_k(
+            g["h"].to_numpy().astype(np.uint64), g["value"].to_numpy(), k
+        )
+        return pd.DataFrame({"h": h, "value": v})
+
+    cand = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()  # bounded: <= 256 * k rows at any corpus size
+    )
+    h, v = bottom_k(
+        cand["h"].to_numpy().astype(np.uint64), cand["value"].to_numpy(), k
+    )
+    est = quantile_disc(v, ps)
+    return pd.DataFrame({"q": np.asarray(ps, np.float64), "est": est})
+
+
+def value_quantiles_check(sf_dir: str, k: int = KMV_K) -> "pd.DataFrame":
+    """Driver-checkable gate for the KMV quantile sketch (the
+    cardinality_hll_check pattern): a second exact streaming pass counts
+    rows strictly below / at-or-below each estimate, and
+    ``within_bound`` asserts the two-sided rank bracket
+
+        count(value < est_p)/n <= p + eps   and
+        count(value <= est_p)/n >= p - eps,    eps = 3*sqrt(p(1-p)/m) + 1/m
+
+    (m = sample size) — the tie-safe form of "the estimate's rank is
+    within 3 sigma of p·n" that stays valid when mass concentrates on a
+    single value.  The SQL oracle emits the constant 1, so any sketch
+    break (hash, fold, estimator) flips the flag and hash-mismatches.
+    The certification pass exists for the GATE; production consumers
+    run value_quantiles alone (one pass)."""
+    est = value_quantiles(sf_dir, k)
+    ps = est["q"].to_numpy()
+    thr = est["est"].to_numpy()  # nondecreasing: same sorted sample
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch["value"].to_numpy())
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(thr)), pa.int64()),
+                "lt": pa.array(
+                    np.searchsorted(v, thr, side="left"), pa.int64()
+                ),
+                "le": pa.array(
+                    np.searchsorted(v, thr, side="right"), pa.int64()
+                ),
+                "n": pa.array(np.full(len(thr), len(v)), pa.int64()),
+            }
+        )
+
+    folded = (
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(
+            Sum("lt", alias_name="lt"),
+            Sum("le", alias_name="le"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values("i")
+    )
+    n = int(folded["n"].iloc[0])
+    m = min(k, n)
+    eps = 3.0 * np.sqrt(ps * (1.0 - ps) / m) + 1.0 / m
+    ok = (folded["lt"].to_numpy() / n <= ps + eps) & (
+        folded["le"].to_numpy() / n >= ps - eps
+    )
+    return pd.DataFrame(
+        {
+            "q": ps,
+            "n_rows": np.full(len(ps), n, np.int64),
+            "within_bound": ok.astype(np.int64),
+        }
+    )
