@@ -175,7 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_onestep": clustering.kmeans_onestep,
         "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
         "clean_summary": clean.clean_corpus_summary,
-        "explain_topk": corpus.explain_topk,      # Lucene explain() decomposition
+        # grouped KMV sketch gate (r5; explain_topk rotates below —
+        # green r4, corpus.py untouched this round)
+        "value_quantiles_by_type_check": events.value_quantiles_by_type_check,
         "heavy_terms": textstats.heavy_terms,
         "heavy_terms_per_lang": textstats.heavy_terms_per_lang,
         # core canaries (driver-green r1-r4) — regression tripwires
@@ -213,9 +215,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": scrub.pii_scrub,             # regex PII redaction
         "top_per_lang": sampling.top_per_lang,    # group-wise top-k
         # the raw KMV quantile estimates (rows-only by nature — no SQL
-        # reproduces the hash sample; its rank gate is
-        # value_quantiles_check above)
+        # reproduces the hash sample; their rank gates are
+        # value_quantiles_check / value_quantiles_by_type_check above)
         "value_quantiles": events.value_quantiles,
+        "value_quantiles_by_type": events.value_quantiles_by_type,
+        "explain_topk": corpus.explain_topk,      # Lucene explain() decomposition
         "source_quality": textstats.source_quality,    # domain-level gate
         "source_filtered": textstats.source_filtered,  # gate applied
         "bigram_pmi": textstats.bigram_pmi,       # PMI association scores
@@ -1870,6 +1874,12 @@ FROM s GROUP BY user_id, sid""",
 WITH n AS (SELECT count(*) AS c FROM events)
 SELECT i::DOUBLE / 10 AS q, c::BIGINT AS n_rows, 1::BIGINT AS within_bound
 FROM range(1, 10) t(i), n""",
+        # per-group flavor: one bracket per (event_type, q)
+        "value_quantiles_by_type_check": """
+WITH n AS (SELECT event_type, count(*) AS c FROM events GROUP BY event_type)
+SELECT event_type, i::DOUBLE / 10 AS q, c::BIGINT AS n_rows,
+       1::BIGINT AS within_bound
+FROM n, range(1, 10) t(i)""",
         "part_type_stats": """
 SELECT p_type, count(*)::BIGINT AS n_parts,
        round(avg(p_retailprice), 6) AS avg_retail

@@ -439,6 +439,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("events_sessions", lambda: events.session_windows(sf_dir).to_pandas())
     timed("events_asof", lambda: events.asof_join(sf_dir).to_pandas())
     timed("value_quantiles_check", lambda: events.value_quantiles_check(sf_dir))
+    timed("value_quantiles_by_type", lambda: events.value_quantiles_by_type(sf_dir))
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

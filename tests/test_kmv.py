@@ -100,3 +100,39 @@ def test_bottom_k_and_quantile_disc_kernels():
     assert quantile_disc(s, [0.25, 0.5, 0.75, 1.0]).tolist() == [
         1.0, 2.0, 3.0, 4.0,
     ]
+
+
+def test_by_type_matches_per_group_single_runs(ray_session, tmp_path):
+    # the grouped sketch must equal running the ungrouped sketch on each
+    # group's rows alone (same hashes, same sample, same estimates)
+    from torchtrajectory_ray.pipelines.events import value_quantiles_by_type
+
+    rng = np.random.default_rng(6)
+    n = 12_000
+    types = rng.choice(["a", "b", "c"], n)
+    vals = np.round(rng.exponential(50.0, n), 6)
+    d = tmp_path / "events.parquet"
+    d.mkdir(parents=True)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.zeros(n), unit="us"),
+            "user_id": np.zeros(n, np.int64),
+            "event_type": types,
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    for i in range(6):
+        pq.write_table(
+            pa.Table.from_pandas(df.iloc[i::6], preserve_index=False),
+            str(d / f"part-{i}.parquet"),
+        )
+    got = value_quantiles_by_type(str(tmp_path), k=256)
+    from torchtrajectory_ray.functions.kmv import bottom_k, mix64, quantile_disc
+
+    for t in ["a", "b", "c"]:
+        m = types == t
+        h, v = bottom_k(mix64(np.arange(n)[m]), vals[m], 256)
+        exp = quantile_disc(v, [p / 10 for p in range(1, 10)])
+        assert got.loc[got.event_type == t, "est"].tolist() == exp.tolist()

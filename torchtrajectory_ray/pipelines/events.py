@@ -408,3 +408,144 @@ def value_quantiles_check(sf_dir: str, k: int = KMV_K) -> "pd.DataFrame":
             "within_bound": ok.astype(np.int64),
         }
     )
+
+
+def value_quantiles_by_type(
+    sf_dir: str, k: int = 1024, ps=QUANTILE_PS
+) -> "pd.DataFrame":
+    """Per-group KMV quantiles: an independent bottom-k sample per
+    ``event_type`` (the grouped-sketch discipline, as
+    heavy_terms_per_lang is to heavy_terms).  Partials stay bounded at
+    n_types x k rows per block, the exchange carries only partials, and
+    the driver folds n_types x k x 256 rows at most — group count is the
+    only scale knob (a high-cardinality group key would swap the plain
+    groupby for the top-byte exchange of value_quantiles).
+    """
+    from torchtrajectory_ray.functions.kmv import bottom_k, mix64, quantile_disc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h_all = mix64(batch["event_id"].to_numpy())
+        v_all = batch["value"].to_numpy()
+        t_all = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        hs, vs, ts = [], [], []
+        for t in np.unique(t_all):  # a handful of groups, not rows
+            m = t_all == t
+            h, v = bottom_k(h_all[m], v_all[m], k)
+            hs.append(h)
+            vs.append(v)
+            ts.append(np.full(len(h), t, dtype=object))
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(ts), pa.string()),
+                "h": pa.array(np.concatenate(hs), pa.uint64()),
+                "value": pa.array(np.concatenate(vs), pa.float64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # one call may carry several groups: reduce each independently
+        out = []
+        for t, sub in g.groupby("event_type", sort=True):
+            h, v = bottom_k(
+                sub["h"].to_numpy().astype(np.uint64),
+                sub["value"].to_numpy(),
+                k,
+            )
+            est = quantile_disc(v, ps)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_type": t,
+                        "q": np.asarray(ps, np.float64),
+                        "est": est,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # bounded: n_types x len(ps) rows
+        .sort_values(["event_type", "q"])
+        .reset_index(drop=True)
+    )
+
+
+def value_quantiles_by_type_check(sf_dir: str, k: int = 1024) -> "pd.DataFrame":
+    """Per-group rank-bracket certification of value_quantiles_by_type
+    (the value_quantiles_check pattern, one bracket per (type, q)); the
+    SQL oracle emits per-type row counts and the constant flag."""
+    est = value_quantiles_by_type(sf_dir, k)
+    types = est["event_type"].unique()
+    thr = {t: est.loc[est.event_type == t, "est"].to_numpy() for t in types}
+    ps = est.loc[est.event_type == types[0], "q"].to_numpy()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t_all = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v_all = batch["value"].to_numpy()
+        rows = []
+        for t in np.unique(t_all):
+            if t not in thr:
+                continue
+            v = np.sort(v_all[t_all == t])
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "event_type": t,
+                        "i": np.arange(len(ps)),
+                        "lt": np.searchsorted(v, thr[t], side="left"),
+                        "le": np.searchsorted(v, thr[t], side="right"),
+                        "n": len(v),
+                    }
+                )
+            )
+        if not rows:  # empty batch / no known groups
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "i": pa.array([], pa.int64()),
+                    "lt": pa.array([], pa.int64()),
+                    "le": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pandas(
+            pd.concat(rows, ignore_index=True), preserve_index=False
+        )
+
+    folded = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["event_type", "i"])
+        .aggregate(
+            Sum("lt", alias_name="lt"),
+            Sum("le", alias_name="le"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values(["event_type", "i"])
+        .reset_index(drop=True)
+    )
+    p = ps[folded["i"].to_numpy()]
+    n = folded["n"].to_numpy()
+    m = np.minimum(k, n)
+    eps = 3.0 * np.sqrt(p * (1.0 - p) / m) + 1.0 / m
+    ok = (folded["lt"].to_numpy() / n <= p + eps) & (
+        folded["le"].to_numpy() / n >= p - eps
+    )
+    return pd.DataFrame(
+        {
+            "event_type": folded["event_type"],
+            "q": p,
+            "n_rows": n.astype(np.int64),
+            "within_bound": ok.astype(np.int64),
+        }
+    )
