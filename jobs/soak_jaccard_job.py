@@ -114,7 +114,10 @@ def main() -> None:
         .map_groups(lambda t: expand(t), batch_format="pyarrow")
         .map_batches(dedup._add_pair_part, batch_format="pandas")
         .groupby("pp")
-        .map_groups(dedup._dedupe_pairs_group, batch_format="pandas")
+        .map_groups(
+            dedup._PPJoinPairReduce(args.threshold).__call__,
+            batch_format="pandas",
+        )
         .count()
     )
     pairs_ds = ray.data.read_parquet(pairs_dir)

@@ -49,8 +49,9 @@ def _jacc(a: str, b: str, k: int = 3) -> float:
 @settings(max_examples=60, deadline=None)
 def test_prefix_positional_filter_is_lossless(docs, thr):
     """In-process mirror of the pipeline stages (no Ray): prefix rows at
-    the threshold → positional/length filters → expansion must retain
-    EVERY brute-force qualifying pair."""
+    the threshold → length filter → expansion → the PPJoin pair reduce
+    (accumulating positional + region bounds) must retain EVERY
+    brute-force qualifying pair."""
     tbl = pa.table(
         {
             "doc_id": pa.array(range(len(docs)), pa.int64()),
@@ -59,13 +60,61 @@ def test_prefix_positional_filter_is_lossless(docs, thr):
     )
     rows = dedup._prefix_rows_task(tbl, threshold=thr, k=3, freq_rank={})
     expand = dedup._PrefixGroupPairs(thr, max_group=4096)
-    cand = expand(rows)
+    occ = expand(rows)
+    cand = dedup._PPJoinPairReduce(thr)(occ)
     cand_set = set(map(tuple, cand[["doc_a", "doc_b"]].to_numpy()))
     import itertools
 
     for a, b in itertools.combinations(range(len(docs)), 2):
         if _jacc(docs[a], docs[b]) >= thr:
             assert (a, b) in cand_set, (docs[a], docs[b], thr)
+
+
+def test_ppjoin_region_bound_kills_single_collision_pair():
+    """A size-compatible pair sharing exactly ONE prefix shingle at
+    position 0 (the old positional bound's blind spot: bound ≈ full
+    size passes it to verification): the REGION bound
+    c + |S|−p of the smaller-prefix-max side must prune it.  Hand-built
+    occurrence rows drive the reduce deterministically; t = 0.7,
+    |Sa| = |Sb| = 40 → p = 13, need = 0.7/1.7·80 ≈ 32.9, positional
+    bound = 1 + min(39, 39) = 40 (passes), region = 1 + 40 − 13 = 28
+    (prunes)."""
+    import pandas as pd
+
+    one = pd.DataFrame(
+        {
+            "doc_a": [0],
+            "doc_b": [1],
+            "sa": [40],
+            "sb": [40],
+            "pa": [0],
+            "pb": [0],
+            "qfa": [0],
+            "qva": [500],
+            "qfb": [0],
+            "qvb": [900],
+        }
+    )
+    assert len(dedup._PPJoinPairReduce(0.7)(one)) == 0
+    # same pair but with a FULL shared prefix chain (c = 13 shared
+    # prefix shingles, the near-dup shape): both bounds pass
+    c = 13
+    chain = pd.DataFrame(
+        {
+            "doc_a": 0,
+            "doc_b": 1,
+            "sa": 40,
+            "sb": 40,
+            "pa": range(c),
+            "pb": range(c),
+            "qfa": 0,
+            "qva": 500,
+            "qfb": 0,
+            "qvb": 900,
+        }
+    )
+    kept = dedup._PPJoinPairReduce(0.7)(chain)
+    assert list(map(tuple, kept.to_numpy())) == [(0, 1)]
 
 
 @given(st.integers(0, 10_000), st.integers(2, 24))

