@@ -109,12 +109,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media,
         semantic,
         textstats,
+        fuzzyjoin,
     )
 
     # KEY ORDER IS THE DRIVER'S CHECK WINDOW: the driver hash-checks the
     # FIRST 50 keys per round.  Rounds 1-4 green-checked 110 of the 125
-    # pre-round-5 entries (129 now, with the two as-of gates below).
-    # entries (see CORRECTNESS_r01..r04).  Round 5 puts the last 13
+    # pre-round-5 entries (137 now, with the round-5 additions below)
+    # (see CORRECTNESS_r01..r04).  Round 5 puts the last 13
     # never-driver-run rows-only entries under the driver (their exact
     # surrogates are all hash-green from r4), adds three NEW oracle
     # gates (the HLL 3σ check that closes r4's one no_oracle hole, the
@@ -161,7 +162,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_topk": analytics.revenue_topk,   # rename-by-name fix r5
         "image_dhash_dups": media.image_dhash_dups,   # capped-flag plumbing r5
         "audio_fp_dups": media.audio_fp_dups,
-        "video_dhash_dups": media.video_dhash_dups,
         "minhash_recall": dedup.minhash_recall_pairs,
         "simhash_recall": dedup.simhash_recall_pairs,
         "distinct_terms": textstats.distinct_terms,
@@ -179,7 +179,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green r4, corpus.py untouched this round)
         "value_quantiles_by_type_check": events.value_quantiles_by_type_check,
         "heavy_terms": textstats.heavy_terms,
-        "heavy_terms_per_lang": textstats.heavy_terms_per_lang,
         # core canaries (driver-green r1-r4) — regression tripwires
         "term_df": corpus.term_df,                # A8/J5: dictionary df
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
@@ -189,10 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
         "knn_filtered": knn.knn_filtered,         # metadata-filtered ANN
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
-        "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
         "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
         "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
-        "range_search": knn.range_search_bruteforce,  # radius query (exact)
         "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
         # --- (d) NEW round-5 operators: point-in-time joins (2) ---
         # as-of join (latest prior RIGHT-type event per LEFT-type event,
@@ -208,9 +205,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-bracket pass (the cardinality_hll_check pattern: the SQL
         # oracle emits the constant flag, a sketch break flips it)
         "value_quantiles_check": events.value_quantiles_check,
+        # --- (f) NEW round-5 operators: windows / rollup / selection /
+        # fuzzy join (4) ---
+        # per-user ordered LAG (the window-function shape the sessionizer
+        # special-cases) on the session_windows hash exchange
+        "event_deltas": events.event_deltas,
+        # EXACT global quantiles by distributed selection — iterative
+        # histogram descent, no global sort, no driver column pull
+        "exact_quantiles": events.exact_quantiles,
+        # GROUP BY ROLLUP in one corpus pass (finest-level partials;
+        # coarser levels re-aggregated from the finest RESULT)
+        "revenue_rollup": analytics.revenue_rollup,
+        # edit-distance-≤-1 self-join via deletion-neighborhood keys
+        # (FastSS) — vectorized Karp-Rabin variant hashes, exact verify
+        "fuzzy_name_pairs": fuzzyjoin.fuzzy_name_pairs,
         # ---------------- end of the driver's 50-key window ----------------
         # (driver-green r1-r4, rotated out; their oracles still run in
         # test_driver_gate.py every session)
+        "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
+        "range_search": knn.range_search_bruteforce,  # radius query (exact)
+        "heavy_terms_per_lang": textstats.heavy_terms_per_lang,
+        "video_dhash_dups": media.video_dhash_dups,
         "line_dedup": lines.line_dedup,           # CCNet boilerplate-line removal
         "pii_scrub": scrub.pii_scrub,             # regex PII redaction
         "top_per_lang": sampling.top_per_lang,    # group-wise top-k
@@ -1880,6 +1895,35 @@ WITH n AS (SELECT event_type, count(*) AS c FROM events GROUP BY event_type)
 SELECT event_type, i::DOUBLE / 10 AS q, c::BIGINT AS n_rows,
        1::BIGINT AS within_bound
 FROM n, range(1, 10) t(i)""",
+        # per-user LAG: gap to the previous event in the (ts, event_id)
+        # order; rows with no predecessor are dropped on both sides
+        "event_deltas": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events)
+SELECT event_id, user_id,
+       t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap_us
+FROM e QUALIFY gap_us IS NOT NULL""",
+        # discrete-quantile semantics: the element at 1-indexed rank
+        # max(1, ceil(q*n)) of the sorted column — rank-based SQL, not
+        # quantile_disc, so the tie/rank convention is pinned explicitly
+        "exact_quantiles": """
+WITH r AS (SELECT value, row_number() OVER (ORDER BY value) AS rk FROM events),
+     n AS (SELECT count(*) AS cnt FROM events),
+     qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+SELECT qs.q AS q, r.value AS value
+FROM qs CROSS JOIN n
+JOIN r ON r.rk = greatest(1, CAST(ceil(qs.q * n.cnt) AS BIGINT))""",
+        "revenue_rollup": """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        # quadratic self-join with DuckDB's levenshtein as the exact
+        # oracle for the deletion-neighborhood (FastSS) candidate scheme
+        "fuzzy_name_pairs": """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1""",
         "part_type_stats": """
 SELECT p_type, count(*)::BIGINT AS n_parts,
        round(avg(p_retailprice), 6) AS avg_retail

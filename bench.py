@@ -440,6 +440,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("events_asof", lambda: events.asof_join(sf_dir).to_pandas())
     timed("value_quantiles_check", lambda: events.value_quantiles_check(sf_dir))
     timed("value_quantiles_by_type", lambda: events.value_quantiles_by_type(sf_dir))
+    timed("event_deltas", lambda: events.event_deltas(sf_dir).materialize())
+    timed("exact_quantiles", lambda: events.exact_quantiles(sf_dir))
+    timed("revenue_rollup", lambda: analytics.revenue_rollup(sf_dir))
+    from torchtrajectory_ray.pipelines import fuzzyjoin
+
+    timed("fuzzy_name_pairs", lambda: fuzzyjoin.fuzzy_name_pairs(sf_dir).materialize())
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

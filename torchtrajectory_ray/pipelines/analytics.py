@@ -306,3 +306,61 @@ def nation_customer_stats(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregate over orders: (priority, status) → (priority) →
+    grand total, one distributed pass.  Per-batch partials key the
+    FINEST level only; the coarser levels are re-aggregated from the
+    finest RESULT (|priorities|×|statuses| rows — post-aggregate data,
+    driver-side by design), so the corpus is read once and shuffled
+    never.  Subtotal keys use the literal ``'ALL'`` (the data's enum
+    values never collide with it), matching the SQL oracle's COALESCE
+    over GROUP BY ROLLUP.  Float sums follow the 2dp big-sum protocol
+    (see :func:`pricing_summary`)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+        ).to_pandas()
+        g = df.groupby(
+            ["o_orderpriority", "o_orderstatus"], as_index=False
+        ).agg(sum_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .sum(["sum_price", "n_orders"])
+    )
+    fine = ds.to_pandas()
+    fine.rename(
+        columns={"sum(sum_price)": "sum_price", "sum(n_orders)": "n_orders"},
+        inplace=True,
+    )
+    if not {"sum_price", "n_orders"} <= set(fine.columns):  # fail loud
+        raise RuntimeError(f"unexpected aggregate schema: {list(fine.columns)}")
+    mid = fine.groupby("o_orderpriority", as_index=False).agg(
+        sum_price=("sum_price", "sum"), n_orders=("n_orders", "sum")
+    )
+    mid["o_orderstatus"] = "ALL"
+    top = pd.DataFrame(
+        {
+            "o_orderpriority": ["ALL"],
+            "o_orderstatus": ["ALL"],
+            "sum_price": [fine["sum_price"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out[["o_orderpriority", "o_orderstatus", "sum_price", "n_orders"]]
+        .sort_values(["o_orderpriority", "o_orderstatus"])
+        .reset_index(drop=True)
+    )

@@ -549,3 +549,188 @@ def value_quantiles_by_type_check(sf_dir: str, k: int = 1024) -> "pd.DataFrame":
             "within_bound": ok.astype(np.int64),
         }
     )
+
+
+def event_deltas(sf_dir: str) -> ray.data.Dataset:
+    """Per-user ordered LAG: for every event with a predecessor in its
+    user's (ts, event_id)-ordered stream, the gap to that predecessor in
+    microseconds — the window-function shape (LAG OVER PARTITION BY)
+    the sessionizer special-cases into gap breaks.  Same exchange as
+    :func:`session_windows` (users co-located by content hash, NO global
+    sort — each partition orders its own rows), vectorized diff per
+    partition.  Analog of the reference's per-car consecutive-point
+    deltas (map-matching consumes ordered per-vehicle streams,
+    mapmatching/MapMatching.java timeline walk)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        part = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+        ).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def lag_diff(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over every user in the partition:
+        # (user_id, ts, event_id) lexsort, diff, mask user boundaries
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.empty(len(g), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": eid[same],
+                "user_id": uid[same],
+                "gap_us": gap[same],
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(lag_diff, batch_format="pandas")
+    )
+
+
+_QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+_SELECT_BINS = 512
+_SELECT_LOCAL_MAX = 65_536
+
+
+def exact_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = _QUANTILE_QS,
+    *,
+    bins: int = _SELECT_BINS,
+    local_max: int = _SELECT_LOCAL_MAX,
+) -> pd.DataFrame:
+    """EXACT discrete quantiles (``quantile_disc`` semantics: the element
+    at 1-indexed rank ``max(1, ceil(q*n))``) of ``events.value`` by
+    distributed selection — the "median of 100 TB" operator.  No global
+    sort and no driver materialization of the column: each round
+    histograms the rows still in play into ``bins`` equal-width brackets
+    via per-batch partials (one ``bins``-long int vector per batch,
+    summed on the driver), descends into the bin containing each target
+    rank, and once that bin holds ≤ ``local_max`` rows pulls exactly
+    those rows and reads the rank element off a local sort.  All ``qs``
+    share each pass (one histogram narrows every open rank at once);
+    convergence is geometric in ``bins``, and a bracket that collapses
+    below float spacing resolves through a bounded distinct-value pass
+    (duplicate-heavy columns converge to ONE point, whose few distinct
+    fp neighbours are enumerable).  Invariants: ``rank`` stays GLOBAL
+    (1-indexed over all rows); every pass recomputes ``below`` =
+    rows < lo, so no cross-pass count drift can accumulate."""
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["value"])
+
+    def stats_part(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "lo": pa.array([float(v.min()) if len(v) else np.inf]),
+                "hi": pa.array([float(v.max()) if len(v) else -np.inf]),
+            }
+        )
+
+    st = ds.map_batches(stats_part, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"q": np.array(qs), "value": np.nan})
+    lo0, hi0 = float(st["lo"].min()), float(st["hi"].max())
+    targets = [
+        {"q": q, "rank": max(1, int(np.ceil(q * n))), "lo": lo0, "hi": hi0}
+        for q in qs
+    ]
+    answers: dict[float, float] = {}
+
+    def hist_pass(brackets):
+        """One distributed pass: per bracket, (rows < lo, counts over
+        ``bins`` equal-width bins of [lo, hi] — right-open except the
+        last, numpy.histogram semantics)."""
+        bnd = [np.linspace(lo, hi, bins + 1) for lo, hi in brackets]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch["value"].to_numpy()
+            cols: dict = {}
+            for i, (lo, hi) in enumerate(brackets):
+                cols[f"below_{i}"] = [int((v < lo).sum())]
+                sel = v[(v >= lo) & (v <= hi)]
+                cols[f"hist_{i}"] = [
+                    np.histogram(sel, bins=bnd[i])[0].astype(np.int64)
+                ]
+            return pa.table(cols)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = []
+        for i in range(len(brackets)):
+            below = int(parts[f"below_{i}"].sum())
+            h = np.sum(np.stack(parts[f"hist_{i}"].to_numpy()), axis=0)
+            out.append((below, h))
+        return out
+
+    def pull_rank(lo: float, hi: float, inclusive: bool, rank_in: int) -> float:
+        """Fetch the (bounded) rows of one bin and read the exact rank
+        element; ``rank_in`` is 1-indexed within the bin's sorted rows."""
+
+        def grab(batch: pa.Table) -> pa.Table:
+            v = batch["value"].to_numpy()
+            m = (v >= lo) & ((v <= hi) if inclusive else (v < hi))
+            return pa.table({"v": [np.sort(v[m]).astype(np.float64)]})
+
+        got = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+        allv = np.sort(np.concatenate(list(got["v"].to_numpy())))
+        return float(allv[rank_in - 1])
+
+    def distinct_rank(lo: float, hi: float, rank_in: int) -> float:
+        """Degenerate (sub-fp-spacing) bracket: enumerate its distinct
+        values + counts (bounded — the bracket spans ~a few ulps) and
+        walk the counts to the rank element."""
+
+        def uniq(batch: pa.Table) -> pa.Table:
+            v = batch["value"].to_numpy()
+            sel = v[(v >= lo) & (v <= hi)]
+            u, c = np.unique(sel, return_counts=True)
+            return pa.table({"u": [u.astype(np.float64)], "c": [c]})
+
+        got = ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
+        u = np.concatenate(list(got["u"].to_numpy()))
+        c = np.concatenate(list(got["c"].to_numpy())).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        s = pd.Series(c[order]).groupby(u[order]).sum()
+        cum = s.cumsum().to_numpy()
+        return float(s.index.to_numpy()[int(np.searchsorted(cum, rank_in))])
+
+    while any(t["q"] not in answers for t in targets):
+        open_ts = [t for t in targets if t["q"] not in answers]
+        res = hist_pass([(t["lo"], t["hi"]) for t in open_ts])
+        for t, (below, h) in zip(open_ts, res):
+            r = t["rank"] - below  # 1-indexed rank within [lo, hi]
+            edges = np.linspace(t["lo"], t["hi"], bins + 1)
+            if not np.all(np.diff(edges) > 0):  # fp-collapsed bracket
+                answers[t["q"]] = distinct_rank(t["lo"], t["hi"], r)
+                continue
+            cum = np.cumsum(h)
+            j = int(np.searchsorted(cum, r))
+            lo_new, hi_new = float(edges[j]), float(edges[j + 1])
+            r_in_bin = r - (int(cum[j - 1]) if j else 0)
+            last = j == bins - 1  # histogram's last bin is right-INclusive
+            if int(h[j]) <= local_max:
+                answers[t["q"]] = pull_rank(lo_new, hi_new, last, r_in_bin)
+            else:
+                # descend: next pass recomputes below for the new lo, so
+                # the global rank carries over unchanged
+                t["lo"], t["hi"] = lo_new, hi_new
+                if not last:
+                    # rows == hi_new belong to bin j+1; shrink hi just
+                    # below it so the bracket matches the bin exactly
+                    t["hi"] = float(np.nextafter(hi_new, lo_new))
+    return pd.DataFrame(
+        {"q": np.array(qs, np.float64), "value": [answers[q] for q in qs]}
+    )
