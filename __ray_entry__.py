@@ -160,8 +160,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_check": _index_check,
         # --- (c) oracle gates over every module touched this round (31) ---
         "revenue_topk": analytics.revenue_topk,   # rename-by-name fix r5
-        "image_dhash_dups": media.image_dhash_dups,   # capped-flag plumbing r5
-        "audio_fp_dups": media.audio_fp_dups,
         "minhash_recall": dedup.minhash_recall_pairs,
         "simhash_recall": dedup.simhash_recall_pairs,
         "distinct_terms": textstats.distinct_terms,
@@ -183,10 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": corpus.term_df,                # A8/J5: dictionary df
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
-        "phrase_match_pos": corpus.phrase_match_pos,  # positional-index route
         "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
         "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
-        "knn_filtered": knn.knn_filtered,         # metadata-filtered ANN
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
         "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
@@ -219,9 +215,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edit-distance-≤-1 self-join via deletion-neighborhood keys
         # (FastSS) — vectorized Karp-Rabin variant hashes, exact verify
         "fuzzy_name_pairs": fuzzyjoin.fuzzy_name_pairs,
+        # --- (g) NEW round-5 operators: range join / window frame /
+        # argmax / anti-join (4; image+audio dhash, phrase_match_pos and
+        # knn_filtered rotate below — all r4-green, paths quiet or
+        # pytest-gated this round) ---
+        # broadcast range (interval) join: all-integer bracket edges,
+        # one searchsorted probe per batch — the non-equi join
+        "time_brackets": events.time_bracket_join,
+        # per-user trailing 3-row window-frame mean (ROWS BETWEEN 2
+        # PRECEDING) on the session/LAG hash exchange
+        "rolling_user_mean": events.rolling_user_mean,
+        # group-wise argmax: each user's latest full event row,
+        # batch-combined so the exchange moves ≤1 row per (user×batch)
+        "latest_events": events.latest_event_per_user,
+        # distributed anti-join (NOT EXISTS), both sides reduced before
+        # ONE hash exchange — no broadcast side needed at scale
+        "customers_no_orders": analytics.customers_no_orders,
         # ---------------- end of the driver's 50-key window ----------------
         # (driver-green r1-r4, rotated out; their oracles still run in
         # test_driver_gate.py every session)
+        "image_dhash_dups": media.image_dhash_dups,   # capped-flag plumbing r5
+        "audio_fp_dups": media.audio_fp_dups,
+        "phrase_match_pos": corpus.phrase_match_pos,  # positional-index route
+        "knn_filtered": knn.knn_filtered,         # metadata-filtered ANN
         "knn_ivf_batch_fullprobe": knn.knn_ivf_batch_fullprobe,  # exact
         "range_search": knn.range_search_bruteforce,  # radius query (exact)
         "heavy_terms_per_lang": textstats.heavy_terms_per_lang,
@@ -1924,6 +1940,36 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
 SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b
 FROM customer a JOIN customer b
   ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1""",
+        # non-equi (range) join against the derived bracket table; edges
+        # are all-integer (// is DuckDB integer division on BIGINT) so
+        # both sides classify boundary rows identically
+        "time_brackets": """
+WITH mm AS (SELECT min(epoch_us(ts)) AS tmin, max(epoch_us(ts)) AS tmax
+            FROM events),
+     b AS (SELECT i AS bracket_id,
+                  tmin + ((tmax - tmin + 1) * i) // 16 AS lo_us,
+                  tmin + ((tmax - tmin + 1) * (i + 1)) // 16 AS hi_us
+           FROM mm, range(0, 16) t(i))
+SELECT b.bracket_id, b.lo_us, b.hi_us, e.event_type,
+       count(*)::BIGINT AS n_events, round(sum(e.value), 6) AS sum_value
+FROM events e JOIN b
+  ON epoch_us(e.ts) >= b.lo_us AND epoch_us(e.ts) < b.hi_us
+GROUP BY b.bracket_id, b.lo_us, b.hi_us, e.event_type""",
+        "rolling_user_mean": """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+FROM events""",
+        "latest_events": """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1""",
+        "customers_no_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')""",
         "part_type_stats": """
 SELECT p_type, count(*)::BIGINT AS n_parts,
        round(avg(p_retailprice), 6) AS avg_retail

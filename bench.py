@@ -446,6 +446,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from torchtrajectory_ray.pipelines import fuzzyjoin
 
     timed("fuzzy_name_pairs", lambda: fuzzyjoin.fuzzy_name_pairs(sf_dir).materialize())
+    timed("time_brackets", lambda: events.time_bracket_join(sf_dir))
+    timed("rolling_user_mean", lambda: events.rolling_user_mean(sf_dir).materialize())
+    timed("latest_events", lambda: events.latest_event_per_user(sf_dir).materialize())
+    timed("customers_no_orders", lambda: analytics.customers_no_orders(sf_dir).materialize())
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

@@ -364,3 +364,81 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
         .sort_values(["o_orderpriority", "o_orderstatus"])
         .reset_index(drop=True)
     )
+
+
+def customers_no_orders(
+    sf_dir: str, priority: str = "1-URGENT"
+) -> ray.data.Dataset:
+    """Distributed ANTI-join: customers with no ``priority``-class order
+    — NOT EXISTS over two tables where NEITHER side is broadcastable at
+    scale.  The priority predicate pushes into the orders READ (row
+    filter, only matching rows leave storage), and both sides are
+    reduced before the wide step: the probe side (orders) collapses to
+    its DISTINCT ``o_custkey`` per batch (a combiner — the exchange
+    moves at most one row per key per batch, never a row per order),
+    the preserved side (customer) ships only the output columns.  One
+    256-way Fibonacci-hash exchange on the key co-locates both sides;
+    each partition drops preserved rows whose key appears in its probe
+    set (``isin`` against a partition-local hash set — vectorized,
+    bounded by the partition's keys).  Semi-join is the same plan with
+    the mask un-negated.  Analog of the reference's membership pruning
+    of candidate trajectories against the visited set
+    (queryEngine/query/TrajectoryResolver.java visited-set filter)."""
+    import pyarrow.dataset as pads
+
+    def cust_part(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy().astype(np.uint64)
+        part = (
+            (key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_name": batch["c_name"],
+                "probe": pa.array(np.zeros(len(key), np.int8)),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def order_part(batch: pa.Table) -> pa.Table:
+        key = np.unique(batch["o_custkey"].to_numpy())
+        part = (
+            (key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(56)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "c_custkey": pa.array(key, pa.int64()),
+                "c_name": pa.array([""] * len(key), pa.string()),
+                "probe": pa.array(np.ones(len(key), np.int8)),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(cust_part, batch_format="pyarrow")
+    probe = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == priority,
+    ).map_batches(order_part, batch_format="pyarrow")
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        is_probe = g["probe"].to_numpy() == 1
+        seen = g.loc[is_probe, "c_custkey"].to_numpy()
+        keep = g.loc[~is_probe, ["c_custkey", "c_name"]]
+        keep = keep[~keep["c_custkey"].isin(seen)]
+        # explicit types so empty partitions keep the schema
+        return pa.table(
+            {
+                "c_custkey": pa.array(keep["c_custkey"].to_numpy(), pa.int64()),
+                "c_name": pa.array(keep["c_name"].tolist(), pa.string()),
+            }
+        )
+
+    return (
+        cust.union(probe)
+        .groupby("part")
+        .map_groups(anti, batch_format="pandas")
+    )

@@ -734,3 +734,192 @@ def exact_quantiles(
     return pd.DataFrame(
         {"q": np.array(qs, np.float64), "value": [answers[q] for q in qs]}
     )
+
+
+N_TIME_BRACKETS = 16
+
+
+def time_bracket_join(sf_dir: str, n_brackets: int = N_TIME_BRACKETS) -> pd.DataFrame:
+    """Broadcast RANGE join: per (time bracket × event_type) aggregates
+    where the brackets are a small derived interval table joined on
+    ``lo_us <= ts < hi_us`` — the non-equi join Ray Data has no native
+    operator for.  Two stages:
+
+    1. a tiny min/max aggregate pass pins the global time span;
+    2. the bracket edges (``n_brackets + 1`` int64 values — the "small
+       side" of the range join) ride into every task by closure (the
+       broadcast-lookup shape, J2/J5; at a real small-side size this is
+       a ``ray.put`` handle) and each batch classifies its rows with ONE
+       ``searchsorted`` against the sorted edges — a vectorized interval
+       probe, no per-row predicate evaluation, no shuffle join.
+
+    Edge math is ALL-INTEGER (``lo_i = tmin + span*i // n``, right-open
+    except that ``hi`` of the last bracket is ``tmax+1``) so the Ray and
+    SQL sides classify boundary rows identically — no float-edge ulp
+    hazard.  Analog of the reference's tile-membership probe (grid cell
+    = a 2-D range bracket, index/GridIndex.java tileInfo), flattened to
+    the time axis."""
+    path = f"{sf_dir}/events.parquet"
+    ds = ray.data.read_parquet(path, columns=["ts", "event_type", "value"])
+
+    def mm_part(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "tmin": pa.array([int(t.min())], pa.int64()),
+                "tmax": pa.array([int(t.max())], pa.int64()),
+            }
+        )
+
+    mm = ds.map_batches(mm_part, batch_format="pyarrow").to_pandas()
+    tmin, tmax = int(mm["tmin"].min()), int(mm["tmax"].max())
+    span = tmax - tmin + 1  # python int: no overflow in span * i
+    edges = np.array(
+        [tmin + (span * i) // n_brackets for i in range(n_brackets + 1)],
+        np.int64,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        # right-open brackets: edges[i] <= t < edges[i+1]; every row of
+        # the span lands in exactly one bracket by construction
+        bid = np.searchsorted(edges, t, side="right") - 1
+        df = pd.DataFrame(
+            {
+                "bracket_id": bid.astype(np.int64),
+                "event_type": batch["event_type"].to_pylist(),
+                "value": batch["value"].to_numpy(),
+            }
+        )
+        g = df.groupby(["bracket_id", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bracket_id", "event_type"])
+        .sum(["n_events", "sum_value"])
+        .to_pandas()
+    )
+    out.rename(
+        columns={"sum(n_events)": "n_events", "sum(sum_value)": "sum_value"},
+        inplace=True,
+    )
+    if not {"n_events", "sum_value"} <= set(out.columns):  # fail loud
+        raise RuntimeError(f"unexpected aggregate schema: {list(out.columns)}")
+    bid = out["bracket_id"].to_numpy()
+    out["lo_us"] = edges[bid]
+    out["hi_us"] = edges[bid + 1]
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(6)
+    return (
+        out[["bracket_id", "lo_us", "hi_us", "event_type", "n_events", "sum_value"]]
+        .sort_values(["bracket_id", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+def rolling_user_mean(sf_dir: str) -> ray.data.Dataset:
+    """Per-user rolling mean over the trailing 3-row frame (ROWS BETWEEN
+    2 PRECEDING AND CURRENT ROW in the (ts, event_id) order) — the
+    window-FRAME aggregate, where :func:`event_deltas` is the LAG shape.
+    Same 256-way user co-location exchange; the kernel builds each
+    frame sum from the two masked shifts directly (oldest term first,
+    matching the frame's left-to-right accumulation) instead of a
+    prefix-sum difference, so no long-prefix cancellation can creep
+    into the 6dp gate."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        part = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+        ).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def frame_mean(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        n = len(g)
+        same1 = np.zeros(n, bool)
+        same1[1:] = uid[1:] == uid[:-1]
+        same2 = np.zeros(n, bool)
+        same2[2:] = uid[2:] == uid[:-2]
+        v1 = np.empty(n)
+        v1[1:] = v[:-1]
+        v2 = np.empty(n)
+        v2[2:] = v[:-2]
+        s = np.where(same2, v2, 0.0) + np.where(same1, v1, 0.0) + v
+        cnt = 1 + same1.astype(np.int64) + same2.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "avg3": np.round(s / cnt, 6),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(frame_mean, batch_format="pandas")
+    )
+
+
+def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Group-wise argmax: each user's LAST event (max (ts, event_id)),
+    with the full row carried — the "current state per key" reduce.
+    Combiner discipline: every batch first reduces to one row per user
+    IN that batch (vectorized lexsort + take-last, no Python loop), so
+    the exchange moves at most one row per (user × batch); the same
+    kernel re-reduces each hash partition to the final winner.  The
+    tie (two events at one (user, ts)) is broken toward the larger
+    event_id by the lexsort order on both levels.  Analog of the
+    reference's per-trajectory latest-point state (TrajectoryPool's
+    newest-position map, torch/TrajectoryPool.java)."""
+
+    def argmax_rows(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (df["event_id"].to_numpy(), df["ts_us"].to_numpy(),
+             df["user_id"].to_numpy())
+        )
+        uid = df["user_id"].to_numpy()[order]
+        last = np.ones(len(uid), bool)
+        last[:-1] = uid[1:] != uid[:-1]
+        return df.iloc[order[last]]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_id": batch["event_id"].to_numpy(),
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(),
+                "event_type": batch["event_type"].to_pylist(),
+                "value": batch["value"].to_numpy(),
+            }
+        )
+        df = argmax_rows(df)
+        uid = df["user_id"].to_numpy().astype(np.uint64)
+        df["part"] = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = argmax_rows(g)
+        return out[["user_id", "event_id", "ts_us", "event_type", "value"]]
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reduce_part, batch_format="pandas")
+    )
