@@ -177,16 +177,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # green r4, corpus.py untouched this round)
         "value_quantiles_by_type_check": events.value_quantiles_by_type_check,
         "heavy_terms": textstats.heavy_terms,
-        # core canaries (driver-green r1-r4) — regression tripwires
+        # core canaries (driver-green r1-r4) — regression tripwires, one
+        # per subsystem (dictionary, scoring, vector); the other six
+        # r4-green canaries rotate below to make room for the (h) ops
         "term_df": corpus.term_df,                # A8/J5: dictionary df
-        "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
-        "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
-        "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
-        "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
-        "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
-        "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
+        # --- (h) NEW continuation ops: cross-moments / Q5 join / NTILE /
+        # funnel / interpolated quantiles / grouped mode (6) ---
+        # per-group Pearson corr + covariance via Chan-combined centered
+        # moments (one pass, O(batches × groups) fold)
+        "corr_stats": analytics.corr_stats,
+        # TPC-H Q5 shape: the lineitem ⋈ orders fact-fact equi-join as a
+        # 256-way hash exchange, dims broadcast, same-nation filter
+        "nation_revenue": analytics.nation_revenue,
+        # distributed NTILE(4) — rank selection with integer-key
+        # tie-break (functions/rankselect), no global sort
+        "priority_ntile": analytics.priority_ntile,
+        # ordered-sequence containment per user (view→purchase funnel)
+        "funnel_conversions": events.funnel_conversions,
+        # EXACT interpolated quantiles (quantile_cont) off the shared
+        # rank selector — disc/cont/sketch quantile family complete
+        "quantiles_cont": events.quantiles_cont,
+        # grouped categorical MODE (argmax per lang, deterministic ties)
+        "lang_source_mode": textstats.lang_source_mode,
         # --- (d) NEW round-5 operators: point-in-time joins (2) ---
         # as-of join (latest prior RIGHT-type event per LEFT-type event,
         # per user) gated against DuckDB's native ASOF LEFT JOIN, plain
@@ -234,6 +248,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- end of the driver's 50-key window ----------------
         # (driver-green r1-r4, rotated out; their oracles still run in
         # test_driver_gate.py every session)
+        "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
+        "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
+        "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
+        "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
+        "knn_deleted": knn.knn_deleted,           # vector takedowns (oracle)
+        "range_search_ivf": knn.range_search_ivf,  # pruned, lossless (oracle)
         "image_dhash_dups": media.image_dhash_dups,   # capped-flag plumbing r5
         "audio_fp_dups": media.audio_fp_dups,
         "phrase_match_pos": corpus.phrase_match_pos,  # positional-index route
@@ -1970,6 +1990,62 @@ SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')""",
+        # per-group cross moments: DuckDB's streaming corr/covar vs the
+        # Chan-combined centered partials (corr is scale-free → 6dp;
+        # price mean/covar follow the big-float rounding protocol)
+        "corr_stats": """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(avg(l_quantity), 6) AS mean_qty,
+       round(avg(l_extendedprice), 4) AS mean_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+FROM lineitem GROUP BY 1""",
+        # TPC-H Q5: same-nation customer/supplier revenue within a region
+        "nation_revenue": """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY 1""",
+        # window NTILE over the strict (price, key) total order — the
+        # SQL sorts the world; the Ray side selects t−1 boundary rows
+        "priority_ntile": """
+WITH t AS (SELECT o_orderpriority, o_totalprice,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+           FROM orders)
+SELECT tile::BIGINT AS tile, o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM t GROUP BY 1, 2""",
+        # view→purchase funnel: first view, then the first STRICTLY
+        # later purchase per user
+        "funnel_conversions": """
+WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+           WHERE event_type = 'view' GROUP BY 1)
+SELECT e.user_id,
+       min(epoch_us(e.ts) - epoch_us(v.first_view)) AS gap_us
+FROM events e JOIN v USING (user_id)
+WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+GROUP BY 1""",
+        # interpolated quantiles (quantile_cont takes only constant
+        # fractions → one unnest row per q)
+        "quantiles_cont": """
+SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+       unnest([round(quantile_cont(value, 0.25), 6),
+               round(quantile_cont(value, 0.5), 6),
+               round(quantile_cont(value, 0.75), 6),
+               round(quantile_cont(value, 0.9), 6),
+               round(quantile_cont(value, 0.99), 6)]) AS value
+FROM events""",
+        # grouped MODE with the deterministic (count DESC, source ASC)
+        # tie-break
+        "lang_source_mode": """
+SELECT lang, source, n FROM (
+  SELECT lang, source, count(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, source) AS rn
+  FROM documents GROUP BY lang, source) WHERE rn = 1""",
         "part_type_stats": """
 SELECT p_type, count(*)::BIGINT AS n_parts,
        round(avg(p_retailprice), 6) AS avg_retail

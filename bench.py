@@ -450,6 +450,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("rolling_user_mean", lambda: events.rolling_user_mean(sf_dir).materialize())
     timed("latest_events", lambda: events.latest_event_per_user(sf_dir).materialize())
     timed("customers_no_orders", lambda: analytics.customers_no_orders(sf_dir).materialize())
+    timed("corr_stats", lambda: analytics.corr_stats(sf_dir))
+    timed("nation_revenue", lambda: analytics.nation_revenue(sf_dir))
+    timed("priority_ntile", lambda: analytics.priority_ntile(sf_dir))
+    timed("funnel_conversions", lambda: events.funnel_conversions(sf_dir).materialize())
+    timed("quantiles_cont", lambda: events.quantiles_cont(sf_dir))
+    timed("lang_source_mode", lambda: textstats.lang_source_mode(sf_dir))
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

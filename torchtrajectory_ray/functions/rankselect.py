@@ -1,0 +1,230 @@
+"""Distributed order-statistic selection: the element at 1-indexed
+global rank ``r`` of a Dataset column, with an optional integer
+tie-break key — NO global sort, no driver materialization of the
+column.
+
+Same histogram-descent idea as ``events.exact_quantiles`` (per-batch
+``bins``-long count partials, geometric bracket narrowing, a bounded
+pull once a bin fits in ``local_max`` rows), generalized two ways:
+
+- **composite order** ``(value, key)``: callers like the distributed
+  NTILE need the boundary *row* under a strict total order, not just a
+  value.  Ties on ``value`` that exceed ``local_max`` resolve through a
+  second descent on the integer key *within the tied value run* —
+  integer brackets always terminate (bin width < 1 ⇒ one distinct key
+  per bin), so no fp-spacing degeneracy exists on that path.
+- **caller-owned dataset factory**: the selector re-reads via
+  ``make_ds()`` each pass (a fresh pruned ``read_parquet`` per pass —
+  each pass streams the corpus once; nothing is pinned in the object
+  store between passes).
+
+Reference analogy: the reference's top-k machinery keeps only bounded
+per-block state (topk/LORSTopK.java) — this is the same discipline
+applied to rank selection: driver state is O(bins × ranks), never
+O(rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_BINS = 512
+_LOCAL_MAX = 65_536
+
+
+def _fold_hist(parts: pd.DataFrame, n_brackets: int) -> list[tuple[int, np.ndarray]]:
+    out = []
+    for i in range(n_brackets):
+        below = int(parts[f"below_{i}"].sum())
+        h = np.sum(np.stack(parts[f"hist_{i}"].to_numpy()), axis=0)
+        out.append((below, h))
+    return out
+
+
+def select_ranks(
+    make_ds,
+    value_col: str,
+    ranks: list[int],
+    *,
+    key_col: str | None = None,
+    bins: int = _BINS,
+    local_max: int = _LOCAL_MAX,
+) -> dict[int, object]:
+    """Return ``{rank: value}`` (or ``{rank: (value, key)}`` when
+    ``key_col`` is given) for each 1-indexed global rank under the
+    ascending ``(value, key)`` order.  ``make_ds()`` must yield a
+    Dataset with the needed columns; ranks must lie in ``[1, n]``.
+    """
+    ds = make_ds()
+
+    def stats_part(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([len(v)], pa.int64()),
+                "lo": pa.array([float(v.min()) if len(v) else np.inf]),
+                "hi": pa.array([float(v.max()) if len(v) else -np.inf]),
+            }
+        )
+
+    st = ds.map_batches(stats_part, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    if n == 0 or not ranks:
+        return {}
+    bad = [r for r in ranks if not (1 <= r <= n)]
+    if bad:
+        raise ValueError(f"ranks out of [1, {n}]: {bad}")
+    lo0, hi0 = float(st["lo"].min()), float(st["hi"].max())
+    targets = [{"rank": r, "lo": lo0, "hi": hi0} for r in sorted(set(ranks))]
+    answers: dict[int, object] = {}
+
+    def hist_pass(brackets):
+        bnd = [np.linspace(lo, hi, bins + 1) for lo, hi in brackets]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy()
+            cols: dict = {}
+            for i, (lo, hi) in enumerate(brackets):
+                cols[f"below_{i}"] = [int((v < lo).sum())]
+                sel = v[(v >= lo) & (v <= hi)]
+                cols[f"hist_{i}"] = [
+                    np.histogram(sel, bins=bnd[i])[0].astype(np.int64)
+                ]
+            return pa.table(cols)
+
+        parts = make_ds().map_batches(partial, batch_format="pyarrow").to_pandas()
+        return _fold_hist(parts, len(brackets))
+
+    def pull_rank(lo: float, hi: float, inclusive: bool, rank_in: int):
+        """Bounded pull of one bin's rows; exact rank element under the
+        (value, key) lexsort."""
+
+        def grab(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy()
+            m = (v >= lo) & ((v <= hi) if inclusive else (v < hi))
+            cols = {"v": [v[m].astype(np.float64)]}
+            if key_col is not None:
+                cols["k"] = [batch[key_col].to_numpy()[m].astype(np.int64)]
+            return pa.table(cols)
+
+        got = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+        allv = np.concatenate(list(got["v"].to_numpy()))
+        if key_col is None:
+            return float(np.sort(allv)[rank_in - 1])
+        allk = np.concatenate(list(got["k"].to_numpy()))
+        order = np.lexsort((allk, allv))
+        i = order[rank_in - 1]
+        return (float(allv[i]), int(allk[i]))
+
+    def tied_value_rank(lo: float, hi: float, rank_in: int):
+        """Bracket collapsed below float spacing (a run of near-equal
+        values bigger than ``local_max``).  Without a key: walk the
+        (bounded) distinct values.  With a key: the rank element's
+        VALUE comes from the distinct walk; its KEY from an integer
+        descent among the rows tied on that value."""
+
+        def uniq(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy()
+            sel = v[(v >= lo) & (v <= hi)]
+            u, c = np.unique(sel, return_counts=True)
+            return pa.table({"u": [u.astype(np.float64)], "c": [c]})
+
+        got = ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
+        u = np.concatenate(list(got["u"].to_numpy()))
+        c = np.concatenate(list(got["c"].to_numpy())).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        s = pd.Series(c[order]).groupby(u[order]).sum()
+        cum = s.cumsum().to_numpy()
+        j = int(np.searchsorted(cum, rank_in))
+        val = float(s.index.to_numpy()[j])
+        if key_col is None:
+            return val
+        # rank within the rows whose value == val, by key ascending
+        r_in_ties = rank_in - (int(cum[j - 1]) if j else 0)
+        key = _select_int_key(make_ds, value_col, val, key_col, r_in_ties,
+                              bins=bins, local_max=local_max)
+        return (val, key)
+
+    while any(t["rank"] not in answers for t in targets):
+        open_ts = [t for t in targets if t["rank"] not in answers]
+        res = hist_pass([(t["lo"], t["hi"]) for t in open_ts])
+        for t, (below, h) in zip(open_ts, res):
+            r = t["rank"] - below  # 1-indexed within [lo, hi]
+            edges = np.linspace(t["lo"], t["hi"], bins + 1)
+            if not np.all(np.diff(edges) > 0):  # fp-collapsed bracket
+                answers[t["rank"]] = tied_value_rank(t["lo"], t["hi"], r)
+                continue
+            cum = np.cumsum(h)
+            j = int(np.searchsorted(cum, r))
+            lo_new, hi_new = float(edges[j]), float(edges[j + 1])
+            r_in_bin = r - (int(cum[j - 1]) if j else 0)
+            last = j == bins - 1  # numpy's last bin is right-INclusive
+            if int(h[j]) <= local_max:
+                answers[t["rank"]] = pull_rank(lo_new, hi_new, last, r_in_bin)
+            else:
+                t["lo"], t["hi"] = lo_new, hi_new
+                if not last:
+                    t["hi"] = float(np.nextafter(hi_new, lo_new))
+    return {r: answers[r] for r in set(ranks)}
+
+
+def _select_int_key(
+    make_ds, value_col: str, val: float, key_col: str, rank_in: int,
+    *, bins: int, local_max: int,
+) -> int:
+    """Integer-key descent among the rows with ``value == val``: the
+    key at 1-indexed ``rank_in`` in ascending key order.  Integer
+    brackets terminate unconditionally — once ``hi - lo < bins`` every
+    bin holds one distinct key, so each pass strictly shrinks.
+    ``rank_in`` stays GLOBAL over the tied run (each pass recomputes
+    ``below`` for the current lo — the exact_quantiles no-drift
+    invariant)."""
+
+    def span(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy()
+        k = batch[key_col].to_numpy()[v == val]
+        return pa.table(
+            {
+                "lo": pa.array([int(k.min()) if len(k) else np.iinfo(np.int64).max],
+                               pa.int64()),
+                "hi": pa.array([int(k.max()) if len(k) else np.iinfo(np.int64).min],
+                               pa.int64()),
+            }
+        )
+
+    st = make_ds().map_batches(span, batch_format="pyarrow").to_pandas()
+    lo, hi = int(st["lo"].min()), int(st["hi"].max())
+    while True:
+        edges = np.unique(np.linspace(lo, hi + 1, bins + 1).astype(np.int64))
+
+        def partial(batch: pa.Table, _edges=edges, _lo=lo, _hi=hi) -> pa.Table:
+            v = batch[value_col].to_numpy()
+            tied = batch[key_col].to_numpy()[v == val]
+            below = int((tied < _lo).sum())
+            k = tied[(tied >= _lo) & (tied <= _hi)]
+            h = np.histogram(k, bins=_edges)[0].astype(np.int64)
+            return pa.table({"below_0": [below], "hist_0": [h]})
+
+        parts = make_ds().map_batches(partial, batch_format="pyarrow").to_pandas()
+        ((below, h),) = _fold_hist(parts, 1)
+        r = rank_in - below
+        cum = np.cumsum(h)
+        j = int(np.searchsorted(cum, r))
+        lo_new = int(edges[j])
+        hi_new = int(edges[j + 1]) - 1 if j < len(edges) - 2 else int(edges[j + 1])
+        r_in = r - (int(cum[j - 1]) if j else 0)
+        if int(h[j]) <= local_max or lo_new == hi_new:
+
+            def grab(batch: pa.Table) -> pa.Table:
+                v = batch[value_col].to_numpy()
+                k = batch[key_col].to_numpy()[v == val]
+                k = k[(k >= lo_new) & (k <= hi_new)]
+                return pa.table({"k": [k.astype(np.int64)]})
+
+            got = make_ds().map_batches(grab, batch_format="pyarrow").to_pandas()
+            allk = np.sort(np.concatenate(list(got["k"].to_numpy())))
+            return int(allk[r_in - 1])
+        # rank stays GLOBAL over the tied run; next pass recomputes below
+        lo, hi = lo_new, hi_new

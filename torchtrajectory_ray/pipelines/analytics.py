@@ -442,3 +442,273 @@ def customers_no_orders(
         .groupby("part")
         .map_groups(anti, batch_format="pandas")
     )
+
+
+def corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-group second-moment cross-statistics — Pearson correlation
+    and sample covariance of (l_quantity, l_extendedprice) per
+    l_returnflag — in ONE distributed pass with numerically stable
+    partials (Chan/Golub/LeVeque pairwise combination: each batch emits
+    (n, mean_x, mean_y, M2x, M2y, Cxy) per group; the driver folds one
+    tiny row per batch × group).  Centered moments never form the
+    catastrophic Σxy − ΣxΣy/n difference, so the result agrees with the
+    SQL engine's streaming covariance to ~1 ulp relative.  The shape is
+    A7/A8 (global stats via per-batch partials) extended to cross
+    moments; at 100 TB the fold input stays O(batches × groups)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for flag, g in df.groupby("l_returnflag"):
+            x = g["l_quantity"].to_numpy()
+            y = g["l_extendedprice"].to_numpy()
+            mx, my = float(x.mean()), float(y.mean())
+            rows.append(
+                {
+                    "l_returnflag": flag,
+                    "n": len(x),
+                    "mean_x": mx,
+                    "mean_y": my,
+                    "m2x": float(((x - mx) ** 2).sum()),
+                    "m2y": float(((y - my) ** 2).sum()),
+                    "cxy": float(((x - mx) * (y - my)).sum()),
+                }
+            )
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    out_rows = []
+    for flag, g in parts.groupby("l_returnflag"):
+        n = mx = my = m2x = m2y = cxy = 0.0
+        for r in g.itertuples(index=False):
+            # Chan et al. 1983 pairwise update of centered moments
+            nb = float(r.n)
+            nt = n + nb
+            dx, dy = r.mean_x - mx, r.mean_y - my
+            m2x += r.m2x + dx * dx * n * nb / nt
+            m2y += r.m2y + dy * dy * n * nb / nt
+            cxy += r.cxy + dx * dy * n * nb / nt
+            mx += dx * nb / nt
+            my += dy * nb / nt
+            n = nt
+        out_rows.append(
+            {
+                "l_returnflag": flag,
+                "n": int(n),
+                "mean_qty": round(mx, 6),
+                "mean_price": round(my, 4),
+                "corr_qty_price": round(cxy / np.sqrt(m2x * m2y), 6),
+                "covar_qty_price": round(cxy / (n - 1), 2),
+            }
+        )
+    return (
+        pd.DataFrame(out_rows)
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+
+
+def nation_revenue(sf_dir: str, region: str = "ASIA") -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation where the ordering customer
+    and the line's supplier sit in the SAME nation of one region.  The
+    genuinely wide step — lineitem ⋈ orders on orderkey, two fact
+    tables — is a 256-way content-hash exchange (one shuffle, both
+    sides keyed by the same Fibonacci hash of the orderkey, joined
+    vectorized per partition); customer and supplier are dimensions
+    broadcast as sorted key arrays + searchsorted lookups inside the
+    read (J2/J5 shape — at TPC-H's customer:lineitem ≈ 1:40 ratio the
+    broadcast is the documented assumption; past broadcastable size the
+    customer stamp would move into the same exchange keyed by custkey
+    first).  Per-partition output is pre-aggregated to (nationkey,
+    revenue) partials, so the final groupby moves O(partitions ×
+    nations) rows."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"]
+    nsel = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rkey))
+    nation_keys = set(nsel["n_nationkey"].to_pylist())
+    nation_names = dict(
+        zip(nsel["n_nationkey"].to_pylist(), nsel["n_name"].to_pylist())
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cmask = pc.is_in(cust["c_nationkey"], value_set=nsel["n_nationkey"])
+    cust = cust.filter(cmask)
+    c_keys = cust["c_custkey"].to_numpy()
+    c_order = np.argsort(c_keys)
+    c_keys, c_nat = c_keys[c_order], cust["c_nationkey"].to_numpy()[c_order]
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    smask = pc.is_in(supp["s_nationkey"], value_set=nsel["n_nationkey"])
+    supp = supp.filter(smask)
+    s_keys = supp["s_suppkey"].to_numpy()
+    s_order = np.argsort(s_keys)
+    s_keys, s_nat = s_keys[s_order], supp["s_nationkey"].to_numpy()[s_order]
+
+    def _part_of(keys: np.ndarray) -> np.ndarray:
+        return (
+            (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(56)
+        ).astype(np.int32)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy()
+        ck = batch["o_custkey"].to_numpy()
+        pos = np.searchsorted(c_keys, ck)
+        pos = np.clip(pos, 0, len(c_keys) - 1)
+        hit = c_keys[pos] == ck if len(c_keys) else np.zeros(len(ck), bool)
+        ok, pos = ok[hit], pos[hit]
+        return pa.table(
+            {
+                "part": pa.array(_part_of(ok), pa.int32()),
+                "okey": pa.array(ok, pa.int64()),
+                "nation": pa.array(c_nat[pos].astype(np.int32), pa.int32()),
+                "revenue": pa.array(np.zeros(len(ok)), pa.float64()),
+                "side": pa.array(np.zeros(len(ok), np.int8), pa.int8()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        sk = batch["l_suppkey"].to_numpy()
+        pos = np.searchsorted(s_keys, sk)
+        pos = np.clip(pos, 0, len(s_keys) - 1)
+        hit = s_keys[pos] == sk if len(s_keys) else np.zeros(len(sk), bool)
+        rev = (
+            batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
+        )[hit]
+        ok, pos = ok[hit], pos[hit]
+        return pa.table(
+            {
+                "part": pa.array(_part_of(ok), pa.int32()),
+                "okey": pa.array(ok, pa.int64()),
+                "nation": pa.array(s_nat[pos].astype(np.int32), pa.int32()),
+                "revenue": pa.array(rev, pa.float64()),
+                "side": pa.array(np.ones(len(ok), np.int8), pa.int8()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_side, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0]
+        l = g[g["side"] == 1]
+        m = l.merge(
+            o[["okey", "nation"]], on="okey", suffixes=("", "_cust")
+        )
+        m = m[m["nation"] == m["nation_cust"]]
+        if m.empty:
+            return pd.DataFrame({"nationkey": pd.Series([], dtype=np.int32),
+                                 "revenue": pd.Series([], dtype=np.float64)})
+        agg = m.groupby("nation", as_index=False)["revenue"].sum()
+        return pd.DataFrame(
+            {"nationkey": agg["nation"].astype(np.int32),
+             "revenue": agg["revenue"]}
+        )
+
+    parts = (
+        orders.union(lines)
+        .groupby("part")
+        .map_groups(join_part, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("nationkey", as_index=False)["revenue"].sum()
+    agg["n_name"] = agg["nationkey"].map(nation_names)
+    agg["revenue"] = agg["revenue"].round(2)
+    return (
+        agg[["n_name", "revenue"]]
+        .sort_values(["revenue", "n_name"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def priority_ntile(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
+    """Distributed NTILE(t) without a global sort: equal-split tiles of
+    orders under the strict total order (o_totalprice, o_orderkey),
+    aggregated per (tile, o_orderpriority).  The t−1 boundary ROWS are
+    found by distributed rank selection (functions/rankselect: histogram
+    descent + integer-key tie-break — driver state O(bins × t), never
+    O(rows)); every batch then stamps its rows with one vectorized
+    composite comparison per boundary and emits (tile, priority)
+    partials.  SQL window NTILE sorts the world; this reads the corpus
+    a handful of times and shuffles one tiny partial table."""
+    from torchtrajectory_ray.functions.rankselect import select_ranks
+
+    path = f"{sf_dir}/orders.parquet"
+
+    def make_ds():
+        return ray.data.read_parquet(
+            path, columns=["o_totalprice", "o_orderkey"]
+        )
+
+    n = int(make_ds().count())  # parquet count comes from file metadata
+    # NTILE semantics: first (n mod t) tiles get ceil(n/t) rows
+    q, r = divmod(n, tiles)
+    sizes = [q + 1 if i < r else q for i in range(tiles)]
+    bounds = list(np.cumsum(sizes)[:-1])  # last rank of tiles 1..t-1
+    picked = select_ranks(
+        make_ds, "o_totalprice", [int(b) for b in bounds], key_col="o_orderkey"
+    )
+    bvals = np.array([picked[b][0] for b in bounds], np.float64)
+    bkeys = np.array([picked[b][1] for b in bounds], np.int64)
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy()
+        k = batch["o_orderkey"].to_numpy()
+        tile = np.ones(len(p), np.int64)
+        for bv, bk in zip(bvals, bkeys):
+            tile += (p > bv) | ((p == bv) & (k > bk))
+        df = pd.DataFrame(
+            {
+                "tile": tile,
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "o_totalprice": p,
+            }
+        )
+        g = df.groupby(["tile", "o_orderpriority"], as_index=False).agg(
+            n_orders=("o_totalprice", "size"), sum_price=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = (
+        ray.data.read_parquet(
+            path, columns=["o_totalprice", "o_orderkey", "o_orderpriority"]
+        )
+        .map_batches(stamp, batch_format="pyarrow")
+        .groupby(["tile", "o_orderpriority"])
+        .sum(["n_orders", "sum_price"])
+    )
+    df = ds.to_pandas()
+    df.rename(
+        columns={"sum(n_orders)": "n_orders", "sum(sum_price)": "sum_price"},
+        inplace=True,
+    )
+    if not {"n_orders", "sum_price"} <= set(df.columns):  # fail loud
+        raise RuntimeError(f"unexpected aggregate schema: {list(df.columns)}")
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["sum_price"] = df["sum_price"].round(2)
+    return (
+        df[["tile", "o_orderpriority", "n_orders", "sum_price"]]
+        .sort_values(["tile", "o_orderpriority"])
+        .reset_index(drop=True)
+    )

@@ -923,3 +923,103 @@ def latest_event_per_user(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(reduce_part, batch_format="pandas")
     )
+
+
+def funnel_conversions(sf_dir: str) -> ray.data.Dataset:
+    """Ordered-sequence containment per user (funnel analysis): for
+    every user with a 'view' event followed STRICTLY later by a
+    'purchase', the gap from their first view to the first purchase
+    after it.  Event-type rows are pruned at the read (two of five
+    types leave storage); users are co-located by the same Fibonacci
+    content-hash exchange as the sessionizer; each partition resolves
+    all its users in vectorized pandas passes (min-view per user, then
+    min qualifying purchase) — the per-vehicle ordered-timeline shape
+    the reference walks in map-matching, expressed as one exchange +
+    one kernel."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.uint64)
+        part = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+        ).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame(
+            {"user_id": g["user_id"], "et": g["event_type"], "ts_us": ts}
+        )
+        first_view = (
+            g[g["et"] == "view"].groupby("user_id")["ts_us"].min().rename("view_us")
+        )
+        pur = g[g["et"] == "purchase"].merge(
+            first_view, left_on="user_id", right_index=True
+        )
+        pur = pur[pur["ts_us"] > pur["view_us"]]
+        if pur.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "gap_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        conv = pur.groupby("user_id", as_index=False).agg(
+            p_us=("ts_us", "min"), view_us=("view_us", "first")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": conv["user_id"].astype(np.int64),
+                "gap_us": (conv["p_us"] - conv["view_us"]).astype(np.int64),
+            }
+        )
+
+    import pyarrow.dataset as pads
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "ts"],
+            filter=pads.field("event_type").isin(["view", "purchase"]),
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+def quantiles_cont(
+    sf_dir: str, qs: tuple[float, ...] = _QUANTILE_QS
+) -> pd.DataFrame:
+    """EXACT interpolated quantiles (``quantile_cont`` semantics:
+    linear interpolation at position ``q·(n−1)``) of ``events.value``
+    — the continuous companion to :func:`exact_quantiles`, sharing the
+    distributed rank-selection machinery (functions/rankselect).  Each
+    quantile needs the order statistics at ranks ⌊pos⌋+1 and ⌈pos⌉+1;
+    the selector resolves ALL distinct ranks in shared histogram
+    passes, so the whole vector costs the same passes as one rank."""
+    from torchtrajectory_ray.functions.rankselect import select_ranks
+
+    path = f"{sf_dir}/events.parquet"
+
+    def make_ds():
+        return ray.data.read_parquet(path, columns=["value"])
+
+    n = int(make_ds().count())
+    if n == 0:
+        return pd.DataFrame({"q": np.array(qs), "value": np.nan})
+    ranks: set[int] = set()
+    spec = []
+    for q in qs:
+        pos = q * (n - 1)  # 0-indexed fractional position
+        r0, r1 = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
+        frac = pos - np.floor(pos)
+        spec.append((q, r0, r1, frac))
+        ranks.update((r0, r1))
+    got = select_ranks(make_ds, "value", sorted(ranks))
+    vals = [
+        got[r0] + f * (got[r1] - got[r0]) if r1 != r0 else got[r0]
+        for (_, r0, r1, f) in spec
+    ]
+    return pd.DataFrame(
+        {"q": np.array(qs, np.float64), "value": np.round(vals, 6)}
+    )

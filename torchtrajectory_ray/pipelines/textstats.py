@@ -1130,3 +1130,44 @@ def heavy_terms_per_lang(
     out = pd.concat(frames, ignore_index=True)
     out["n"] = out["n"].astype(np.int64)
     return out[["lang", "rank", "term", "n"]]
+
+
+def lang_source_mode(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE: the most frequent ``source`` per language (ties
+    broken by source name ascending) plus its count — the categorical
+    argmax companion to the numeric group-wise argmax
+    (``events.latest_event_per_user``).  Per-batch (lang, source)
+    count partials bound the shuffle at |langs|·|sources| rows per
+    batch regardless of corpus size; the winner is picked on the
+    driver over that tiny aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["lang", "source"]).to_pandas()
+        g = df.groupby(["lang", "source"], as_index=False).size()
+        g.rename(columns={"size": "n"}, inplace=True)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("n")
+        .to_pandas()
+    )
+    counts.rename(columns={"sum(n)": "n"}, inplace=True)
+    if "n" not in counts.columns:  # fail loud on aggregate schema drift
+        raise RuntimeError(f"unexpected aggregate schema: {list(counts.columns)}")
+    # deterministic winner: count DESC, source ASC
+    counts = counts.sort_values(
+        ["lang", "n", "source"], ascending=[True, False, True], kind="mergesort"
+    )
+    win = counts.groupby("lang", as_index=False).first()
+    return pd.DataFrame(
+        {
+            "lang": win["lang"],
+            "source": win["source"],
+            "n": win["n"].astype(np.int64),
+        }
+    ).sort_values("lang").reset_index(drop=True)
