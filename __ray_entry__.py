@@ -161,7 +161,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- (c) oracle gates over every module touched this round (31) ---
         "revenue_topk": analytics.revenue_topk,   # rename-by-name fix r5
         "minhash_recall": dedup.minhash_recall_pairs,
-        "simhash_recall": dedup.simhash_recall_pairs,
         "distinct_terms": textstats.distinct_terms,
         "kgram_dup_stats": dedup.kgram_dup_stats,
         # EXACT all-pairs Jaccard (prefix filter + r5 minhash pre-rank)
@@ -169,10 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
         "neardup_components": dedup.neardup_components,
         "decontaminate": decontaminate.decontaminate,  # bounded broadcast r5
-        "knn_ivf_exact": knn.knn_ivf_exact,       # branch-and-bound exactness
         "kmeans_onestep": clustering.kmeans_onestep,
         "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
-        "clean_summary": clean.clean_corpus_summary,
         # grouped KMV sketch gate (r5; explain_topk rotates below —
         # green r4, corpus.py untouched this round)
         "value_quantiles_by_type_check": events.value_quantiles_by_type_check,
@@ -180,7 +177,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core canaries (driver-green r1-r4) — regression tripwires, one
         # per subsystem (dictionary, scoring, vector); the other six
         # r4-green canaries rotate below to make room for the (h) ops
-        "term_df": corpus.term_df,                # A8/J5: dictionary df
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         # --- (h) NEW continuation ops: cross-moments / Q5 join / NTILE /
@@ -201,6 +197,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont": events.quantiles_cont,
         # grouped categorical MODE (argmax per lang, deterministic ties)
         "lang_source_mode": textstats.lang_source_mode,
+        # robust dispersion: median + MAD via two CHAINED rank
+        # selections (the second over a derived |v-med| stream)
+        "value_mad": events.value_mad,
+        # ordered string aggregation (string_agg ... ORDER BY) per
+        # nation — partial lists per (group x batch), one output sort
+        "nation_suppliers": analytics.nation_suppliers,
+        # GROUP BY CUBE in one corpus pass (all 4 grouping sets from
+        # the finest partials) — completes the grouping-set family
+        "revenue_cube": analytics.revenue_cube,
+        # weighted Bernoulli sample with deterministic 52-bit md5
+        # coins (exactly replayable in SQL on both engines)
+        "length_weighted_sample": sampling.length_weighted_sample,
         # --- (d) NEW round-5 operators: point-in-time joins (2) ---
         # as-of join (latest prior RIGHT-type event per LEFT-type event,
         # per user) gated against DuckDB's native ASOF LEFT JOIN, plain
@@ -249,6 +257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (driver-green r1-r4, rotated out; their oracles still run in
         # test_driver_gate.py every session)
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
+        "term_df": corpus.term_df,                # A8/J5: dictionary df
+        "simhash_recall": dedup.simhash_recall_pairs,
+        "knn_ivf_exact": knn.knn_ivf_exact,       # branch-and-bound exactness
+        "clean_summary": clean.clean_corpus_summary,
         "bool_and": corpus.bool_and,              # U2/A2: findByStrictPath
         "embedding_dedup_groups": knn.embedding_dedup_groups,  # vector components
         "knn_ivf_sq8_fullprobe": knn.knn_ivf_sq8_fullprobe,  # exact (oracle)
@@ -2046,6 +2058,32 @@ SELECT lang, source, n FROM (
          row_number() OVER (PARTITION BY lang
                             ORDER BY count(*) DESC, source) AS rn
   FROM documents GROUP BY lang, source) WHERE rn = 1""",
+        # median + MAD, both linearly interpolated at even n (DuckDB's
+        # DOUBLE semantics == numpy 'linear', verified)
+        "value_mad": """
+SELECT 'median' AS stat, round(median(value), 6) AS value FROM events
+UNION ALL
+SELECT 'mad' AS stat, round(mad(value), 6) AS value FROM events""",
+        # ordered string aggregation per group
+        "nation_suppliers": """
+SELECT n_name, count(*)::BIGINT AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name""",
+        # all four grouping sets of CUBE(priority, status)
+        "revenue_cube": """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       round(sum(o_totalprice), 2) AS sum_price,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""",
+        # the 52-bit md5 coin is exactly representable in a double on
+        # both engines, so membership replays bit-for-bit
+        "length_weighted_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 13))
+           AS BIGINT)::DOUBLE / 4503599627370496.0
+      < least(1.0, n_chars / 2000.0)""",
         "part_type_stats": """
 SELECT p_type, count(*)::BIGINT AS n_parts,
        round(avg(p_retailprice), 6) AS avg_retail

@@ -456,6 +456,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("funnel_conversions", lambda: events.funnel_conversions(sf_dir).materialize())
     timed("quantiles_cont", lambda: events.quantiles_cont(sf_dir))
     timed("lang_source_mode", lambda: textstats.lang_source_mode(sf_dir))
+    timed("value_mad", lambda: events.value_mad(sf_dir))
+    timed("nation_suppliers", lambda: analytics.nation_suppliers(sf_dir))
+    timed("revenue_cube", lambda: analytics.revenue_cube(sf_dir))
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())
@@ -468,6 +471,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
 
     timed("pack_sequences", lambda: pack.pack_sequences(sf_dir).materialize())
     timed("stratified_sample", lambda: sampling.stratified_sample(sf_dir).materialize())
+    timed("length_weighted_sample",
+          lambda: sampling.length_weighted_sample(sf_dir).materialize())
     from torchtrajectory_ray.pipelines import decontaminate
 
     timed("decontaminate", lambda: decontaminate.decontaminate(sf_dir).materialize())

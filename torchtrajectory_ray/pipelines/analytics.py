@@ -712,3 +712,114 @@ def priority_ntile(sf_dir: str, tiles: int = 4) -> pd.DataFrame:
         .sort_values(["tile", "o_orderpriority"])
         .reset_index(drop=True)
     )
+
+
+def nation_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Ordered string aggregation (SQL ``string_agg(... ORDER BY ...)``)
+    per nation: supplier count and the comma-joined, name-sorted list.
+    Per-batch partials carry one small list per (nation × batch); the
+    deterministic global order comes from ONE sort of the already
+    per-group-reduced lists on the driver (groups ≪ rows — at any
+    corpus size the driver holds one string per group member, which is
+    the operator's OUTPUT, not the corpus)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["s_nationkey", "s_name"]).to_pandas()
+        g = df.groupby("s_nationkey")["s_name"].agg(list).reset_index()
+        g.rename(columns={"s_name": "names"}, inplace=True)
+        g["n_suppliers"] = g["names"].map(len).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    import pyarrow.parquet as pq
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_name"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    rows = []
+    for nk, g in parts.groupby("s_nationkey"):
+        names = sorted(x for lst in g["names"] for x in lst)
+        rows.append(
+            {
+                "s_nationkey": nk,
+                "n_suppliers": int(g["n_suppliers"].sum()),
+                "supplier_names": ",".join(names),
+            }
+        )
+    out = pd.DataFrame(rows).merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    return (
+        out[["n_name", "n_suppliers", "supplier_names"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+
+
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(priority, status) in one corpus pass: the finest
+    (priority, status) partials stream through ``map_batches`` once;
+    the other three grouping sets — (priority), (status), () — are
+    re-aggregated from the finest RESULT (|priorities|×|statuses| rows
+    of post-aggregate data).  Same discipline as
+    :func:`revenue_rollup`, completing the grouping-set family; the
+    'ALL' literal matches the SQL oracle's COALESCE."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+        ).to_pandas()
+        g = df.groupby(
+            ["o_orderpriority", "o_orderstatus"], as_index=False
+        ).agg(sum_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .sum(["sum_price", "n_orders"])
+    )
+    fine = ds.to_pandas()
+    fine.rename(
+        columns={"sum(sum_price)": "sum_price", "sum(n_orders)": "n_orders"},
+        inplace=True,
+    )
+    if not {"sum_price", "n_orders"} <= set(fine.columns):  # fail loud
+        raise RuntimeError(f"unexpected aggregate schema: {list(fine.columns)}")
+
+    def _lvl(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = fine.groupby(keys, as_index=False).agg(
+                sum_price=("sum_price", "sum"), n_orders=("n_orders", "sum")
+            )
+        else:
+            g = pd.DataFrame(
+                {"sum_price": [fine["sum_price"].sum()],
+                 "n_orders": [fine["n_orders"].sum()]}
+            )
+        for col in ("o_orderpriority", "o_orderstatus"):
+            if col not in g.columns:
+                g[col] = "ALL"
+        return g
+
+    out = pd.concat(
+        [fine, _lvl(["o_orderpriority"]), _lvl(["o_orderstatus"]), _lvl([])],
+        ignore_index=True,
+    )
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out[["o_orderpriority", "o_orderstatus", "sum_price", "n_orders"]]
+        .sort_values(["o_orderpriority", "o_orderstatus"])
+        .reset_index(drop=True)
+    )

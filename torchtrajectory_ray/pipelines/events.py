@@ -1023,3 +1023,52 @@ def quantiles_cont(
     return pd.DataFrame(
         {"q": np.array(qs, np.float64), "value": np.round(vals, 6)}
     )
+
+
+def _cont_rank_value(make_ds, col: str, q: float, n: int) -> float:
+    """Interpolated order statistic at fraction ``q`` (quantile_cont
+    semantics) via the shared distributed rank selector."""
+    from torchtrajectory_ray.functions.rankselect import select_ranks
+
+    pos = q * (n - 1)
+    r0, r1 = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
+    got = select_ranks(make_ds, col, sorted({r0, r1}))
+    if r0 == r1:
+        return float(got[r0])
+    f = pos - np.floor(pos)
+    return float(got[r0] + f * (got[r1] - got[r0]))
+
+
+def value_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust dispersion: the median and the median absolute deviation
+    of ``events.value`` — TWO chained distributed selections.  The
+    second runs over a TRANSFORMED stream (|v − median| computed inside
+    ``map_batches`` on each pass), which is the point: the rank
+    selector composes over any derived column without materializing
+    it, so MAD costs the same bounded driver state as the median
+    itself.  Matches DuckDB's ``median``/``mad`` (linear interpolation
+    at even n, verified)."""
+    path = f"{sf_dir}/events.parquet"
+
+    def make_ds():
+        return ray.data.read_parquet(path, columns=["value"])
+
+    n = int(make_ds().count())
+    if n == 0:
+        return pd.DataFrame({"stat": ["median", "mad"], "value": [np.nan] * 2})
+    med = _cont_rank_value(make_ds, "value", 0.5, n)
+
+    def make_dev_ds():
+        def dev(batch: pa.Table) -> pa.Table:
+            v = batch["value"].to_numpy()
+            return pa.table({"dev": np.abs(v - med)})
+
+        return ray.data.read_parquet(path, columns=["value"]).map_batches(
+            dev, batch_format="pyarrow"
+        )
+
+    mad = _cont_rank_value(make_dev_ds, "dev", 0.5, n)
+    return pd.DataFrame(
+        {"stat": ["median", "mad"],
+         "value": np.round([med, mad], 6).astype(np.float64)}
+    )

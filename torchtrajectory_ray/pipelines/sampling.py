@@ -359,3 +359,35 @@ def export_shuffled(
         json.dump(manifest, f)
     os.replace(manifest_path + ".tmp", manifest_path)
     return manifest
+
+
+def length_weighted_sample(
+    sf_dir: str, target_chars: float = 2000.0, salt: str = "ws"
+) -> ray.data.Dataset:
+    """Weighted Bernoulli sampling with DETERMINISTIC hash coins: keep a
+    document with probability ``min(1, n_chars / target_chars)`` — the
+    continuous-weight generalization of :func:`stratified_sample`'s
+    per-stratum rates (a length-balanced sample up-weights long
+    documents the way token-budget curation does).  The coin is the
+    first 13 hex digits of ``md5(f"{doc_id}:{salt}")`` scaled to
+    [0, 1) — 52 bits, exactly representable in a double on BOTH
+    engines, so the SQL oracle replays every coin bit-for-bit.  No
+    shuffle, no driver state: one pruned read + one vectorized filter
+    per batch; retries/parallelism can't change membership."""
+    import hashlib
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        coins = np.array(
+            [
+                int(hashlib.md5(f"{int(d)}:{salt}".encode()).hexdigest()[:13], 16)
+                for d in ids
+            ],
+            np.float64,
+        ) / float(1 << 52)
+        w = np.minimum(1.0, batch["n_chars"].to_numpy() / target_chars)
+        return batch.filter(pa.array(coins < w))
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(pick, batch_format="pyarrow")
