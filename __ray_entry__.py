@@ -159,7 +159,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # count(DISTINCT term), n_postings == distinct (doc,term) pairs
         "index_check": _index_check,
         # --- (c) oracle gates over every module touched this round (31) ---
-        "revenue_topk": analytics.revenue_topk,   # rename-by-name fix r5
         "minhash_recall": dedup.minhash_recall_pairs,
         "distinct_terms": textstats.distinct_terms,
         "kgram_dup_stats": dedup.kgram_dup_stats,
@@ -173,12 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped KMV sketch gate (r5; explain_topk rotates below —
         # green r4, corpus.py untouched this round)
         "value_quantiles_by_type_check": events.value_quantiles_by_type_check,
-        "heavy_terms": textstats.heavy_terms,
         # core canaries (driver-green r1-r4) — regression tripwires, one
         # per subsystem (dictionary, scoring, vector); the other six
         # r4-green canaries rotate below to make room for the (h) ops
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
-        "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         # --- (h) NEW continuation ops: cross-moments / Q5 join / NTILE /
         # funnel / interpolated quantiles / grouped mode (6) ---
         # per-group Pearson corr + covariance via Chan-combined centered
@@ -209,6 +206,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted Bernoulli sample with deterministic 52-bit md5
         # coins (exactly replayable in SQL on both engines)
         "length_weighted_sample": sampling.length_weighted_sample,
+        # GROUPED exact median: all (group, rank) targets share every
+        # histogram pass — five groups, one selection's worth of reads
+        "exact_median_by_type": events.exact_median_by_type,
+        # PIVOT (SUM CASE WHEN): pre-pivoted crosstab partials, ≤1 row
+        # per (user × batch) through the exchange
+        "user_event_pivot": events.user_event_pivot,
+        # LEFT-join aggregate keeping zero-order customers — the
+        # preserved-side twin of the anti-join, no broadcast side
+        "customer_order_counts": analytics.customer_order_counts,
         # --- (d) NEW round-5 operators: point-in-time joins (2) ---
         # as-of join (latest prior RIGHT-type event per LEFT-type event,
         # per user) gated against DuckDB's native ASOF LEFT JOIN, plain
@@ -257,6 +263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (driver-green r1-r4, rotated out; their oracles still run in
         # test_driver_gate.py every session)
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
+        "revenue_topk": analytics.revenue_topk,   # rename-by-name fix r5
+        "heavy_terms": textstats.heavy_terms,
+        "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
         "term_df": corpus.term_df,                # A8/J5: dictionary df
         "simhash_recall": dedup.simhash_recall_pairs,
         "knn_ivf_exact": knn.knn_ivf_exact,       # branch-and-bound exactness
@@ -2084,6 +2093,26 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 13))
            AS BIGINT)::DOUBLE / 4503599627370496.0
       < least(1.0, n_chars / 2000.0)""",
+        # grouped interpolated median
+        "exact_median_by_type": """
+SELECT event_type, round(median(value), 6) AS median_value
+FROM events GROUP BY 1""",
+        # PIVOT via SUM(CASE WHEN) — column order mirrors the Ray side
+        "user_event_pivot": """
+SELECT user_id,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+FROM events GROUP BY 1""",
+        # LEFT join keeps customers with zero status-O orders
+        "customer_order_counts": """
+SELECT c_custkey, c_name, count(o_orderkey)::BIGINT AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+FROM customer LEFT JOIN orders
+  ON o_custkey = c_custkey AND o_orderstatus = 'O'
+GROUP BY 1, 2""",
         "part_type_stats": """
 SELECT p_type, count(*)::BIGINT AS n_parts,
        round(avg(p_retailprice), 6) AS avg_retail

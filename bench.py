@@ -459,6 +459,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("value_mad", lambda: events.value_mad(sf_dir))
     timed("nation_suppliers", lambda: analytics.nation_suppliers(sf_dir))
     timed("revenue_cube", lambda: analytics.revenue_cube(sf_dir))
+    timed("exact_median_by_type", lambda: events.exact_median_by_type(sf_dir))
+    timed("user_event_pivot", lambda: events.user_event_pivot(sf_dir).materialize())
+    timed("customer_order_counts",
+          lambda: analytics.customer_order_counts(sf_dir).materialize())
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

@@ -228,3 +228,126 @@ def _select_int_key(
             return int(allk[r_in - 1])
         # rank stays GLOBAL over the tied run; next pass recomputes below
         lo, hi = lo_new, hi_new
+
+
+def select_ranks_by_group(
+    make_ds,
+    value_col: str,
+    group_col: str,
+    ranks_of: dict[object, list[int]],
+    *,
+    bins: int = _BINS,
+    local_max: int = _LOCAL_MAX,
+) -> dict[object, dict[int, float]]:
+    """GROUPED order-statistic selection: for each group ``g`` (a value
+    of ``group_col``), the elements at the given 1-indexed ranks within
+    that group's rows — every open (group, rank) target shares each
+    distributed pass (one histogram per target per batch), so the whole
+    grouped vector costs the same number of corpus reads as a single
+    ungrouped selection.  Driver state is O(bins × targets); the
+    grouped-sketch discipline (heavy_terms_per_lang,
+    value_quantiles_by_type) applied to EXACT selection."""
+    targets: list[dict] = []
+    for g, rs in ranks_of.items():
+        for r in sorted(set(rs)):
+            targets.append({"g": g, "rank": r, "lo": None, "hi": None})
+    if not targets:
+        return {}
+
+    def span_part(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy()
+        gv = batch[group_col].to_pandas().to_numpy()
+        cols: dict = {}
+        for i, t in enumerate(targets):
+            sel = v[gv == t["g"]]
+            cols[f"n_{i}"] = [int(len(sel))]
+            cols[f"lo_{i}"] = [float(sel.min()) if len(sel) else np.inf]
+            cols[f"hi_{i}"] = [float(sel.max()) if len(sel) else -np.inf]
+        return pa.table(cols)
+
+    st = make_ds().map_batches(span_part, batch_format="pyarrow").to_pandas()
+    for i, t in enumerate(targets):
+        n_g = int(st[f"n_{i}"].sum())
+        if not (1 <= t["rank"] <= n_g):
+            raise ValueError(
+                f"rank {t['rank']} out of [1, {n_g}] for group {t['g']!r}"
+            )
+        t["lo"], t["hi"] = float(st[f"lo_{i}"].min()), float(st[f"hi_{i}"].max())
+
+    answers: dict[tuple, float] = {}
+
+    def hist_pass(open_ts):
+        bnd = [np.linspace(t["lo"], t["hi"], bins + 1) for t in open_ts]
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy()
+            gv = batch[group_col].to_pandas().to_numpy()
+            cols: dict = {}
+            for i, t in enumerate(open_ts):
+                sel = v[gv == t["g"]]
+                cols[f"below_{i}"] = [int((sel < t["lo"]).sum())]
+                inb = sel[(sel >= t["lo"]) & (sel <= t["hi"])]
+                cols[f"hist_{i}"] = [
+                    np.histogram(inb, bins=bnd[i])[0].astype(np.int64)
+                ]
+            return pa.table(cols)
+
+        parts = make_ds().map_batches(partial, batch_format="pyarrow").to_pandas()
+        return _fold_hist(parts, len(open_ts))
+
+    def pull_rank(t, lo, hi, inclusive, rank_in):
+        def grab(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy()
+            gv = batch[group_col].to_pandas().to_numpy()
+            sel = v[gv == t["g"]]
+            m = (sel >= lo) & ((sel <= hi) if inclusive else (sel < hi))
+            return pa.table({"v": [sel[m].astype(np.float64)]})
+
+        got = make_ds().map_batches(grab, batch_format="pyarrow").to_pandas()
+        allv = np.sort(np.concatenate(list(got["v"].to_numpy())))
+        return float(allv[rank_in - 1])
+
+    def distinct_rank(t, lo, hi, rank_in):
+        def uniq(batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy()
+            gv = batch[group_col].to_pandas().to_numpy()
+            sel = v[gv == t["g"]]
+            sel = sel[(sel >= lo) & (sel <= hi)]
+            u, c = np.unique(sel, return_counts=True)
+            return pa.table({"u": [u.astype(np.float64)], "c": [c]})
+
+        got = make_ds().map_batches(uniq, batch_format="pyarrow").to_pandas()
+        u = np.concatenate(list(got["u"].to_numpy()))
+        c = np.concatenate(list(got["c"].to_numpy())).astype(np.int64)
+        order = np.argsort(u, kind="stable")
+        s = pd.Series(c[order]).groupby(u[order]).sum()
+        cum = s.cumsum().to_numpy()
+        return float(s.index.to_numpy()[int(np.searchsorted(cum, rank_in))])
+
+    def key(t):
+        return (t["g"], t["rank"])
+
+    while any(key(t) not in answers for t in targets):
+        open_ts = [t for t in targets if key(t) not in answers]
+        res = hist_pass(open_ts)
+        for t, (below, h) in zip(open_ts, res):
+            r = t["rank"] - below
+            edges = np.linspace(t["lo"], t["hi"], bins + 1)
+            if not np.all(np.diff(edges) > 0):
+                answers[key(t)] = distinct_rank(t, t["lo"], t["hi"], r)
+                continue
+            cum = np.cumsum(h)
+            j = int(np.searchsorted(cum, r))
+            lo_new, hi_new = float(edges[j]), float(edges[j + 1])
+            r_in_bin = r - (int(cum[j - 1]) if j else 0)
+            last = j == bins - 1
+            if int(h[j]) <= local_max:
+                answers[key(t)] = pull_rank(t, lo_new, hi_new, last, r_in_bin)
+            else:
+                t["lo"], t["hi"] = lo_new, hi_new
+                if not last:
+                    t["hi"] = float(np.nextafter(hi_new, lo_new))
+    out: dict[object, dict[int, float]] = {}
+    for t in targets:
+        out.setdefault(t["g"], {})[t["rank"]] = answers[key(t)]
+    return out

@@ -823,3 +823,81 @@ def revenue_cube(sf_dir: str) -> pd.DataFrame:
         .sort_values(["o_orderpriority", "o_orderstatus"])
         .reset_index(drop=True)
     )
+
+
+def customer_order_counts(sf_dir: str, status: str = "O") -> ray.data.Dataset:
+    """LEFT-join aggregate: every customer with their count and total
+    value of status-``O`` orders — INCLUDING zero-order customers (the
+    preserved-side semantics :func:`customers_no_orders` negates).
+    Probe side pre-reduces to ≤1 partial row per (custkey × batch)
+    inside ``map_batches``; both sides meet in ONE content-hash
+    exchange; each partition left-merges vectorized.  No broadcast
+    side — the shape that still works when customers outgrow memory."""
+
+    def _part_of(keys: np.ndarray) -> np.ndarray:
+        return (
+            (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(56)
+        ).astype(np.int32)
+
+    def cust_part(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(_part_of(ck), pa.int32()),
+                "c_custkey": pa.array(ck, pa.int64()),
+                "c_name": batch["c_name"],
+                "n_orders": pa.array(np.zeros(len(ck), np.int64), pa.int64()),
+                "total_price": pa.array(np.zeros(len(ck)), pa.float64()),
+                "probe": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+            }
+        )
+
+    def order_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["o_orderstatus"] == status]
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum")
+        )
+        ck = g["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(_part_of(ck), pa.int32()),
+                "c_custkey": pa.array(ck, pa.int64()),
+                "c_name": pa.array([""] * len(ck), pa.string()),
+                "n_orders": pa.array(g["n_orders"].to_numpy(), pa.int64()),
+                "total_price": pa.array(g["total_price"].to_numpy(), pa.float64()),
+                "probe": pa.array(np.ones(len(ck), np.int8), pa.int8()),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(cust_part, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus"],
+    ).map_batches(order_part, batch_format="pyarrow")
+
+    def left_agg(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[g["probe"] == 0][["c_custkey", "c_name"]]
+        pr = (
+            g[g["probe"] == 1]
+            .groupby("c_custkey", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
+        )
+        m = keep.merge(pr, on="c_custkey", how="left")
+        return pd.DataFrame(
+            {
+                "c_custkey": m["c_custkey"].astype(np.int64),
+                "c_name": m["c_name"],
+                "n_orders": m["n_orders"].fillna(0).astype(np.int64),
+                "total_price": m["total_price"].fillna(0.0).round(2),
+            }
+        )
+
+    return (
+        cust.union(orders)
+        .groupby("part")
+        .map_groups(left_agg, batch_format="pandas")
+    )

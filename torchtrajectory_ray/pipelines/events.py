@@ -1072,3 +1072,97 @@ def value_mad(sf_dir: str) -> pd.DataFrame:
         {"stat": ["median", "mad"],
          "value": np.round([med, mad], 6).astype(np.float64)}
     )
+
+
+def exact_median_by_type(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group median (``median(value) GROUP BY event_type``,
+    interpolated at even group sizes) — GROUPED distributed selection:
+    all (group, rank) targets share every histogram pass
+    (functions/rankselect.select_ranks_by_group), so five groups cost
+    the same corpus reads as one; no global or per-group sort, driver
+    state O(bins × groups).  The exact companion to the per-group KMV
+    sketch (:func:`value_quantiles_by_type`)."""
+    from torchtrajectory_ray.functions.rankselect import select_ranks_by_group
+
+    path = f"{sf_dir}/events.parquet"
+
+    def make_ds():
+        return ray.data.read_parquet(path, columns=["event_type", "value"])
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["event_type"])
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        make_ds()
+        .map_batches(count_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type")["size"]
+        .sum()
+    )
+    ranks_of: dict = {}
+    spec: dict = {}
+    for g, n_g in counts.items():
+        pos = 0.5 * (int(n_g) - 1)
+        r0, r1 = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
+        ranks_of[g] = [r0, r1]
+        spec[g] = (r0, r1, pos - np.floor(pos))
+    got = select_ranks_by_group(make_ds, "value", "event_type", ranks_of)
+    rows = []
+    for g in sorted(spec):
+        r0, r1, f = spec[g]
+        v0, v1 = got[g][r0], got[g][r1]
+        rows.append(
+            {"event_type": g,
+             "median_value": round(v0 if r0 == r1 else v0 + f * (v1 - v0), 6)}
+        )
+    return pd.DataFrame(rows)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """PIVOT: one row per user with a count column per event type
+    (``SUM(CASE WHEN ...)`` in SQL).  Per-batch crosstab partials
+    reduce each batch to ≤1 row per (user × batch) with the five
+    counters already split, so the user-keyed hash exchange moves
+    pre-pivoted partials, never events; per-partition sums finish it.
+    The grouped-combiner discipline of latest_event_per_user applied
+    to a wide (columnar) aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "event_type"]).to_pandas()
+        g = pd.crosstab(df["user_id"], df["event_type"])
+        for et in _EVENT_TYPES:
+            if et not in g.columns:
+                g[et] = 0
+        g = g[list(_EVENT_TYPES)].reset_index()
+        g.columns = ["user_id"] + [f"n_{et}" for et in _EVENT_TYPES]
+        uid = g["user_id"].to_numpy().astype(np.uint64)
+        g["part"] = (
+            (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = [f"n_{et}" for et in _EVENT_TYPES]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[cols].sum()
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+    )
