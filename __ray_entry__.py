@@ -311,6 +311,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the register fold; its 3σ gate is cardinality_hll_check above)
         "cardinality_hll": textstats.cardinality_hll,
         "events_sessions": events.session_windows,
+        # --- (i) continuation ops: behavioral analytics / grouped
+        # robust stats / WITH-TIES selection (5) ---
+        # cohort triangle: first-activity-day cohorts × active-day
+        # offsets, one user-keyed exchange of distinct (user, day) pairs
+        "cohort_retention": events.cohort_retention,
+        # grouped exact COUNT(DISTINCT): active users per tumbling hour,
+        # pair-keyed exchange of deduped (hour, user) rows
+        "hourly_active_users": events.hourly_active_users,
+        # first-order Markov transition counts (LAG + GROUP BY pair)
+        "event_transitions": events.event_transitions,
+        # grouped median + MAD via two chained GROUPED selections
+        "value_mad_by_type": events.value_mad_by_type,
+        # RANK() WITH TIES top-k: one rank selection pins the threshold
+        "top_events_ties": events.top_events_ties,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -2093,6 +2107,40 @@ SELECT doc_id, lang, n_chars FROM documents
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 13))
            AS BIGINT)::DOUBLE / 4503599627370496.0
       < least(1.0, n_chars / 2000.0)""",
+        # cohort triangle: distinct (user, day) activity joined to each
+        # user's first day; // is BIGINT division on both engines
+        "cohort_retention": """
+WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_i
+           FROM events),
+     f AS (SELECT user_id, min(day_i) AS c0 FROM d GROUP BY user_id)
+SELECT f.c0 * 86400000000 AS cohort_day_us,
+       (d.day_i - f.c0)::BIGINT AS offset_days,
+       count(*)::BIGINT AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2""",
+        # grouped exact distinct count per tumbling hour
+        "hourly_active_users": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1""",
+        # consecutive event-type pairs per user in (ts, event_id) order
+        "event_transitions": """
+WITH l AS (SELECT lag(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS prev_type, event_type AS next_type FROM events)
+SELECT prev_type, next_type, count(*)::BIGINT AS n_transitions
+FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2""",
+        # grouped median + median absolute deviation
+        "value_mad_by_type": """
+SELECT event_type, round(median(value), 6) AS median_value,
+       round(mad(value), 6) AS mad_value
+FROM events GROUP BY 1""",
+        # RANK() WITH TIES: every row whose value reaches the k-th
+        # largest qualifies — the threshold is a data value, so both
+        # engines compare bit-identical doubles
+        "top_events_ties": """
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events QUALIFY rank() OVER (ORDER BY value DESC) <= 10""",
         # grouped interpolated median
         "exact_median_by_type": """
 SELECT event_type, round(median(value), 6) AS median_value

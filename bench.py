@@ -463,6 +463,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("user_event_pivot", lambda: events.user_event_pivot(sf_dir).materialize())
     timed("customer_order_counts",
           lambda: analytics.customer_order_counts(sf_dir).materialize())
+    timed("cohort_retention", lambda: events.cohort_retention(sf_dir))
+    timed("hourly_active_users", lambda: events.hourly_active_users(sf_dir))
+    timed("event_transitions", lambda: events.event_transitions(sf_dir))
+    timed("value_mad_by_type", lambda: events.value_mad_by_type(sf_dir))
+    timed("top_events_ties", lambda: events.top_events_ties(sf_dir))
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

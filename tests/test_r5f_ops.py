@@ -1,0 +1,187 @@
+"""Edge tests for the behavioral-analytics continuation batch: cohort
+retention, grouped distinct counts (hourly active users), Markov event
+transitions, grouped MAD, and WITH-TIES top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _write_events(tmp_path, df, n_parts=3):
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    for i, part in enumerate(np.array_split(df, n_parts)):
+        pq.write_table(
+            pa.Table.from_pandas(part.copy(), preserve_index=False),
+            str(d / f"part-{i}.parquet"),
+        )
+    return str(tmp_path)
+
+
+def _events_df(user_id, ts_s, event_type, value):
+    n = len(user_id)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.asarray(ts_s, np.int64), unit="s"),
+            "user_id": np.asarray(user_id, np.int64),
+            "event_type": event_type,
+            "value": np.asarray(value, np.float64),
+            "props": "{}",
+        }
+    )
+
+
+def test_cohort_offset_zero_counts_every_user_once(ray_session):
+    """Every user appears in their cohort at offset 0 exactly once, so
+    Σ n_users over offset-0 rows == the corpus's distinct-user count."""
+    from torchtrajectory_ray.pipelines.events import cohort_retention
+
+    out = cohort_retention(SF_SMALL)
+    n_users = pq.read_table(
+        f"{SF_SMALL}/events.parquet", columns=["user_id"]
+    )
+    distinct = len(np.unique(n_users["user_id"].to_numpy()))
+    zero = out[out["offset_days"] == 0]["n_users"].sum()
+    assert int(zero) == distinct
+    # offsets never negative, cohorts are day-aligned
+    assert (out["offset_days"] >= 0).all()
+    assert (out["cohort_day_us"] % 86_400_000_000 == 0).all()
+
+
+def test_cohort_split_across_batches(ray_session, tmp_path):
+    """A user's first day must win across file/batch boundaries: user 1
+    active on days 3,0,5 split over three files → cohort day 0 with
+    offsets {0,3,5}."""
+    from torchtrajectory_ray.pipelines.events import cohort_retention
+
+    day = 86_400
+    df = _events_df(
+        user_id=[1, 1, 1, 2],
+        ts_s=[3 * day, 0, 5 * day + 7, day],
+        event_type=["view"] * 4,
+        value=[0.0] * 4,
+    )
+    root = _write_events(tmp_path, df, n_parts=3)
+    out = cohort_retention(root)
+    u1 = out[out["cohort_day_us"] == 0]
+    assert sorted(u1["offset_days"].tolist()) == [0, 3, 5]
+    assert (u1["n_users"] == 1).all()
+    u2 = out[out["cohort_day_us"] == day * 1_000_000]
+    assert u2["offset_days"].tolist() == [0] and u2["n_users"].tolist() == [1]
+
+
+def test_hourly_active_users_dedupes_within_hour(ray_session, tmp_path):
+    """Three events from one user inside one hour count once; the same
+    user in a second hour counts again."""
+    from torchtrajectory_ray.pipelines.events import hourly_active_users
+
+    df = _events_df(
+        user_id=[9, 9, 9, 9, 4],
+        ts_s=[10, 20, 3599, 3600, 30],
+        event_type=["view"] * 5,
+        value=[0.0] * 5,
+    )
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = hourly_active_users(root)
+    assert out["window_start_us"].tolist() == [0, 3_600_000_000]
+    assert out["n_users"].tolist() == [2, 1]
+
+
+def test_transitions_count_identity(ray_session):
+    """Σ transitions == n_events − n_distinct_users (each user with n
+    events contributes exactly n−1 consecutive pairs)."""
+    from torchtrajectory_ray.pipelines.events import event_transitions
+
+    out = event_transitions(SF_SMALL)
+    t = pq.read_table(f"{SF_SMALL}/events.parquet", columns=["user_id"])
+    n = t.num_rows
+    distinct = len(np.unique(t["user_id"].to_numpy()))
+    assert int(out["n_transitions"].sum()) == n - distinct
+
+
+def test_transitions_tie_break_on_event_id(ray_session, tmp_path):
+    """Two events at the SAME (user, ts) order by event_id — the pinned
+    tie rule shared with event_deltas/the SQL LAG oracle."""
+    from torchtrajectory_ray.pipelines.events import event_transitions
+
+    df = _events_df(
+        user_id=[5, 5, 5],
+        ts_s=[100, 100, 200],
+        event_type=["view", "click", "purchase"],
+        value=[0.0] * 3,
+    )
+    root = _write_events(tmp_path, df, n_parts=1)
+    out = event_transitions(root)
+    got = {
+        (r.prev_type, r.next_type): r.n_transitions for r in out.itertuples()
+    }
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_grouped_mad_matches_single_group_mad(ray_session, tmp_path):
+    """With one event type, value_mad_by_type must reproduce the global
+    value_mad numbers exactly (same selector, same interpolation)."""
+    from torchtrajectory_ray.pipelines.events import value_mad, value_mad_by_type
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(loc=3.0, scale=2.0, size=401)
+    df = _events_df(
+        user_id=np.arange(401) % 13,
+        ts_s=np.arange(401),
+        event_type=["click"] * 401,
+        value=vals,
+    )
+    root = _write_events(tmp_path, df, n_parts=4)
+    grouped = value_mad_by_type(root)
+    flat = value_mad(root).set_index("stat")["value"]
+    assert grouped["event_type"].tolist() == ["click"]
+    assert grouped["median_value"].iloc[0] == flat["median"]
+    assert grouped["mad_value"].iloc[0] == flat["mad"]
+
+
+def test_grouped_mad_median_agrees_with_exact_median_by_type(ray_session):
+    from torchtrajectory_ray.pipelines.events import (
+        exact_median_by_type,
+        value_mad_by_type,
+    )
+
+    a = value_mad_by_type(SF_SMALL)[["event_type", "median_value"]]
+    b = exact_median_by_type(SF_SMALL)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_top_ties_keeps_full_tie_set(ray_session, tmp_path):
+    """k=3 over values with a fat tie AT the threshold returns every
+    tied row (RANK <= k semantics, not LIMIT k)."""
+    from torchtrajectory_ray.pipelines.events import top_events_ties
+
+    vals = [9.0, 8.0, 7.0, 7.0, 7.0, 1.0, 0.5]
+    df = _events_df(
+        user_id=np.arange(len(vals)),
+        ts_s=np.arange(len(vals)),
+        event_type=["view"] * len(vals),
+        value=vals,
+    )
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = top_events_ties(root, k=3)
+    assert sorted(out["value"].tolist(), reverse=True) == [9.0, 8.0, 7.0, 7.0, 7.0]
+
+
+def test_top_ties_k_larger_than_n(ray_session, tmp_path):
+    from torchtrajectory_ray.pipelines.events import top_events_ties
+
+    df = _events_df(
+        user_id=[0, 1], ts_s=[0, 1], event_type=["view", "click"], value=[2.0, 1.0]
+    )
+    root = _write_events(tmp_path, df, n_parts=1)
+    out = top_events_ties(root, k=10)
+    assert len(out) == 2

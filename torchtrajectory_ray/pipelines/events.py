@@ -1166,3 +1166,337 @@ def user_event_pivot(sf_dir: str) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+_FIB = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _user_part(uid: np.ndarray) -> np.ndarray:
+    """The shared Fibonacci content-hash partition key on user_id (256
+    partitions) — one definition so every user-keyed exchange in this
+    module co-locates identically."""
+    return ((uid.astype(np.uint64) * _FIB) >> np.uint64(56)).astype(np.int32)
+
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention: users grouped by their FIRST-activity day
+    (the cohort), counted on each subsequent day they were active —
+    ``(cohort_day_us, offset_days, n_users)``.  The classic
+    product-analytics triangle, expressed as one user-keyed exchange:
+
+    1. each batch reduces to its DISTINCT ``(user, day)`` pairs
+       (vectorized lexsort + boundary mask — the activity-calendar
+       combiner), so the exchange moves at most one row per
+       (user × day × batch), never events;
+    2. each hash partition owns all of its users' pairs, so it can
+       resolve first-day (the cohort) and per-day offsets exactly and
+       emit ``(cohort, offset) → distinct-user count`` partials;
+    3. partitions hold disjoint users, so a small final sum over the
+       ≤256 partial frames is exact.
+
+    Output size is bounded by the SQUARE OF THE TIME SPAN IN DAYS (a
+    few thousand cells for a year), independent of corpus size —
+    driver-safe at any scale.  Analog of the reference's per-vehicle
+    first-seen/active-day bookkeeping (TrajectoryPool keyed state)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        day = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy() // DAY_US
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.ones(len(uid), bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "day_i": pa.array(day, pa.int64()),
+                "part": pa.array(_user_part(uid), pa.int32()),
+            }
+        )
+
+    def triangle(g: pd.DataFrame) -> pd.DataFrame:
+        # re-dedupe (same pair from different batches), then cohort math
+        g = g.drop_duplicates(["user_id", "day_i"])
+        first = g.groupby("user_id")["day_i"].transform("min")
+        out = (
+            pd.DataFrame(
+                {
+                    "cohort_day_us": first.to_numpy() * DAY_US,
+                    "offset_days": (g["day_i"].to_numpy() - first.to_numpy()),
+                }
+            )
+            .groupby(["cohort_day_us", "offset_days"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return out
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(triangle, batch_format="pandas")
+        .to_pandas()  # ≤256 × (span_days²) rows — bounded by time, not data
+    )
+    out = parts.groupby(["cohort_day_us", "offset_days"], as_index=False)[
+        "n_users"
+    ].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_day_us", "offset_days"]).reset_index(drop=True)
+
+
+def hourly_active_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per tumbling hour (``COUNT(DISTINCT user_id)
+    GROUP BY hour``) — the canonical streaming DAU/HAU metric, and the
+    GROUPED exact distinct-count shape: dedupe ``(hour, user)`` inside
+    each batch, hash-exchange on the PAIR key (so every copy of a pair
+    lands in one partition), dedupe once more, and count per hour;
+    hours split across partitions reconcile in a small final sum.
+    The two-level exchange never moves an event row, only distinct
+    pairs — at 100 TB the exchange is bounded by Σ_h (active users in
+    hour h), the metric's own size."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        hr = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // HOUR_US
+        ) * HOUR_US
+        order = np.lexsort((uid, hr))
+        uid, hr = uid[order], hr[order]
+        keep = np.ones(len(uid), bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (hr[1:] != hr[:-1])
+        uid, hr = uid[keep], hr[keep]
+        pair = uid.astype(np.uint64) * _FIB + hr.astype(np.uint64)
+        part = ((pair * _FIB) >> np.uint64(56)).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "window_start_us": pa.array(hr, pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def count_hours(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(["window_start_us", "user_id"])
+            .groupby("window_start_us", as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        return out
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_hours, batch_format="pandas")
+        .to_pandas()  # ≤256 rows per active hour
+    )
+    out = parts.groupby("window_start_us", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("window_start_us").reset_index(drop=True)
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user (``LAG(event_type) OVER (PARTITION BY user ORDER BY
+    ts, event_id)``, then ``GROUP BY prev, next``) — the behavioral
+    n-gram table.  Same user-keyed exchange + vectorized
+    lexsort-diff-mask kernel as :func:`event_deltas`; each partition
+    reduces its transitions to a ≤ types² partial frame, so the final
+    merge is constant-size regardless of corpus scale."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "part",
+            pa.array(_user_part(batch["user_id"].to_numpy()), pa.int32()),
+        )
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        out = (
+            pd.DataFrame({"prev_type": et[:-1][same[1:]], "next_type": et[1:][same[1:]]})
+            .groupby(["prev_type", "next_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_transitions"})
+        )
+        return out
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(trans, batch_format="pandas")
+        .to_pandas()  # ≤256 × types² rows
+    )
+    out = parts.groupby(["prev_type", "next_type"], as_index=False)[
+        "n_transitions"
+    ].sum()
+    out["n_transitions"] = out["n_transitions"].astype(np.int64)
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def _group_cont_medians(
+    make_ds, value_col: str, group_col: str, counts: "pd.Series | None" = None
+) -> dict:
+    """Exact interpolated per-group medians via the shared grouped rank
+    selector — the reusable head of the grouped robust-stats family
+    (median, MAD).  ``counts`` (group → row count) can be passed in
+    when the caller already knows it (the MAD's dev stream has the same
+    group sizes as the raw stream, so the second selection skips its
+    counting pass)."""
+    from torchtrajectory_ray.functions.rankselect import select_ranks_by_group
+
+    if counts is None:
+
+        def count_part(batch: pa.Table) -> pa.Table:
+            g = (
+                batch.select([group_col])
+                .to_pandas()
+                .groupby(group_col, as_index=False)
+                .size()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        counts = (
+            make_ds()
+            .map_batches(count_part, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(group_col)["size"]
+            .sum()
+        )
+    ranks_of: dict = {}
+    spec: dict = {}
+    for g, n_g in counts.items():
+        pos = 0.5 * (int(n_g) - 1)
+        r0, r1 = int(np.floor(pos)) + 1, int(np.ceil(pos)) + 1
+        ranks_of[g] = [r0, r1]
+        spec[g] = (r0, r1, pos - np.floor(pos))
+    got = select_ranks_by_group(make_ds, value_col, group_col, ranks_of)
+    meds: dict = {}
+    for g, (r0, r1, f) in spec.items():
+        v0, v1 = got[g][r0], got[g][r1]
+        meds[g] = float(v0 if r0 == r1 else v0 + f * (v1 - v0))
+    return meds
+
+
+def value_mad_by_type(sf_dir: str) -> pd.DataFrame:
+    """GROUPED robust dispersion: per-event_type median and median
+    absolute deviation — TWO chained GROUPED distributed selections
+    (the :func:`value_mad` composition lifted to groups).  The second
+    selection runs over a derived stream (|v − median(type)| computed
+    per batch against the ≤|types| broadcast median map), so grouped
+    MAD costs two selections' worth of corpus reads and O(bins ×
+    groups) driver state — no per-group sort, no per-group scan.
+    Matches DuckDB ``median``/``mad`` semantics per group."""
+    path = f"{sf_dir}/events.parquet"
+
+    def make_ds():
+        return ray.data.read_parquet(path, columns=["event_type", "value"])
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["event_type"])
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        make_ds()
+        .map_batches(count_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type")["size"]
+        .sum()
+    )
+    meds = _group_cont_medians(make_ds, "value", "event_type", counts=counts)
+
+    def make_dev_ds():
+        def dev(batch: pa.Table) -> pa.Table:
+            et = batch["event_type"].to_pandas()
+            v = batch["value"].to_numpy()
+            med = et.map(meds).to_numpy(dtype=np.float64)
+            return pa.table(
+                {"event_type": batch["event_type"], "dev": np.abs(v - med)}
+            )
+
+        return ray.data.read_parquet(
+            path, columns=["event_type", "value"]
+        ).map_batches(dev, batch_format="pyarrow")
+
+    mads = _group_cont_medians(make_dev_ds, "dev", "event_type", counts=counts)
+    rows = [
+        {
+            "event_type": g,
+            "median_value": round(meds[g], 6),
+            "mad_value": round(mads[g], 6),
+        }
+        for g in sorted(meds)
+    ]
+    return pd.DataFrame(rows)
+
+
+def top_events_ties(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k events by value WITH TIES (``RANK() OVER (ORDER BY value
+    DESC) <= k``): rank ≤ k ⟺ value ≥ the k-th largest value, so ONE
+    distributed rank selection pins the threshold (ascending rank
+    n−k+1) and one filtered scan emits the qualifying rows — no global
+    sort, no driver column pull, and the tie set comes out complete
+    (the LIMIT-k family's missing WITH-TIES flavor).  The threshold is
+    a value read from the data itself, so both engines compare
+    bit-identical doubles."""
+    from torchtrajectory_ray.functions.rankselect import select_ranks
+
+    path = f"{sf_dir}/events.parquet"
+
+    def make_ds():
+        return ray.data.read_parquet(path, columns=["value"])
+
+    n = int(make_ds().count())
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=str),
+                "value": pd.Series([], dtype=np.float64),
+            }
+        )
+    rank = max(1, n - int(k) + 1)
+    thr = select_ranks(make_ds, "value", [rank])[rank]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy()
+        m = v >= thr
+        t = batch.filter(pa.array(m))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "value": pa.array(np.round(t["value"].to_numpy(), 6)),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            path, columns=["event_id", "user_id", "event_type", "value"]
+        )
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()  # ≥k rows, ≤ k + tie multiplicity
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
