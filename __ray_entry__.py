@@ -325,6 +325,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_by_type": events.value_mad_by_type,
         # RANK() WITH TIES top-k: one rank selection pins the threshold
         "top_events_ties": events.top_events_ties,
+        # grouped WITH-TIES top-k (per-type thresholds, shared passes)
+        "top_events_ties_by_type": events.top_events_ties_by_type,
+        # robust outlier filter: |v − median(type)| > 3·MAD(type)
+        "value_outliers": events.value_outliers,
+        # per-type z-score map (Chan-combined centered moments, no shuffle)
+        "value_zscore": events.value_zscore,
+        # composition gate: sessionize → durations → exact median
+        "session_duration_stats": events.session_duration_stats,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -2141,6 +2149,42 @@ FROM events GROUP BY 1""",
         "top_events_ties": """
 SELECT event_id, user_id, event_type, round(value, 6) AS value
 FROM events QUALIFY rank() OVER (ORDER BY value DESC) <= 10""",
+        # per-group WITH TIES
+        "top_events_ties_by_type": """
+SELECT event_id, event_type, round(value, 6) AS value
+FROM events
+QUALIFY rank() OVER (PARTITION BY event_type ORDER BY value DESC) <= 5""",
+        # robust outliers: thresholds are data-derived doubles (median
+        # interpolation at f=0.5 is exact), so the boundary agrees
+        "value_outliers": """
+WITH s AS (SELECT event_type, median(value) AS med, mad(value) AS m
+           FROM events GROUP BY 1)
+SELECT e.event_id, e.user_id, e.event_type, round(e.value, 6) AS value
+FROM events e JOIN s USING (event_type)
+WHERE abs(e.value - s.med) > 3 * s.m""",
+        # per-type standardization (sample stddev)
+        "value_zscore": """
+WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+           FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, round((e.value - m.mu) / m.sd, 6) AS zscore
+FROM events e JOIN m USING (event_type)""",
+        # sessionize (the events_sessions CTE) → per-session duration →
+        # interpolated median
+        "session_duration_stats": """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (SELECT user_id, t,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+g AS (SELECT user_id, sid, max(t) - min(t) AS dur FROM s GROUP BY 1, 2)
+SELECT count(*)::BIGINT AS n_sessions,
+       round(median(dur), 6) AS median_duration_us
+FROM g""",
         # grouped interpolated median
         "exact_median_by_type": """
 SELECT event_type, round(median(value), 6) AS median_value

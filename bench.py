@@ -468,6 +468,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("event_transitions", lambda: events.event_transitions(sf_dir))
     timed("value_mad_by_type", lambda: events.value_mad_by_type(sf_dir))
     timed("top_events_ties", lambda: events.top_events_ties(sf_dir))
+    timed("top_events_ties_by_type",
+          lambda: events.top_events_ties_by_type(sf_dir))
+    timed("value_outliers", lambda: events.value_outliers(sf_dir))
+    timed("value_zscore", lambda: events.value_zscore(sf_dir).materialize())
+    timed("session_duration_stats",
+          lambda: events.session_duration_stats(sf_dir))
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

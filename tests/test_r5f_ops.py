@@ -29,7 +29,10 @@ def _events_df(user_id, ts_s, event_type, value):
     return pd.DataFrame(
         {
             "event_id": np.arange(n, dtype=np.int64),
-            "ts": pd.to_datetime(np.asarray(ts_s, np.int64), unit="s"),
+            # µs precision to match the real events table's timestamp[us]
+            "ts": pd.to_datetime(np.asarray(ts_s, np.int64), unit="s").astype(
+                "datetime64[us]"
+            ),
             "user_id": np.asarray(user_id, np.int64),
             "event_type": event_type,
             "value": np.asarray(value, np.float64),
@@ -185,3 +188,93 @@ def test_top_ties_k_larger_than_n(ray_session, tmp_path):
     root = _write_events(tmp_path, df, n_parts=1)
     out = top_events_ties(root, k=10)
     assert len(out) == 2
+
+
+def test_outlier_boundary_is_strict(ray_session, tmp_path):
+    """|v − med| == 3·MAD must NOT qualify (strict >); just beyond must."""
+    from torchtrajectory_ray.pipelines.events import value_outliers
+
+    # med = 10, MAD = 1 → threshold 3·MAD = 3: values 7 and 13 sit
+    # EXACTLY at the boundary (excluded); only 14 (dev 4) qualifies
+    v = np.array([9.0, 10.0, 11.0, 10.0, 10.0, 13.0, 7.0, 14.0])
+    med = np.median(v)
+    mad = np.median(np.abs(v - med))
+    assert (med, mad) == (10.0, 1.0)  # the fixture really is a boundary case
+    df = _events_df(
+        user_id=np.arange(len(v)),
+        ts_s=np.arange(len(v)),
+        event_type=["view"] * len(v),
+        value=v,
+    )
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = value_outliers(root)
+    assert out["value"].tolist() == [14.0]
+
+
+def test_outliers_empty_result_keeps_schema(ray_session, tmp_path):
+    """A corpus with no robust outliers returns an EMPTY frame with the
+    full typed schema (the all-blocks-empty to_pandas hazard)."""
+    from torchtrajectory_ray.pipelines.events import value_outliers
+
+    v = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    df = _events_df(
+        user_id=np.arange(5), ts_s=np.arange(5), event_type=["view"] * 5, value=v
+    )
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = value_outliers(root)
+    assert len(out) == 0
+    assert list(out.columns) == ["event_id", "user_id", "event_type", "value"]
+
+
+def test_zscore_standardizes_each_type(ray_session):
+    from torchtrajectory_ray.pipelines.events import value_zscore
+
+    out = value_zscore(SF_SMALL).to_pandas()
+    t = pq.read_table(
+        f"{SF_SMALL}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).to_pandas()
+    assert len(out) == len(t)
+    for et, grp in out.groupby("event_type"):
+        z = grp["zscore"].to_numpy()
+        assert abs(z.mean()) < 1e-5
+        assert abs(z.std(ddof=1) - 1.0) < 1e-5
+    # spot-check one row against a direct pandas computation
+    g = t[t["event_type"] == "view"]["value"]
+    want = (g.iloc[0] - g.mean()) / g.std(ddof=1)
+    got = out.set_index("event_id").loc[
+        t[t["event_type"] == "view"]["event_id"].iloc[0], "zscore"
+    ]
+    assert abs(got - round(want, 6)) <= 1e-6
+
+
+def test_grouped_ties_keeps_per_group_tie_sets(ray_session, tmp_path):
+    from torchtrajectory_ray.pipelines.events import top_events_ties_by_type
+
+    df = _events_df(
+        user_id=np.arange(8),
+        ts_s=np.arange(8),
+        event_type=["a", "a", "a", "a", "b", "b", "b", "b"],
+        value=[9.0, 7.0, 7.0, 1.0, 5.0, 5.0, 5.0, 0.5],
+    )
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = top_events_ties_by_type(root, k=2)
+    a = sorted(out[out["event_type"] == "a"]["value"].tolist(), reverse=True)
+    b = sorted(out[out["event_type"] == "b"]["value"].tolist(), reverse=True)
+    assert a == [9.0, 7.0, 7.0]  # tie AT rank 2 kept whole
+    assert b == [5.0, 5.0, 5.0]  # rank-1 tie of three
+
+
+def test_session_duration_median_known_case(ray_session, tmp_path):
+    """One user, three sessions of durations 10 s, 20 s, 100 s (split by
+    >30 min gaps) → median 20 s."""
+    from torchtrajectory_ray.pipelines.events import session_duration_stats
+
+    h = 3600
+    ts = [0, 10, 2 * h, 2 * h + 20, 5 * h, 5 * h + 100]
+    df = _events_df(
+        user_id=[1] * 6, ts_s=ts, event_type=["view"] * 6, value=[0.0] * 6
+    )
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = session_duration_stats(root)
+    assert out["n_sessions"].tolist() == [3]
+    assert out["median_duration_us"].tolist() == [20_000_000.0]

@@ -1398,47 +1398,12 @@ def value_mad_by_type(sf_dir: str) -> pd.DataFrame:
     absolute deviation — TWO chained GROUPED distributed selections
     (the :func:`value_mad` composition lifted to groups).  The second
     selection runs over a derived stream (|v − median(type)| computed
-    per batch against the ≤|types| broadcast median map), so grouped
-    MAD costs two selections' worth of corpus reads and O(bins ×
-    groups) driver state — no per-group sort, no per-group scan.
-    Matches DuckDB ``median``/``mad`` semantics per group."""
-    path = f"{sf_dir}/events.parquet"
-
-    def make_ds():
-        return ray.data.read_parquet(path, columns=["event_type", "value"])
-
-    def count_part(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["event_type"])
-            .to_pandas()
-            .groupby("event_type", as_index=False)
-            .size()
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    counts = (
-        make_ds()
-        .map_batches(count_part, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("event_type")["size"]
-        .sum()
-    )
-    meds = _group_cont_medians(make_ds, "value", "event_type", counts=counts)
-
-    def make_dev_ds():
-        def dev(batch: pa.Table) -> pa.Table:
-            et = batch["event_type"].to_pandas()
-            v = batch["value"].to_numpy()
-            med = et.map(meds).to_numpy(dtype=np.float64)
-            return pa.table(
-                {"event_type": batch["event_type"], "dev": np.abs(v - med)}
-            )
-
-        return ray.data.read_parquet(
-            path, columns=["event_type", "value"]
-        ).map_batches(dev, batch_format="pyarrow")
-
-    mads = _group_cont_medians(make_dev_ds, "dev", "event_type", counts=counts)
+    per batch against the ≤|types| broadcast median map) and reuses the
+    first's group counts, so grouped MAD costs two selections' worth of
+    corpus reads and O(bins × groups) driver state — no per-group sort,
+    no per-group scan.  Matches DuckDB ``median``/``mad`` semantics per
+    group."""
+    meds, mads = _robust_stats_by_type(sf_dir)
     rows = [
         {
             "event_type": g,
@@ -1500,3 +1465,239 @@ def top_events_ties(sf_dir: str, k: int = 10) -> pd.DataFrame:
         .to_pandas()  # ≥k rows, ≤ k + tie multiplicity
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _robust_stats_by_type(sf_dir: str) -> tuple[dict, dict]:
+    """(median, MAD) per event_type — the shared two-selection head of
+    :func:`value_mad_by_type` and :func:`value_outliers`."""
+    path = f"{sf_dir}/events.parquet"
+
+    def make_ds():
+        return ray.data.read_parquet(path, columns=["event_type", "value"])
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["event_type"])
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        make_ds()
+        .map_batches(count_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type")["size"]
+        .sum()
+    )
+    meds = _group_cont_medians(make_ds, "value", "event_type", counts=counts)
+
+    def make_dev_ds():
+        def dev(batch: pa.Table) -> pa.Table:
+            et = batch["event_type"].to_pandas()
+            v = batch["value"].to_numpy()
+            med = et.map(meds).to_numpy(dtype=np.float64)
+            return pa.table(
+                {"event_type": batch["event_type"], "dev": np.abs(v - med)}
+            )
+
+        return ray.data.read_parquet(
+            path, columns=["event_type", "value"]
+        ).map_batches(dev, batch_format="pyarrow")
+
+    mads = _group_cont_medians(make_dev_ds, "dev", "event_type", counts=counts)
+    return meds, mads
+
+
+def value_outliers(sf_dir: str, n_mads: float = 3.0) -> pd.DataFrame:
+    """Robust outlier detection: events whose value sits more than
+    ``n_mads`` MADs from their type's median (|v − median| > n·MAD) —
+    the filter stage of a robust cleaning pipeline, composed from the
+    grouped median/MAD selections plus ONE broadcast-filtered scan.
+    Both engines compare against thresholds derived from the same
+    doubles (median interpolation at f=0.5 is exact in binary64), so
+    the boundary is bit-identical."""
+    meds, mads = _robust_stats_by_type(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pandas()
+        v = batch["value"].to_numpy()
+        med = et.map(meds).to_numpy(dtype=np.float64)
+        mad = et.map(mads).to_numpy(dtype=np.float64)
+        t = batch.filter(pa.array(np.abs(v - med) > n_mads * mad))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "value": pa.array(np.round(t["value"].to_numpy(), 6)),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()  # outlier tail only
+    )
+    if out.empty:  # all-blocks-empty loses the schema in to_pandas
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=str),
+                "value": pd.Series([], dtype=np.float64),
+            }
+        )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def value_zscore(sf_dir: str) -> ray.data.Dataset:
+    """Per-type z-score standardization ((v − μ_type)/σ_type, sample
+    σ) — the feature-normalization map.  One moments pass (per-batch
+    CENTERED partials combined with Chan's parallel update on the
+    driver, numerically stable at any corpus size — never a naive
+    Σv² fold) pins μ/σ per type; one broadcast map pass emits the
+    standardized stream.  No shuffle at all: the only exchange is the
+    ≤|types| moment rows riding back to the driver."""
+
+    path = f"{sf_dir}/events.parquet"
+
+    def mom_part(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "value": batch["value"].to_numpy(),
+            }
+        )
+        g = df.groupby("event_type")["value"]
+        out = g.agg(n="size", mean="mean").reset_index()
+        out["m2"] = g.apply(lambda s: float(((s - s.mean()) ** 2).sum())).to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        ray.data.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(mom_part, batch_format="pyarrow")
+        .to_pandas()  # ≤ |types| rows per batch
+    )
+    stats: dict = {}
+    for et, grp in parts.groupby("event_type"):
+        n, mean, m2 = 0.0, 0.0, 0.0
+        for r in grp.itertuples():  # Chan et al. pairwise combine
+            d = r.mean - mean
+            tot = n + r.n
+            m2 = m2 + r.m2 + d * d * n * r.n / tot
+            mean = mean + d * r.n / tot
+            n = tot
+        sd = float(np.sqrt(m2 / (n - 1))) if n > 1 else float("nan")
+        stats[et] = (mean, sd)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pandas()
+        v = batch["value"].to_numpy()
+        mu = et.map({k: s[0] for k, s in stats.items()}).to_numpy(np.float64)
+        sd = et.map({k: s[1] for k, s in stats.items()}).to_numpy(np.float64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "zscore": np.round((v - mu) / sd, 6),
+            }
+        )
+
+    return ray.data.read_parquet(
+        path, columns=["event_id", "event_type", "value"]
+    ).map_batches(zmap, batch_format="pyarrow")
+
+
+def top_events_ties_by_type(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """GROUPED top-k WITH TIES (``RANK() OVER (PARTITION BY event_type
+    ORDER BY value DESC) <= k``): the grouped rank selector pins each
+    type's k-th-largest threshold in shared histogram passes, then one
+    broadcast-filtered scan emits every qualifying row — per-group
+    WITH-TIES semantics without a per-group sort."""
+    from torchtrajectory_ray.functions.rankselect import select_ranks_by_group
+
+    path = f"{sf_dir}/events.parquet"
+
+    def make_ds():
+        return ray.data.read_parquet(path, columns=["event_type", "value"])
+
+    def count_part(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["event_type"])
+            .to_pandas()
+            .groupby("event_type", as_index=False)
+            .size()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        make_ds()
+        .map_batches(count_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type")["size"]
+        .sum()
+    )
+    ranks_of = {
+        g: [max(1, int(n_g) - int(k) + 1)] for g, n_g in counts.items()
+    }
+    got = select_ranks_by_group(make_ds, "value", "event_type", ranks_of)
+    thr = {g: got[g][ranks_of[g][0]] for g in ranks_of}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pandas()
+        v = batch["value"].to_numpy()
+        t = batch.filter(pa.array(v >= et.map(thr).to_numpy(np.float64)))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value": pa.array(np.round(t["value"].to_numpy(), 6)),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            path, columns=["event_id", "event_type", "value"]
+        )
+        .map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "event_id"]).reset_index(drop=True)
+
+
+def session_duration_stats(sf_dir: str) -> pd.DataFrame:
+    """Pipeline composition gate: sessionize (the stateful per-user
+    exchange), derive each session's duration, and take the EXACT
+    interpolated median by distributed rank selection — operators
+    chained the way a user would chain them.  The session table (far
+    smaller than the event stream) is materialized ONCE in the object
+    store so the selector's passes re-read blocks, not the
+    sessionizer."""
+    sessions = (
+        session_windows(sf_dir)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "duration_us": (
+                        b["session_end_us"].to_numpy()
+                        - b["session_start_us"].to_numpy()
+                    ).astype(np.float64)
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = int(sessions.count())
+    med = _cont_rank_value(lambda: sessions, "duration_us", 0.5, n)
+    return pd.DataFrame(
+        {
+            "n_sessions": np.array([n], np.int64),
+            "median_duration_us": np.array([round(med, 6)], np.float64),
+        }
+    )
