@@ -333,6 +333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore": events.value_zscore,
         # composition gate: sessionize → durations → exact median
         "session_duration_stats": events.session_duration_stats,
+        # distributed semi-join: broadcast Bloom prefilter + exact
+        # co-partitioned verify (never drops a true match)
+        "region_orders_semijoin": analytics.region_orders_semijoin,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -2168,6 +2171,16 @@ WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
            FROM events GROUP BY 1)
 SELECT e.event_id, e.event_type, round((e.value - m.mu) / m.sd, 6) AS zscore
 FROM events e JOIN m USING (event_type)""",
+        # exact semi-join (the Bloom filter only PRUNES; the verify is
+        # an exact co-partitioned isin)
+        "region_orders_semijoin": """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 6) AS o_totalprice
+FROM orders o
+WHERE o.o_custkey IN (
+  SELECT c.c_custkey FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA')""",
         # sessionize (the events_sessions CTE) → per-session duration →
         # interpolated median
         "session_duration_stats": """
