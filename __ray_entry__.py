@@ -336,6 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed semi-join: broadcast Bloom prefilter + exact
         # co-partitioned verify (never drops a true match)
         "region_orders_semijoin": analytics.region_orders_semijoin,
+        # interval-OVERLAP join (both sides intervals): sessions ×
+        # derived brackets via two searchsorted probes + diff-array
+        "session_bracket_overlap": events.session_bracket_overlap,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -2171,6 +2174,30 @@ WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
            FROM events GROUP BY 1)
 SELECT e.event_id, e.event_type, round((e.value - m.mu) / m.sd, 6) AS zscore
 FROM events e JOIN m USING (event_type)""",
+        # interval-overlap join: sessions (the events_sessions CTE)
+        # against all-integer derived brackets; [s,e] overlaps [lo,hi)
+        # iff s < hi AND e >= lo
+        "session_bracket_overlap": """
+WITH o AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (SELECT user_id, t,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+g AS (SELECT user_id, sid, min(t) AS s_us, max(t) AS e_us
+      FROM s GROUP BY 1, 2),
+mm AS (SELECT min(s_us) AS tmin, max(e_us) AS tmax FROM g),
+b AS (SELECT i AS bracket_id,
+             tmin + ((tmax - tmin + 1) * i) // 16 AS lo_us,
+             tmin + ((tmax - tmin + 1) * (i + 1)) // 16 AS hi_us
+      FROM mm, range(0, 16) t(i))
+SELECT b.bracket_id, b.lo_us, b.hi_us, count(*)::BIGINT AS n_sessions
+FROM b JOIN g ON g.s_us < b.hi_us AND g.e_us >= b.lo_us
+GROUP BY 1, 2, 3""",
         # exact semi-join (the Bloom filter only PRUNES; the verify is
         # an exact co-partitioned isin)
         "region_orders_semijoin": """

@@ -476,6 +476,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
           lambda: events.session_duration_stats(sf_dir))
     timed("region_orders_semijoin",
           lambda: analytics.region_orders_semijoin(sf_dir).materialize())
+    timed("session_bracket_overlap",
+          lambda: events.session_bracket_overlap(sf_dir))
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

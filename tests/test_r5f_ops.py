@@ -278,3 +278,43 @@ def test_session_duration_median_known_case(ray_session, tmp_path):
     out = session_duration_stats(root)
     assert out["n_sessions"].tolist() == [3]
     assert out["median_duration_us"].tolist() == [20_000_000.0]
+
+
+def test_overlap_join_spanning_and_boundary(ray_session, tmp_path):
+    """A session spanning several brackets contributes once to EACH
+    bracket it overlaps; a session ending exactly at an edge belongs to
+    the bracket left of the edge only (right-open brackets)."""
+    from torchtrajectory_ray.pipelines.events import session_bracket_overlap
+
+    # one user, one long session [0, 4000 s]; a second user with a
+    # point session at t=1000 s (inside bracket 1 of 4)
+    df = _events_df(
+        user_id=[1, 1, 2],
+        ts_s=[0, 4000, 1000],
+        event_type=["view"] * 3,
+        value=[0.0] * 3,
+    )
+    # NOTE: gap 4000 s > 30 min splits user 1 into TWO point sessions
+    # at 0 and 4000 → sessions: {[0,0], [4000s,4000s], [1000s,1000s]}
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = session_bracket_overlap(root, n_brackets=4)
+    # span = 4000 s + 1 µs; brackets ≈ [0,1000s+), [1000s,2000s), ...
+    assert out["n_sessions"].sum() == 3
+    assert set(out["bracket_id"]) <= {0, 1, 2, 3}
+
+
+def test_overlap_join_long_session_counts_every_bracket(ray_session, tmp_path):
+    """A single 2-event session covering the whole span overlaps ALL
+    brackets exactly once each."""
+    from torchtrajectory_ray.pipelines.events import session_bracket_overlap
+
+    df = _events_df(
+        user_id=[1, 1],
+        ts_s=[0, 900],  # 15 min gap < 30 min → ONE session [0, 900 s]
+        event_type=["view"] * 2,
+        value=[0.0] * 2,
+    )
+    root = _write_events(tmp_path, df, n_parts=1)
+    out = session_bracket_overlap(root, n_brackets=8)
+    assert out["bracket_id"].tolist() == list(range(8))
+    assert out["n_sessions"].tolist() == [1] * 8

@@ -1701,3 +1701,71 @@ def session_duration_stats(sf_dir: str) -> pd.DataFrame:
             "median_duration_us": np.array([round(med, 6)], np.float64),
         }
     )
+
+
+def session_bracket_overlap(
+    sf_dir: str, n_brackets: int = N_TIME_BRACKETS
+) -> pd.DataFrame:
+    """INTERVAL-OVERLAP join (both sides are intervals): sessions
+    [start, end] against derived time brackets [lo, hi), counting the
+    sessions that overlap each bracket — the two-sided non-equi join
+    (:func:`time_bracket_join` is its point-in-interval special case).
+    A session can overlap MANY brackets, but the per-batch kernel never
+    materializes the expansion: two ``searchsorted`` probes give each
+    session its first/last overlapped bracket, and a difference array +
+    cumsum turns those ranges into per-bracket counts (one fixed-size
+    partial per batch regardless of fan-out).  Edge math is all-integer
+    (the time_bracket_join convention) so both engines classify
+    boundary sessions identically."""
+    sessions = (
+        session_windows(sf_dir)
+        .select_columns(["session_start_us", "session_end_us"])
+        .materialize()  # session table ≪ event stream; read twice below
+    )
+
+    def mm_part(batch: pa.Table) -> pa.Table:
+        s = batch["session_start_us"].to_numpy()
+        e = batch["session_end_us"].to_numpy()
+        return pa.table(
+            {
+                "tmin": pa.array([int(s.min())], pa.int64()),
+                "tmax": pa.array([int(e.max())], pa.int64()),
+            }
+        )
+
+    mm = sessions.map_batches(mm_part, batch_format="pyarrow").to_pandas()
+    tmin, tmax = int(mm["tmin"].min()), int(mm["tmax"].max())
+    span = tmax - tmin + 1
+    edges = np.array(
+        [tmin + (span * i) // n_brackets for i in range(n_brackets + 1)],
+        np.int64,
+    )
+
+    def overlap_part(batch: pa.Table) -> pa.Table:
+        s = batch["session_start_us"].to_numpy()
+        e = batch["session_end_us"].to_numpy()
+        # bracket range [j0, j1] overlapped by [s, e]: right-open
+        # brackets, so j = searchsorted(edges, t, 'right') − 1
+        j0 = np.searchsorted(edges, s, side="right") - 1
+        j1 = np.searchsorted(edges, e, side="right") - 1
+        diff = np.zeros(n_brackets + 1, np.int64)
+        np.add.at(diff, j0, 1)
+        np.add.at(diff, j1 + 1, -1)
+        cnt = np.cumsum(diff[:-1])
+        return pa.table(
+            {
+                "bracket_id": pa.array(np.arange(n_brackets, dtype=np.int64)),
+                "n_sessions": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = sessions.map_batches(
+        overlap_part, batch_format="pyarrow"
+    ).to_pandas()  # n_brackets rows per batch
+    out = parts.groupby("bracket_id", as_index=False)["n_sessions"].sum()
+    out = out[out["n_sessions"] > 0].reset_index(drop=True)  # inner join
+    bid = out["bracket_id"].to_numpy()
+    out.insert(1, "lo_us", edges[bid])
+    out.insert(2, "hi_us", edges[bid + 1])
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    return out.sort_values("bracket_id").reset_index(drop=True)
