@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interval-OVERLAP join (both sides intervals): sessions ×
         # derived brackets via two searchsorted probes + diff-array
         "session_bracket_overlap": events.session_bracket_overlap,
+        # co-occurrence set similarity between event types (user sets)
+        "event_type_jaccard": events.event_type_jaccard,
+        # grouped-HLL sketch path for HAU, 3σ-gated vs the exact count
+        "hourly_active_users_hll_check": events.hourly_active_users_hll_check,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -2174,6 +2178,26 @@ WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
            FROM events GROUP BY 1)
 SELECT e.event_id, e.event_type, round((e.value - m.mu) / m.sd, 6) AS zscore
 FROM events e JOIN m USING (event_type)""",
+        # per-user distinct type sets self-joined on unordered pairs
+        "event_type_jaccard": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_both::BIGINT AS n_both,
+       round(p.n_both / (ca.n + cb.n - p.n_both), 6) AS jaccard
+FROM p JOIN c ca ON ca.event_type = p.type_a
+       JOIN c cb ON cb.event_type = p.type_b""",
+        # grouped HLL 3σ gate: exact per-hour COUNT(DISTINCT) columns +
+        # the constant flag (a broken sketch flips the Ray side to 0)
+        "hourly_active_users_hll_check": """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       1::BIGINT AS within_3sigma
+FROM events GROUP BY 1""",
         # interval-overlap join: sessions (the events_sessions CTE)
         # against all-integer derived brackets; [s,e] overlaps [lo,hi)
         # iff s < hi AND e >= lo

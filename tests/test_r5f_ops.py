@@ -15,7 +15,7 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 def _write_events(tmp_path, df, n_parts=3):
     d = tmp_path / "events.parquet"
-    d.mkdir()
+    d.mkdir(parents=True)
     for i, part in enumerate(np.array_split(df, n_parts)):
         pq.write_table(
             pa.Table.from_pandas(part.copy(), preserve_index=False),
@@ -318,3 +318,43 @@ def test_overlap_join_long_session_counts_every_bracket(ray_session, tmp_path):
     out = session_bracket_overlap(root, n_brackets=8)
     assert out["bracket_id"].tolist() == list(range(8))
     assert out["n_sessions"].tolist() == [1] * 8
+
+
+def test_event_type_jaccard_known_sets(ray_session, tmp_path):
+    """u1 {view, click}, u2 {view}, u3 {click, purchase} →
+    J(click,view)=1/3, J(click,purchase)=1/2, J(purchase,view)=0."""
+    from torchtrajectory_ray.pipelines.events import event_type_jaccard
+
+    df = _events_df(
+        user_id=[1, 1, 1, 2, 3, 3],
+        ts_s=[0, 1, 2, 3, 4, 5],
+        event_type=["view", "click", "view", "view", "click", "purchase"],
+        value=[0.0] * 6,
+    )
+    root = _write_events(tmp_path, df, n_parts=3)
+    out = event_type_jaccard(root).set_index(["type_a", "type_b"])
+    assert out.loc[("click", "view"), "n_both"] == 1
+    assert out.loc[("click", "view"), "jaccard"] == round(1 / 3, 6)
+    assert out.loc[("click", "purchase"), "jaccard"] == 0.5
+    assert out.loc[("purchase", "view"), "jaccard"] == 0.0
+
+
+def test_hau_hll_layout_independent(ray_session, tmp_path):
+    """The per-hour HLL estimate is a pure function of the (hour, user)
+    set — identical flags and counts at 1 vs 5 file splits."""
+    from torchtrajectory_ray.pipelines.events import (
+        hourly_active_users_hll_check,
+    )
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    df = _events_df(
+        user_id=rng.integers(0, 300, n),
+        ts_s=rng.integers(0, 40 * 3600, n),
+        event_type=["view"] * n,
+        value=[0.0] * n,
+    )
+    a = hourly_active_users_hll_check(_write_events(tmp_path / "a", df, 1))
+    b = hourly_active_users_hll_check(_write_events(tmp_path / "b", df, 5))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["within_3sigma"] == 1).all()

@@ -1769,3 +1769,159 @@ def session_bracket_overlap(
     out.insert(2, "hi_us", edges[bid + 1])
     out["n_sessions"] = out["n_sessions"].astype(np.int64)
     return out.sort_values("bracket_id").reset_index(drop=True)
+
+
+def event_type_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Set similarity between event types over their USER sets —
+    Jaccard(|users(a) ∩ users(b)| / |users(a) ∪ users(b)|) for every
+    unordered type pair (the co-occurrence / market-basket table).
+    One user-keyed exchange of distinct (user, type) pairs; each
+    partition folds its users into per-type bitmasks and counts the
+    ≤ C(|types|,2) pair intersections vectorized, so the final merge
+    is constant-size regardless of corpus scale."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        et = batch["event_type"].to_pandas().to_numpy()
+        df = pd.DataFrame({"user_id": uid, "event_type": et}).drop_duplicates()
+        u = df["user_id"].to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_type": pa.array(df["event_type"].to_numpy()),
+                "part": pa.array(_user_part(u), pa.int32()),
+            }
+        )
+
+    types = list(_EVENT_TYPES)
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"])
+        bits = (
+            g.assign(b=g["event_type"].map(bit_of))
+            .groupby("user_id")["b"]
+            .sum()  # distinct types per user ⇒ sum == OR
+            .to_numpy()
+            .astype(np.int64)
+        )
+        rows = []
+        for i, a in enumerate(types):
+            ai = bits & bit_of[a] > 0
+            rows.append({"type_a": a, "type_b": a, "n": int(ai.sum())})
+            for b in types[i + 1 :]:
+                both = int((ai & (bits & bit_of[b] > 0)).sum())
+                rows.append({"type_a": a, "type_b": b, "n": both})
+        return pd.DataFrame(rows)
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # ≤256 × (types + C(types,2)) rows
+    )
+    tot = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+    singles = {
+        r.type_a: r.n for r in tot[tot["type_a"] == tot["type_b"]].itertuples()
+    }
+    out = tot[tot["type_a"] != tot["type_b"]].copy()
+    na = out["type_a"].map(singles).to_numpy(np.float64)
+    nb = out["type_b"].map(singles).to_numpy(np.float64)
+    both = out["n"].to_numpy(np.float64)
+    out["jaccard"] = np.round(both / (na + nb - both), 6)
+    out = out.rename(columns={"n": "n_both"})
+    out["n_both"] = out["n_both"].astype(np.int64)
+    return (
+        out[["type_a", "type_b", "n_both", "jaccard"]]
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+
+
+def hourly_active_users_hll_check(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """The SKETCH path for the DAU/HAU metric, driver-gated: per-hour
+    HyperLogLog of the user set, folded DISTRIBUTEDLY (per-batch
+    register partials → hour-keyed exchange → elementwise-max per
+    hour), compared against the exact per-hour distinct count with the
+    published 3σ bound flag (the cardinality_hll_check pattern: the
+    SQL oracle emits the constant 1, so any sketch break
+    hash-mismatches).  Per-(hour × batch) partial is a FIXED 2^p bytes
+    whatever the user cardinality — the shape that replaces
+    :func:`hourly_active_users`'s pair exchange when hours × users
+    outgrow it."""
+    from torchtrajectory_ray.functions.bloom import _mix64
+    from torchtrajectory_ray.functions.hll import (
+        hll_estimate,
+        hll_init,
+    )
+
+    m_regs = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from torchtrajectory_ray.functions.hll import hll_add_hashes
+
+        uid = batch["user_id"].to_numpy()
+        hr = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // HOUR_US
+        ) * HOUR_US
+        hashes = (_mix64(uid.astype(np.uint64)) >> np.uint64(1)).astype(
+            np.uint64
+        )  # 63-bit, deterministic
+        hours, regs_rows = [], []
+        for h in np.unique(hr):
+            regs = hll_init(p)
+            hll_add_hashes(regs, hashes[hr == h])
+            hours.append(int(h))
+            regs_rows.append(regs.tobytes())
+        part = (
+            (np.asarray(hours, np.uint64) * _FIB) >> np.uint64(56)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "window_start_us": pa.array(hours, pa.int64()),
+                "regs": pa.array(regs_rows, pa.binary()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for h, grp in g.groupby("window_start_us"):
+            regs = np.zeros(m_regs, np.uint8)
+            for buf in grp["regs"]:
+                np.maximum(regs, np.frombuffer(buf, np.uint8), out=regs)
+            rows.append(
+                {"window_start_us": int(h), "est": hll_estimate(regs)}
+            )
+        return pd.DataFrame(rows)
+
+    est = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # one row per active hour
+    )
+    exact = hourly_active_users(sf_dir)
+    merged = exact.merge(est, on="window_start_us", how="outer", sort=True)
+    bound = 3.0 * 1.04 / float(np.sqrt(m_regs))
+    ratio = np.abs(
+        merged["est"].to_numpy(np.float64)
+        / merged["n_users"].to_numpy(np.float64)
+        - 1.0
+    )
+    return pd.DataFrame(
+        {
+            "window_start_us": merged["window_start_us"].astype(np.int64),
+            "n_users": merged["n_users"].fillna(-1).astype(np.int64),
+            "within_3sigma": np.where(
+                np.isfinite(ratio) & (ratio <= bound), 1, 0
+            ).astype(np.int64),
+        }
+    ).reset_index(drop=True)
