@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_jaccard": events.event_type_jaccard,
         # grouped-HLL sketch path for HAU, 3σ-gated vs the exact count
         "hourly_active_users_hll_check": events.hourly_active_users_hll_check,
+        # DAU/MAU stickiness via merged trailing-window cover intervals
+        "user_stickiness": events.user_stickiness,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -2191,6 +2193,22 @@ SELECT p.type_a, p.type_b, p.n_both::BIGINT AS n_both,
        round(p.n_both / (ca.n + cb.n - p.n_both), 6) AS jaccard
 FROM p JOIN c ca ON ca.event_type = p.type_a
        JOIN c cb ON cb.event_type = p.type_b""",
+        # trailing-window distinct counts: DAU from the diagonal, MAU
+        # from the 30-day BETWEEN range join over distinct (user, day)
+        "user_stickiness": """
+WITH act AS (SELECT DISTINCT user_id,
+                    epoch_us(ts) // 86400000000 AS day FROM events),
+     days AS (SELECT DISTINCT day AS d FROM act),
+     agg AS (SELECT days.d,
+               count(DISTINCT CASE WHEN act.day = days.d
+                              THEN act.user_id END) AS dau,
+               count(DISTINCT act.user_id) AS mau
+             FROM days JOIN act
+               ON act.day BETWEEN days.d - 29 AND days.d
+             GROUP BY days.d)
+SELECT d * 86400000000 AS day_us, dau::BIGINT AS dau, mau::BIGINT AS mau,
+       round(dau / mau, 6) AS stickiness
+FROM agg""",
         # grouped HLL 3σ gate: exact per-hour COUNT(DISTINCT) columns +
         # the constant flag (a broken sketch flips the Ray side to 0)
         "hourly_active_users_hll_check": """

@@ -481,6 +481,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("event_type_jaccard", lambda: events.event_type_jaccard(sf_dir))
     timed("hourly_active_users_hll",
           lambda: events.hourly_active_users_hll_check(sf_dir))
+    timed("user_stickiness", lambda: events.user_stickiness(sf_dir))
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

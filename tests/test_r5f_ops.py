@@ -358,3 +358,48 @@ def test_hau_hll_layout_independent(ray_session, tmp_path):
     b = hourly_active_users_hll_check(_write_events(tmp_path / "b", df, 5))
     pd.testing.assert_frame_equal(a, b)
     assert (a["within_3sigma"] == 1).all()
+
+
+def test_stickiness_window_cover(ray_session, tmp_path):
+    """A user active on days 0 and 40 (gap > 30) covers two separate
+    MAU runs; a user active on days 0 and 10 covers one merged run —
+    and MAU(d) counts a user once even with many active days inside
+    the window."""
+    from torchtrajectory_ray.pipelines.events import user_stickiness
+
+    day = 86_400
+    df = _events_df(
+        user_id=[1, 1, 2, 2, 2],
+        ts_s=[0, 40 * day, 0, 10 * day, 11 * day],
+        event_type=["view"] * 5,
+        value=[0.0] * 5,
+    )
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = user_stickiness(root).set_index("day_us")
+    d_us = lambda d: d * day * 1_000_000
+    # day 0: both users active → dau 2, mau 2
+    assert out.loc[d_us(0), ["dau", "mau"]].tolist() == [2, 2]
+    # day 10: only user 2 active; user 1's day-0 activity still inside
+    # the trailing 30-day window → mau 2
+    assert out.loc[d_us(10), ["dau", "mau"]].tolist() == [1, 2]
+    # day 40: user 1 active; user 2's last activity (day 11) is 29 days
+    # back → still in window → mau 2, dau 1
+    assert out.loc[d_us(40), ["dau", "mau"]].tolist() == [1, 2]
+    assert out.loc[d_us(40), "stickiness"] == 0.5
+
+
+def test_stickiness_mau_counts_user_once(ray_session, tmp_path):
+    from torchtrajectory_ray.pipelines.events import user_stickiness
+
+    day = 86_400
+    # one user active every day for 5 days: mau stays 1 throughout
+    df = _events_df(
+        user_id=[7] * 5,
+        ts_s=[i * day for i in range(5)],
+        event_type=["view"] * 5,
+        value=[0.0] * 5,
+    )
+    root = _write_events(tmp_path, df, n_parts=2)
+    out = user_stickiness(root)
+    assert (out["dau"] == 1).all() and (out["mau"] == 1).all()
+    assert (out["stickiness"] == 1.0).all()

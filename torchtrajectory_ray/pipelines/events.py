@@ -1925,3 +1925,108 @@ def hourly_active_users_hll_check(sf_dir: str, p: int = 12) -> pd.DataFrame:
             ).astype(np.int64),
         }
     ).reset_index(drop=True)
+
+
+def user_stickiness(sf_dir: str, window_days: int = 30) -> pd.DataFrame:
+    """DAU / MAU stickiness per active day: for every day with any
+    activity, the distinct users active THAT day (DAU), the distinct
+    users active in the trailing ``window_days`` window (MAU), and the
+    ratio.  The naive plan expands every (user, day) pair into 30
+    window rows; here each partition instead MERGES each user's
+    per-day cover intervals [d, d+29] (fixed width ⇒ a run-break scan:
+    a new merged interval starts where the day gap exceeds the window)
+    and paints them into a bounded day-length difference array — the
+    exchange moves distinct (user, day) pairs once, the fold is
+    O(span_days) per partition, and no row is ever replicated 30×.
+    Users are disjoint across partitions, so per-day partial counts
+    sum exactly."""
+    w = int(window_days)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
+        day = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.ones(len(uid), bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "day_i": pa.array(day, pa.int64()),
+                "part": pa.array(_user_part(uid), pa.int32()),
+            }
+        )
+
+    # pin the global day span with a tiny min/max pass
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def mm_part(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+            // DAY_US
+        )
+        return pa.table(
+            {
+                "dmin": pa.array([int(d.min())], pa.int64()),
+                "dmax": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    mm = ds.map_batches(mm_part, batch_format="pyarrow").to_pandas()
+    d0, d1 = int(mm["dmin"].min()), int(mm["dmax"].max())
+    span = d1 - d0 + 1
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day_i"]).sort_values(
+            ["user_id", "day_i"]
+        )
+        uid = g["user_id"].to_numpy()
+        day = g["day_i"].to_numpy() - d0
+        dau = np.zeros(span, np.int64)
+        np.add.at(dau, day, 1)  # pairs are distinct ⇒ one per user
+        # merged cover intervals [day, day+w−1]: a new interval starts
+        # at a user boundary or where the gap exceeds the window
+        new = np.ones(len(day), bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (day[1:] - day[:-1] > w - 1)
+        run = np.cumsum(new) - 1
+        starts = day[new]
+        # end of each merged run = last day of the run + w−1 (clamped)
+        last = np.zeros(run[-1] + 1 if len(run) else 0, np.int64)
+        np.maximum.at(last, run, day)
+        ends = np.minimum(last + w - 1, span - 1)
+        diff = np.zeros(span + 1, np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, ends + 1, -1)
+        mau = np.cumsum(diff[:-1])
+        return pd.DataFrame(
+            {
+                "day_i": np.arange(span, dtype=np.int64) + d0,
+                "dau": dau,
+                "mau": mau,
+            }
+        )
+
+    parts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # ≤256 × span_days rows — bounded by time
+    )
+    out = parts.groupby("day_i", as_index=False)[["dau", "mau"]].sum()
+    out = out[out["dau"] > 0].reset_index(drop=True)  # active days only
+    return pd.DataFrame(
+        {
+            "day_us": out["day_i"].to_numpy() * DAY_US,
+            "dau": out["dau"].astype(np.int64),
+            "mau": out["mau"].astype(np.int64),
+            "stickiness": np.round(
+                out["dau"].to_numpy(np.float64) / out["mau"].to_numpy(np.float64), 6
+            ),
+        }
+    ).sort_values("day_us").reset_index(drop=True)
