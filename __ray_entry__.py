@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users_hll_check": events.hourly_active_users_hll_check,
         # DAU/MAU stickiness via merged trailing-window cover intervals
         "user_stickiness": events.user_stickiness,
+        # EXACT weighted multi-field BM25 (BM25F-SA) via Fagin's TA over
+        # two field indexes (title = first 8 tokens, body = the rest)
+        "topk_bm25f": corpus.topk_bm25f,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -1417,6 +1420,53 @@ SELECT term, doc_id, count(*)::BIGINT AS tf
 FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
 GROUP BY term, doc_id""",
         "topk_bm25": topk,
+        # BM25F-SA: each field is its own corpus (own tf/df/dl/avgdl,
+        # shared N), weighted 2·title + 1·body; field split mirrors the
+        # Ray staging exactly (list_slice of the space-split tokens)
+        "topk_bm25f": f"""
+WITH tks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+ft AS (SELECT doc_id, list_slice(ts, 1, 8) AS f FROM tks),
+fb AS (SELECT doc_id, list_slice(ts, 9, 1000000000) AS f FROM tks),
+q(query_id, term) AS (VALUES {_query_values()}),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tok_t AS (SELECT doc_id, unnest(f) AS term FROM ft),
+tf_t AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         FROM tok_t GROUP BY 1, 2),
+dl_t AS (SELECT doc_id, len(f)::DOUBLE AS dl FROM ft),
+st_t AS (SELECT avg(len(f)) AS avgdl FROM ft),
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tf_t GROUP BY 1),
+c_t AS (SELECT q.query_id, tf.doc_id,
+          2.0 * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl))))
+            AS c
+        FROM q JOIN df_t df ON df.term = q.term
+               JOIN tf_t tf ON tf.term = q.term
+               JOIN dl_t dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN st_t st CROSS JOIN n),
+tok_b AS (SELECT doc_id, unnest(f) AS term FROM fb),
+tf_b AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+         FROM tok_b GROUP BY 1, 2),
+dl_b AS (SELECT doc_id, len(f)::DOUBLE AS dl FROM fb),
+st_b AS (SELECT avg(len(f)) AS avgdl FROM fb),
+df_b AS (SELECT term, count(*)::DOUBLE AS df FROM tf_b GROUP BY 1),
+c_b AS (SELECT q.query_id, tf.doc_id,
+          1.0 * ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl))))
+            AS c
+        FROM q JOIN df_b df ON df.term = q.term
+               JOIN tf_b tf ON tf.term = q.term
+               JOIN dl_b dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN st_b st CROSS JOIN n),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM (SELECT * FROM c_t UNION ALL SELECT * FROM c_b)
+           GROUP BY 1, 2)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= 10""",
         # merged two half-corpus indexes == the plain full build, so the
         # merge gate shares the topk oracle verbatim
         "topk_merged": topk,

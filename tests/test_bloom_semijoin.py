@@ -117,3 +117,55 @@ def test_semijoin_empty_region(ray_session):
 
     got = region_orders_semijoin(SF_SMALL, region="NO_SUCH_REGION").to_pandas()
     assert len(got) == 0
+
+
+def test_bm25f_ta_equals_exhaustive_merge(ray_session):
+    """Fagin's TA early-termination must return EXACTLY the ranking an
+    exhaustive union-resolve produces: score every doc in either
+    field's OR candidate set via explain_docs and compare."""
+    import numpy as np
+
+    from torchtrajectory_ray.pipelines.corpus import (
+        WEB_QUERIES,
+        _engine,
+        _ta_topk,
+        documents_field_index,
+    )
+
+    et = _engine(documents_field_index(SF_SMALL, "title"))
+    eb = _engine(documents_field_index(SF_SMALL, "body"))
+    for q in WEB_QUERIES[:4]:
+        terms = q["terms"]
+        ta = _ta_topk(et, eb, terms, 10, 2.0, 1.0)
+        cand = set(et.bool_or(terms).tolist()) | set(eb.bool_or(terms).tolist())
+        score = {d: 0.0 for d in cand}
+        for eng, w in ((et, 2.0), (eb, 1.0)):
+            for r in eng.explain_docs(terms, sorted(cand)):
+                score[r["doc_id"]] += w * r["contrib"]
+        brute = sorted(((s, -d) for d, s in score.items()), reverse=True)
+        want = [(-nd, s) for s, nd in brute[:10]]
+        got = ta[:10]
+        assert [d for d, _ in got] == [d for d, _ in want], q["query_id"]
+        assert np.allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=1e-12
+        )
+
+
+def test_bm25f_title_only_weight_matches_title_index(ray_session):
+    """w_body = 0 reduces BM25F to the title index's own ranking
+    (scores scaled by w_title)."""
+    from torchtrajectory_ray.pipelines.corpus import (
+        WEB_QUERIES,
+        _engine,
+        _ta_topk,
+        documents_field_index,
+    )
+
+    et = _engine(documents_field_index(SF_SMALL, "title"))
+    eb = _engine(documents_field_index(SF_SMALL, "body"))
+    q = WEB_QUERIES[0]
+    ta = _ta_topk(et, eb, q["terms"], 10, 3.0, 0.0)
+    own = et.topk(q["terms"], k=10)
+    assert [d for d, _ in ta[:10]] == [d for d, _ in own]
+    for (d1, s1), (d2, s2) in zip(ta[:10], own):
+        assert abs(s1 - 3.0 * s2) < 1e-9

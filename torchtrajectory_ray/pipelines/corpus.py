@@ -1063,3 +1063,158 @@ def bool_and_not(sf_dir: str) -> pd.DataFrame:
         for d in eng.bool_and_not(q["include"], q["exclude"]):
             rows.append((q["query_id"], int(d)))
     return pd.DataFrame(rows, columns=["query_id", "doc_id"])
+
+
+TITLE_LEN = 8  # tokens in the synthetic "title" field
+
+
+def _field_corpus(sf_dir: str, field: str) -> str:
+    """Stage the derived FIELD corpus (title = first TITLE_LEN tokens,
+    body = the rest) as parquet with the source doc_id preserved —
+    Ray map_batches staging, cached/idempotent like documents_index.
+    The synthetic corpus is single-spaced, so the split mirrors the SQL
+    oracle's ``list_slice(string_split(text, ' '), ...)`` exactly and
+    the staged text re-tokenizes to the same list."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|{field}|{TITLE_LEN}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"fieldcorpus-{name}-{field}-{tag}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def split(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        if field == "title":
+            cut = [" ".join(t.split(" ")[:TITLE_LEN]) for t in texts]
+        else:
+            cut = [" ".join(t.split(" ")[TITLE_LEN:]) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(cut, pa.string()),
+                "lang": batch["lang"],
+            }
+        )
+
+    ray.data.read_parquet(src, columns=["doc_id", "text", "lang"]).map_batches(
+        split, batch_format="pyarrow"
+    ).write_parquet(out)
+    open(marker, "w").write("ok")
+    return out
+
+
+def documents_field_index(sf_dir: str, field: str) -> str:
+    """Build (or load) the inverted index over one derived field."""
+    import glob
+    import hashlib
+
+    staged = _field_corpus(sf_dir, field)
+    files = sorted(glob.glob(os.path.join(staged, "*.parquet")))
+    tag = hashlib.md5("|".join(files).encode()).hexdigest()[:8]
+    out_dir = os.path.join(CACHE_ROOT, f"fieldindex-{os.path.basename(staged)}-{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    build_index(files, out_dir, _INDEX_CFG)
+    return out_dir
+
+
+def _ta_topk(
+    et: QueryEngine,
+    eb: QueryEngine,
+    terms: list[str],
+    k: int,
+    w_title: float,
+    w_body: float,
+    page: int = 50,
+    max_rounds: int = 200,
+) -> list[tuple[int, float]]:
+    """EXACT weighted multi-field top-k via Fagin's Threshold Algorithm
+    (Fagin, Lotem, Naor, PODS'01): sorted access pages each field's
+    ranked list (``search_after`` cursors), random access resolves every
+    newly-seen doc's other-field score through ``explain_docs`` (whose
+    per-term contributions sum to the exact topk score), and the scan
+    stops when the k-th best fully-resolved combined score strictly
+    beats the threshold T = w_t·(last title score) + w_b·(last body
+    score) — every unseen doc is bounded by T, so the answer is exact.
+    A doc absent from a field's postings scores 0 there."""
+    seen: dict[int, list] = {}  # doc -> [s_title, s_body] (None = unresolved)
+    cur_t = cur_b = None
+    done_t = done_b = False
+    last_t = last_b = None  # last sorted-access scores
+
+    def resolve(eng: QueryEngine, side: int, docs: list[int]) -> None:
+        agg: dict[int, float] = {d: 0.0 for d in docs}
+        for r in eng.explain_docs(terms, docs):
+            agg[r["doc_id"]] = agg.get(r["doc_id"], 0.0) + r["contrib"]
+        for d, s in agg.items():
+            seen[d][side] = s
+
+    for _ in range(max_rounds):
+        if not done_t:
+            res = et.search_after(terms, cur_t, k=page)
+            if res:
+                cur_t = res[-1]
+                last_t = res[-1][1]
+                for d, s in res:
+                    seen.setdefault(d, [None, None])[0] = s
+            if len(res) < page:
+                done_t = True
+        if not done_b:
+            res = eb.search_after(terms, cur_b, k=page)
+            if res:
+                cur_b = res[-1]
+                last_b = res[-1][1]
+                for d, s in res:
+                    seen.setdefault(d, [None, None])[1] = s
+            if len(res) < page:
+                done_b = True
+        need_t = [d for d, v in seen.items() if v[0] is None]
+        need_b = [d for d, v in seen.items() if v[1] is None]
+        if need_t:
+            resolve(et, 0, need_t)
+        if need_b:
+            resolve(eb, 1, need_b)
+        scored = sorted(
+            ((w_title * v[0] + w_body * v[1], -d) for d, v in seen.items()),
+            reverse=True,
+        )
+        if done_t and done_b:
+            break
+        if len(scored) >= k:
+            thr = (0.0 if done_t else w_title * (last_t or 0.0)) + (
+                0.0 if done_b else w_body * (last_b or 0.0)
+            )
+            if scored[k - 1][0] > thr:  # strict: T-ties keep scanning
+                break
+    else:
+        raise RuntimeError("TA did not converge within max_rounds")
+    return [(-nd, s) for s, nd in scored[: 2 * k]]
+
+
+def topk_bm25f(
+    sf_dir: str, k: int = 10, w_title: float = 2.0, w_body: float = 1.0
+) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — weighted MULTI-FIELD BM25
+    (BM25F-SA: each field scored as its own corpus with its own
+    df/doclen/avgdl, combined as w_t·BM25_title + w_b·BM25_body) over
+    the fixed workload, computed EXACTLY by Fagin's TA over the two
+    field indexes — no heuristic candidate cut.  Same rounded re-rank
+    protocol as every BM25 gate."""
+    et = _engine(documents_field_index(sf_dir, "title"))
+    eb = _engine(documents_field_index(sf_dir, "body"))
+    rows = []
+    for q in WEB_QUERIES:
+        res = _ta_topk(et, eb, q["terms"], 2 * k, w_title, w_body)
+        df = pd.DataFrame(res, columns=["doc_id", "score"])
+        df["score"] = df["score"].round(6)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        df = df.iloc[:k].reset_index(drop=True)
+        for r, row in df.iterrows():
+            rows.append((q["query_id"], r + 1, int(row["doc_id"]), row["score"]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
