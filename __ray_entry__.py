@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_boosted": corpus.topk_boosted,      # term^boost retrieval
         "synonym_topk": corpus.synonym_topk,      # SynonymQuery expansion
         "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
+        "fuzzy_match2": corpus.fuzzy_match2,      # edit-distance-2 (Lucene maxEdits=2)
         "facet_lang": corpus.facet_lang,          # faceted-search counts
         "snippets_topk": corpus.snippets_topk,    # top-k result highlighting
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
@@ -508,6 +509,14 @@ def _fuzzy_values() -> str:
 
     return ", ".join(
         f"({q['query_id']}, '{q['term']}')" for q in FUZZY_QUERIES
+    )
+
+
+def _fuzzy2_values() -> str:
+    from torchtrajectory_ray.pipelines.corpus import FUZZY2_QUERIES
+
+    return ", ".join(
+        f"({q['query_id']}, '{q['term']}')" for q in FUZZY2_QUERIES
     )
 
 
@@ -1495,6 +1504,13 @@ WITH v AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
 q(query_id, qt) AS (VALUES {_fuzzy_values()})
 SELECT q.query_id::BIGINT AS query_id, v.term, v.df
 FROM q JOIN v ON levenshtein(q.qt, v.term) <= 1""",
+        "fuzzy_match2": f"""
+WITH v AS (SELECT tok AS term, count(DISTINCT doc_id)::BIGINT AS df
+           FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+           GROUP BY tok),
+q(query_id, qt) AS (VALUES {_fuzzy2_values()})
+SELECT q.query_id::BIGINT AS query_id, v.term, v.df
+FROM q JOIN v ON levenshtein(q.qt, v.term) <= 2""",
         # faceted search: lang histogram of each query's OR result
         "facet_lang": f"""
 WITH m AS ({_bool_sql('OR')})

@@ -296,16 +296,25 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
             eng.bool_and_not(q["include"], q["exclude"]) for q in ANDNOT_QUERIES
         ],
     )
-    from torchtrajectory_ray.pipelines.corpus import FUZZY_QUERIES
+    from torchtrajectory_ray.pipelines.corpus import FUZZY2_QUERIES, FUZZY_QUERIES
 
     timed(
         "fuzzy_match",
         lambda: [eng.fuzzy_terms(q["term"]) for q in FUZZY_QUERIES],
     )
     timed(
+        "fuzzy_match2",
+        lambda: [
+            eng.fuzzy_terms(q["term"], max_edits=2) for q in FUZZY2_QUERIES
+        ],
+    )
+    timed(
         "facet_lang",
         lambda: [eng.facet_counts(q["terms"]) for q in WEB_QUERIES],
     )
+    from torchtrajectory_ray.pipelines import corpus as _corpus
+
+    timed("topk_bm25f", lambda: _corpus.topk_bm25f(sf_dir))
     timed(
         "sorted_by_doclen",
         lambda: [

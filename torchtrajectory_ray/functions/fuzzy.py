@@ -112,6 +112,69 @@ def edit1_mask(
     return out
 
 
+def _editk_group(codes: np.ndarray, qcodes: np.ndarray, k: int) -> np.ndarray:
+    """Levenshtein(query, row) <= k over an equal-length candidate group.
+
+    One DP row per query char, vectorized across all candidates.  The
+    horizontal dependency cur[j] = min(d[j], cur[j-1]+1) unrolls to
+    cur[j] = min_{j'<=j} (d[j'] + (j-j')) — a min-plus prefix scan, so
+    each row is a ``minimum.accumulate`` over (d - j) plus j: no per-
+    candidate or per-cell Python loop."""
+    n, lc = codes.shape
+    m = len(qcodes)
+    j_idx = np.arange(lc + 1, dtype=np.int32)
+    prev = np.broadcast_to(j_idx, (n, lc + 1)).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, m + 1):
+        # d[j] = min(vertical prev[j]+1, diagonal prev[j-1]+cost)
+        cur[:, 0] = i
+        np.minimum(
+            prev[:, 1:] + 1,
+            prev[:, :-1] + (codes != qcodes[i - 1]),
+            out=cur[:, 1:],
+        )
+        # resolve the horizontal chain with a min-plus scan
+        cur -= j_idx
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += j_idx
+        prev, cur = cur, prev
+    return prev[:, lc] <= k
+
+
+def editk_mask(
+    query: str,
+    candidates: np.ndarray,
+    k: int = 2,
+    lens: np.ndarray | None = None,
+) -> np.ndarray:
+    """Boolean mask over ``candidates`` marking terms with Levenshtein
+    distance ≤ ``k`` from ``query`` — the general-``k`` companion of
+    :func:`edit1_mask` (which stays the fast path for k=1).  Candidates
+    are grouped by length (only |len−|query|| ≤ k can match — length
+    difference lower-bounds edit distance) and each group runs the
+    vectorized banded-by-length DP of :func:`_editk_group`."""
+    cands = np.asarray(candidates)
+    out = np.zeros(len(cands), bool)
+    if cands.size == 0:
+        return out
+    if lens is None:
+        lens = np.fromiter((len(c) for c in cands), np.int64, len(cands))
+    lq = len(query)
+    qcodes = (
+        _codes(np.asarray([query]), lq)[0] if lq else np.empty(0, np.uint32)
+    )
+    for lc in range(max(0, lq - k), lq + k + 1):
+        sel = lens == lc
+        if not sel.any():
+            continue
+        if lc == 0 or lq == 0:
+            # distance to the empty string is the other string's length
+            out[sel] = max(lc, lq) <= k
+            continue
+        out[sel] = _editk_group(_codes(cands[sel], lc), qcodes, k)
+    return out
+
+
 def levenshtein_ref(a: str, b: str) -> int:
     """Reference DP Levenshtein (tests only)."""
     if len(a) < len(b):

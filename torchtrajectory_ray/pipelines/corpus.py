@@ -59,6 +59,19 @@ FUZZY_QUERIES: list[dict] = [
     {"query_id": 5, "term": "zzznothing"},  # empty result edge
 ]
 
+# Fixed edit-distance-2 workload (two deletions, deletion+substitution,
+# a transposition — 2 plain-Levenshtein edits — plus exact and no-match
+# edges; long probes exercise the k=2 q-gram prune, short ones the full
+# length-grouped scan)
+FUZZY2_QUERIES: list[dict] = [
+    {"query_id": 0, "term": "sak"},          # two deletions from 'spark'
+    {"query_id": 1, "term": "tburle"},       # del+sub on 'table'
+    {"query_id": 2, "term": "windwo"},       # transposition on 'window'
+    {"query_id": 3, "term": "spark"},        # exact (distance 0)
+    {"query_id": 4, "term": "aggregations"}, # long probe (prune path)
+    {"query_id": 5, "term": "zzzqqqxxxyyy"}, # empty result edge
+]
+
 # Fixed phrase workload (ORDER matters — phrase 12 is a repeated-term
 # phrase, phrase 13 a trigram; both exercise the forward-index
 # verification beyond what a first-position chain could answer)
@@ -687,6 +700,20 @@ def fuzzy_match(sf_dir: str) -> pd.DataFrame:
     out = []
     for q in FUZZY_QUERIES:
         hits = eng.fuzzy_terms(q["term"])
+        hits.insert(0, "query_id", np.int64(q["query_id"]))
+        out.append(hits)
+    return pd.concat(out, ignore_index=True)
+
+
+def fuzzy_match2(sf_dir: str) -> pd.DataFrame:
+    """query_id, term, df — every dictionary term within Levenshtein
+    distance 2 of each probe (``QueryEngine.fuzzy_terms(max_edits=2)``:
+    q-gram-pruned candidates verified by the vectorized min-plus-scan
+    DP kernel — the Lucene FuzzyQuery maxEdits=2 surface)."""
+    eng = _engine(documents_index(sf_dir))
+    out = []
+    for q in FUZZY2_QUERIES:
+        hits = eng.fuzzy_terms(q["term"], max_edits=2)
         hits.insert(0, "query_id", np.int64(q["query_id"]))
         out.append(hits)
     return pd.concat(out, ignore_index=True)

@@ -331,21 +331,21 @@ class DictScanIndex:
                 cand = cand[(cand >= lo) & (cand < hi)]
         return cand
 
-    def fuzzy_candidates(self, term: str) -> np.ndarray | None:
-        """Sorted candidate ordinals for edit-distance-1 matches of
+    def fuzzy_candidates(self, term: str, k: int = 1) -> np.ndarray | None:
+        """Sorted candidate ordinals for edit-distance-``k`` matches of
         ``term``, or None when no sound pruning exists.  The q-gram
         count filter (Gravano et al., "Approximate String Joins in a
         Database (Almost) for Free", VLDB 2001 — public): strings within
         edit distance k share at least max(|s|,|t|)−q+1−k·q q-grams, so
-        for q=3, k=1 and |term| >= 6 every match shares >= 1 trigram
-        with the query — candidates = the UNION of the query's trigram
-        postings.  Shorter queries (bound <= 0) full-scan; terms of
-        length < 3 have no trigrams but also can't be within one edit of
-        a length >= 6 query (length gap >= 3), so the union loses
-        nothing."""
-        if len(term) < 6:
+        for q=3 and |term| >= 3 + 3k every match shares >= 1 trigram
+        with the query (k=1: len >= 6; k=2: len >= 9) — candidates = the
+        UNION of the query's trigram postings.  Shorter queries (bound
+        <= 0) full-scan; terms of length < 3 have no trigrams but also
+        can't be within k edits of a length >= 3+3k query (length gap
+        > k), so the union loses nothing."""
+        if len(term) < 3 + 3 * k:
             return None
-        # len >= 6 guarantees >= 4 trigrams, so arrs is never empty
+        # len >= 3+3k guarantees >= 1+3k trigrams, so arrs is never empty
         arrs = [self._post.get(g, _EMPTY) for g in _trigrams(term)]
         return np.unique(np.concatenate(arrs))
 

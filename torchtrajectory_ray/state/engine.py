@@ -1341,41 +1341,43 @@ class QueryEngine:
     def fuzzy_terms(self, term: str, max_edits: int = 1) -> pd.DataFrame:
         """Did-you-mean dictionary probe: ``(term, df)`` rows for every
         dictionary term within Levenshtein distance ``max_edits`` of
-        ``term`` (only 1 supported), term-ascending.  Vectorized
-        length-grouped scan (`functions/fuzzy.py`) over the same
-        dictionary ``prefix_terms`` scans — the NameEdgeIdLookup shape
-        with an approximate comparator."""
-        if max_edits != 1:
-            raise NotImplementedError("only max_edits=1 is supported")
-        from torchtrajectory_ray.functions.fuzzy import edit1_mask
+        ``term`` (1 or 2 — Lucene's FuzzyQuery cap), term-ascending.
+        Vectorized length-grouped scan (`functions/fuzzy.py`) over the
+        same dictionary ``prefix_terms`` scans — the NameEdgeIdLookup
+        shape with an approximate comparator.  k=1 keeps the closed-form
+        split-point kernel; k=2 runs the min-plus-scan DP
+        (``editk_mask``), both behind the same lossless q-gram prune."""
+        if max_edits not in (1, 2):
+            raise ValueError("max_edits must be 1 or 2")
+        from torchtrajectory_ray.functions.fuzzy import edit1_mask, editk_mask
 
-        # the q-gram bound only exists for len >= 6 (dictscan.py), so a
-        # short query must not trigger the one-time trigram build at all
-        if len(term) >= 6:
+        if max_edits == 1:
+            mask = lambda arr, lens: edit1_mask(term, arr, lens)  # noqa: E731
+        else:
+            mask = lambda arr, lens: editk_mask(  # noqa: E731
+                term, arr, max_edits, lens
+            )
+        # the q-gram bound only exists for len >= 3+3k (dictscan.py), so
+        # a short query must not trigger the one-time trigram build
+        if len(term) >= 3 + 3 * max_edits:
             scan = self._scan_index()
-            cand = scan.fuzzy_candidates(term)
+            cand = scan.fuzzy_candidates(term, k=max_edits)
             # q-gram filter (dictscan.py): sub-linear, verified by the
-            # SAME edit1 kernel — lossless
+            # SAME edit kernel — lossless
             sub = scan.terms_arr[cand]
-            hits = sorted(sub[edit1_mask(term, sub, scan.lens_arr[cand])])
+            hits = sorted(sub[mask(sub, scan.lens_arr[cand])])
         elif self._dictscan is not None:
             # the scan index already holds the vocab arrays — no second
             # vocabulary-sized copy (order is immaterial: sorted() below)
             arr = self._dictscan.terms_arr
-            hits = sorted(
-                arr[edit1_mask(term, arr, self._dictscan.lens_arr)]
-            )
+            hits = sorted(arr[mask(arr, self._dictscan.lens_arr)])
         else:
             if self._terms_arr is None:
                 self._terms_arr = np.asarray(self._terms, dtype=object)
                 self._terms_lens = np.fromiter(
                     (len(t) for t in self._terms), np.int64, len(self._terms)
                 )
-            hits = sorted(
-                self._terms_arr[
-                    edit1_mask(term, self._terms_arr, self._terms_lens)
-                ]
-            )
+            hits = sorted(self._terms_arr[mask(self._terms_arr, self._terms_lens)])
         return pd.DataFrame(
             {
                 "term": pd.array(hits, dtype=object),
@@ -1385,9 +1387,9 @@ class QueryEngine:
             }
         )
 
-    def fuzzy_or(self, term: str, **filt) -> np.ndarray:
-        """OR query over every dictionary term within edit distance 1."""
-        terms = self.fuzzy_terms(term)["term"].tolist()
+    def fuzzy_or(self, term: str, max_edits: int = 1, **filt) -> np.ndarray:
+        """OR query over every dictionary term within ``max_edits``."""
+        terms = self.fuzzy_terms(term, max_edits=max_edits)["term"].tolist()
         if not terms:
             return np.empty(0, dtype=np.int64)
         return self.bool_or(terms, **filt)
