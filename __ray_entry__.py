@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         semantic,
         textstats,
         fuzzyjoin,
+        graph,
     )
 
     # KEY ORDER IS THE DRIVER'S CHECK WINDOW: the driver hash-checks the
@@ -348,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXACT weighted multi-field BM25 (BM25F-SA) via Fagin's TA over
         # two field indexes (title = first 8 tokens, body = the rest)
         "topk_bm25f": corpus.topk_bm25f,
+        # PageRank supersteps (Pregel exchange rounds) on the
+        # customer↔supplier purchase graph
+        "pagerank": graph.purchase_pagerank,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -1476,6 +1480,29 @@ SELECT query_id::BIGINT AS query_id,
             ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, score
 FROM scores QUALIFY rank <= 10""",
+        # PageRank: 3 unrolled power iterations over the symmetric
+        # customer↔supplier purchase graph (node parity disambiguates
+        # the two key spaces); symmetric edges ⇒ every node has both
+        # out- and in-edges, so plain inner joins cover all nodes
+        "pagerank": """
+WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+deg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0/nn.n AS r FROM nodes CROSS JOIN nn),
+r1 AS (SELECT e.dst AS node, 0.15/nn.n + 0.85*sum(r0.r/deg.od) AS r
+       FROM edges e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+       CROSS JOIN nn GROUP BY e.dst, nn.n),
+r2 AS (SELECT e.dst AS node, 0.15/nn.n + 0.85*sum(r1.r/deg.od) AS r
+       FROM edges e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+       CROSS JOIN nn GROUP BY e.dst, nn.n),
+r3 AS (SELECT e.dst AS node, 0.15/nn.n + 0.85*sum(r2.r/deg.od) AS r
+       FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+       CROSS JOIN nn GROUP BY e.dst, nn.n)
+SELECT node::BIGINT AS node, round(r, 6) AS pr FROM r3 ORDER BY node""",
         # merged two half-corpus indexes == the plain full build, so the
         # merge gate shares the topk oracle verbatim
         "topk_merged": topk,

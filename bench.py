@@ -461,6 +461,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("customers_no_orders", lambda: analytics.customers_no_orders(sf_dir).materialize())
     timed("corr_stats", lambda: analytics.corr_stats(sf_dir))
     timed("nation_revenue", lambda: analytics.nation_revenue(sf_dir))
+    from torchtrajectory_ray.pipelines import graph as _graph
+
+    timed("pagerank", lambda: _graph.purchase_pagerank(sf_dir))
     timed("priority_ntile", lambda: analytics.priority_ntile(sf_dir))
     timed("funnel_conversions", lambda: events.funnel_conversions(sf_dir).materialize())
     timed("quantiles_cont", lambda: events.quantiles_cont(sf_dir))

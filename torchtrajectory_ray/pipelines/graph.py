@@ -1,0 +1,260 @@
+"""Iterative graph analytics over Ray Data: PageRank as Pregel-style
+supersteps built from the repo's 256-way content-hash exchange.
+
+The graph is the customer↔supplier purchase graph: an undirected edge
+links a customer to every supplier that shipped a line of one of their
+orders (derived by a co-partitioned ``orders ⋈ lineitem`` exchange on
+orderkey — the big×big join shape of ``analytics.nation_revenue``).
+Node ids disambiguate the two key spaces by parity: ``custkey*2`` and
+``suppkey*2 + 1``.
+
+Scale design (the 100-TB shape):
+- Edge derivation is ONE orderkey-keyed exchange; the per-partition
+  join is a vectorized pandas merge.
+- Edges are then re-keyed by ``hash(src)`` and deduped per partition —
+  global dedupe, since every copy of a (src, dst) pair lands in the
+  same src partition — with outdegree computed locally (all of a
+  node's out-edges are co-located by construction).
+- Each PageRank superstep is the Pregel bound: one O(E) exchange moving
+  (dst, rank/outdeg) contributions from src partitions to dst
+  partitions (same hash ⇒ contributions co-locate with the node rows
+  that absorb them), plus an O(V) rank materialization.  Nothing
+  corpus-sized ever reaches the driver — the driver holds only N (one
+  scalar) and the final (node, pr) table the caller asked for.
+- Symmetric edges mean every node in the edge set has outdegree ≥ 1,
+  so there is no dangling-mass term and Σ pr stays exactly 1 per
+  iteration (up to float rounding).
+
+Reference analog: the iterative-rounds shape of Torch's LEVI
+incremental top-k (SearchWithLEVI.java) re-targeted to a global graph
+fixpoint; the per-round exchange discipline follows the Pregel paper
+(Malewicz et al., SIGMOD 2010 — public).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+DAMPING = 0.85
+N_PARTS = 256
+
+
+def _part_of(keys: np.ndarray) -> np.ndarray:
+    """Fibonacci-hash top-byte partition (the exchange key used across
+    the repo — see analytics.py / events.py)."""
+    return (
+        (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        >> np.uint64(56)
+    ).astype(np.int32)
+
+
+def _purchase_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct symmetric (src, dst) purchase edges with per-src
+    outdegree, partitioned by ``hash(src)``.  Columns:
+    ``part int32, src int64, dst int64, od float64``."""
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(_part_of(ok), pa.int32()),
+                "okey": pa.array(ok, pa.int64()),
+                "key": pa.array(
+                    batch["o_custkey"].to_numpy().astype(np.int64) * 2,
+                    pa.int64(),
+                ),
+                "side": pa.array(np.zeros(len(ok), np.int8), pa.int8()),
+            }
+        )
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        return pa.table(
+            {
+                "part": pa.array(_part_of(ok), pa.int32()),
+                "okey": pa.array(ok, pa.int64()),
+                "key": pa.array(
+                    batch["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1,
+                    pa.int64(),
+                ),
+                "side": pa.array(np.ones(len(ok), np.int8), pa.int8()),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_side, batch_format="pyarrow")
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        # customer×supplier pairs that share an orderkey, deduped
+        # locally (global dedupe happens in the src partition below)
+        o = g[g["side"] == 0][["okey", "key"]].rename(columns={"key": "cust"})
+        l = g[g["side"] == 1][["okey", "key"]].rename(columns={"key": "supp"})
+        m = o.merge(l, on="okey")[["cust", "supp"]].drop_duplicates()
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "part": pd.Series([], dtype=np.int32),
+                    "src": pd.Series([], dtype=np.int64),
+                    "dst": pd.Series([], dtype=np.int64),
+                }
+            )
+        # both directions; parity keeps the two spaces disjoint
+        src = np.concatenate([m["cust"].to_numpy(), m["supp"].to_numpy()])
+        dst = np.concatenate([m["supp"].to_numpy(), m["cust"].to_numpy()])
+        return pd.DataFrame(
+            {"part": _part_of(src), "src": src, "dst": dst}
+        )
+
+    def dedupe_and_degree(g: pd.DataFrame) -> pd.DataFrame:
+        # all copies of a (src, dst) pair share hash(src) ⇒ this
+        # per-partition dedupe is global; outdegree is local for the
+        # same reason
+        e = g[["part", "src", "dst"]].drop_duplicates(["src", "dst"])
+        od = e.groupby("src")["dst"].transform("size").astype(np.float64)
+        return e.assign(od=od)
+
+    return (
+        orders.union(lines)
+        .groupby("part")
+        .map_groups(join_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(dedupe_and_degree, batch_format="pandas")
+        .repartition(32)  # compact blocks: read 3× (once per superstep)
+        .materialize()  # the iteration working set — reused every superstep
+    )
+
+
+def purchase_pagerank(
+    sf_dir: str, iters: int = 3, d: float = DAMPING
+) -> pd.DataFrame:
+    """``node, pr`` — PageRank after ``iters`` power iterations on the
+    customer↔supplier purchase graph, uniform 1/N start, damping ``d``:
+    ``pr'(v) = (1-d)/N + d · Σ_{u→v} pr(u)/outdeg(u)``.  Exactly the
+    unrolled-SQL oracle's recurrence; scores rounded to 6 dp."""
+    edges = _purchase_edges(sf_dir)
+
+    def node_rows(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g["src"].drop_duplicates().to_numpy()
+        return pd.DataFrame(
+            {
+                "part": np.full(len(nodes), g["part"].iloc[0], np.int32),
+                "node": nodes,
+            }
+        )
+
+    nodes = (
+        edges.groupby("part").map_groups(node_rows, batch_format="pandas")
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=np.int64),
+             "pr": pd.Series([], dtype=np.float64)}
+        )
+    r_init = 1.0 / float(n_nodes)
+    teleport = (1.0 - d) / float(n_nodes)
+
+    def _tag(ds: ray.data.Dataset, side: int, rank_col: bool) -> ray.data.Dataset:
+        # normalize to the union schema (part, a, b, x, side):
+        # edges: a=src, b=dst, x=outdeg; ranks: a=node, x=rank
+        def conv(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if side == 0:
+                a, b, x = batch["src"], batch["dst"], batch["od"]
+            else:
+                a = batch["node"]
+                b = pa.array(np.zeros(n, np.int64), pa.int64())
+                x = batch["r"] if rank_col else pa.array(
+                    np.full(n, r_init), pa.float64()
+                )
+            return pa.table(
+                {
+                    "part": batch["part"],
+                    "a": a,
+                    "b": b,
+                    "x": x,
+                    "side": pa.array(np.full(n, side, np.int8), pa.int8()),
+                }
+            )
+
+        return ds.map_batches(conv, batch_format="pyarrow")
+
+    # ranks start as the node table itself (r = 1/N attached in _tag)
+    ranks: ray.data.Dataset | None = None
+    for _ in range(iters):
+        rank_side = (
+            _tag(nodes, 1, rank_col=False)
+            if ranks is None
+            else _tag(ranks, 1, rank_col=True)
+        )
+
+        def contrib_part(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["side"] == 0]
+            r = g[g["side"] == 1][["a", "x"]].rename(
+                columns={"a": "src", "x": "r"}
+            )
+            m = e.merge(r, left_on="a", right_on="src")
+            if m.empty:
+                return pd.DataFrame(
+                    {
+                        "part": pd.Series([], dtype=np.int32),
+                        "node": pd.Series([], dtype=np.int64),
+                        "c": pd.Series([], dtype=np.float64),
+                    }
+                )
+            dst = m["b"].to_numpy()
+            # pre-sum per (partition, dst) so the exchange moves at most
+            # one row per (src-partition, dst) pair
+            out = (
+                pd.DataFrame({"node": dst, "c": m["r"].to_numpy() / m["x"].to_numpy()})
+                .groupby("node", as_index=False)["c"]
+                .sum()
+            )
+            out.insert(0, "part", _part_of(out["node"].to_numpy()))
+            return out
+
+        contribs = (
+            rank_side.union(_tag(edges, 0, rank_col=False))
+            .groupby("part")
+            .map_groups(contrib_part, batch_format="pandas")
+            # the Pregel message buffer: O(E)-bounded, materialized so
+            # the two all-to-all exchanges of a superstep never sit in
+            # one streaming DAG (back-to-back sorts pipeline poorly);
+            # repartitioned to a FIXED block count — group-wise output
+            # otherwise inflates the block count every superstep and
+            # each iteration gets slower than the last
+            .repartition(32)
+            .materialize()
+        )
+
+        def absorb(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("node", as_index=False)["c"].sum()
+            s["r"] = teleport + d * s["c"]
+            s.insert(0, "part", _part_of(s["node"].to_numpy()))
+            return s[["part", "node", "r"]]
+
+        # symmetric edges ⇒ every node has in-edges, so the contrib
+        # table already covers all nodes — no left-join against the
+        # node list is needed
+        ranks = (
+            contribs.groupby("part")
+            .map_groups(absorb, batch_format="pandas")
+            .repartition(8)  # O(V) rows — keep the state block-compact
+            .materialize()
+        )
+
+    out = ranks.to_pandas()[["node", "r"]]
+    out["pr"] = out["r"].round(6)
+    return (
+        out[["node", "pr"]]
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"node": np.int64})
+    )
