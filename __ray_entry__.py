@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PageRank supersteps (Pregel exchange rounds) on the
         # customer↔supplier purchase graph
         "pagerank": graph.purchase_pagerank,
+        # HITS hubs/authorities on the directed customer→supplier graph
+        "hits": graph.purchase_hits,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -385,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_doclen": corpus.facet_doclen,      # numeric RANGE facet
         "sorted_by_doclen": corpus.sorted_by_doclen,  # sort-by-field (Sort)
         "topk_corrected": corpus.topk_corrected,  # spell-corrected re-query
+        # two-tier correction: edit-1 first, edit-2 fallback per term
+        "topk_corrected2": corpus.topk_corrected2,
         "min_match": corpus.min_match,            # minimum_should_match
         "topk_min_match": corpus.topk_min_match,  # ranked msm
         "prf_topk": corpus.prf_topk,              # Rocchio pseudo-rel feedback
@@ -1002,6 +1006,56 @@ SELECT query_id::BIGINT AS query_id,
 FROM scores QUALIFY rank <= {k}"""
 
 
+def _corrected2_sql(k: int = 10) -> str:
+    """Two-tier spell-corrected retrieval oracle: OOV terms take their
+    best dictionary term within edit distance 2, ordered distance ASC
+    first (the DirectSpellChecker escalation — an edit-1 candidate
+    always beats every edit-2 one), then df desc, term asc; then the
+    shared BM25 chain.  Equivalent to the engine's per-term edit-1 →
+    edit-2 fallback because the fallback only fires when the edit-1
+    candidate set is empty."""
+    from torchtrajectory_ray.pipelines.corpus import TYPO2_QUERIES
+
+    vals = ", ".join(
+        f"({q['query_id']}, '{t}')" for q in TYPO2_QUERIES for t in q["terms"]
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len({_TOKS})::DOUBLE AS dl FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, avg(len({_TOKS})) AS avgdl FROM documents),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q0(query_id, term) AS (VALUES {vals}),
+inv AS (SELECT query_id, term FROM q0
+        WHERE term IN (SELECT term FROM df)),
+oov AS (SELECT q0.query_id, df.term
+        FROM q0 JOIN df ON levenshtein(q0.term, df.term) <= 2
+        WHERE q0.term NOT IN (SELECT term FROM df)
+        QUALIFY row_number() OVER (PARTITION BY q0.query_id, q0.term
+                ORDER BY levenshtein(q0.term, df.term) ASC,
+                         df.df DESC, df.term ASC) = 1),
+q AS (SELECT DISTINCT query_id, term FROM
+      (SELECT query_id, term FROM inv
+       UNION ALL SELECT query_id, term FROM oov)),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+    ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+      * (tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / st.avgdl)))) AS c
+  FROM q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st),
+scores AS (SELECT query_id, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id::BIGINT AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, score
+FROM scores QUALIFY rank <= {k}"""
+
+
 def _msm_sql() -> str:
     """minimum_should_match oracle: docs with at least m DISTINCT
     matching terms per query."""
@@ -1345,6 +1399,7 @@ FROM tok, UNNEST(generate_series(1, len(ts))) AS g(i)""",
         "wildcard_match": _wildcard_sql(),
         "prf_topk": _prf_sql(),
         "topk_corrected": _corrected_sql(),
+        "topk_corrected2": _corrected2_sql(),
         "min_match": _msm_sql(),
         "topk_min_match": _ranked_msm_sql(),
         # sort-by-field retrieval: OR match set ordered doclen DESC
@@ -1503,6 +1558,28 @@ r3 AS (SELECT e.dst AS node, 0.15/nn.n + 0.85*sum(r2.r/deg.od) AS r
        FROM edges e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
        CROSS JOIN nn GROUP BY e.dst, nn.n)
 SELECT node::BIGINT AS node, round(r, 6) AS pr FROM r3 ORDER BY node""",
+        # HITS: 2 unrolled rounds (auth then hub, L1-normalized after
+        # each half-step) from h0 ≡ 1 on the directed c→s edge set
+        "hits": """
+WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+h0 AS (SELECT DISTINCT c AS node, 1.0 AS h FROM pairs),
+a1r AS (SELECT p.s AS node, sum(h0.h) AS a FROM pairs p
+        JOIN h0 ON h0.node = p.c GROUP BY p.s),
+a1 AS (SELECT node, a / (SELECT sum(a) FROM a1r) AS a FROM a1r),
+h1r AS (SELECT p.c AS node, sum(a1.a) AS h FROM pairs p
+        JOIN a1 ON a1.node = p.s GROUP BY p.c),
+h1 AS (SELECT node, h / (SELECT sum(h) FROM h1r) AS h FROM h1r),
+a2r AS (SELECT p.s AS node, sum(h1.h) AS a FROM pairs p
+        JOIN h1 ON h1.node = p.c GROUP BY p.s),
+a2 AS (SELECT node, a / (SELECT sum(a) FROM a2r) AS a FROM a2r),
+h2r AS (SELECT p.c AS node, sum(a2.a) AS h FROM pairs p
+        JOIN a2 ON a2.node = p.s GROUP BY p.c),
+h2 AS (SELECT node, h / (SELECT sum(h) FROM h2r) AS h FROM h2r)
+SELECT node::BIGINT AS node, kind, round(score, 6) AS score FROM (
+  SELECT node, 'auth' AS kind, a AS score FROM a2
+  UNION ALL SELECT node, 'hub' AS kind, h AS score FROM h2)
+ORDER BY kind, node""",
         # merged two half-corpus indexes == the plain full build, so the
         # merge gate shares the topk oracle verbatim
         "topk_merged": topk,

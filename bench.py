@@ -185,11 +185,22 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "prf_topk",
         lambda: [eng.prf_topk(q["terms"], k=10, r=3, e=2) for q in WEB_QUERIES],
     )
-    from torchtrajectory_ray.pipelines.corpus import MSM_QUERIES, TYPO_QUERIES
+    from torchtrajectory_ray.pipelines.corpus import (
+        MSM_QUERIES,
+        TYPO2_QUERIES,
+        TYPO_QUERIES,
+    )
 
     timed(
         "topk_corrected",
         lambda: [eng.topk_corrected(q["terms"], k=10) for q in TYPO_QUERIES],
+    )
+    timed(
+        "topk_corrected2",
+        lambda: [
+            eng.topk_corrected(q["terms"], k=10, max_edits=2)
+            for q in TYPO2_QUERIES
+        ],
     )
     timed(
         "min_match",
@@ -464,6 +475,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from torchtrajectory_ray.pipelines import graph as _graph
 
     timed("pagerank", lambda: _graph.purchase_pagerank(sf_dir))
+    timed("hits", lambda: _graph.purchase_hits(sf_dir))
     timed("priority_ntile", lambda: analytics.priority_ntile(sf_dir))
     timed("funnel_conversions", lambda: events.funnel_conversions(sf_dir).materialize())
     timed("quantiles_cont", lambda: events.quantiles_cont(sf_dir))

@@ -138,6 +138,19 @@ TYPO_QUERIES: list[dict] = [
     {"query_id": 3, "terms": ["zzznothing"]},
 ]
 
+# Fixed two-tier spell-correction workload (DirectSpellChecker
+# escalation): query 0/2 need the edit-2 fallback, query 1/4 have an
+# edit-1 correction that must win over closer-df edit-2 candidates
+# ("tble"→table not "the", "qery"→query not "key"), query 3 is
+# uncorrectable even at edit distance 2 (empty-result edge)
+TYPO2_QUERIES: list[dict] = [
+    {"query_id": 0, "terms": ["spqrx", "join"]},
+    {"query_id": 1, "terms": ["tble", "scann"]},
+    {"query_id": 2, "terms": ["windqq", "colmnn"]},
+    {"query_id": 3, "terms": ["zzzzzz"]},
+    {"query_id": 4, "terms": ["qery", "batch"]},
+]
+
 # Fixed takedown workload: 25 doc ids live at every sf (sf0.001 has 50
 # docs).  Tombstoned at serving time; purged physically by compaction.
 DELETED_DOC_IDS: list[int] = sorted(range(0, 50, 2))
@@ -927,6 +940,21 @@ def topk_corrected(sf_dir: str, k: int = 10) -> pd.DataFrame:
     rows = []
     for q in TYPO_QUERIES:
         _, res = eng.topk_corrected(q["terms"], k=2 * k)
+        rows.extend(_ranked_rows(q["query_id"], res, k))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
+def topk_corrected2(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """query_id, rank, doc_id, score — two-tier spell-corrected BM25
+    top-k (``QueryEngine.topk_corrected(max_edits=2)``): OOV terms take
+    their best edit-1 dictionary correction, falling back to edit-2
+    only when no edit-1 candidate exists — the Lucene
+    DirectSpellChecker maxEdits escalation, where distance outranks
+    df.  Same rounded re-rank protocol as :func:`topk_bm25`."""
+    eng = _engine(documents_index(sf_dir))
+    rows = []
+    for q in TYPO2_QUERIES:
+        _, res = eng.topk_corrected(q["terms"], k=2 * k, max_edits=2)
         rows.extend(_ranked_rows(q["query_id"], res, k))
     return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
 

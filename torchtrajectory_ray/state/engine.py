@@ -1395,17 +1395,23 @@ class QueryEngine:
         return self.bool_or(terms, **filt)
 
     def topk_corrected(
-        self, query: str | list[str], k: int = 10, **filt
+        self, query: str | list[str], k: int = 10, max_edits: int = 1, **filt
     ) -> tuple[list[str], list[tuple[int, float]]]:
         """Spell-corrected retrieval (the Lucene DirectSpellChecker →
         re-query shape): each query term NOT in the dictionary is
         replaced by its best edit-distance-1 dictionary correction
         (highest df, term-ascending ties — the did-you-mean rule of
         ``suggest``); uncorrectable terms drop (the unindexed-term
-        rule).  The corrected term SET (sorted, deduped — two typos may
-        correct to one term) feeds the ordinary BM25 top-k.  Returns
-        ``(corrected_terms, results)`` so callers can surface the
-        rewrite."""
+        rule).  ``max_edits=2`` escalates PER TERM the way
+        DirectSpellChecker widens maxEdits: the edit-2 dictionary scan
+        runs only for terms with NO edit-1 candidate, so a closer
+        correction always beats a higher-df farther one (distance
+        outranks df — the suggest ordering).  The corrected term SET
+        (sorted, deduped — two typos may correct to one term) feeds the
+        ordinary BM25 top-k.  Returns ``(corrected_terms, results)`` so
+        callers can surface the rewrite."""
+        if max_edits not in (1, 2):
+            raise ValueError("max_edits must be 1 or 2")
         terms = self._tokenize(query) if isinstance(query, str) else list(query)
         corrected: set[str] = set()
         for t in terms:
@@ -1413,6 +1419,8 @@ class QueryEngine:
                 corrected.add(t)
                 continue
             hits = self.fuzzy_terms(t)
+            if not len(hits) and max_edits == 2:
+                hits = self.fuzzy_terms(t, max_edits=2)
             if len(hits):
                 best = hits.sort_values(
                     ["df", "term"], ascending=[False, True], kind="mergesort"
