@@ -354,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": graph.purchase_pagerank,
         # HITS hubs/authorities on the directed customer→supplier graph
         "hits": graph.purchase_hits,
+        # BFS hop distances from fixed seed customers (Pregel SSSP)
+        "graph_bfs": graph.purchase_bfs,
+        # top customer pairs by shared suppliers (bipartite wedges)
+        "copurchase_topk": graph.copurchase_topk,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -1580,6 +1584,39 @@ SELECT node::BIGINT AS node, kind, round(score, 6) AS score FROM (
   SELECT node, 'auth' AS kind, a AS score FROM a2
   UNION ALL SELECT node, 'hub' AS kind, h AS score FROM h2)
 ORDER BY kind, node""",
+        # BFS: 3 unrolled Bellman-Ford rounds from seed customers 1..3
+        # (node ids 2,4,6); unreached nodes stay absent, seeds persist
+        # even if edgeless
+        "graph_bfs": """
+WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+d0(node, dist) AS (VALUES (2, 0), (4, 0), (6, 0)),
+d1 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL SELECT e.dst, d0.dist + 1 FROM edges e
+                  JOIN d0 ON d0.node = e.src) GROUP BY node),
+d2 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL SELECT e.dst, d1.dist + 1 FROM edges e
+                  JOIN d1 ON d1.node = e.src) GROUP BY node),
+d3 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL SELECT e.dst, d2.dist + 1 FROM edges e
+                  JOIN d2 ON d2.node = e.src) GROUP BY node)
+SELECT node::BIGINT AS node, dist::BIGINT AS dist FROM d3 ORDER BY node""",
+        # co-purchase wedge counts: strict (shared DESC, cust_a, cust_b)
+        # total order makes LIMIT deterministic
+        "copurchase_topk": """
+WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+pp AS (SELECT a.c AS cust_a, b.c AS cust_b, count(*) AS shared
+       FROM pairs a JOIN pairs b ON a.s = b.s AND a.c < b.c
+       GROUP BY a.c, b.c HAVING count(*) >= 2)
+SELECT cust_a::BIGINT AS cust_a, cust_b::BIGINT AS cust_b,
+       shared::BIGINT AS shared
+FROM pp ORDER BY shared DESC, cust_a ASC, cust_b ASC LIMIT 25""",
         # merged two half-corpus indexes == the plain full build, so the
         # merge gate shares the topk oracle verbatim
         "topk_merged": topk,

@@ -207,6 +207,220 @@ def _propagate(
     )
 
 
+def copurchase_topk(
+    sf_dir: str,
+    k: int = 25,
+    min_shared: int = 2,
+    max_fanout: int = 4096,
+) -> pd.DataFrame:
+    """``cust_a, cust_b, shared`` — the ``k`` customer pairs sharing
+    the most suppliers (ties cust_a-, then cust_b-ascending; strict
+    total order ⇒ deterministic).  The bipartite wedge enumeration
+    (Wang et al., "Butterfly Counting in Bipartite Networks", KDD
+    2018 — public): supplier-keyed exchange co-locates each supplier's
+    customer list, every supplier emits its C(deg, 2) customer pairs
+    (vectorized ``np.triu_indices``) pre-summed per partition, then ONE
+    pair-hash exchange produces global counts and the per-partition
+    top-k under the same strict order merges exactly on the driver
+    (disjoint partitions ⇒ ≤ 256·k driver rows — the repo's exact
+    top-k pattern).
+
+    Wedges grow quadratically in supplier degree, so a hub supplier is
+    the scale hazard: any degree above ``max_fanout`` raises instead of
+    silently emitting O(deg²) rows (the ``max_dup_hashes`` fail-loud
+    convention).  At 10^12 docs, raise the cap knowingly or pre-split
+    hubs."""
+    edges = _purchase_edges(sf_dir)
+
+    def wedge_part(g: pd.DataFrame) -> pd.DataFrame:
+        # supplier-side rows: src odd ⇒ (supplier, customer), all of a
+        # supplier's customers co-located by the hash(src) partitioning.
+        # Pairs are packed into ONE int64 code (cust_a<<32 | cust_b,
+        # cust_a < cust_b) so the per-partition combine is a single
+        # np.unique — ~5× faster than a two-column pandas groupby and
+        # the code's natural order IS (cust_a, cust_b)-ascending.
+        sub = g[g["src"] % 2 == 1]
+        codes: list[np.ndarray] = []
+        for _, grp in sub.groupby("src"):
+            cust = np.sort(grp["dst"].to_numpy() >> 1)  # node id → custkey
+            d = len(cust)
+            if d > max_fanout:
+                raise ValueError(
+                    f"supplier fanout {d} exceeds max_fanout={max_fanout}; "
+                    "raise the cap or pre-split hub suppliers"
+                )
+            if d < 2:
+                continue
+            i, j = np.triu_indices(d, 1)
+            codes.append((cust[i] << np.int64(32)) | cust[j])
+        if not codes:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "code": pa.array([], pa.int64()),
+                }
+            )
+        # NO local combine: a pair rarely repeats within one supplier
+        # partition (measured dup factor ≈ 1.00 at sf0.1), so a local
+        # np.unique would sort all the wedges for nothing — ship the
+        # codes raw with implicit count 1 and count once, globally, in
+        # the pair partition.  Arrow out: the downstream exchange sorts
+        # these 172M-row-scale blocks zero-copy.
+        code = np.concatenate(codes)
+        return pa.table(
+            {
+                "part": pa.array(_part_of(code), pa.int32()),
+                "code": pa.array(code, pa.int64()),
+            }
+        )
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        # all copies of a pair share hash(code) ⇒ these counts are global
+        uniq, tot = np.unique(g["code"].to_numpy(), return_counts=True)
+        keep = tot >= min_shared
+        uniq, tot = uniq[keep], tot[keep].astype(np.int64)
+        # strict (shared DESC, code ASC) order; codes are unique here
+        order = np.lexsort((uniq, -tot))[:k]
+        return pd.DataFrame({"code": uniq[order], "shared": tot[order]})
+
+    cand = (
+        edges.groupby("part")
+        .map_groups(wedge_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pandas")
+    ).to_pandas()
+    code = cand["code"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame(
+        {
+            "cust_a": code >> np.int64(32),
+            "cust_b": code & np.int64(0xFFFFFFFF),
+            "shared": cand["shared"].to_numpy(),
+        }
+    )
+    return (
+        out.sort_values(
+            ["shared", "cust_a", "cust_b"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        .head(k)
+        .reset_index(drop=True)
+        .astype({"cust_a": np.int64, "cust_b": np.int64, "shared": np.int64})
+    )
+
+
+# Fixed BFS workload: seed customers 1..3 (node ids 2,4,6 after the
+# parity encoding) — present at every scale factor
+BFS_SEED_CUSTKEYS: list[int] = [1, 2, 3]
+
+
+def purchase_bfs(
+    sf_dir: str, hops: int = 3, seed_custkeys: list[int] | None = None
+) -> pd.DataFrame:
+    """``node, dist`` — BFS hop distance from the seed customer set on
+    the undirected purchase graph, Bellman-Ford style min-propagation
+    (the Pregel SSSP shape — Malewicz et al., SIGMOD 2010; the
+    reference's shortest-path state is the ST2 analog,
+    ``TorGraph.java`` path cache): ``dist'(v) = min(dist(v),
+    min_{u→v} dist(u)+1)`` for ``hops`` rounds.  Nodes still unreached
+    after ``hops`` rounds are absent from the result (the frontier
+    table only ever holds reached nodes — O(reached), not O(V)).
+    Rows node-ascending."""
+    seeds = sorted(
+        {int(c) * 2 for c in (seed_custkeys or BFS_SEED_CUSTKEYS)}
+    )
+    edges = _purchase_edges(sf_dir)
+
+    seed_arr = np.asarray(seeds, np.int64)
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "part": pa.array(_part_of(seed_arr), pa.int32()),
+                "node": pa.array(seed_arr, pa.int64()),
+                "d": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64()),
+            }
+        )
+    )
+
+    for _ in range(hops):
+
+        def conv_edges(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "part": batch["part"],
+                    "a": batch["src"],
+                    "b": batch["dst"],
+                    "x": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                }
+            )
+
+        def conv_dist(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "part": batch["part"],
+                    "a": batch["node"],
+                    "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "x": batch["d"],
+                    "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                }
+            )
+
+        def relax_part(g: pd.DataFrame) -> pd.DataFrame:
+            d = g[g["side"] == 1][["a", "x"]].rename(
+                columns={"a": "src", "x": "d"}
+            )
+            e = g[g["side"] == 0]
+            m = e.merge(d, left_on="a", right_on="src")
+            # messages: dist(u)+1 toward each neighbor, pre-min'd per
+            # (partition, dst); the node's own current dist rides along
+            # as a message to itself so the absorb min covers self
+            msgs = [
+                pd.DataFrame({"node": d["src"].to_numpy(), "nd": d["d"].to_numpy()})
+            ]
+            if not m.empty:
+                msgs.append(
+                    pd.DataFrame(
+                        {"node": m["b"].to_numpy(), "nd": m["d"].to_numpy() + 1}
+                    )
+                )
+            out = (
+                pd.concat(msgs, ignore_index=True)
+                .groupby("node", as_index=False)["nd"]
+                .min()
+            )
+            out.insert(0, "part", _part_of(out["node"].to_numpy()))
+            return out
+
+        def absorb(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("node", as_index=False)["nd"].min()
+            s = s.rename(columns={"nd": "d"})
+            s.insert(0, "part", _part_of(s["node"].to_numpy()))
+            return s[["part", "node", "d"]]
+
+        dist = (
+            edges.map_batches(conv_edges, batch_format="pyarrow")
+            .union(dist.map_batches(conv_dist, batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(relax_part, batch_format="pandas")
+            .repartition(32)
+            .materialize()
+            .groupby("part")
+            .map_groups(absorb, batch_format="pandas")
+            .repartition(8)
+            .materialize()
+        )
+
+    out = dist.to_pandas()[["node", "d"]].rename(columns={"d": "dist"})
+    return (
+        out.sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"node": np.int64, "dist": np.int64})
+    )
+
+
 def purchase_hits(sf_dir: str, iters: int = 2) -> pd.DataFrame:
     """``node, kind, score`` — HITS hubs-and-authorities (Kleinberg,
     JACM 1999 — public) after ``iters`` rounds on the directed
