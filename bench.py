@@ -474,7 +474,14 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("nation_revenue", lambda: analytics.nation_revenue(sf_dir))
     from torchtrajectory_ray.pipelines import graph as _graph
 
-    timed("pagerank", lambda: _graph.purchase_pagerank(sf_dir))
+    # first graph op pays the (cached) edge derivation; the rest reuse
+    # it — retries restore the matching state via the cache reset
+    _graph.clear_edge_cache()
+    timed(
+        "pagerank",
+        lambda: _graph.purchase_pagerank(sf_dir),
+        reset=_graph.clear_edge_cache,
+    )
     timed("hits", lambda: _graph.purchase_hits(sf_dir))
     timed("graph_bfs", lambda: _graph.purchase_bfs(sf_dir))
     timed("copurchase_topk", lambda: _graph.copurchase_topk(sf_dir))

@@ -51,10 +51,27 @@ def _part_of(keys: np.ndarray) -> np.ndarray:
     ).astype(np.int32)
 
 
+# Session-level cache of the materialized edge working set, keyed by
+# sf_dir: every graph query over the same corpus reuses ONE derivation
+# (the inputs are immutable parquet; the cached Dataset is O(E) rows of
+# 4 scalar columns pinned in the object store — bounded and shared)
+_EDGES_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def clear_edge_cache() -> None:
+    """Drop the cached edge working sets (cold-state reset for
+    benchmarks; frees the pinned object-store blocks)."""
+    _EDGES_CACHE.clear()
+
+
 def _purchase_edges(sf_dir: str) -> ray.data.Dataset:
     """Distinct symmetric (src, dst) purchase edges with per-src
     outdegree, partitioned by ``hash(src)``.  Columns:
-    ``part int32, src int64, dst int64, od float64``."""
+    ``part int32, src int64, dst int64, od float64``.  Cached per
+    ``sf_dir`` for the session (see ``_EDGES_CACHE``)."""
+    cached = _EDGES_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
 
     def order_side(batch: pa.Table) -> pa.Table:
         ok = batch["o_orderkey"].to_numpy()
@@ -120,7 +137,7 @@ def _purchase_edges(sf_dir: str) -> ray.data.Dataset:
         od = e.groupby("src")["dst"].transform("size").astype(np.float64)
         return e.assign(od=od)
 
-    return (
+    edges = (
         orders.union(lines)
         .groupby("part")
         .map_groups(join_part, batch_format="pandas")
@@ -129,6 +146,8 @@ def _purchase_edges(sf_dir: str) -> ray.data.Dataset:
         .repartition(32)  # compact blocks: read 3× (once per superstep)
         .materialize()  # the iteration working set — reused every superstep
     )
+    _EDGES_CACHE[sf_dir] = edges
+    return edges
 
 
 def _propagate(
