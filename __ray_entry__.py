@@ -358,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": graph.purchase_bfs,
         # top customer pairs by shared suppliers (bipartite wedges)
         "copurchase_topk": graph.copurchase_topk,
+        # random-walk-with-restart similarity from seed customers
+        "pagerank_personalized": graph.personalized_pagerank,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
         "pricing_summary": analytics.pricing_summary,
         "nation_customer_stats": analytics.nation_customer_stats,
@@ -1617,6 +1619,29 @@ pp AS (SELECT a.c AS cust_a, b.c AS cust_b, count(*) AS shared
 SELECT cust_a::BIGINT AS cust_a, cust_b::BIGINT AS cust_b,
        shared::BIGINT AS shared
 FROM pp ORDER BY shared DESC, cust_a ASC, cust_b ASC LIMIT 25""",
+        # personalized PageRank: 3 unrolled restart-walk rounds from
+        # seed customers 1..3 (nodes 2,4,6); only reached nodes appear
+        "pagerank_personalized": """
+WITH pairs AS (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT c AS src, s AS dst FROM pairs
+          UNION ALL SELECT s AS src, c AS dst FROM pairs),
+deg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
+seeds(node) AS (VALUES (2), (4), (6)),
+r0 AS (SELECT node, 1.0/3 AS r FROM seeds),
+r1 AS (SELECT node, sum(x) AS r FROM (
+        SELECT e.dst AS node, 0.85*r0.r/deg.od AS x FROM edges e
+          JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+        UNION ALL SELECT node, 0.15/3 AS x FROM seeds) GROUP BY node),
+r2 AS (SELECT node, sum(x) AS r FROM (
+        SELECT e.dst AS node, 0.85*r1.r/deg.od AS x FROM edges e
+          JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+        UNION ALL SELECT node, 0.15/3 AS x FROM seeds) GROUP BY node),
+r3 AS (SELECT node, sum(x) AS r FROM (
+        SELECT e.dst AS node, 0.85*r2.r/deg.od AS x FROM edges e
+          JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
+        UNION ALL SELECT node, 0.15/3 AS x FROM seeds) GROUP BY node)
+SELECT node::BIGINT AS node, round(r, 6) AS ppr FROM r3 ORDER BY node""",
         # merged two half-corpus indexes == the plain full build, so the
         # merge gate shares the topk oracle verbatim
         "topk_merged": topk,

@@ -485,6 +485,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("hits", lambda: _graph.purchase_hits(sf_dir))
     timed("graph_bfs", lambda: _graph.purchase_bfs(sf_dir))
     timed("copurchase_topk", lambda: _graph.copurchase_topk(sf_dir))
+    timed(
+        "pagerank_personalized",
+        lambda: _graph.personalized_pagerank(sf_dir),
+    )
     timed("priority_ntile", lambda: analytics.priority_ntile(sf_dir))
     timed("funnel_conversions", lambda: events.funnel_conversions(sf_dir).materialize())
     timed("quantiles_cont", lambda: events.quantiles_cont(sf_dir))

@@ -96,3 +96,46 @@ def test_copurchase_matches_bruteforce(ray_session):
 def test_copurchase_fanout_fail_loud(ray_session):
     with pytest.raises(Exception, match="max_fanout"):
         copurchase_topk(SF, max_fanout=2)
+
+
+def _ppr_reference(sf_dir: str, iters: int = 3, d: float = 0.85) -> pd.DataFrame:
+    pairs = _pairs(sf_dir)
+    c = pairs["c"].to_numpy() * 2
+    s = pairs["s"].to_numpy() * 2 + 1
+    src = np.concatenate([c, s])
+    dst = np.concatenate([s, c])
+    nodes = np.unique(np.concatenate([src, [c * 2 for c in BFS_SEED_CUSTKEYS]]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    si = np.fromiter((idx[x] for x in src), np.int64, len(src))
+    di = np.fromiter((idx[x] for x in dst), np.int64, len(dst))
+    od = np.bincount(si, minlength=len(nodes)).astype(np.float64)
+    seed_idx = np.asarray([idx[c * 2] for c in BFS_SEED_CUSTKEYS])
+    t = np.zeros(len(nodes))
+    t[seed_idx] = 1.0 / len(seed_idx)
+    r = t.copy()
+    for _ in range(iters):
+        contrib = np.zeros(len(nodes))
+        np.add.at(contrib, di, r[si] / od[si])
+        r = (1.0 - d) * t + d * contrib
+    keep = r > 0
+    return pd.DataFrame(
+        {"node": nodes[keep], "ppr": np.round(r[keep], 6)}
+    ).astype({"node": np.int64})
+
+
+def test_personalized_pagerank_matches_numpy(ray_session):
+    from torchtrajectory_ray.pipelines.graph import personalized_pagerank
+
+    got = personalized_pagerank(SF)
+    ref = _ppr_reference(SF)
+    assert got["node"].tolist() == ref["node"].tolist()
+    assert np.allclose(
+        got["ppr"].to_numpy(), ref["ppr"].to_numpy(), rtol=0, atol=2e-6
+    )
+    # seeds hold restart mass; total mass ≤ 1 (walk still spreading)
+    seeds = {c * 2 for c in BFS_SEED_CUSTKEYS}
+    assert seeds <= set(got["node"])
+    assert got["ppr"].sum() <= 1.0 + 5e-7 * len(got)
+    # locality: after k rounds mass lives within k hops of the seeds
+    reach = purchase_bfs(SF, hops=3)
+    assert set(got["node"]) <= set(reach["node"])

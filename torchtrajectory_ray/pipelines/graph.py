@@ -226,6 +226,147 @@ def _propagate(
     )
 
 
+def personalized_pagerank(
+    sf_dir: str,
+    seed_custkeys: list[int] | None = None,
+    iters: int = 3,
+    d: float = DAMPING,
+) -> pd.DataFrame:
+    """``node, ppr`` — personalized PageRank (random walk with restart
+    — Page et al. 1999 §6, Jeh & Widom WWW 2003, both public) from the
+    fixed seed customer set on the purchase graph: ``r'(v) =
+    (1-d)·1_S(v)/|S| + d · Σ_{u→v} r(u)/outdeg(u)``, started from the
+    uniform seed distribution.  Only nodes with nonzero mass after
+    ``iters`` rounds appear (the frontier grows like BFS — O(reached)
+    state, not O(V)).  The restart mass rides the contribution exchange
+    as |S| extra message rows per superstep (value ``(1-d)/(d·|S|)``,
+    so the shared ``teleport + d·Σ`` absorb emits exactly
+    ``(1-d)/|S|`` for seeds with teleport = 0).  Scores rounded to
+    6 dp; rows node-ascending."""
+    seeds = sorted(
+        {int(c) * 2 for c in (seed_custkeys or BFS_SEED_CUSTKEYS)}
+    )
+    seed_arr = np.asarray(seeds, np.int64)
+    n_seeds = float(len(seed_arr))
+    edges = _purchase_edges(sf_dir)
+
+    def rank_table(nodes: np.ndarray, r: np.ndarray) -> ray.data.Dataset:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "part": pa.array(_part_of(nodes), pa.int32()),
+                    "node": pa.array(nodes, pa.int64()),
+                    "r": pa.array(r, pa.float64()),
+                }
+            )
+        )
+
+    ranks = rank_table(seed_arr, np.full(len(seed_arr), 1.0 / n_seeds))
+    # restart messages: constant every superstep, injected into the
+    # contribution stream so absorb's d·Σ yields (1-d)/|S| at seeds
+    restart = rank_table(
+        seed_arr, np.full(len(seed_arr), (1.0 - d) / (d * n_seeds))
+    )
+
+    for _ in range(iters):
+
+        def conv_edges(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "part": batch["part"],
+                    "a": batch["src"],
+                    "b": batch["dst"],
+                    "x": batch["od"],
+                    "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                }
+            )
+
+        def conv_ranks(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "part": batch["part"],
+                    "a": batch["node"],
+                    "b": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "x": batch["r"],
+                    "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                }
+            )
+
+        def conv_restart(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "part": batch["part"],
+                    "a": batch["node"],
+                    "b": batch["node"],
+                    "x": batch["r"],
+                    "side": pa.array(np.full(n, 2, np.int8), pa.int8()),
+                }
+            )
+
+        def contrib_part(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["side"] == 0]
+            r = g[g["side"] == 1][["a", "x"]].rename(
+                columns={"a": "src", "x": "r"}
+            )
+            m = e.merge(r, left_on="a", right_on="src")
+            msgs = [
+                # restart rows pass through as self-messages
+                g[g["side"] == 2][["b", "x"]].rename(
+                    columns={"b": "node", "x": "c"}
+                )
+            ]
+            if not m.empty:
+                msgs.append(
+                    pd.DataFrame(
+                        {
+                            "node": m["b"].to_numpy(),
+                            "c": m["r"].to_numpy() / m["x"].to_numpy(),
+                        }
+                    )
+                )
+            out = (
+                pd.concat(msgs, ignore_index=True)
+                .groupby("node", as_index=False)["c"]
+                .sum()
+            )
+            out.insert(0, "part", _part_of(out["node"].to_numpy()))
+            return out
+
+        def absorb(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("node", as_index=False)["c"].sum()
+            s["r"] = d * s["c"]  # teleport folded into the restart rows
+            s.insert(0, "part", _part_of(s["node"].to_numpy()))
+            return s[["part", "node", "r"]]
+
+        ranks = (
+            edges.map_batches(conv_edges, batch_format="pyarrow")
+            .union(
+                ranks.map_batches(conv_ranks, batch_format="pyarrow"),
+                restart.map_batches(conv_restart, batch_format="pyarrow"),
+            )
+            .groupby("part")
+            .map_groups(contrib_part, batch_format="pandas")
+            .repartition(32)
+            .materialize()
+            .groupby("part")
+            .map_groups(absorb, batch_format="pandas")
+            .repartition(8)
+            .materialize()
+        )
+
+    out = ranks.to_pandas()[["node", "r"]]
+    out["ppr"] = out["r"].round(6)
+    return (
+        out[["node", "ppr"]]
+        .sort_values("node", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"node": np.int64})
+    )
+
+
 def copurchase_topk(
     sf_dir: str,
     k: int = 25,
