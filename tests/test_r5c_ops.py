@@ -107,6 +107,50 @@ def test_select_ranks_all_equal_values(ray_session, tmp_path):
     assert got2[5] == 42.5 and got2[795] == 42.5
 
 
+def test_select_ranks_massive_tie_converges_fast(ray_session, tmp_path):
+    """A huge tied run at one end of a wide bracket (90% zeros + a
+    spread tail) must resolve via the single-distinct-value early exit,
+    NOT by narrowing the bracket ~120 passes down to float spacing (the
+    stall that made a 0-heavy session-duration median take 33 s on a
+    95k-row table)."""
+    from torchtrajectory_ray.functions.rankselect import select_ranks
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate([np.zeros(9000), rng.uniform(1e6, 1e9, 1000)])
+    rng.shuffle(v)
+    frames = [pd.DataFrame({"v": a}) for a in np.array_split(v, 4)]
+    root = _write_parts(tmp_path, "tie", frames)
+    base = _ds_factory(f"{root}/tie.parquet", ["v"])
+    calls = {"n": 0}
+
+    def make():
+        calls["n"] += 1
+        return base()
+
+    got = select_ranks(make, "v", [1, 4500, 9000, 9500], bins=8,
+                       local_max=100)
+    sv = np.sort(v)
+    assert got[1] == 0.0 and got[4500] == 0.0 and got[9000] == 0.0
+    assert got[9500] == sv[9499]
+    # unfixed, the zero-run descent alone needs ~350 passes at bins=8
+    assert calls["n"] <= 20, calls["n"]
+
+    # grouped flavor: same tie, per-group
+    from torchtrajectory_ray.functions.rankselect import select_ranks_by_group
+
+    frames2 = [
+        pd.DataFrame({"v": a, "g": np.where(np.arange(len(a)) % 2 == 0, "a", "b")})
+        for a in np.array_split(v, 4)
+    ]
+    root2 = _write_parts(tmp_path, "tie2", frames2)
+    make2 = _ds_factory(f"{root2}/tie2.parquet", ["v", "g"])
+    out = select_ranks_by_group(
+        make2, "v", "g", {"a": [1, 1000], "b": [1, 1000]},
+        bins=8, local_max=100,
+    )
+    assert out["a"][1] == 0.0 and out["b"][1] == 0.0
+
+
 # ----------------------------------------------------------- corr_stats
 
 

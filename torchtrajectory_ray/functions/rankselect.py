@@ -34,12 +34,22 @@ _BINS = 512
 _LOCAL_MAX = 65_536
 
 
-def _fold_hist(parts: pd.DataFrame, n_brackets: int) -> list[tuple[int, np.ndarray]]:
+def _fold_hist(
+    parts: pd.DataFrame, n_brackets: int
+) -> list[tuple[int, np.ndarray, float, float]]:
+    """Fold per-batch partials: (below, hist, vmin, vmax) per bracket.
+    vmin/vmax are the extrema of the IN-BRACKET values — when they
+    coincide the bracket holds one distinct value, which lets the
+    descent answer a massive tie in one pass instead of narrowing
+    ~120 passes down to float spacing (a 0-heavy duration column made
+    the median stall exactly that way)."""
     out = []
     for i in range(n_brackets):
         below = int(parts[f"below_{i}"].sum())
         h = np.sum(np.stack(parts[f"hist_{i}"].to_numpy()), axis=0)
-        out.append((below, h))
+        vmin = float(parts[f"vmin_{i}"].min())
+        vmax = float(parts[f"vmax_{i}"].max())
+        out.append((below, h, vmin, vmax))
     return out
 
 
@@ -92,6 +102,8 @@ def select_ranks(
                 cols[f"hist_{i}"] = [
                     np.histogram(sel, bins=bnd[i])[0].astype(np.int64)
                 ]
+                cols[f"vmin_{i}"] = [float(sel.min()) if len(sel) else np.inf]
+                cols[f"vmax_{i}"] = [float(sel.max()) if len(sel) else -np.inf]
             return pa.table(cols)
 
         parts = make_ds().map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -150,8 +162,20 @@ def select_ranks(
     while any(t["rank"] not in answers for t in targets):
         open_ts = [t for t in targets if t["rank"] not in answers]
         res = hist_pass([(t["lo"], t["hi"]) for t in open_ts])
-        for t, (below, h) in zip(open_ts, res):
+        for t, (below, h, vmin, vmax) in zip(open_ts, res):
             r = t["rank"] - below  # 1-indexed within [lo, hi]
+            if vmin == vmax:
+                # one distinct value fills the bracket (massive tie):
+                # the answer IS that value, no narrowing needed
+                if key_col is None:
+                    answers[t["rank"]] = vmin
+                else:
+                    answers[t["rank"]] = (
+                        vmin,
+                        _select_int_key(make_ds, value_col, vmin, key_col,
+                                        r, bins=bins, local_max=local_max),
+                    )
+                continue
             edges = np.linspace(t["lo"], t["hi"], bins + 1)
             if not np.all(np.diff(edges) > 0):  # fp-collapsed bracket
                 answers[t["rank"]] = tied_value_rank(t["lo"], t["hi"], r)
@@ -205,10 +229,19 @@ def _select_int_key(
             below = int((tied < _lo).sum())
             k = tied[(tied >= _lo) & (tied <= _hi)]
             h = np.histogram(k, bins=_edges)[0].astype(np.int64)
-            return pa.table({"below_0": [below], "hist_0": [h]})
+            return pa.table(
+                {
+                    "below_0": [below],
+                    "hist_0": [h],
+                    "vmin_0": [float(k.min()) if len(k) else np.inf],
+                    "vmax_0": [float(k.max()) if len(k) else -np.inf],
+                }
+            )
 
         parts = make_ds().map_batches(partial, batch_format="pyarrow").to_pandas()
-        ((below, h),) = _fold_hist(parts, 1)
+        ((below, h, kmin, kmax),) = _fold_hist(parts, 1)
+        if kmin == kmax:  # one distinct key left in the bracket
+            return int(kmin)
         r = rank_in - below
         cum = np.cumsum(h)
         j = int(np.searchsorted(cum, r))
@@ -290,6 +323,8 @@ def select_ranks_by_group(
                 cols[f"hist_{i}"] = [
                     np.histogram(inb, bins=bnd[i])[0].astype(np.int64)
                 ]
+                cols[f"vmin_{i}"] = [float(inb.min()) if len(inb) else np.inf]
+                cols[f"vmax_{i}"] = [float(inb.max()) if len(inb) else -np.inf]
             return pa.table(cols)
 
         parts = make_ds().map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -330,8 +365,11 @@ def select_ranks_by_group(
     while any(key(t) not in answers for t in targets):
         open_ts = [t for t in targets if key(t) not in answers]
         res = hist_pass(open_ts)
-        for t, (below, h) in zip(open_ts, res):
+        for t, (below, h, vmin, vmax) in zip(open_ts, res):
             r = t["rank"] - below
+            if vmin == vmax:  # one distinct value fills the bracket
+                answers[key(t)] = vmin
+                continue
             edges = np.linspace(t["lo"], t["hi"], bins + 1)
             if not np.all(np.diff(edges) > 0):
                 answers[key(t)] = distinct_rank(t, t["lo"], t["hi"], r)

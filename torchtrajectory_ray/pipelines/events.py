@@ -665,6 +665,8 @@ def exact_quantiles(
                 cols[f"hist_{i}"] = [
                     np.histogram(sel, bins=bnd[i])[0].astype(np.int64)
                 ]
+                cols[f"vmin_{i}"] = [float(sel.min()) if len(sel) else np.inf]
+                cols[f"vmax_{i}"] = [float(sel.max()) if len(sel) else -np.inf]
             return pa.table(cols)
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
@@ -672,7 +674,9 @@ def exact_quantiles(
         for i in range(len(brackets)):
             below = int(parts[f"below_{i}"].sum())
             h = np.sum(np.stack(parts[f"hist_{i}"].to_numpy()), axis=0)
-            out.append((below, h))
+            vmin = float(parts[f"vmin_{i}"].min())
+            vmax = float(parts[f"vmax_{i}"].max())
+            out.append((below, h, vmin, vmax))
         return out
 
     def pull_rank(lo: float, hi: float, inclusive: bool, rank_in: int) -> float:
@@ -710,8 +714,13 @@ def exact_quantiles(
     while any(t["q"] not in answers for t in targets):
         open_ts = [t for t in targets if t["q"] not in answers]
         res = hist_pass([(t["lo"], t["hi"]) for t in open_ts])
-        for t, (below, h) in zip(open_ts, res):
+        for t, (below, h, vmin, vmax) in zip(open_ts, res):
             r = t["rank"] - below  # 1-indexed rank within [lo, hi]
+            if vmin == vmax:
+                # one distinct value fills the bracket (massive tie):
+                # answer directly instead of narrowing to fp spacing
+                answers[t["q"]] = vmin
+                continue
             edges = np.linspace(t["lo"], t["hi"], bins + 1)
             if not np.all(np.diff(edges) > 0):  # fp-collapsed bracket
                 answers[t["q"]] = distinct_rank(t["lo"], t["hi"], r)
