@@ -503,7 +503,14 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("cohort_retention", lambda: events.cohort_retention(sf_dir))
     timed("hourly_active_users", lambda: events.hourly_active_users(sf_dir))
     timed("event_transitions", lambda: events.event_transitions(sf_dir))
-    timed("value_mad_by_type", lambda: events.value_mad_by_type(sf_dir))
+    # first caller pays the shared robust-stats selections; the
+    # outliers scan below reuses them (retry restores matching state)
+    events.clear_robust_stats_cache()
+    timed(
+        "value_mad_by_type",
+        lambda: events.value_mad_by_type(sf_dir),
+        reset=events.clear_robust_stats_cache,
+    )
     timed("top_events_ties", lambda: events.top_events_ties(sf_dir))
     timed("top_events_ties_by_type",
           lambda: events.top_events_ties_by_type(sf_dir))
