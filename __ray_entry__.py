@@ -159,23 +159,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CheckIndex now cross-checks corpus ground truth: n_terms ==
         # count(DISTINCT term), n_postings == distinct (doc,term) pairs
         "index_check": _index_check,
-        # --- (c) oracle gates over every module touched this round (31) ---
-        "minhash_recall": dedup.minhash_recall_pairs,
-        "distinct_terms": textstats.distinct_terms,
-        "kgram_dup_stats": dedup.kgram_dup_stats,
-        # EXACT all-pairs Jaccard (prefix filter + r5 minhash pre-rank)
-        # — oracle-gated against the quadratic SQL self-join
-        "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
-        "neardup_components": dedup.neardup_components,
-        "decontaminate": decontaminate.decontaminate,  # bounded broadcast r5
-        "kmeans_onestep": clustering.kmeans_onestep,
-        "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
+        # --- (c) first-time driver certification for the round-5 search /
+        # graph / behavioral additions (8).  The eight r4-green tripwires
+        # that previously held these slots (minhash_recall, distinct_terms,
+        # kgram_dup_stats, ngram_jaccard_neardup, neardup_components,
+        # decontaminate, kmeans_onestep, clean_verdicts) rotate below the
+        # window: their oracles still run in test_driver_gate.py every
+        # pytest session, so a regression in the touched modules still
+        # fails the suite — the scarce driver slots go to entries the
+        # driver has NEVER hash-certified. ---
+        # EXACT weighted multi-field BM25 (BM25F-SA) via Fagin's TA over
+        # two field indexes (title = first 8 tokens, body = the rest)
+        "topk_bm25f": corpus.topk_bm25f,
+        # edit-distance-2 fuzzy matching (Lucene maxEdits=2) — lifts the
+        # max_edits=1 limit the r4 verdict flagged at engine.py:1349
+        "fuzzy_match2": corpus.fuzzy_match2,
+        # two-tier spell correction: edit-1 first, edit-2 fallback per term
+        "topk_corrected2": corpus.topk_corrected2,
+        # PageRank supersteps (Pregel exchange rounds) on the
+        # customer↔supplier purchase graph
+        "pagerank": graph.purchase_pagerank,
+        # HITS hubs/authorities on the directed customer→supplier graph
+        "hits": graph.purchase_hits,
+        # BFS hop distances from fixed seed customers (Pregel SSSP)
+        "graph_bfs": graph.purchase_bfs,
+        # cohort triangle: first-activity-day cohorts × active-day
+        # offsets, one user-keyed exchange of distinct (user, day) pairs
+        "cohort_retention": events.cohort_retention,
+        # DAU/MAU stickiness via merged trailing-window cover intervals
+        "user_stickiness": events.user_stickiness,
         # grouped KMV sketch gate (r5; explain_topk rotates below —
         # green r4, corpus.py untouched this round)
         "value_quantiles_by_type_check": events.value_quantiles_by_type_check,
-        # core canaries (driver-green r1-r4) — regression tripwires, one
-        # per subsystem (dictionary, scoring, vector); the other six
-        # r4-green canaries rotate below to make room for the (h) ops
+        # core canary (driver-green r1-r4) — the flagship K2 path stays
+        # under the driver every round; the other r4-green canaries
+        # rotate below to make room for never-certified entries
         "topk_bm25": corpus.topk_bm25,            # K2: upper-bound-pruned top-k
         # --- (h) NEW continuation ops: cross-moments / Q5 join / NTILE /
         # funnel / interpolated quantiles / grouped mode (6) ---
@@ -314,9 +332,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events.session_windows,
         # --- (i) continuation ops: behavioral analytics / grouped
         # robust stats / WITH-TIES selection (5) ---
-        # cohort triangle: first-activity-day cohorts × active-day
-        # offsets, one user-keyed exchange of distinct (user, day) pairs
-        "cohort_retention": events.cohort_retention,
         # grouped exact COUNT(DISTINCT): active users per tumbling hour,
         # pair-keyed exchange of deduped (hour, user) rows
         "hourly_active_users": events.hourly_active_users,
@@ -344,20 +359,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_jaccard": events.event_type_jaccard,
         # grouped-HLL sketch path for HAU, 3σ-gated vs the exact count
         "hourly_active_users_hll_check": events.hourly_active_users_hll_check,
-        # DAU/MAU stickiness via merged trailing-window cover intervals
-        "user_stickiness": events.user_stickiness,
-        # EXACT weighted multi-field BM25 (BM25F-SA) via Fagin's TA over
-        # two field indexes (title = first 8 tokens, body = the rest)
-        "topk_bm25f": corpus.topk_bm25f,
-        # PageRank supersteps (Pregel exchange rounds) on the
-        # customer↔supplier purchase graph
-        "pagerank": graph.purchase_pagerank,
-        # HITS hubs/authorities on the directed customer→supplier graph
-        "hits": graph.purchase_hits,
-        # BFS hop distances from fixed seed customers (Pregel SSSP)
-        "graph_bfs": graph.purchase_bfs,
         # top customer pairs by shared suppliers (bipartite wedges)
         "copurchase_topk": graph.copurchase_topk,
+        # r4-green tripwires rotated out of the window this round (their
+        # oracles still run in test_driver_gate.py every session):
+        "minhash_recall": dedup.minhash_recall_pairs,
+        "distinct_terms": textstats.distinct_terms,
+        "kgram_dup_stats": dedup.kgram_dup_stats,
+        # EXACT all-pairs Jaccard (prefix filter + r5 minhash pre-rank)
+        # — oracle-gated against the quadratic SQL self-join
+        "ngram_jaccard_neardup": dedup.ngram_jaccard_pairs,
+        "neardup_components": dedup.neardup_components,
+        "decontaminate": decontaminate.decontaminate,  # bounded broadcast r5
+        "kmeans_onestep": clustering.kmeans_onestep,
+        "clean_verdicts": lambda sf: clean.clean_corpus(sf, with_near_dup=False),
         # random-walk-with-restart similarity from seed customers
         "pagerank_personalized": graph.personalized_pagerank,
         "exact_dedup": textstats.exact_dedup,     # U5: hash-partition dedup
@@ -393,8 +408,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_doclen": corpus.facet_doclen,      # numeric RANGE facet
         "sorted_by_doclen": corpus.sorted_by_doclen,  # sort-by-field (Sort)
         "topk_corrected": corpus.topk_corrected,  # spell-corrected re-query
-        # two-tier correction: edit-1 first, edit-2 fallback per term
-        "topk_corrected2": corpus.topk_corrected2,
         "min_match": corpus.min_match,            # minimum_should_match
         "topk_min_match": corpus.topk_min_match,  # ranked msm
         "prf_topk": corpus.prf_topk,              # Rocchio pseudo-rel feedback
@@ -409,7 +422,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_boosted": corpus.topk_boosted,      # term^boost retrieval
         "synonym_topk": corpus.synonym_topk,      # SynonymQuery expansion
         "fuzzy_match": corpus.fuzzy_match,        # edit-distance-1 did-you-mean
-        "fuzzy_match2": corpus.fuzzy_match2,      # edit-distance-2 (Lucene maxEdits=2)
         "facet_lang": corpus.facet_lang,          # faceted-search counts
         "snippets_topk": corpus.snippets_topk,    # top-k result highlighting
         "tfidf_topk": corpus.tfidf_topk,          # X3: pluggable scorer swap
