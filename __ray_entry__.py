@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textstats,
         fuzzyjoin,
         graph,
+        webhygiene,
     )
 
     # KEY ORDER IS THE DRIVER'S CHECK WINDOW: the driver hash-checks the
@@ -361,6 +362,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users_hll_check": events.hourly_active_users_hll_check,
         # top customer pairs by shared suppliers (bipartite wedges)
         "copurchase_topk": graph.copurchase_topk,
+        # --- (j) URL hygiene (crawl canonicalization; r5 continuation) ---
+        # re-crawl dedup: messy synthetic crawl URLs -> vectorized
+        # RE2/Arrow canonicalization kernel -> crc32 hash exchange; the
+        # oracle reconstructs canonical forms from doc_id ARITHMETIC (no
+        # parsing), so the gate compares two independent derivations
+        "url_dedup": webhygiene.url_dedup,
+        # per-host crawl stats (docs, DISTINCT canonical pages, chars)
+        "domain_stats": webhygiene.domain_stats,
+        # broadcast host-blocklist filter, kept AND blocked both counted
+        "blocklist_summary": webhygiene.blocklist_summary,
         # r4-green tripwires rotated out of the window this round (their
         # oracles still run in test_driver_gate.py every session):
         "minhash_recall": dedup.minhash_recall_pairs,
@@ -1159,6 +1170,11 @@ def _bool_sql(op: str, lang: str | None = None) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from torchtrajectory_ray.pipelines.webhygiene import (
+        CANON_SQL as _CANON_SQL,
+        HOST_SQL as _HOST_SQL,
+    )
+
     topk = f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
@@ -1631,6 +1647,31 @@ pp AS (SELECT a.c AS cust_a, b.c AS cust_b, count(*) AS shared
 SELECT cust_a::BIGINT AS cust_a, cust_b::BIGINT AS cust_b,
        shared::BIGINT AS shared
 FROM pp ORDER BY shared DESC, cust_a ASC, cust_b ASC LIMIT 25""",
+        # URL hygiene: the oracle reconstructs each doc's CANONICAL crawl
+        # URL with pure integer arithmetic (webhygiene.CANON_SQL) — the
+        # Ray side derives the same truth by PARSING the messy synthetic
+        # URL through the Arrow canonicalization kernel, so a kernel bug
+        # (fragment kept, utm param survives, port/case mishandled, slash
+        # rules wrong) hash-mismatches
+        "url_dedup": f"""
+WITH c AS (SELECT doc_id, {_CANON_SQL} AS canon_url FROM documents)
+SELECT canon_url, max(doc_id) AS doc_id, count(*)::BIGINT AS n_crawls
+FROM c GROUP BY canon_url""",
+        "domain_stats": f"""
+WITH c AS (SELECT doc_id, {_HOST_SQL} AS host, {_CANON_SQL} AS canon_url,
+                  n_chars
+           FROM documents)
+SELECT host, count(*)::BIGINT AS n_docs,
+       count(DISTINCT canon_url)::BIGINT AS n_pages,
+       sum(n_chars)::BIGINT AS total_chars
+FROM c GROUP BY host""",
+        "blocklist_summary": """
+SELECT lang,
+       sum(CASE WHEN ((doc_id // 3) % 97) IN (13, 29, 61, 83)
+                THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+       sum(CASE WHEN ((doc_id // 3) % 97) IN (13, 29, 61, 83)
+                THEN 1 ELSE 0 END)::BIGINT AS n_blocked
+FROM documents GROUP BY lang""",
         # personalized PageRank: 3 unrolled restart-walk rounds from
         # seed customers 1..3 (nodes 2,4,6); only reached nodes appear
         "pagerank_personalized": """

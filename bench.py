@@ -526,6 +526,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("hourly_active_users_hll",
           lambda: events.hourly_active_users_hll_check(sf_dir))
     timed("user_stickiness", lambda: events.user_stickiness(sf_dir))
+    from torchtrajectory_ray.pipelines import webhygiene as _wh
+
+    timed("url_dedup", lambda: _wh.url_dedup(sf_dir).materialize())
+    timed("domain_stats", lambda: _wh.domain_stats(sf_dir).materialize())
+    timed("blocklist_summary",
+          lambda: _wh.blocklist_summary(sf_dir).materialize())
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

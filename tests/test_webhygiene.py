@@ -1,0 +1,172 @@
+"""URL hygiene: canonicalization kernel, re-crawl dedup, domain stats,
+blocklist filter.  The sf0.01 DuckDB gates run in test_driver_gate.py
+(the keys are in queries() + oracle_sql()); here we pin the kernel's
+string semantics and the pipelines' grouping against pandas truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from torchtrajectory_ray import fixtures
+from torchtrajectory_ray.pipelines import webhygiene as wh
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- kernel
+
+CASES = [
+    # fragment / utm / default port / case, all at once
+    (
+        "https://SITE22.EXAMPLE:443/page/2/?utm_source=feed&id=2#frag",
+        "https://site22.example/page/2?id=2",
+    ),
+    # trailing utm param
+    ("https://a.example/p?id=3&utm_campaign=x", "https://a.example/p?id=3"),
+    # http default port
+    ("http://a.example:80/p", "http://a.example/p"),
+    # bare host
+    ("https://a.example", "https://a.example"),
+    # root slash collapses
+    ("https://a.example/", "https://a.example"),
+    # empty path + query normalizes to "/?", both input spellings
+    ("https://a.example/?utm_a=1&utm_b=2&id=3", "https://a.example/?id=3"),
+    ("https://a.example?id=3", "https://a.example/?id=3"),
+    # adjacent utm params, leading and mid
+    ("https://a.example/p?utm_a=1&utm_b=2&id=3", "https://a.example/p?id=3"),
+    ("https://a.example/p?id=3&utm_a=1&utm_b=2", "https://a.example/p?id=3"),
+    # all params dropped -> no query at all, trailing slash also gone
+    ("https://a.example/p/?utm_a=1", "https://a.example/p"),
+    # non-default port kept; deep path trailing slash
+    ("https://a.example:8080/a/b/", "https://a.example:8080/a/b"),
+    # non-utm param order preserved
+    ("https://a.example/p?b=2&a=1", "https://a.example/p?b=2&a=1"),
+    # uppercase scheme
+    ("HTTPS://A.EXAMPLE/P#x", "https://a.example/P"),
+]
+
+
+def test_canonicalize_cases():
+    got = wh.canonicalize_urls(pa.array([u for u, _ in CASES])).to_pylist()
+    for (u, want), g in zip(CASES, got):
+        assert g == want, f"{u!r}: {g!r} != {want!r}"
+
+
+def _ref_canon(u: str) -> str:
+    """Per-row reference implementation (urllib) mirroring the kernel's
+    documented rules."""
+    from urllib.parse import urlsplit
+
+    u = u.split("#", 1)[0]
+    sp = urlsplit(u)
+    host = sp.netloc.lower()
+    for port in (":443", ":80"):
+        if host.endswith(port):
+            host = host[: -len(port)]
+    q = "&".join(
+        p for p in sp.query.split("&") if p and not p.startswith("utm_")
+    )
+    path = sp.path.rstrip("/")
+    out = sp.scheme.lower() + "://" + host + path
+    if q:
+        out += ("?" if path else "/?") + q
+    return out
+
+
+def test_kernel_matches_reference_on_synthetic_corpus():
+    ids = np.arange(4000, dtype=np.int64)
+    messy = wh.synthetic_crawl_urls(ids)
+    got = wh.canonicalize_urls(messy).to_pylist()
+    want = [_ref_canon(u) for u in messy.to_pylist()]
+    assert got == want
+
+
+def test_kernel_is_idempotent():
+    ids = np.arange(1000, dtype=np.int64)
+    once = wh.canonicalize_urls(wh.synthetic_crawl_urls(ids))
+    twice = wh.canonicalize_urls(once)
+    assert once.to_pylist() == twice.to_pylist()
+
+
+# ------------------------------------------------------------- pipelines
+
+
+def _truth() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    df = t.to_pandas()
+    df["canon_url"] = wh.canonicalize_urls(
+        wh.synthetic_crawl_urls(df["doc_id"].to_numpy())
+    ).to_pylist()
+    df["host"] = df["canon_url"].str.split("/").str[2]
+    return df
+
+
+def test_url_dedup_matches_pandas_truth(ray_session):
+    got = (
+        wh.url_dedup(SF)
+        .to_pandas()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    df = _truth()
+    want = (
+        df.groupby("canon_url")
+        .agg(doc_id=("doc_id", "max"), n_crawls=("doc_id", "size"))
+        .reset_index()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # three crawls per page by construction (tail page may have fewer)
+    assert got["n_crawls"].max() == 3
+
+
+def test_domain_stats_matches_pandas_truth(ray_session):
+    got = (
+        wh.domain_stats(SF).to_pandas().sort_values("host").reset_index(drop=True)
+    )
+    df = _truth()
+    want = (
+        df.groupby("host")
+        .agg(
+            n_docs=("doc_id", "size"),
+            n_pages=("canon_url", "nunique"),
+            total_chars=("n_chars", "sum"),
+        )
+        .reset_index()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_blocklist_summary_counts_both_sides(ray_session):
+    got = wh.blocklist_summary(SF).to_pandas().set_index("lang").sort_index()
+    df = _truth()
+    blocked = df["host"].isin(set(wh.BLOCKED_HOSTS))
+    want = pd.DataFrame(
+        {
+            "n_kept": (~blocked).groupby(df["lang"]).sum(),
+            "n_blocked": blocked.groupby(df["lang"]).sum(),
+        }
+    ).sort_index()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_names=False)
+    assert int(got["n_blocked"].sum()) > 0  # blocklist actually fired
+
+
+def test_with_canonical_urls_on_fixture_webpages(ray_session):
+    import ray
+
+    tbl = fixtures.webpages_table(200)
+    out = (
+        wh.with_canonical_urls(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("url")
+    )
+    # fixture URLs are already canonical (lowercase, no port/query/frag)
+    assert (out["canon_url"] == out["url"]).all()
