@@ -139,3 +139,21 @@ def test_personalized_pagerank_matches_numpy(ray_session):
     # locality: after k rounds mass lives within k hops of the seeds
     reach = purchase_bfs(SF, hops=3)
     assert set(got["node"]) <= set(reach["node"])
+
+
+def test_graph_local_fast_path_matches_distributed(ray_session, monkeypatch):
+    """The single-task numpy fast path (LOCAL_GRAPH_MAX_ROWS dispatch)
+    returns frame-identical results to the Pregel exchange rounds for
+    all four iterative ops — the connected-components identity pattern."""
+    from torchtrajectory_ray.pipelines import graph
+
+    fns = [
+        graph.purchase_pagerank,
+        graph.purchase_hits,
+        graph.purchase_bfs,
+        graph.personalized_pagerank,
+    ]
+    local = [fn(SF) for fn in fns]
+    monkeypatch.setattr(graph, "LOCAL_GRAPH_MAX_ROWS", 0)
+    for fn, want in zip(fns, local):
+        pd.testing.assert_frame_equal(fn(SF), want)

@@ -226,6 +226,39 @@ def _propagate(
     )
 
 
+# Size-aware dispatch (the connected-components pattern,
+# dedup.LOCAL_CC_MAX_ROWS): a symmetric edge set under this many rows
+# (~100 MB working set) runs its whole fixpoint in ONE Ray task with
+# numpy instead of paying O(iters) exchange rounds of pure scheduling
+# overhead.  The superstep paths below remain the 100-TB shape for
+# graphs that outgrow a worker; identity between the two paths is
+# pytest-gated on the same corpus.
+LOCAL_GRAPH_MAX_ROWS = 4_000_000
+
+
+def _run_local(edges: ray.data.Dataset, kernel) -> pd.DataFrame:
+    """Run ``kernel(pa.Table) -> pa.Table`` over the whole edge set as
+    ONE task (not on the driver) and collect the small result."""
+    return (
+        edges.repartition(1)
+        .map_batches(kernel, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+
+
+def _edge_index(t: pa.Table, extra_nodes: np.ndarray | None = None):
+    """Dense node indexing for the local kernels: returns
+    ``(nodes, src_idx, dst_idx)``.  Symmetric edges mean every graph
+    node appears as a src; ``extra_nodes`` folds in seeds that may be
+    absent from the graph."""
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    nodes = np.unique(
+        src if extra_nodes is None else np.concatenate((src, extra_nodes))
+    )
+    return nodes, np.searchsorted(nodes, src), np.searchsorted(nodes, dst)
+
+
 def personalized_pagerank(
     sf_dir: str,
     seed_custkeys: list[int] | None = None,
@@ -249,6 +282,33 @@ def personalized_pagerank(
     seed_arr = np.asarray(seeds, np.int64)
     n_seeds = float(len(seed_arr))
     edges = _purchase_edges(sf_dir)
+
+    if 0 < edges.count() <= LOCAL_GRAPH_MAX_ROWS:
+
+        def local(t: pa.Table) -> pa.Table:
+            nodes, src_idx, dst_idx = _edge_index(t, seed_arr)
+            seed_idx = np.searchsorted(nodes, seed_arr)
+            w = (
+                1.0 / t["od"].to_numpy()
+                if len(t)
+                else np.zeros(0, np.float64)
+            )
+            r = np.zeros(len(nodes))
+            r[seed_idx] = 1.0 / n_seeds
+            for _ in range(iters):
+                r = d * np.bincount(
+                    dst_idx, weights=r[src_idx] * w, minlength=len(nodes)
+                )
+                r[seed_idx] += (1.0 - d) / n_seeds
+            keep = r > 0  # reached-only, like the frontier table
+            return pa.table(
+                {"node": pa.array(nodes[keep], pa.int64()),
+                 "ppr": pa.array(np.round(r[keep], 6), pa.float64())}
+            )
+
+        return _run_local(edges, local).sort_values(
+            "node", kind="mergesort"
+        ).reset_index(drop=True)
 
     def rank_table(nodes: np.ndarray, r: np.ndarray) -> ray.data.Dataset:
         return ray.data.from_arrow(
@@ -492,6 +552,29 @@ def purchase_bfs(
     edges = _purchase_edges(sf_dir)
 
     seed_arr = np.asarray(seeds, np.int64)
+
+    if 0 < edges.count() <= LOCAL_GRAPH_MAX_ROWS:
+        n_hops = hops
+
+        def local(t: pa.Table) -> pa.Table:
+            nodes, src_idx, dst_idx = _edge_index(t, seed_arr)
+            big = np.iinfo(np.int64).max - 1
+            dist = np.full(len(nodes), big, np.int64)
+            dist[np.searchsorted(nodes, seed_arr)] = 0
+            for _ in range(n_hops):
+                relaxed = dist.copy()
+                np.minimum.at(relaxed, dst_idx, dist[src_idx] + 1)
+                dist = relaxed
+            keep = dist < big
+            return pa.table(
+                {"node": pa.array(nodes[keep], pa.int64()),
+                 "dist": pa.array(dist[keep], pa.int64())}
+            )
+
+        return _run_local(edges, local).sort_values(
+            "node", kind="mergesort"
+        ).reset_index(drop=True)
+
     dist = ray.data.from_arrow(
         pa.table(
             {
@@ -593,6 +676,54 @@ def purchase_hits(sf_dir: str, iters: int = 2) -> pd.DataFrame:
     Scores rounded to 6 dp; rows (kind, node)-ascending."""
     edges = _purchase_edges(sf_dir)
 
+    if 0 < edges.count() <= LOCAL_GRAPH_MAX_ROWS:
+
+        def local(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.string()),
+                 "score": pa.array([], pa.float64())}
+            )
+            if len(t) == 0:
+                return empty
+            nodes, src_idx, dst_idx = _edge_index(t)
+            even = (t["src"].to_numpy() % 2) == 0
+            h = np.where(nodes % 2 == 0, 1.0, 0.0)
+            a = np.zeros(len(nodes))
+            for _ in range(iters):
+                a = np.bincount(
+                    dst_idx[even], weights=h[src_idx[even]],
+                    minlength=len(nodes),
+                )
+                a /= a.sum()
+                h = np.bincount(
+                    dst_idx[~even], weights=a[src_idx[~even]],
+                    minlength=len(nodes),
+                )
+                h /= h.sum()
+            ka, kh = a > 0, h > 0
+            return pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate((nodes[ka], nodes[kh])), pa.int64()
+                    ),
+                    "kind": pa.array(
+                        ["auth"] * int(ka.sum()) + ["hub"] * int(kh.sum())
+                    ),
+                    "score": pa.array(
+                        np.round(np.concatenate((a[ka], h[kh])), 6),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        out = _run_local(edges, local)
+        return (
+            out.sort_values(["kind", "node"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"node": np.int64})
+        )
+
     def hub_nodes(g: pd.DataFrame) -> pd.DataFrame:
         nodes = g.loc[g["src"] % 2 == 0, "src"].drop_duplicates().to_numpy()
         return pd.DataFrame(
@@ -660,6 +791,31 @@ def purchase_pagerank(
     ``pr'(v) = (1-d)/N + d · Σ_{u→v} pr(u)/outdeg(u)``.  Exactly the
     unrolled-SQL oracle's recurrence; scores rounded to 6 dp."""
     edges = _purchase_edges(sf_dir)
+
+    if 0 < edges.count() <= LOCAL_GRAPH_MAX_ROWS:
+
+        def local(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "pr": pa.array([], pa.float64())}
+                )
+            nodes, src_idx, dst_idx = _edge_index(t)
+            w = 1.0 / t["od"].to_numpy()
+            r = np.full(len(nodes), 1.0 / len(nodes))
+            teleport = (1.0 - d) / len(nodes)
+            for _ in range(iters):
+                r = teleport + d * np.bincount(
+                    dst_idx, weights=r[src_idx] * w, minlength=len(nodes)
+                )
+            return pa.table(
+                {"node": pa.array(nodes, pa.int64()),
+                 "pr": pa.array(np.round(r, 6), pa.float64())}
+            )
+
+        return _run_local(edges, local).sort_values(
+            "node", kind="mergesort"
+        ).reset_index(drop=True)
 
     def node_rows(g: pd.DataFrame) -> pd.DataFrame:
         nodes = g["src"].drop_duplicates().to_numpy()
