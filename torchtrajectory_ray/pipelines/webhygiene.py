@@ -232,12 +232,24 @@ def domain_stats(sf_dir: str) -> ray.data.Dataset:
     Scale shape: batch partials keyed by (host, canon) → 256-way hash
     exchange on the canonical URL (so each page's rows land in ONE part)
     → per-part fold to ONE row per host → the final groupby moves at most
-    parts × hosts tiny rows."""
+    parts × hosts tiny rows.
+
+    Raw corpora without a precomputed ``n_chars`` column (e.g. the soak
+    shards) fall back to ``utf8_length(text)`` inside the batch."""
+    import pyarrow.dataset as pds
+
+    has_chars = "n_chars" in pds.dataset(
+        f"{sf_dir}/documents.parquet"
+    ).schema.names
 
     def partials(batch: pa.Table) -> pa.Table:
         t = _with_canon(batch)
         canon = np.asarray(t["canon_url"].to_pylist(), dtype=object)
-        chars = t["n_chars"].to_numpy()
+        chars = (
+            t["n_chars"].to_numpy()
+            if has_chars
+            else pc.utf8_length(t["text"]).to_numpy().astype(np.int64)
+        )
         uniq, inv = np.unique(canon, return_inverse=True)
         n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
         csum = np.zeros(len(uniq), np.int64)
@@ -276,7 +288,7 @@ def domain_stats(sf_dir: str) -> ray.data.Dataset:
         return out.reset_index()
 
     return (
-        _read_ids(sf_dir, ["n_chars"])
+        _read_ids(sf_dir, ["n_chars"] if has_chars else ["text"])
         .map_batches(partials, batch_format="pyarrow")
         .groupby("part")
         .map_groups(fold_part, batch_format="pandas")
