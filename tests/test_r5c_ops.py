@@ -13,8 +13,19 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 
 SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def force_descent(monkeypatch):
+    """Pin the rank selectors to the distributed histogram descent
+    (disable the size-aware single-task fast path) so these tests keep
+    exercising the 100-TB path on small synthetic inputs."""
+    from torchtrajectory_ray.functions import rankselect
+
+    monkeypatch.setattr(rankselect, "LOCAL_SELECT_MAX_ROWS", 0)
 
 
 def _write_parts(tmp_path, name, frames):
@@ -40,7 +51,7 @@ def _ds_factory(path, cols):
     return make
 
 
-def test_select_ranks_values_only(ray_session, tmp_path):
+def test_select_ranks_values_only(ray_session, tmp_path, force_descent):
     from torchtrajectory_ray.functions.rankselect import select_ranks
 
     rng = np.random.default_rng(7)
@@ -58,7 +69,7 @@ def test_select_ranks_values_only(ray_session, tmp_path):
         assert got[r] == sv[r - 1]
 
 
-def test_select_ranks_composite_key_ties(ray_session, tmp_path):
+def test_select_ranks_composite_key_ties(ray_session, tmp_path, force_descent):
     """Heavy ties on the value: the boundary element differs from the
     value-only answer, so the key tie-break path must run — including
     the integer-key descent (local_max below the tie-run length)."""
@@ -82,7 +93,7 @@ def test_select_ranks_composite_key_ties(ray_session, tmp_path):
         assert got[r] == (float(v[i]), int(k[i])), r
 
 
-def test_select_ranks_all_equal_values(ray_session, tmp_path):
+def test_select_ranks_all_equal_values(ray_session, tmp_path, force_descent):
     """Every value identical → the value bracket collapses below fp
     spacing immediately; with a key the answer must come from the
     integer descent alone."""
@@ -107,7 +118,7 @@ def test_select_ranks_all_equal_values(ray_session, tmp_path):
     assert got2[5] == 42.5 and got2[795] == 42.5
 
 
-def test_select_ranks_massive_tie_converges_fast(ray_session, tmp_path):
+def test_select_ranks_massive_tie_converges_fast(ray_session, tmp_path, force_descent):
     """A huge tied run at one end of a wide bracket (90% zeros + a
     spread tail) must resolve via the single-distinct-value early exit,
     NOT by narrowing the bracket ~120 passes down to float spacing (the
@@ -362,3 +373,43 @@ def test_lang_source_mode_tiebreak(ray_session, tmp_path):
          "n": np.array([3, 2], np.int64)}
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+# ------------------------------------------ rankselect fast-path identity
+
+
+def test_select_ranks_fast_path_matches_descent(ray_session, tmp_path, monkeypatch):
+    """The size-aware single-task fast path (LOCAL_SELECT_MAX_ROWS
+    dispatch) returns identical answers to the distributed histogram
+    descent for both selectors — the graph-ops identity pattern —
+    including value ties broken by the integer key."""
+    from torchtrajectory_ray.functions import rankselect
+
+    rng = np.random.default_rng(3)
+    v = np.round(rng.normal(size=4000) * 50, 1)  # rounding makes ties
+    k = rng.permutation(4000).astype(np.int64)
+    g = rng.choice(["x", "y", "z"], size=4000)
+    frames = [
+        pd.DataFrame({"v": a, "k": b, "g": c})
+        for a, b, c in zip(
+            np.array_split(v, 6), np.array_split(k, 6), np.array_split(g, 6)
+        )
+    ]
+    root = _write_parts(tmp_path, "fp", frames)
+    make = _ds_factory(f"{root}/fp.parquet", ["v", "k", "g"])
+    ranks = [1, 7, 2000, 3999, 4000]
+    ranks_of = {"x": [1, 5], "y": [2, 100], "z": [3]}
+
+    fast = rankselect.select_ranks(make, "v", ranks, key_col="k")
+    fast_vo = rankselect.select_ranks(make, "v", ranks)
+    fast_g = rankselect.select_ranks_by_group(make, "v", "g", ranks_of)
+
+    monkeypatch.setattr(rankselect, "LOCAL_SELECT_MAX_ROWS", 0)
+    slow = rankselect.select_ranks(make, "v", ranks, key_col="k",
+                                   bins=16, local_max=64)
+    slow_vo = rankselect.select_ranks(make, "v", ranks, bins=16, local_max=64)
+    slow_g = rankselect.select_ranks_by_group(make, "v", "g", ranks_of,
+                                              bins=16, local_max=64)
+    assert fast == slow
+    assert fast_vo == slow_vo
+    assert fast_g == slow_g

@@ -14,6 +14,16 @@ import pytest
 SF_SMALL = "/root/testdata/sf0.001"
 
 
+@pytest.fixture
+def force_descent(monkeypatch):
+    """Pin the rank selectors to the distributed histogram descent
+    (disable the size-aware single-task fast path) so these tests keep
+    exercising the 100-TB path on small synthetic inputs."""
+    from torchtrajectory_ray.functions import rankselect
+
+    monkeypatch.setattr(rankselect, "LOCAL_SELECT_MAX_ROWS", 0)
+
+
 def _write_parts(tmp_path, name, frames):
     d = tmp_path / f"{name}.parquet"
     d.mkdir()
@@ -39,7 +49,7 @@ def _events_df(types, values, uid0=0):
     )
 
 
-def test_grouped_select_matches_per_group_sort(ray_session, tmp_path):
+def test_grouped_select_matches_per_group_sort(ray_session, tmp_path, force_descent):
     from torchtrajectory_ray.functions.rankselect import select_ranks_by_group
 
     rng = np.random.default_rng(5)
@@ -167,3 +177,21 @@ def test_customer_order_counts_preserves_zero_customers(ray_session, tmp_path):
         }
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_robust_stats_fused_fast_path_matches_descent(ray_session, monkeypatch):
+    """The fused single-task (median, MAD) kernel returns frame-identical
+    results to the five-pass chained grouped selections, and
+    exact_quantiles' fast path matches its histogram descent."""
+    from torchtrajectory_ray.functions import rankselect
+    from torchtrajectory_ray.pipelines import events
+
+    events.clear_robust_stats_cache()
+    fast = events.value_mad_by_type(SF_SMALL)
+    fast_q = events.exact_quantiles(SF_SMALL)
+
+    events.clear_robust_stats_cache()
+    monkeypatch.setattr(rankselect, "LOCAL_SELECT_MAX_ROWS", 0)
+    pd.testing.assert_frame_equal(events.value_mad_by_type(SF_SMALL), fast)
+    pd.testing.assert_frame_equal(events.exact_quantiles(SF_SMALL), fast_q)
+    events.clear_robust_stats_cache()

@@ -33,6 +33,25 @@ import pyarrow as pa
 _BINS = 512
 _LOCAL_MAX = 65_536
 
+# Size-aware dispatch (the connected-components / graph-fixpoint
+# pattern, graph.LOCAL_GRAPH_MAX_ROWS): a column under this many rows
+# (~32 MB of float64 values, ~64 MB with an int64 key) answers EVERY
+# requested rank from ONE single-task sort instead of paying O(passes)
+# full corpus reads of pure scheduling overhead.  The descent below
+# remains the 100-TB shape for columns that outgrow a worker; identity
+# between the two paths is pytest-gated on the same corpus.
+LOCAL_SELECT_MAX_ROWS = 4_000_000
+
+
+def _local_table(ds, kernel) -> pd.DataFrame:
+    """Run ``kernel(pa.Table) -> pa.Table`` over the whole dataset as
+    ONE Ray task (not on the driver) and collect the small result."""
+    return (
+        ds.repartition(1)
+        .map_batches(kernel, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+
 
 def _fold_hist(
     parts: pd.DataFrame, n_brackets: int
@@ -68,24 +87,51 @@ def select_ranks(
     Dataset with the needed columns; ranks must lie in ``[1, n]``.
     """
     ds = make_ds()
+    # row count first: free from parquet metadata on pruned reads, and
+    # no costlier than the stats pass when make_ds() embeds transforms
+    n = int(ds.count())
+    if n == 0 or not ranks:
+        return {}
+    bad = [r for r in ranks if not (1 <= r <= n)]
+    if bad:
+        raise ValueError(f"ranks out of [1, {n}]: {bad}")
+    if n <= LOCAL_SELECT_MAX_ROWS:
+        rs = np.array(sorted(set(ranks)), dtype=np.int64)
+
+        def local(t: pa.Table) -> pa.Table:
+            v = t[value_col].to_numpy().astype(np.float64)
+            if key_col is None:
+                sv = np.sort(v)
+                return pa.table(
+                    {"r": pa.array(rs, pa.int64()),
+                     "v": pa.array(sv[rs - 1], pa.float64())}
+                )
+            k = t[key_col].to_numpy().astype(np.int64)
+            idx = np.lexsort((k, v))[rs - 1]
+            return pa.table(
+                {"r": pa.array(rs, pa.int64()),
+                 "v": pa.array(v[idx], pa.float64()),
+                 "k": pa.array(k[idx], pa.int64())}
+            )
+
+        got = _local_table(ds, local)
+        if key_col is None:
+            return {int(r): float(v) for r, v in zip(got["r"], got["v"])}
+        return {
+            int(r): (float(v), int(k))
+            for r, v, k in zip(got["r"], got["v"], got["k"])
+        }
 
     def stats_part(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy()
         return pa.table(
             {
-                "n": pa.array([len(v)], pa.int64()),
                 "lo": pa.array([float(v.min()) if len(v) else np.inf]),
                 "hi": pa.array([float(v.max()) if len(v) else -np.inf]),
             }
         )
 
     st = ds.map_batches(stats_part, batch_format="pyarrow").to_pandas()
-    n = int(st["n"].sum())
-    if n == 0 or not ranks:
-        return {}
-    bad = [r for r in ranks if not (1 <= r <= n)]
-    if bad:
-        raise ValueError(f"ranks out of [1, {n}]: {bad}")
     lo0, hi0 = float(st["lo"].min()), float(st["hi"].max())
     targets = [{"rank": r, "lo": lo0, "hi": hi0} for r in sorted(set(ranks))]
     answers: dict[int, object] = {}
@@ -286,6 +332,43 @@ def select_ranks_by_group(
             targets.append({"g": g, "rank": r, "lo": None, "hi": None})
     if not targets:
         return {}
+
+    if int(make_ds().count()) <= LOCAL_SELECT_MAX_ROWS:
+        groups = list(ranks_of)
+
+        # per-group counts ride along for the same rank validation the
+        # descent's span pass performs (ValueError on the driver, not a
+        # wrapped in-task IndexError)
+        def local(t: pa.Table) -> pa.Table:
+            v = t[value_col].to_numpy().astype(np.float64)
+            gv = t[group_col].to_pandas().to_numpy()
+            gi_out, r_out, v_out, ng_out = [], [], [], []
+            for gi, g in enumerate(groups):
+                sel = np.sort(v[gv == g])
+                for r in sorted(set(ranks_of[g])):
+                    gi_out.append(gi)
+                    r_out.append(r)
+                    ng_out.append(len(sel))
+                    v_out.append(
+                        float(sel[r - 1]) if 1 <= r <= len(sel) else np.nan
+                    )
+            return pa.table(
+                {"gi": pa.array(gi_out, pa.int64()),
+                 "r": pa.array(r_out, pa.int64()),
+                 "v": pa.array(v_out, pa.float64()),
+                 "ng": pa.array(ng_out, pa.int64())}
+            )
+
+        got = _local_table(make_ds(), local)
+        out_fast: dict[object, dict[int, float]] = {}
+        for gi, r, v, ng in zip(got["gi"], got["r"], got["v"], got["ng"]):
+            if not (1 <= int(r) <= int(ng)):
+                raise ValueError(
+                    f"rank {int(r)} out of [1, {int(ng)}] for group "
+                    f"{groups[int(gi)]!r}"
+                )
+            out_fast.setdefault(groups[int(gi)], {})[int(r)] = float(v)
+        return out_fast
 
     def span_part(batch: pa.Table) -> pa.Table:
         v = batch[value_col].to_numpy()

@@ -639,13 +639,34 @@ def exact_quantiles(
             }
         )
 
-    st = ds.map_batches(stats_part, batch_format="pyarrow").to_pandas()
-    n = int(st["n"].sum())
+    from torchtrajectory_ray.functions import rankselect
+
+    n = int(ds.count())  # free from parquet metadata on a pruned read
     if n == 0:
         return pd.DataFrame({"q": np.array(qs), "value": np.nan})
+    qrank = {q: max(1, int(np.ceil(q * n))) for q in qs}
+    if n <= rankselect.LOCAL_SELECT_MAX_ROWS:
+        # size-aware single-task fast path (rankselect.LOCAL_SELECT_MAX_ROWS
+        # dispatch): one in-task sort answers every quantile at once
+        rs = np.array(sorted(set(qrank.values())), np.int64)
+
+        def local(t: pa.Table) -> pa.Table:
+            sv = np.sort(t["value"].to_numpy().astype(np.float64))
+            return pa.table(
+                {"r": pa.array(rs, pa.int64()),
+                 "v": pa.array(sv[rs - 1], pa.float64())}
+            )
+
+        got = rankselect._local_table(ds, local)
+        vmap = {int(r): float(v) for r, v in zip(got["r"], got["v"])}
+        return pd.DataFrame(
+            {"q": np.array(qs, np.float64),
+             "value": [vmap[qrank[q]] for q in qs]}
+        )
+    st = ds.map_batches(stats_part, batch_format="pyarrow").to_pandas()
     lo0, hi0 = float(st["lo"].min()), float(st["hi"].max())
     targets = [
-        {"q": q, "rank": max(1, int(np.ceil(q * n))), "lo": lo0, "hi": hi0}
+        {"q": q, "rank": qrank[q], "lo": lo0, "hi": hi0}
         for q in qs
     ]
     answers: dict[float, float] = {}
@@ -1367,7 +1388,31 @@ def _group_cont_medians(
     when the caller already knows it (the MAD's dev stream has the same
     group sizes as the raw stream, so the second selection skips its
     counting pass)."""
+    from torchtrajectory_ray.functions import rankselect
     from torchtrajectory_ray.functions.rankselect import select_ranks_by_group
+
+    if int(make_ds().count()) <= rankselect.LOCAL_SELECT_MAX_ROWS:
+        # size-aware fast path: counting pass + grouped selection fold
+        # into ONE single-task kernel (identical interpolation)
+
+        def local(t: pa.Table) -> pa.Table:
+            gv = t[group_col].to_pandas().to_numpy()
+            v = t[value_col].to_numpy().astype(np.float64)
+            g_out, m_out = [], []
+            for g in np.unique(gv):
+                sv = np.sort(v[gv == g])
+                pos = 0.5 * (len(sv) - 1)
+                r0, r1 = int(np.floor(pos)), int(np.ceil(pos))
+                f = pos - np.floor(pos)
+                v0, v1 = float(sv[r0]), float(sv[r1])
+                g_out.append(str(g))
+                m_out.append(float(v0 if r0 == r1 else v0 + f * (v1 - v0)))
+            return pa.table(
+                {"g": pa.array(g_out), "med": pa.array(m_out, pa.float64())}
+            )
+
+        got = rankselect._local_table(make_ds(), local)
+        return {g: float(m) for g, m in zip(got["g"], got["med"])}
 
     if counts is None:
 
@@ -1498,6 +1543,43 @@ def _robust_stats_by_type(sf_dir: str) -> tuple[dict, dict]:
 
     def make_ds():
         return ray.data.read_parquet(path, columns=["event_type", "value"])
+
+    from torchtrajectory_ray.functions import rankselect
+
+    if int(make_ds().count()) <= rankselect.LOCAL_SELECT_MAX_ROWS:
+        # size-aware fused fast path: both chained grouped selections
+        # (median, then median of |v − median|) in ONE single-task sort
+        # kernel instead of five full corpus passes — identical
+        # interpolation arithmetic to the descent path, pytest-gated
+
+        def _cont_median_sorted(sv: np.ndarray) -> float:
+            pos = 0.5 * (len(sv) - 1)
+            r0, r1 = int(np.floor(pos)), int(np.ceil(pos))
+            f = pos - np.floor(pos)
+            v0, v1 = float(sv[r0]), float(sv[r1])
+            return float(v0 if r0 == r1 else v0 + f * (v1 - v0))
+
+        def local(t: pa.Table) -> pa.Table:
+            et = t["event_type"].to_pandas().to_numpy()
+            v = t["value"].to_numpy().astype(np.float64)
+            g_out, m_out, d_out = [], [], []
+            for g in np.unique(et):
+                grp = v[et == g]
+                med = _cont_median_sorted(np.sort(grp))
+                g_out.append(str(g))
+                m_out.append(med)
+                d_out.append(_cont_median_sorted(np.sort(np.abs(grp - med))))
+            return pa.table(
+                {"g": pa.array(g_out),
+                 "med": pa.array(m_out, pa.float64()),
+                 "mad": pa.array(d_out, pa.float64())}
+            )
+
+        got = rankselect._local_table(make_ds(), local)
+        meds = {g: float(m) for g, m in zip(got["g"], got["med"])}
+        mads = {g: float(m) for g, m in zip(got["g"], got["mad"])}
+        _ROBUST_STATS_CACHE[sf_dir] = (meds, mads)
+        return meds, mads
 
     def count_part(batch: pa.Table) -> pa.Table:
         g = (
