@@ -170,3 +170,55 @@ def test_with_canonical_urls_on_fixture_webpages(ray_session):
     )
     # fixture URLs are already canonical (lowercase, no port/query/frag)
     assert (out["canon_url"] == out["url"]).all()
+
+
+# ------------------------------------------------- property: idempotence
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_seg = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                           exclude_characters="/#?&="),
+    min_size=0, max_size=8,
+)
+_urlish = st.builds(
+    lambda scheme, host, port, segs, params, frag: (
+        f"{scheme}://{host}{port}/" + "/".join(segs)
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+    host=st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=st.lists(_seg | st.sampled_from([".", "..", ""]), max_size=5),
+    params=st.lists(
+        st.tuples(
+            _seg | st.sampled_from(
+                ["utm_source", "utm_medium", "fbclid", "gclid", "id", "q"]
+            ),
+            _seg,
+        ),
+        max_size=5,
+    ),
+    frag=_seg,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_urlish | _seg, min_size=1, max_size=20))
+def test_kernel_idempotent_on_adversarial_urls(urls):
+    """canon(canon(u)) == canon(u) over arbitrary URL-ish strings (and
+    non-URL garbage): the re-crawl dedup key is a fixpoint, so feeding an
+    already-canonical corpus through the pipeline again changes nothing.
+    The kernel must also be TOTAL — no input string may make the Arrow
+    kernel raise."""
+    arr = pa.array(urls, pa.string())
+    once = wh.canonicalize_urls(arr)
+    twice = wh.canonicalize_urls(once)
+    assert once.to_pylist() == twice.to_pylist()
+    # non-absolute-URL rows become null, never raise
+    for raw, c in zip(urls, once.to_pylist()):
+        if "://" not in raw:
+            assert c is None

@@ -55,12 +55,18 @@ _N_URL_PARTS = 256
 def canonicalize_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Vectorized URL canonicalization (see module docstring for rules).
 
-    Input must be well-formed absolute URLs (``scheme://...``); ill-formed
-    rows surface as nulls from the split kernels rather than being guessed
-    at.  ~6 RE2 passes + 2 splits per batch, no Python per row.
+    Rows that are not absolute URLs (``scheme://...``) surface as NULLS —
+    the kernel is TOTAL (hypothesis-gated): one junk row must never raise
+    out of a 100-TB scan.  (``list_element`` RAISES on the 1-element split
+    a scheme-less row produces, so ill-formed rows are nulled up front.)
+    ~6 RE2 passes + 2 splits per batch, no Python per row.
     """
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
+    ok = pc.match_substring_regex(urls, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    urls = pc.if_else(
+        pc.fill_null(ok, False), urls, pa.nulls(len(urls), pa.string())
+    )
     u = pc.replace_substring_regex(urls, r"#.*$", "")  # fragment
     parts = pc.split_pattern(u, "://", max_splits=1)
     scheme = pc.utf8_lower(pc.list_element(parts, 0))
