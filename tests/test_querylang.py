@@ -164,3 +164,44 @@ def test_proximity_phrase_grammar(ray_session):
         eng.search('"spark join"~x', k=5)
     with pytest.raises(ValueError, match="slop"):
         eng.search('"spark join"~-1', k=5)
+
+
+# --------------------------------------------------- property: totality
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from torchtrajectory_ray.functions.text import tokenize
+
+_qchars = st.text(
+    alphabet=st.sampled_from(list('"+-:*~^()[]{}\\ .|?&!abcXYZ012µé')),
+    max_size=40,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_qchars | st.text(max_size=40))
+def test_parser_totality_valueerror_only(s):
+    """parse_query over ARBITRARY user input either parses or raises
+    ValueError — never IndexError / TypeError / re.error.  A search box
+    is the one surface that sees adversarial strings constantly (the
+    webhygiene totality lesson applied to the query side)."""
+    try:
+        p = parse_query(s, tokenize)
+    except ValueError:
+        return
+    for t in list(p.must) + list(p.should) + list(p.must_not):
+        assert isinstance(t, str) and t
+    for ph in p.phrases:
+        assert all(isinstance(w, str) for w in ph)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenize_total_on_arbitrary_unicode(s):
+    toks = tokenize(s)
+    assert isinstance(toks, list)
+    assert all(isinstance(t, str) and t for t in toks)
+    # deterministic
+    assert toks == tokenize(s)
