@@ -231,3 +231,40 @@ def test_source_mix_is_deterministic(ray_session):
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
     assert len(a) > 0
+
+
+# --------------------------------------------------- property: totality
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=8))
+def test_scrub_idempotent_and_total(texts):
+    """scrub(scrub(t)) == scrub(t) over arbitrary unicode, and the second
+    pass counts ZERO new redactions — the replacement tokens must never
+    re-trigger a rule (the webhygiene totality lesson on the PII side)."""
+    from torchtrajectory_ray.pipelines.scrub import _RULES, scrub_batch
+
+    once = scrub_batch(texts)
+    twice = scrub_batch(once["texts"])
+    assert twice["texts"] == once["texts"]
+    for name, _, _ in _RULES:
+        assert int(twice[name].sum()) == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=6))
+def test_lang_id_total_on_arbitrary_unicode(texts):
+    """The trigram LID kernel is total and deterministic on arbitrary
+    unicode (emoji, RTL, control chars) and only ever emits a known
+    language code or 'und'."""
+    from torchtrajectory_ray.pipelines.textstats import LangId
+
+    lid = LangId()
+    preds = lid.classify_batch(texts)
+    assert len(preds) == len(texts)
+    assert all(p == "und" or p in lid.langs for p in preds)
+    assert preds == lid.classify_batch(texts)
