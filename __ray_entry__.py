@@ -372,6 +372,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": webhygiene.domain_stats,
         # broadcast host-blocklist filter, kept AND blocked both counted
         "blocklist_summary": webhygiene.blocklist_summary,
+        # host→host link graph THROUGH the real kernels: synthesize messy
+        # page HTML, extract anchors (script/comment decoy links must be
+        # dropped — if either leaks, the hash mismatches), canonicalize
+        # hrefs with the re-crawl kernel, pair-hash exchange
+        "host_link_edges": webhygiene.host_link_edges,
+        # per-src-host fan-out (links + distinct destination hosts)
+        "host_outlink_stats": webhygiene.host_outlink_stats,
         # r4-green tripwires rotated out of the window this round (their
         # oracles still run in test_driver_gate.py every session):
         "minhash_recall": dedup.minhash_recall_pairs,
@@ -1672,6 +1679,28 @@ SELECT lang,
        sum(CASE WHEN ((doc_id // 3) % 97) IN (13, 29, 61, 83)
                 THEN 1 ELSE 0 END)::BIGINT AS n_blocked
 FROM documents GROUP BY lang""",
+        # link graph: doc i (page p = i//3) carries i%4 anchors; anchor j
+        # targets page p*31 + 7*j + 1.  The Ray side derives this by
+        # PARSING synthesized HTML (extract + canonicalize kernels); the
+        # oracle reconstructs it with pure integer arithmetic, so a leaked
+        # script/comment decoy link or a canonicalization bug mismatches
+        "host_link_edges": """
+WITH l AS (
+  SELECT 'site' || ((doc_id // 3) % 97)::VARCHAR || '.example' AS src_host,
+         'site' || (((doc_id // 3) * 31 + 7*j + 1) % 97)::VARCHAR
+               || '.example' AS dst_host
+  FROM documents, UNNEST(range(doc_id % 4)) AS t(j))
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM l GROUP BY src_host, dst_host""",
+        "host_outlink_stats": """
+WITH l AS (
+  SELECT 'site' || ((doc_id // 3) % 97)::VARCHAR || '.example' AS src_host,
+         'site' || (((doc_id // 3) * 31 + 7*j + 1) % 97)::VARCHAR
+               || '.example' AS dst_host
+  FROM documents, UNNEST(range(doc_id % 4)) AS t(j))
+SELECT src_host, count(*)::BIGINT AS n_links,
+       count(DISTINCT dst_host)::BIGINT AS n_dst_hosts
+FROM l GROUP BY src_host""",
         # personalized PageRank: 3 unrolled restart-walk rounds from
         # seed customers 1..3 (nodes 2,4,6); only reached nodes appear
         "pagerank_personalized": """

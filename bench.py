@@ -532,6 +532,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("domain_stats", lambda: _wh.domain_stats(sf_dir).materialize())
     timed("blocklist_summary",
           lambda: _wh.blocklist_summary(sf_dir).materialize())
+    timed("host_link_edges",
+          lambda: _wh.host_link_edges(sf_dir).materialize())
     timed("media_features", lambda: media.media_features(n=300))
     timed("image_dhash_dups", lambda: media.image_dhash_dups())
     timed("audio_fp_dups", lambda: media.audio_fp_dups())

@@ -222,3 +222,91 @@ def test_kernel_idempotent_on_adversarial_urls(urls):
     for raw, c in zip(urls, once.to_pylist()):
         if "://" not in raw:
             assert c is None
+
+
+# ------------------------------------------------------- link extraction
+
+
+def test_extract_links_drops_script_and_comment_decoys():
+    ids = np.arange(0, 90, dtype=np.int64)
+    for i, html in zip(ids.tolist(), wh.synthetic_page_html(ids)):
+        links = wh.extract_links(html)
+        assert len(links) == i % 4, i  # decoys never counted
+        assert all("evil.example" not in l and "ghost.example" not in l
+                   for l in links)
+        # targets match the arithmetic model after canonicalization
+        p = i // 3
+        got_hosts = [c.split("/")[2] for c in
+                     wh.canonicalize_urls(pa.array(links)).to_pylist()]
+        want = [f"site{(p * 31 + 7 * j + 1) % 97}.example"
+                for j in range(i % 4)]
+        assert got_hosts == want, i
+
+
+def test_extract_links_quote_and_case_variants():
+    html = (b'<a href="https://a.example/1">x</a>'
+            b"<A HREF = 'https://b.example/2'>y</A>"
+            b'<a class="z" href="https://c.example/3">z</a>'
+            b'<p href="https://not-an-anchor.example/4">p</p>')
+    assert wh.extract_links(html) == [
+        "https://a.example/1", "https://b.example/2", "https://c.example/3"
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_links_total_on_arbitrary_bytes(data):
+    links = wh.extract_links(data)
+    assert isinstance(links, list)
+    assert all(isinstance(l, str) for l in links)
+    assert links == wh.extract_links(data)
+
+
+def test_host_outlink_stats_matches_pandas_truth(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    got = (
+        wh.host_outlink_stats(SF)
+        .to_pandas()
+        .sort_values("src_host")
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = t["doc_id"].to_numpy()
+    rows = []
+    for i in ids.tolist():
+        p = i // 3
+        for j in range(i % 4):
+            rows.append((f"site{p % 97}.example",
+                         f"site{(p * 31 + 7 * j + 1) % 97}.example"))
+    df = pd.DataFrame(rows, columns=["src_host", "dst_host"])
+    want = (
+        df.groupby("src_host")
+        .agg(n_links=("dst_host", "size"), n_dst_hosts=("dst_host", "nunique"))
+        .reset_index()
+        .sort_values("src_host")
+        .reset_index(drop=True)
+        .astype({"n_links": np.int64, "n_dst_hosts": np.int64})
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_linkgraph_exchange_path_matches_fast_path(ray_session, monkeypatch):
+    """The 256-way pair-hash exchange (the above-threshold path) returns
+    the same edge table and fan-out stats as the single-task fold."""
+    def _sorted(df, cols):
+        return df.sort_values(cols).reset_index(drop=True)
+
+    fast_e = _sorted(wh.host_link_edges(SF).to_pandas(),
+                     ["src_host", "dst_host"])
+    fast_s = _sorted(wh.host_outlink_stats(SF).to_pandas(), ["src_host"])
+    monkeypatch.setattr(wh, "LOCAL_LINKGRAPH_MAX_DOCS", 0)
+    pd.testing.assert_frame_equal(
+        _sorted(wh.host_link_edges(SF).to_pandas(),
+                ["src_host", "dst_host"]),
+        fast_e,
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(wh.host_outlink_stats(SF).to_pandas(), ["src_host"]), fast_s
+    )

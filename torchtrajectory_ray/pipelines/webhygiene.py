@@ -31,6 +31,7 @@ derivations: the string-parsing kernel here vs integer arithmetic.
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
@@ -38,6 +39,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from torchtrajectory_ray.functions.text import _COMMENT, _SCRIPT_STYLE
 
 # Hosts blocked by the (tiny, broadcast) blocklist operator.  At real
 # scale this is a UT1-style list of ~1e6 hosts: small enough to ship to
@@ -63,6 +66,11 @@ def canonicalize_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     """
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
+    if not pa.types.is_string(urls.type) and not pa.types.is_large_string(
+        urls.type
+    ):
+        # e.g. the null-typed array pa.array([]) infers: cast, don't raise
+        urls = urls.cast(pa.string())
     ok = pc.match_substring_regex(urls, r"^[A-Za-z][A-Za-z0-9+.\-]*://")
     urls = pc.if_else(
         pc.fill_null(ok, False), urls, pa.nulls(len(urls), pa.string())
@@ -353,4 +361,205 @@ def blocklist_summary(sf_dir: str) -> ray.data.Dataset:
         .groupby("lang")
         .map_groups(merge, batch_format="pandas")
         .select_columns(["lang", "n_kept", "n_blocked"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# link extraction + host link graph
+# ---------------------------------------------------------------------------
+#
+# The classic web-pipeline composition the pieces above exist for:
+# extract <a href> targets from raw HTML (same subtree-stripping
+# discipline as functions.text.extract_text — links inside <script>/
+# <style> subtrees or comments are NOT links), canonicalize them with
+# the SAME kernel that dedups re-crawls, and aggregate a host→host link
+# graph (the input of host-level ranking / spam analysis; reference
+# analogy: the edge lists TorGraph builds from raw trajectories,
+# TorGraph.java:37-97, re-targeted to hyperlinks).  Scale shape: all
+# per-doc work (synthesis, extraction, canonicalization) happens inside
+# the batch; only (src_host, dst_host, n) partials — bounded by the
+# host-pair space, not the corpus — enter the one hash exchange.
+
+_HREF = re.compile(
+    rb"""<a\b[^>]*?\bhref\s*=\s*("([^"]*)"|'([^']*)')""",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# size-aware merge dispatch for the link-graph reduction (the
+# LOCAL_*_MAX_ROWS convention: graph.LOCAL_GRAPH_MAX_ROWS,
+# rankselect.LOCAL_SELECT_MAX_ROWS)
+LOCAL_LINKGRAPH_MAX_DOCS = 4_000_000
+
+
+def extract_links(html: bytes) -> list[str]:
+    """href targets of real anchor tags, document order.  TOTAL on
+    arbitrary bytes (hypothesis-gated); <script>/<style> subtrees and
+    comments are stripped FIRST so scripted/commented-out markup never
+    contributes a link — the extract_text discipline."""
+    t = _SCRIPT_STYLE.sub(b" ", html)
+    t = _COMMENT.sub(b" ", t)
+    return [
+        (m.group(2) if m.group(2) is not None else m.group(3)).decode(
+            "utf-8", errors="replace"
+        )
+        for m in _HREF.finditer(t)
+    ]
+
+
+def synthetic_page_html(doc_ids: np.ndarray) -> list[bytes]:
+    """Deterministic messy page HTML per doc_id.  Doc ``i`` (page
+    ``p = i // 3``) carries ``i % 4`` real outlinks; link ``j`` targets
+    page ``q = p*31 + 7*j + 1`` (host ``site{q % 97}.example``) through
+    a MESSY crawl URL (synthetic_crawl_urls of the fake crawl id
+    ``q*3 + i%3``), with the quote style and attribute spelling varying
+    per link.  Docs also carry adversarial decoys the extractor must
+    ignore: a scripted anchor (i % 5 == 0) and a commented-out anchor
+    (i % 9 == 0) pointing at hosts that exist nowhere else — if either
+    leaks through, the oracle hash mismatches."""
+    ids = doc_ids.astype(np.int64)
+    p = ids // 3
+    k = ids % 4
+    # ALL messy hrefs of the batch in ONE kernel call (the per-doc
+    # pa.array + 6-RE2-pass flavor was ~1 ms/doc — this is the hot
+    # per-batch path of host_link_edges)
+    doc_rep = np.repeat(np.arange(len(ids)), k)
+    total = int(k.sum())
+    j_of = np.arange(total) - np.repeat(np.cumsum(k) - k, k)
+    fake = (p[doc_rep] * 31 + 7 * j_of + 1) * 3 + ids[doc_rep] % 3
+    hrefs = synthetic_crawl_urls(fake).to_pylist() if total else []
+    out: list[bytes] = []
+    pos = 0
+    for i, pp, kk in zip(ids.tolist(), p.tolist(), k.tolist()):
+        hs = hrefs[pos : pos + kk]
+        pos += kk
+        parts = [
+            f"<html><head><title>page {pp}</title></head><body>",
+            f"<p>content of page {pp}</p>",
+        ]
+        for j, h in enumerate(hs):
+            if j % 2 == 0:
+                parts.append(f'<a href="{h}">link {j}</a>')
+            else:
+                parts.append(f"<A HREF = '{h}'>link {j}</A>")
+        if i % 5 == 0:
+            parts.append(
+                "<script>var x = '<a href=\"https://evil.example/x\">s</a>';"
+                "</script>"
+            )
+        if i % 9 == 0:
+            parts.append('<!-- <a href="https://ghost.example/y">c</a> -->')
+        parts.append("</body></html>")
+        out.append("\n".join(parts).encode())
+    return out
+
+
+def _host_of(canon: list) -> np.ndarray:
+    """Host of each canonical URL ('' for null/ill-formed rows)."""
+    return np.asarray(
+        [c.split("/")[2] if c else "" for c in canon], dtype=object
+    )
+
+
+def host_link_edges(sf_dir: str) -> ray.data.Dataset:
+    """``src_host, dst_host, n_links`` — the host-level link graph,
+    derived end-to-end through the REAL kernels: synthesize each doc's
+    messy HTML, extract its anchors (script/comment decoys must be
+    dropped), canonicalize every href with the re-crawl kernel, reduce
+    per batch, then ONE 256-way hash exchange on the (src, dst) pair."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        src_host = _host_of(
+            canonicalize_urls(synthetic_crawl_urls(ids)).to_pylist()
+        )
+        # extract per doc (regex over the bytes — the honest work), but
+        # canonicalize ALL the batch's links in ONE kernel call
+        all_links: list[str] = []
+        srcs: list = []
+        for i, html in zip(range(len(ids)), synthetic_page_html(ids)):
+            links = extract_links(html)
+            all_links.extend(links)
+            srcs.extend([src_host[i]] * len(links))
+        dsts = _host_of(
+            canonicalize_urls(pa.array(all_links, pa.string())).to_pylist()
+        ) if all_links else []
+        if not srcs:
+            return pa.table(
+                {
+                    "src_host": pa.array([], pa.string()),
+                    "dst_host": pa.array([], pa.string()),
+                    "n_links": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        df = pd.DataFrame({"src_host": srcs, "dst_host": dsts})
+        g = df.groupby(["src_host", "dst_host"], sort=False).size()
+        g = g.reset_index(name="n_links")
+        part = np.fromiter(
+            (
+                zlib.crc32(f"{a}|{b}".encode()) % _N_URL_PARTS
+                for a, b in zip(g["src_host"], g["dst_host"])
+            ),
+            np.int64,
+            len(g),
+        )
+        g["part"] = part.astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["src_host", "dst_host"], sort=False)
+            .agg(n_links=("n_links", "sum"))
+            .reset_index()
+        )
+
+    base = _read_ids(sf_dir)
+    parts = base.map_batches(partials, batch_format="pyarrow")
+    # size-aware merge (the LOCAL_*_MAX_ROWS convention): per-batch
+    # partials are bounded by the batch's DISTINCT host pairs, so under
+    # the doc bound one task folds them all; at web scale (host pairs ≫
+    # a worker) the 256-way pair-hash exchange below takes over —
+    # identity between the two is pytest-gated
+    if int(base.count()) <= LOCAL_LINKGRAPH_MAX_DOCS:
+        folded = parts.repartition(1).map_batches(
+            lambda t: pa.Table.from_pandas(
+                merge(t.to_pandas()), preserve_index=False
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        return folded.select_columns(["src_host", "dst_host", "n_links"])
+    return (
+        parts.groupby("part")
+        .map_groups(merge, batch_format="pandas")
+        .select_columns(["src_host", "dst_host", "n_links"])
+    )
+
+
+def host_outlink_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-src-host fan-out over the link graph: total links and
+    distinct destination hosts.  Consumes the already-pair-reduced edge
+    table (≤ hosts² rows), so the second exchange is tiny."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("src_host", sort=False).agg(
+            n_links=("n_links", "sum"), n_dst_hosts=("dst_host", "nunique")
+        )
+        out["n_dst_hosts"] = out["n_dst_hosts"].astype(np.int64)
+        return out.reset_index()
+
+    edges = host_link_edges(sf_dir)
+    if int(_read_ids(sf_dir).count()) <= LOCAL_LINKGRAPH_MAX_DOCS:
+        # edge rows are PAIR-distinct already; one task folds per-src
+        return edges.repartition(1).map_batches(
+            lambda t: pa.Table.from_pandas(
+                fold(t.to_pandas()), preserve_index=False
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).select_columns(["src_host", "n_links", "n_dst_hosts"])
+    return (
+        edges.groupby("src_host")
+        .map_groups(fold, batch_format="pandas")
+        .select_columns(["src_host", "n_links", "n_dst_hosts"])
     )
