@@ -137,8 +137,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": dedup.minhash_dedup_pairs,
         "simhash_neardup": dedup.simhash_dedup_pairs,
         "knn_ivf": knn.knn_ivf,                   # IVF scale path
-        "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
-        "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe
+        # brand-new round-5 link-graph ops take the window slots of
+        # knn_ivf_batch / knn_ivf_sq8 (whose exact *_fullprobe
+        # surrogates are r4 hash-green and whose family stays
+        # represented by knn_ivf above): these two are hash-CERTIFIABLE
+        "host_link_edges": webhygiene.host_link_edges,
+        "host_outlink_stats": webhygiene.host_outlink_stats,
         "ivf_probe_stats": _ivf_probe_stats,      # IO-pruning audit
         "kmeans_clusters": clustering.cluster_sizes,  # ST7 analog (iterative)
         "window_kmeans": lambda sf: clustering.windowed_kmeans(
@@ -283,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (driver-green r1-r4, rotated out; their oracles still run in
         # test_driver_gate.py every session)
         "postings_flat": corpus.postings_flat,    # A1/S4/S5: build+codec roundtrip
+        "knn_ivf_batch": knn.knn_ivf_batch,       # Dataset-native batch probe
+        "knn_ivf_sq8": knn.knn_ivf_sq8,           # int8-scan probe
         "revenue_topk": analytics.revenue_topk,   # rename-by-name fix r5
         "heavy_terms": textstats.heavy_terms,
         "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,  # exact at nprobe=nlist
@@ -372,13 +378,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": webhygiene.domain_stats,
         # broadcast host-blocklist filter, kept AND blocked both counted
         "blocklist_summary": webhygiene.blocklist_summary,
-        # host→host link graph THROUGH the real kernels: synthesize messy
-        # page HTML, extract anchors (script/comment decoy links must be
-        # dropped — if either leaks, the hash mismatches), canonicalize
-        # hrefs with the re-crawl kernel, pair-hash exchange
-        "host_link_edges": webhygiene.host_link_edges,
-        # per-src-host fan-out (links + distinct destination hosts)
-        "host_outlink_stats": webhygiene.host_outlink_stats,
         # r4-green tripwires rotated out of the window this round (their
         # oracles still run in test_driver_gate.py every session):
         "minhash_recall": dedup.minhash_recall_pairs,
