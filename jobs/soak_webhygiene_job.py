@@ -80,6 +80,25 @@ def main() -> None:
     assert int(bl["n_blocked"].sum()) > 0
     out["blocked_docs"] = int(bl["n_blocked"].sum())
 
+    # link graph at 1M docs THROUGH the exchange path (the fast-path
+    # merge is pinned off so the 256-way pair-hash exchange is what
+    # soaks): Σ n_links == Σ_i (i % 4), src/dst host spaces == 97
+    wh.LOCAL_LINKGRAPH_MAX_DOCS = 0
+    t = time.monotonic()
+    edges = wh.host_link_edges(soak_dir).to_pandas()  # ≤ 97² rows
+    out["link_edges_s"] = round(time.monotonic() - t, 1)
+    out["link_edges_docs_per_s"] = round(n / out["link_edges_s"], 1)
+    want_links = sum(i % 4 for i in range(n))
+    assert int(edges["n_links"].sum()) == want_links, (
+        int(edges["n_links"].sum()),
+        want_links,
+    )
+    assert edges["src_host"].nunique() == 97
+    t = time.monotonic()
+    st = wh.host_outlink_stats(soak_dir).to_pandas()
+    out["outlink_stats_s"] = round(time.monotonic() - t, 1)
+    assert len(st) == 97 and int(st["n_links"].sum()) == want_links
+
     out["total_s"] = round(time.monotonic() - t0, 1)
     print(json.dumps(out))
     ray.shutdown()
