@@ -413,3 +413,19 @@ def test_select_ranks_fast_path_matches_descent(ray_session, tmp_path, monkeypat
     assert fast == slow
     assert fast_vo == slow_vo
     assert fast_g == slow_g
+
+
+def test_select_ranks_single_row_both_paths(ray_session, tmp_path, monkeypatch):
+    from torchtrajectory_ray.functions import rankselect
+
+    root = _write_parts(tmp_path, "one", [pd.DataFrame({"v": [7.5], "k": [3]})])
+    make = _ds_factory(f"{root}/one.parquet", ["v", "k"])
+    assert rankselect.select_ranks(make, "v", [1]) == {1: 7.5}
+    assert rankselect.select_ranks(make, "v", [1], key_col="k") == {1: (7.5, 3)}
+    assert rankselect.select_ranks_by_group(make, "v", "k", {3: [1]}) == {3: {1: 7.5}}
+    with pytest.raises(ValueError):
+        rankselect.select_ranks(make, "v", [2])
+    monkeypatch.setattr(rankselect, "LOCAL_SELECT_MAX_ROWS", 0)
+    assert rankselect.select_ranks(make, "v", [1], key_col="k") == {1: (7.5, 3)}
+    with pytest.raises(ValueError):
+        rankselect.select_ranks_by_group(make, "v", "k", {3: [2]})
