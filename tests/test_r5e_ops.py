@@ -195,3 +195,12 @@ def test_robust_stats_fused_fast_path_matches_descent(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(events.value_mad_by_type(SF_SMALL), fast)
     pd.testing.assert_frame_equal(events.exact_quantiles(SF_SMALL), fast_q)
     events.clear_robust_stats_cache()
+
+
+def test_value_mad_fused_fast_path_matches_descent(ray_session, monkeypatch):
+    from torchtrajectory_ray.functions import rankselect
+    from torchtrajectory_ray.pipelines import events
+
+    fast = events.value_mad(SF_SMALL)
+    monkeypatch.setattr(rankselect, "LOCAL_SELECT_MAX_ROWS", 0)
+    pd.testing.assert_frame_equal(events.value_mad(SF_SMALL), fast)

@@ -1086,6 +1086,34 @@ def value_mad(sf_dir: str) -> pd.DataFrame:
     n = int(make_ds().count())
     if n == 0:
         return pd.DataFrame({"stat": ["median", "mad"], "value": [np.nan] * 2})
+
+    from torchtrajectory_ray.functions import rankselect
+
+    if n <= rankselect.LOCAL_SELECT_MAX_ROWS:
+        # fused single-task fast path (the _robust_stats_by_type shape,
+        # ungrouped): both chained selections in ONE kernel
+
+        def local(t: pa.Table) -> pa.Table:
+            v = t["value"].to_numpy().astype(np.float64)
+
+            def cont_med(sv: np.ndarray) -> float:
+                pos = 0.5 * (len(sv) - 1)
+                r0, r1 = int(np.floor(pos)), int(np.ceil(pos))
+                f = pos - np.floor(pos)
+                return float(sv[r0] + f * (sv[r1] - sv[r0]))
+
+            m = cont_med(np.sort(v))
+            d = cont_med(np.sort(np.abs(v - m)))
+            return pa.table({"med": pa.array([m]), "mad": pa.array([d])})
+
+        got = rankselect._local_table(make_ds(), local)
+        return pd.DataFrame(
+            {"stat": ["median", "mad"],
+             "value": np.round(
+                 [float(got["med"][0]), float(got["mad"][0])], 6
+             ).astype(np.float64)}
+        )
+
     med = _cont_rank_value(make_ds, "value", 0.5, n)
 
     def make_dev_ds():
